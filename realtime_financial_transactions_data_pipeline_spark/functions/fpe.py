@@ -1,0 +1,112 @@
+"""Format-preserving encryption of digit strings (SURVEY §2.5, U1/U2).
+
+The reference tokenizes PANs with ``pyffx.Integer(dek, length=len(pan))``
+(pipeline.py:92-95) after decrypting a data-encryption key fetched at
+worker ``setup()`` (pipeline.py:18-45). Properties we preserve:
+
+- deterministic per key: same PAN → same token (joins / count-distinct on
+  tokens keep working);
+- format-preserving: output is all digits, same length as the input;
+- key never hard-coded in the plan: loaded lazily once per executor
+  process (envelope pattern of U2, minus the KMS dependency — key comes
+  from ``SPARK_GRAFT_FPE_KEY`` / a key file, defaulting to a test key).
+
+Implementation is a standard balanced Feistel network over the decimal
+domain with an HMAC-SHA256 round function (the construction behind
+NIST FF1/FF3 and pyffx itself — public knowledge; we do not claim NIST
+compliance, just determinism + format preservation). Ten rounds.
+
+Execution model: iterator pandas UDF (`mapInPandas`-style Arrow batches).
+The key is resolved once per Python worker, mirroring the reference's
+expensive ``DoFn.setup()`` — not per row, not per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ROUNDS = 10
+_DEFAULT_TEST_KEY = b"spark-graft-default-test-dek-32B"
+
+_key_cache: bytes | None = None
+
+
+def _load_key() -> bytes:
+    """Once-per-executor-process key init (U2 envelope pattern)."""
+    global _key_cache
+    if _key_cache is None:
+        path = os.environ.get("SPARK_GRAFT_FPE_KEY_FILE")
+        if path:
+            with open(path, "rb") as f:
+                _key_cache = f.read().strip()
+        else:
+            hexkey = os.environ.get("SPARK_GRAFT_FPE_KEY")
+            _key_cache = bytes.fromhex(hexkey) if hexkey else _DEFAULT_TEST_KEY
+    return _key_cache
+
+
+def _prf(key: bytes, round_no: int, value: int, width: int) -> int:
+    msg = f"{round_no}|{width}|{value}".encode()
+    return int.from_bytes(hmac.new(key, msg, hashlib.sha256).digest()[:8], "big")
+
+
+def encrypt_digits(key: bytes, digits: str) -> str:
+    """Feistel-encrypt a decimal string, preserving its length."""
+    n = len(digits)
+    if n < 2 or not digits.isdigit():
+        raise ValueError(f"FPE domain is digit strings of length >= 2, got {digits!r}")
+    left_w = n // 2
+    right_w = n - left_w
+    a, b = int(digits[:left_w]), int(digits[left_w:])
+    mod_a, mod_b = 10**left_w, 10**right_w
+    for r in range(_ROUNDS):
+        if r % 2 == 0:
+            b = (b + _prf(key, r, a, n)) % mod_b
+        else:
+            a = (a + _prf(key, r, b, n)) % mod_a
+    return str(a).zfill(left_w) + str(b).zfill(right_w)
+
+
+def decrypt_digits(key: bytes, digits: str) -> str:
+    n = len(digits)
+    left_w = n // 2
+    right_w = n - left_w
+    a, b = int(digits[:left_w]), int(digits[left_w:])
+    mod_a, mod_b = 10**left_w, 10**right_w
+    for r in reversed(range(_ROUNDS)):
+        if r % 2 == 0:
+            b = (b - _prf(key, r, a, n)) % mod_b
+        else:
+            a = (a - _prf(key, r, b, n)) % mod_a
+    return str(a).zfill(left_w) + str(b).zfill(right_w)
+
+
+@F.pandas_udf(T.StringType())
+def fpe_tokenize(pans: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """PAN → 16-char zero-padded token (pipeline.py:93-95 semantics:
+    encrypt at the PAN's own length, then ``zfill(16)``). Null/invalid
+    PANs map to null — callers route invalid rows to the dead-letter sink
+    *before* this UDF (plan-ordering discipline, SURVEY §4)."""
+    key = _load_key()  # once per worker, before the batch loop
+
+    def one(pan: object) -> object:
+        if pan is None or not isinstance(pan, str) or not pan.isdigit() or len(pan) < 2:
+            return None
+        return str(int(encrypt_digits(key, pan))).zfill(16)
+
+    for batch in pans:
+        yield batch.map(one)
+
+
+def fpe_token_col(pan: Column) -> Column:
+    """Column-level entry point; deterministic (same PAN ⇒ same token), so
+    Catalyst may safely collapse duplicate invocations."""
+    return fpe_tokenize(pan)

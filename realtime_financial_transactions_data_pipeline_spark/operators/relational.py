@@ -1,0 +1,837 @@
+"""Relational probe queries: projections, filters, routing, scalar
+functions, joins, dashboard aggregates, slicers, sorts, set ops, windows.
+
+Each probe mirrors one operator row from SURVEY.md §2 (citation in the
+docstring) re-expressed on the TPC-H-ish test tables, with a DuckDB
+oracle. Role mapping (FIXTURES.md §B): orders/lineitem ≈ the fact table,
+customer/nation/region ≈ dims, events ≈ the raw stream.
+
+Scale notes (100 TB): every join here is either a broadcast of a true
+dimension (region/nation/customer — kilobytes to megabytes regardless of
+fact scale) or an equi-join on the fact's own key (l_orderkey) which
+Catalyst executes as a shuffle/sort-merge join with AQE skew splitting.
+Aggregates are hash-aggregates with map-side partial combine. Filters are
+literal predicates on scan columns → parquet row-group pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: star join + slicers + multi-measure agg + order  (J1, L1-L3,
+# A1/A2/A9, O1). Analytics path of SURVEY §3.3 — the dashboard's
+# "revenue & volume by dimension" chart family on TPC-H roles.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q1_star_revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_txns,
+           round(avg(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND o_orderstatus IN ('O', 'F')
+    GROUP BY r_name, n_name
+    """,
+)
+def q1_star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join fact→4 dims with date-range + equality slicers, grouped
+    multi-measure agg (README.md:85-97 dashboard; data_model.png). Dims
+    broadcast — at 100 TB the only shuffle is the groupBy."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("o_orderstatus").isin("O", "F")
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_txns"),
+            dround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P5 — projections / column drop / filters / validation routing
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "p1_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed projection in declared column order (pipeline.py:106-129).
+    Column pruning reaches the parquet scan (ReadSchema shows 4 cols)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@probe(
+    "p2_column_drop",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def p2_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style column drop (record.pop('card_number'), pipeline.py:100).
+    Explicit .drop so no plan rewrite can resurrect the column."""
+    return _t(spark, sf_dir, "customer").drop("c_acctbal")
+
+
+@probe(
+    "p3_filter_eq",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def p3_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter (generate_fact_transactions_data.py:42-43 boolean
+    split). Pushed to the parquet scan as PushedFilters=[EqualTo(...)]."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@probe(
+    "p4_validation_routing",
+    oracle="""
+    SELECT (length(c_name) BETWEEN 13 AND 19) AS is_valid,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer GROUP BY 1
+    """,
+)
+def p4_validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation predicate + multi-way routing (pipeline.py:74-87: PAN
+    length 13..19 → valid, else dead-letter). Both branches counted in one
+    pass — at scale this is a single scan, not two."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.length("c_name").between(13, 19).alias("is_valid"))
+        .groupBy("is_valid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@probe(
+    "p5_null_defaulting",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+             AS acctbal_or_zero
+    FROM customer
+    """,
+)
+def p5_null_defaulting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-branch defaulting (pipeline.py:101-104: missing PAN → null
+    token columns, downstream coalesce)."""
+    c = _t(spark, sf_dir, "customer")
+    nulled = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return c.select("c_custkey", F.coalesce(nulled, F.lit(0.0)).alias("acctbal_or_zero"))
+
+
+# ---------------------------------------------------------------------------
+# F1-F12, F15 — scalar function library probes
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "f1_mask_pan",
+    oracle="""
+    SELECT c_custkey,
+           substring(c_name, 1, 6) || '******'
+             || substring(c_name, length(c_name) - 3, 4) AS masked
+    FROM customer
+    """,
+)
+def f1_mask_pan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAN masking: first-6 + '******' + last-4 (pipeline.py:89-90),
+    exercised on a string column of the test data."""
+    c = _t(spark, sf_dir, "customer")
+    masked = F.concat(
+        F.substring("c_name", 1, 6), F.lit("******"), F.substring(F.col("c_name"), -4, 4)
+    )
+    return c.select("c_custkey", masked.alias("masked"))
+
+
+@probe(
+    "f2_f6_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           lower(p_brand) AS brand_lc,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           split_part(p_type, ' ', 1) AS type_head,
+           substring(p_type, 1, 5) AS type_prefix,
+           (p_type LIKE '%BRASS%') AS has_brass
+    FROM part
+    """,
+)
+def f2_f6_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library: length (F2, pipeline.py:77), substring/prefix (F3,
+    generate_fact_transactions_data.py:153), split (F4, :151-152),
+    zero-pad (F5, pipeline.py:95), lower/contains (F6,
+    generate_dim_cust_data.py:64-68)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.col("p_type").contains("BRASS").alias("has_brass"),
+    )
+
+
+@probe(
+    "f7_timestamp_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_dt,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    """,
+)
+def f7_timestamp_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 timestamp formatting (txn_dt.isoformat(),
+    generate_fact_transactions_data.py:209; parse pipeline.py:83)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_dt"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@probe(
+    "f9_date_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER)
+             AS ship_lag_days,
+           strftime(DATE '2023-01-01' + INTERVAL (l_linenumber) DAY, '%Y-%m-%d') AS line_date,
+           strftime(greatest(CAST(o_orderdate AS DATE), DATE '1997-01-01'), '%Y-%m-%d')
+             AS open_floor
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def f9_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_id ↔ date arithmetic (F9): BASE_DATE + days offset
+    (generate_fact_transactions_data.py:66-67), datediff, greatest-floor
+    (generate_dim_account_data.py:152-155). BASE_DATE is 2023-01-01."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("ship_lag_days"),
+        F.date_format(
+            F.date_add(F.lit("2023-01-01").cast("date"), F.col("l_linenumber")), "yyyy-MM-dd"
+        ).alias("line_date"),
+        F.date_format(
+            F.greatest(F.to_date("o_orderdate"), F.lit("1997-01-01").cast("date")), "yyyy-MM-dd"
+        ).alias("open_floor"),
+    )
+
+
+@probe(
+    "f10_calendar_extraction",
+    oracle="""
+    SELECT CAST(year(ts) AS INTEGER) AS y,
+           CAST(quarter(ts) AS INTEGER) AS q,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(dayofweek(ts) AS INTEGER) AS dow0,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS mi,
+           CASE WHEN hour(ts) < 12 THEN 'AM' ELSE 'PM' END AS period,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ALL
+    """,
+)
+def f10_calendar_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_dim/time_dim attribute derivation (README.md:48-49): year,
+    quarter, month, day, day-of-week, hour, minute, AM/PM period.
+    dow normalized to DuckDB's 0=Sunday (Spark dayofweek is 1=Sunday)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").alias("y"),
+            F.quarter("ts").alias("q"),
+            F.month("ts").alias("mo"),
+            F.dayofmonth("ts").alias("d"),
+            (F.dayofweek("ts") - 1).alias("dow0"),
+            F.hour("ts").alias("h"),
+            F.minute("ts").alias("mi"),
+            F.when(F.hour("ts") < 12, "AM").otherwise("PM").alias("period"),
+        )
+        .groupBy("y", "q", "mo", "d", "dow0", "h", "mi", "period")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@probe(
+    "f11_f12_arithmetic_round",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS disc_price,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           round(l_extendedprice * l_discount, 2) AS discount_amt
+    FROM lineitem
+    """,
+)
+def f11_f12_arithmetic_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic + round(x,2) (total = amount + tax − discount,
+    generate_fact_transactions_data.py:140-143,135-143)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ep, dc, tx = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(ep * (1 - dc), 2).alias("disc_price"),
+        dround(ep * (1 - dc) * (1 + tx), 2).alias("charge"),
+        dround(ep * dc, 2).alias("discount_amt"),
+    )
+
+
+@probe(
+    "f15_risk_threshold",
+    oracle="""
+    SELECT (value >= 100.0) AS is_high,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 2) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def f15_risk_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk banding / threshold classification (risk_score ≥ 0.6 is
+    'high risk': generate_fact_transactions_data.py:196-199, README.md:87)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select((F.col("value") >= 100.0).alias("is_high"), "value")
+        .groupBy("is_high")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.avg("value"), 2).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J5 — join family
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "j1_left_join_dim",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers_no_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j1_left_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer star join preserving dimension rows with no facts
+    (Power BI model join semantics, README.md:38-49)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                "n_customers_no_orders"
+            ),
+        )
+    )
+
+
+@probe(
+    "j2_stream_static_lookup",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def j2_stream_static_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment lookup (txn enriched from dim_accounts
+    cache, generate_fact_transactions_data.py:100-105) as a broadcast
+    equi-join of the event stream against a dim."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@probe(
+    "j4_anti_join_new_rows",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j4_anti_join_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-rows-only anti-join (seen_customer_ids dedupe set,
+    generate_dim_account_data.py:69-70,96-105)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@probe(
+    "j4b_semi_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def j4b_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi complement of J4 (EXISTS lookup)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@probe(
+    "j5_range_predicate_join",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_early_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def j5_range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval theta predicate riding an equi-join (txn timestamp
+    within [open_date, close_date]: generate_fact_transactions_data.py:78-81,145).
+    The equi-key keeps it a hash join; the BETWEEN is a post-join filter,
+    so no O(n²) blow-up at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.date_add(o.o_orderdate.cast("date"), 90).cast("timestamp"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_early_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1-A10 — dashboard aggregate suite
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a1_a6_stat_cards",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_txns,
+           round(sum(o_totalprice), 2) AS total_revenue,
+           round(avg(o_totalprice), 2) AS avg_txn_amount,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END), 4)
+             AS finished_share,
+           CAST(sum(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_value_count,
+           round(avg(o_totalprice) / 1000, 4) AS avg_k
+    FROM orders
+    """,
+)
+def a1_a6_stat_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six dashboard stat cards in one pass (README.md:86-87): count,
+    sum, avg, conditional share (recurring %), conditional count
+    (high-risk ≥ threshold), derived avg. Single hash-agg, no shuffle of
+    raw rows beyond partial-agg exchange."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_txns"),
+        dround(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        dround(F.avg("o_totalprice"), 2).alias("avg_txn_amount"),
+        dround(F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)), 4).alias(
+            "finished_share"
+        ),
+        F.sum(F.when(F.col("o_totalprice") >= 300000, 1).otherwise(0)).alias("high_value_count"),
+        dround(F.avg("o_totalprice") / 1000, 4).alias("avg_k"),
+    )
+
+
+@probe(
+    "a7_daily_timeseries",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           round(sum(value), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM events GROUP BY 1
+    """,
+)
+def a7_daily_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-date time-series aggregation (timeline chart,
+    README.md:91): revenue + volume per day."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"))
+        .agg(dround(F.sum("value"), 2).alias("revenue"), F.count(F.lit(1)).alias("volume"))
+    )
+
+
+@probe(
+    "a8_a9_group_by_dim",
+    oracle="""
+    SELECT n_name AS dim_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def a8_a9_group_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-dimension multi-measure agg (volume by gateway/channel,
+    revenue+volume by merchant: README.md:92-95)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("dim_name"))
+        .agg(
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
+
+@probe(
+    "a10_distinct_slicer_values",
+    oracle="""
+    SELECT DISTINCT c_mktsegment AS segment FROM customer
+    """,
+)
+def a10_distinct_slicer_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct slicer value lists (state/city/channel/device pickers,
+    README.md:96-97)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+@probe(
+    "a10b_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a10b_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting per group (A10). The approximate variant
+    is probed separately (x5_approx_sketches, rows-only)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1-L3 — slicer predicate composition
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "l1_l3_slicer_stack",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-06-01' AND TIMESTAMP '1998-06-30'
+      AND o_orderstatus IN ('O', 'P')
+      AND o_orderpriority <> '5-LOW'
+    GROUP BY 1, 2
+    """,
+)
+def l1_l3_slicer_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-composed dashboard slicers (README.md:96-97): date-range
+    BETWEEN + IN-list + inequality, then monthly rollup. All three
+    predicates reach the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-06-01").cast("timestamp"), F.lit("1998-06-30").cast("timestamp")
+            )
+        )
+        .filter(F.col("o_orderstatus").isin("O", "P"))
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1-O3, O5 — sort / top-k / union / window
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "o1_o2_topk",
+    oracle="""
+    SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    LIMIT 5
+    """,
+)
+def o1_o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-by measure desc + top-K (merchant bar chart / treemap,
+    README.md:93-94). Spark executes as TakeOrderedAndProject — no global
+    sort of the full aggregate at scale. Deterministic tiebreak on name."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+        .limit(5)
+    )
+
+
+@probe(
+    "o3_union",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'big' AS bucket
+    FROM orders WHERE o_totalprice >= 400000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'urgent' AS bucket
+    FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 400000
+    """,
+)
+def o3_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two filtered branches (O3) via unionByName."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") >= 400000).select(
+        "o_orderkey", "o_totalprice", F.lit("big").alias("bucket")
+    )
+    urgent = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") < 400000)
+    ).select("o_orderkey", "o_totalprice", F.lit("urgent").alias("bucket"))
+    return big.unionByName(urgent)
+
+
+@probe(
+    "o4_intersect_except",
+    oracle="""
+    SELECT c_custkey FROM
+      (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def o4_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops beyond the reference surface (SURVEY §2.9 notes them
+    absent — included for engine completeness)."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    fin = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return open_.intersect(fin).exceptAll(urgent).distinct()
+
+
+@probe(
+    "o5_window_rank",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rn <= 2
+    """,
+)
+def o5_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-per-group via ranking window (SURVEY §2.9 O5 extension).
+    Deterministic tiebreak on o_orderkey."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+@probe(
+    "o5b_window_running",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             AS delta_prev
+    FROM events
+    """,
+)
+def o5b_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum frame + lag delta per user session."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        dround(F.sum("value").over(frame), 2).alias("running_value"),
+        dround(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+    )
+
+
+@probe(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (dashboard matrix visuals): order-status columns per
+    segment. Pivot values declared explicitly so no extra distinct pass."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@probe(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(c_acctbal), 2) AS total_balance,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (drill-down visuals)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            dround(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3/S4 — JSON parse of the stream payload (batch probe; streaming path in
+# streaming/pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "s3_json_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER) AS k,
+           event_type
+    FROM events
+    """,
+)
+def s3_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON message parse (json.loads, pipeline.py:71) via schema'd
+    from_json on the events.props payload column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+        "event_type",
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (north-star X2):
+brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the scale path.
+
+Scale design: brute force is O(Q×N) — fine when the query set is small
+and broadcast; the candidate side streams. For N large on both sides, the
+LSH variant buckets vectors by sign-pattern against a fixed set of
+hyperplanes, turning the search into an equi-join on bucket id; recall is
+tested against the brute-force baseline in tests/test_similarity.py.
+All arithmetic is JVM-side (`aggregate`/`zip_with` over array columns) —
+no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+_DIM = 64
+_N_PLANES = 12
+_LSH_SEED = 42
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)")
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({a}, 0.0D, (s, v) -> s + v * v)"))
+
+
+def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cast array<float> → array<double> once, up front, so all scoring
+    runs in double (matches the DuckDB oracle's CAST(... AS DOUBLE[]))."""
+    return df.withColumn("emb", F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))"))
+
+
+def cosine_topk(
+    candidates: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors. ``queries`` must be small — it is
+    broadcast; candidates stream through a single scan. Self-matches
+    excluded; ties broken on neighbor id for determinism."""
+    q = with_double_embedding(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    c = with_double_embedding(candidates).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb")
+    )
+    sim = _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", dround("sim_raw", 4).alias("cosine"))
+    )
+
+
+@probe(
+    "x2e_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  list_cosine_similarity(q.emb, c.emb) AS sim_raw
+           FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim_raw,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim_raw DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           round(sim_raw, 4) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def x2e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@probe(
+    "x2f_cosine_threshold_pairs",
+    oracle="""
+    SELECT a.label,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))), 4)
+             AS avg_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.2
+    GROUP BY a.label
+    """,
+)
+def x2f_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: same-label blocking + cosine ≥ 0.2 pair stats.
+    Blocking on label keeps the self-join per-bucket (the realistic
+    pattern: block by coarse cluster, verify by exact cosine)."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("emb").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("emb").alias("emb_b")
+    )
+    sim = _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.2)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dround(F.avg("sim_raw"), 4).alias("avg_sim"),
+        )
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (seeded — deterministic across
+    runs and executors; shipped as plan literals, no side channel)."""
+    rng = np.random.RandomState(_LSH_SEED)
+    return rng.randn(_N_PLANES, _DIM).tolist()
+
+
+def lsh_bucket_col(emb_col: str) -> F.Column:
+    """Sign-pattern bucket id against the fixed hyperplanes."""
+    planes = _hyperplanes()
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.expr(
+            f"aggregate(zip_with({emb_col}, array({', '.join(repr(float(x)) + 'D' for x in p)}),"
+            " (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        _ = arr
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+@probe("x2g_ann_lsh_bucketed", oracle=None)
+def x2g_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket every vector by the sign
+    pattern of 12 fixed projections, then search only same-bucket
+    candidates. Output: per-query top-3 within bucket. Rows-only probe;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
+    bucketed = emb.select("vec_id", "emb", lsh_bucket_col("emb").alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("bucket"),
+    )
+    sim = _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            dround("sim_raw", 4).alias("cosine"),
+        )
+    )

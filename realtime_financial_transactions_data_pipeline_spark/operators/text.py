@@ -1,0 +1,206 @@
+"""Text-analysis operators for training-data pipelines (north-star X3):
+token stats, language ID, quality scoring, document fingerprinting.
+
+Everything here is built-in expression work (regexp / array / hash
+functions) — fully codegen'd, no Python per row. Regexes are kept to
+ASCII classes so Java-regex (Spark) and RE2 (DuckDB oracle) agree
+byte-for-byte on UTF-8 text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+_TOKEN_RE = "[a-zA-Z0-9]+"
+_WORD_RE = "[a-z]+"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately short — the heuristic, not the lexicon, is the
+#: operator under test.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "fr": ["le", "les", "des", "une", "est", "dans", "pour", "que", "qui", "pas"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+}
+
+
+@probe(
+    "x3a_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(text, '{_TOKEN_RE}') AS tokens,
+             length(text) AS n_chars_calc
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+           CASE WHEN len(tokens) = 0 THEN NULL
+                ELSE round(CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+                           / len(tokens), 4) END AS avg_token_len
+    FROM tok
+    """,
+)
+def x3a_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace/alnum segmentation): token count, char
+    count, mean token length per document."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0).alias("tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+    n = F.size("tokens")
+    tot_len = F.expr("aggregate(transform(tokens, t -> length(t)), 0, (s, v) -> s + v)")
+    return tok.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        "n_chars_calc",
+        F.when(n == 0, F.lit(None)).otherwise(
+            dround(tot_len.cast("double") / n, 4)
+        ).alias("avg_token_len"),
+    )
+
+
+def _lang_scores_spark(tokens_col: str):
+    return {
+        lang: F.size(
+            F.array_intersect(F.col(tokens_col), F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in _STOPWORDS.items()
+    }
+
+
+@probe(
+    "x3b_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE
+               WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+               ELSE (
+                 WITH t AS (SELECT list_distinct(regexp_extract_all(lower(text), '{_WORD_RE}')) AS toks)
+                 SELECT CASE
+                   WHEN len(list_intersect(toks, {_STOPWORDS['en']!r})) = 0
+                    AND len(list_intersect(toks, {_STOPWORDS['es']!r})) = 0
+                    AND len(list_intersect(toks, {_STOPWORDS['fr']!r})) = 0
+                    AND len(list_intersect(toks, {_STOPWORDS['de']!r})) = 0 THEN 'other'
+                   WHEN len(list_intersect(toks, {_STOPWORDS['en']!r})) >= greatest(
+                        len(list_intersect(toks, {_STOPWORDS['es']!r})),
+                        len(list_intersect(toks, {_STOPWORDS['fr']!r})),
+                        len(list_intersect(toks, {_STOPWORDS['de']!r}))) THEN 'en'
+                   WHEN len(list_intersect(toks, {_STOPWORDS['es']!r})) >= greatest(
+                        len(list_intersect(toks, {_STOPWORDS['fr']!r})),
+                        len(list_intersect(toks, {_STOPWORDS['de']!r}))) THEN 'es'
+                   WHEN len(list_intersect(toks, {_STOPWORDS['fr']!r})) >=
+                        len(list_intersect(toks, {_STOPWORDS['de']!r})) THEN 'fr'
+                   ELSE 'de' END
+                 FROM t)
+             END AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY lang, predicted
+    """,
+)
+def x3b_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK charset detection + stopword-hit argmax
+    with a fixed tie-break order (en > es > fr > de). Output is the
+    confusion matrix against the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0))
+    scored = d.withColumn("toks", toks)
+    s = _lang_scores_spark("toks")
+    no_hits = (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["de"] == 0)
+    predicted = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(no_hits, "other")
+        .when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@probe(
+    "x3c_quality_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               AS n_digit,
+             CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS DOUBLE)
+               AS n_space
+      FROM documents
+    )
+    SELECT doc_id,
+           round(n_punct / n, 4) AS punct_ratio,
+           round(n_digit / n, 4) AS digit_ratio,
+           round(n_space / n, 4) AS space_ratio,
+           round(least(n / 500.0, 1.0) * (1 - n_punct / n) * (1 - n_digit / n), 4)
+             AS quality
+    FROM m WHERE n > 0
+    """,
+)
+def x3c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from surface statistics (length band, punctuation /
+    digit / whitespace ratios) — the cheap pre-filter stage of a training
+    -data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+
+    def ratio(pattern: str) -> F.Column:
+        return (n - F.length(F.regexp_replace("text", pattern, ""))) / n
+
+    punct, digit, space = ratio("[.,;:!?]"), ratio("[0-9]"), ratio("[ ]")
+    quality = F.least(n / 500.0, F.lit(1.0)) * (1 - punct) * (1 - digit)
+    return d.filter(n > 0).select(
+        "doc_id",
+        dround(punct, 4).alias("punct_ratio"),
+        dround(digit, 4).alias("digit_ratio"),
+        dround(space, 4).alias("space_ratio"),
+        dround(quality, 4).alias("quality"),
+    )
+
+
+@probe(
+    "x3d_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size
+    FROM fp
+    """,
+)
+def x3d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: lowercase, collapse non-alnum runs,
+    md5 — duplicate groups surface as group_size > 1."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    fp = d.select("doc_id", F.md5(canon).alias("fingerprint"))
+    return fp.withColumn(
+        "group_size", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).cast("long")
+    )

@@ -1,0 +1,68 @@
+"""PAN masking + FPE tokenization probes (SURVEY §2.5 U1/U2, §2.4 F1/F3/F5).
+
+PANs are synthesized deterministically from customer keys (the test
+tables carry no card numbers), then pushed through the same mask /
+validate / tokenize expressions the streaming pipeline uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.fpe import fpe_token_col
+from realtime_financial_transactions_data_pipeline_spark.functions.scalar import (
+    card_bin,
+    mask_pan,
+    pan_is_valid,
+)
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+def _synth_pan() -> F.Column:
+    """Deterministic 16-digit PAN per customer key."""
+    return F.lpad((F.lit(4000000000000000) + F.col("c_custkey")).cast("string"), 16, "0")
+
+
+@probe(
+    "u1b_mask_and_bin",
+    oracle="""
+    WITH pans AS (
+      SELECT c_custkey,
+             lpad(CAST(4000000000000000 + c_custkey AS VARCHAR), 16, '0') AS pan
+      FROM customer
+    )
+    SELECT c_custkey,
+           substring(pan, 1, 6) || '******' || substring(pan, 13, 4) AS masked_card_number,
+           substring(pan, 1, 6) AS card_bin,
+           (length(pan) BETWEEN 13 AND 19) AS pan_valid
+    FROM pans
+    """,
+)
+def u1b_mask_and_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masking (pipeline.py:89-90), BIN extraction
+    (generate_fact_transactions_data.py:153) and length validation
+    (pipeline.py:78) on synthesized PANs — the SQL-expressible half of the
+    tokenization stage."""
+    c = load_table(spark, sf_dir, "customer").withColumn("pan", _synth_pan())
+    return c.select(
+        "c_custkey",
+        mask_pan(F.col("pan")).alias("masked_card_number"),
+        card_bin(F.col("pan")).alias("card_bin"),
+        pan_is_valid(F.col("pan")).alias("pan_valid"),
+    )
+
+
+@probe("u1_fpe_tokenize", oracle=None)
+def u1_fpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenization stage: mask + FPE token (pipeline.py:89-95) via
+    the Feistel pandas UDF with once-per-worker key init. Rows-only (no
+    SQL twin for FPE); determinism, format preservation, and round-trip
+    decryption are unit-tested in tests/test_fpe.py."""
+    c = load_table(spark, sf_dir, "customer").withColumn("pan", _synth_pan())
+    return c.select(
+        "c_custkey",
+        mask_pan(F.col("pan")).alias("masked_card_number"),
+        fpe_token_col(F.col("pan")).alias("card_token"),
+    )

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness harness.
+
+Runs every registry probe at sf0.01 in Spark AND its oracle SQL in
+DuckDB, then compares row count, column-name sets, and an
+order-insensitive canonicalized value multiset. Usage:
+
+    python scripts/check_oracle.py [probe_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from realtime_financial_transactions_data_pipeline_spark.registry import all_probes
+from realtime_financial_transactions_data_pipeline_spark.session import get_spark
+from realtime_financial_transactions_data_pipeline_spark.tables import TABLE_NAMES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    return str(v)
+
+
+def canon_rows(df_pandas) -> list[tuple]:
+    cols = sorted(df_pandas.columns)
+    out = []
+    for _, row in df_pandas[cols].iterrows():
+        out.append(tuple(canon_cell(x) for x in row))
+    return sorted(out)
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    probes = all_probes()
+    n_pass = n_fail = n_rows_only = 0
+    for name, p in sorted(probes.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = p.fn(spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if p.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows, cols={sorted(sdf.columns)}  "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(p.oracle).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} duckdb={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+        if not problems:
+            s_rows, o_rows = canon_rows(sdf), canon_rows(odf)
+            if s_rows != o_rows:
+                diff = [(a, b) for a, b in zip(s_rows, o_rows) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diff}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if n_fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
