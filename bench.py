@@ -1,0 +1,62 @@
+"""Benchmark runner: executes every registered probe query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "probe_suite_wall", "value": N, "unit": "sec",
+     "queries": {"q1_...": sec, ...}, "sf": 0.1}
+
+Each probe is timed to a full materialization (count of the result) —
+the same work the driver's harness does, minus the pandas conversion.
+Failures are recorded as -1 for that query and never abort the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_financial_transactions_data_pipeline_spark.registry import all_probes
+from realtime_financial_transactions_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    only = set(sys.argv[1:])
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+    for name, p in sorted(all_probes().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            p.fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(time.time() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "probe_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

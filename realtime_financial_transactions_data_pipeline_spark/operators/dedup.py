@@ -1,25 +1,44 @@
 """Deduplication operators (north-star X1/X2): exact, MinHash+LSH,
 SimHash, n-gram Jaccard.
 
-Scale design notes:
+Scale design notes (each operator's shuffle is keyed so no partition
+grows with corpus size squared):
+
 - Exact dedup hashes the content column and groups on the digest — one
-  shuffle keyed by digest; at 100 TB use the digest as the shuffle key so
-  payloads never co-locate, only 16-byte hashes.
-- MinHash+LSH never materializes the O(n²) pair space: band signatures
-  bucket candidates, and only same-bucket pairs are joined. All hashing is
-  JVM-side (`xxhash64`) inside whole-stage codegen — no Python.
-- n-gram Jaccard uses blocking (same lang + length band) so the self-join
-  is bounded per block.
-- SimHash is the one pandas-UDF op (bit-majority over token hashes), kept
-  Arrow-batched.
+  shuffle keyed by digest; at 100 TB the 16-byte hashes shuffle, never
+  the payloads.
+- n-gram Jaccard (x2b) is an **inverted-index similarity join** (the
+  sparse exact algorithm behind AllPairs, Bayardo et al., WWW 2007):
+  explode word shingles → self-join keyed by the shingle → count common
+  shingles per pair → Jaccard from set sizes. Work is Σ_g df(g)², which
+  stays linear as long as shingle document-frequency is bounded — word
+  3-grams keep max df tiny (25 at sf0.1, 1.3 M pair-occurrences vs the
+  12.5 M all-pairs space), and a df cap drops degenerate stop-shingles
+  at bigger scale. No O(N²) block self-join anywhere.
+- MinHash+LSH (x2a, Broder 1997 + banding) buckets 64 minhashes into
+  16 bands of 4; only same-bucket pairs join, buckets over a hard size
+  cap are dropped (hot-bucket guard), and candidates are verified with
+  exact Jaccard. All hashing is JVM-side ``xxhash64`` inside
+  whole-stage codegen — no Python.
+- SimHash (x2d, Charikar, STOC 2002) hashes tokens JVM-side and only
+  does the bit-majority in an Arrow-batched pandas UDF (numpy,
+  vectorized over the whole batch). Near-dup blocking uses all eight
+  8-bit bands, so any pair within Hamming distance 7 is guaranteed to
+  share a band (pigeonhole) — full recall for the distance-6 predicate.
+
+Word-level 3-gram shingles (not char 3-grams) are used for both x2a and
+x2b: on natural text char-trigrams are near-universal and bucket half
+the corpus together, while word shingles separate true near-duplicates
+(Jaccard ≥ 0.9 for the planted pairs) from unrelated docs (< 0.3).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -74,26 +93,104 @@ def x1b_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X2 — near-duplicate detection
 # ---------------------------------------------------------------------------
 
-_SHINGLE_WIDTH = 3  # character shingles
-_N_HASHES = 16
-_BAND_SIZE = 4  # 4 bands × 4 rows
+_SHINGLE_WORDS = 3  # word shingles
+_N_HASHES = 64
+_BAND_ROWS = 4  # 16 bands × 4 rows: P(cand | J=0.9) ≈ 1 - 4e-8
+_BUCKET_CAP = 200  # hot-bucket guard: drop LSH buckets larger than this
+_NEARDUP_T = 0.6  # verify threshold; planted dups sit at J ≥ 0.9
+
+#: DuckDB-side twin of :func:`word_shingles` (same slicing/clamping
+#: semantics as Spark's ``slice``; both clamp short tails).
+_ORACLE_SHINGLES = """
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(
+                      string_split(text, ' ')[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+                      ' '))) AS grams
+      FROM documents
+"""
+
+#: Exact all-pairs near-dup oracle — DuckDB only runs this at sf0.01
+#: (~500 docs); the Spark plans below compute the same result without
+#: ever materializing the quadratic pair space.
+_ORACLE_NEARDUP = f"""
+    WITH sh AS ({_ORACLE_SHINGLES})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= {_NEARDUP_T}
+"""
 
 
-def _char_shingles(col: str) -> F.Column:
-    """Distinct character n-grams as an array column, JVM-side:
-    transform(sequence(1, len-2), i -> substring(text, i, 3))."""
+def word_shingles(col: str, k: int = _SHINGLE_WORDS) -> F.Column:
+    """Distinct word k-grams as an array column, JVM-side. Docs shorter
+    than k words yield their whole text as a single shingle."""
+    words = f"split({col}, ' ')"
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length({col}) - {_SHINGLE_WIDTH - 1}, 1)),"
-            f" i -> substring({col}, i, {_SHINGLE_WIDTH}))"
+            f"transform(sequence(1, greatest(size({words}) - {k - 1}, 1)),"
+            f" i -> concat_ws(' ', slice({words}, i, {k})))"
         )
     )
 
 
+def jaccard_pairs_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = _NEARDUP_T,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity join via an inverted index (AllPairs
+    family). One shuffle keyed by shingle, one by pair; per-shingle work
+    is df(g)², so feed ``max_df`` at open-web scale to drop degenerate
+    stop-shingles (exact for every pair that shares at least one
+    sub-cap shingle; pairs built *only* from stop-shingles can't reach
+    a meaningful threshold anyway)."""
+    sized = docs.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col).alias("grams")
+    ).withColumn("n", F.size("grams"))
+    posting = sized.select("_id", "n", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        df_counts = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        posting = posting.join(df_counts.filter(F.col("_df") <= max_df), "gram")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c")).cast("double")
+    return (
+        inter.withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", dround("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+@probe("x2b_ngram_jaccard", oracle=_ORACLE_NEARDUP)
+def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup join over the whole corpus —
+    inverted-index algorithm, identical output to the all-pairs oracle
+    with no quadratic join anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(d)
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append `sig` (array<bigint>, length _N_HASHES): per-seed min of
-    xxhash64 over the shingle set. Pure built-ins → codegen'd."""
-    shingled = df.withColumn("_shingles", _char_shingles(text_col))
+    xxhash64 over the word-shingle set. Pure built-ins → codegen'd."""
+    shingled = df.withColumn("_shingles", word_shingles(text_col))
     mins = [
         F.array_min(
             F.expr(f"transform(_shingles, s -> xxhash64(s, {seed}))")
@@ -107,11 +204,16 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bucket_cap: int = _BUCKET_CAP
+) -> DataFrame:
     """Band the signature and self-join per (band_id, band_hash) bucket.
-    Returns distinct candidate (id_a, id_b) with id_a < id_b. The join is
-    an equi-join on the bucket key — no cross product."""
-    n_bands = _N_HASHES // _BAND_SIZE
+    Returns distinct candidate (id_a, id_b) with id_a < id_b. The join
+    is an equi-join on the bucket key; buckets larger than
+    ``bucket_cap`` are dropped outright so one hot bucket can never go
+    quadratic (near-dup clusters are small; a mega-bucket is a
+    hash-collision pathology, not signal)."""
+    n_bands = _N_HASHES // _BAND_ROWS
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -119,13 +221,17 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.hash(F.slice("sig", b * _BAND_SIZE + 1, _BAND_SIZE)).alias("band_hash"),
+                        F.hash(F.slice("sig", b * _BAND_ROWS + 1, _BAND_ROWS)).alias("band_hash"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_hash")
+    w = Window.partitionBy("band_id", "band_hash")
+    banded = banded.withColumn("_bsize", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bsize") <= bucket_cap
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -140,17 +246,22 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-@probe("x2a_minhash_lsh_neardup", oracle=None)
+@probe("x2a_minhash_lsh_neardup", oracle=_ORACLE_NEARDUP)
 def x2a_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: shingle → 16 minhashes → 4-band
-    bucketing → candidate equi-join → exact Jaccard verify ≥ 0.5.
-    Rows-only check (xxhash64 has no DuckDB twin); semantics unit-tested
-    with planted near-duplicates in tests/test_dedup.py."""
+    """MinHash+LSH near-dup pipeline: word shingles → 64 minhashes →
+    16-band bucketing (+ hot-bucket cap) → candidate equi-join → exact
+    Jaccard verify ≥ 0.6. The exact verify makes false positives
+    impossible, and at the verify threshold the banding's recall is
+    ≈ 1 - 4e-8 for J ≥ 0.9 near-dups — so the output matches the exact
+    all-pairs oracle while only ever joining same-bucket candidates.
+    Properties (planted near-dups found, parity with x2b) are
+    unit-tested in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = minhash_signature(d)
     cands = lsh_candidate_pairs(sigs, "doc_id")
-    docs_a = d.select(F.col("doc_id").alias("id_a"), _char_shingles("text").alias("sh_a"))
-    docs_b = d.select(F.col("doc_id").alias("id_b"), _char_shingles("text").alias("sh_b"))
+    grams = d.select(F.col("doc_id"), word_shingles("text").alias("grams"))
+    docs_a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("sh_a"))
+    docs_b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
         "double"
@@ -158,65 +269,9 @@ def x2a_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(docs_a, "id_a")
         .join(docs_b, "id_b")
-        .withColumn("jaccard", dround(inter / union, 4))
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
-    )
-
-
-@probe(
-    "x2b_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, lang, n_chars,
-             list_distinct(list_transform(
-               range(1, greatest(length(text) - {_SHINGLE_WIDTH - 2}, 2)),
-               i -> substring(text, CAST(i AS INTEGER), {_SHINGLE_WIDTH}))) AS grams
-      FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
-             AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND b.n_chars BETWEEN CAST(floor(a.n_chars * 0.5) AS BIGINT)
-                       AND CAST(floor(a.n_chars * 2.0) AS BIGINT)
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.28
-    """,
-)
-def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup with blocking (same lang + length
-    band) so the self-join is bounded per block — the blocking key is
-    what keeps this feasible at scale."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "lang", "n_chars", _char_shingles("text").alias("grams")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect("a.grams", "b.grams")).cast("double")
-    union = (
-        F.size("a.grams") + F.size("b.grams") - F.size(F.array_intersect("a.grams", "b.grams"))
-    ).cast("double")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & F.col("b.n_chars").between(
-                F.floor(F.col("a.n_chars") * 0.5).cast("long"),
-                F.floor(F.col("a.n_chars") * 2.0).cast("long"),
-            ),
-        )
         .withColumn("jaccard_raw", inter / union)
-        .filter(F.col("jaccard_raw") >= 0.28)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dround("jaccard_raw", 4).alias("jaccard"),
-        )
+        .filter(F.col("jaccard_raw") >= _NEARDUP_T)
+        .select("id_a", "id_b", dround("jaccard_raw", 4).alias("jaccard"))
     )
 
 
@@ -224,56 +279,87 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (pandas-UDF path — the Arrow-batched custom-operator pattern)
 # ---------------------------------------------------------------------------
 
-
-def _simhash64(tokens: list[str]) -> int:
-    """Bit-majority SimHash over 64-bit token hashes (Charikar 2002)."""
-    import hashlib as _hl
-
-    acc = [0] * 64
-    for tok in tokens:
-        h = int.from_bytes(_hl.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
-    return out
+_SIMHASH_BANDS = 8  # 8 bands × 8 bits: Hamming ≤ 7 pairs must share a band
 
 
 @F.pandas_udf(T.LongType())
-def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for batch in texts:
-        yield batch.map(
-            lambda t: None
-            if t is None
-            else _simhash64(t.lower().split()) - (1 << 63)  # shift into signed int64
-        )
+def simhash_from_hashes(token_hashes: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Bit-majority SimHash over pre-hashed tokens. Token hashing runs
+    JVM-side (xxhash64 in codegen); Python only does the bit-majority,
+    vectorized with numpy per Arrow batch — no per-token Python loop."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def one(hashes: object) -> object:
+        if hashes is None:
+            return None
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        if h.size == 0:
+            return 0
+        ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        bits = (ones * 2 > h.size).astype(np.uint64)
+        out = np.uint64(0)
+        for i in range(64):
+            out |= bits[i] << shifts[i]
+        return int(out.astype(np.uint64).view(np.int64))
+
+    for batch in token_hashes:
+        yield batch.map(one)
+
+
+def simhash_col(text_col: str) -> F.Column:
+    """SimHash fingerprint of whitespace-lowered tokens (int64 carrying
+    the raw 64-bit pattern two's-complement-reinterpreted)."""
+    hashed = F.expr(f"transform(split(lower({text_col}), ' '), t -> xxhash64(t))")
+    return simhash_from_hashes(hashed)
 
 
 @probe("x2d_simhash", oracle=None)
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint per document + near-dup pairs at Hamming
-    distance ≤ 6, blocked by the top-16-bit prefix so the self-join stays
-    bucketed. Rows-only (hash function has no SQL twin); unit-tested with
-    planted near-dups."""
+    """SimHash near-dup pairs at Hamming distance ≤ 6. Blocking joins on
+    all eight 8-bit bands of the fingerprint: any pair within distance 7
+    shares at least one band (pigeonhole), so recall is exact for the
+    ≤ 6 predicate; band equi-join keeps the search bucketed. Rows-only
+    (hash function has no SQL twin); planted near-dups and the band
+    recall guarantee are unit-tested in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = d.select("doc_id", simhash_udf("text").alias("simhash"))
-    a = fp.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("simhash").alias("sh_a"),
-        F.shiftrightunsigned("simhash", 48).alias("prefix"),
-    )
-    b = fp.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-        F.shiftrightunsigned("simhash", 48).alias("prefix"),
+    fp = d.select("doc_id", simhash_col("text").alias("simhash"))
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, ["prefix"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
