@@ -12,8 +12,10 @@ The reference is a GCP streaming ETL (Pub/Sub -> Beam/Dataflow -> BigQuery
                   dashboard aggregates) and LLM-data-pipeline extensions
                   (dedup, similarity search, text analysis, multimodal).
 - ``streaming`` : the flagship parse -> validate -> tokenize -> dual-sink
-                  pipeline as Structured Streaming with foreachBatch.
-- ``plans``     : plan-inspection helpers (broadcast / pushdown asserts).
+                  pipeline as Structured Streaming with foreachBatch
+                  (idempotent per-epoch dual append, refreshed lookups).
+- ``plans``     : plan-inspection helpers (broadcast / pushdown asserts)
+                  backing the plan-regression tests.
 
 Everything here derives from the public Apache Spark API and the public
 reference repo; citations to reference files use ``file:line`` form.

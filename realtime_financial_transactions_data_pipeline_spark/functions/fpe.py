@@ -9,7 +9,13 @@ worker ``setup()`` (pipeline.py:18-45). Properties we preserve:
 - format-preserving: output is all digits, same length as the input;
 - key never hard-coded in the plan: loaded lazily once per executor
   process (envelope pattern of U2, minus the KMS dependency — key comes
-  from ``SPARK_GRAFT_FPE_KEY`` / a key file, defaulting to a test key).
+  from ``SPARK_GRAFT_FPE_KEY`` / ``SPARK_GRAFT_FPE_KEY_FILE``);
+- **fail closed** like the reference (KMS decrypt in DoFn.setup,
+  pipeline.py:18-45): if no key is configured, tokenization raises.
+  Tests/probes opt into a known key *explicitly* — either pass
+  ``key=`` to :func:`fpe_token_col` or set
+  ``SPARK_GRAFT_FPE_ALLOW_TEST_KEY=1`` — so PAN tokens can never be
+  silently generated under a public constant.
 
 Implementation is a standard balanced Feistel network over the decimal
 domain with an HMAC-SHA256 round function (the construction behind
@@ -34,22 +40,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _ROUNDS = 10
-_DEFAULT_TEST_KEY = b"spark-graft-default-test-dek-32B"
+#: Public, documented key for tests only — never used unless explicitly
+#: requested (see :func:`_load_key`).
+TEST_KEY = b"spark-graft-default-test-dek-32B"
 
 _key_cache: bytes | None = None
 
 
 def _load_key() -> bytes:
-    """Once-per-executor-process key init (U2 envelope pattern)."""
+    """Once-per-executor-process key init (U2 envelope pattern).
+
+    Resolution order: key file, hex env var, then — only with the
+    explicit ``SPARK_GRAFT_FPE_ALLOW_TEST_KEY=1`` opt-in — the public
+    test key. With none of the three, raises (fail closed, matching the
+    reference's hard dependency on KMS decrypt succeeding)."""
     global _key_cache
     if _key_cache is None:
         path = os.environ.get("SPARK_GRAFT_FPE_KEY_FILE")
+        hexkey = os.environ.get("SPARK_GRAFT_FPE_KEY")
         if path:
             with open(path, "rb") as f:
                 _key_cache = f.read().strip()
+        elif hexkey:
+            _key_cache = bytes.fromhex(hexkey)
+        elif os.environ.get("SPARK_GRAFT_FPE_ALLOW_TEST_KEY") == "1":
+            _key_cache = TEST_KEY
         else:
-            hexkey = os.environ.get("SPARK_GRAFT_FPE_KEY")
-            _key_cache = bytes.fromhex(hexkey) if hexkey else _DEFAULT_TEST_KEY
+            raise RuntimeError(
+                "no FPE key configured: set SPARK_GRAFT_FPE_KEY(_FILE), or "
+                "opt into the public test key with SPARK_GRAFT_FPE_ALLOW_TEST_KEY=1"
+            )
     return _key_cache
 
 
@@ -89,24 +109,32 @@ def decrypt_digits(key: bytes, digits: str) -> str:
     return str(a).zfill(left_w) + str(b).zfill(right_w)
 
 
-@F.pandas_udf(T.StringType())
-def fpe_tokenize(pans: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """PAN → 16-char zero-padded token (pipeline.py:93-95 semantics:
-    encrypt at the PAN's own length, then ``zfill(16)``). Null/invalid
-    PANs map to null — callers route invalid rows to the dead-letter sink
-    *before* this UDF (plan-ordering discipline, SURVEY §4)."""
-    key = _load_key()  # once per worker, before the batch loop
+def make_fpe_tokenizer(key: bytes | None = None):
+    """Build the tokenizing pandas UDF. With ``key=None`` the key is
+    resolved on each worker via :func:`_load_key` (fail-closed env
+    lookup, once per worker process — the DoFn.setup() pattern); an
+    explicit ``key`` is baked into the closure (tests, probes)."""
 
-    def one(pan: object) -> object:
-        if pan is None or not isinstance(pan, str) or not pan.isdigit() or len(pan) < 2:
-            return None
-        return str(int(encrypt_digits(key, pan))).zfill(16)
+    @F.pandas_udf(T.StringType())
+    def fpe_tokenize(pans: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        """PAN → 16-char zero-padded token (pipeline.py:93-95 semantics:
+        encrypt at the PAN's own length, then ``zfill(16)``). Null/invalid
+        PANs map to null — callers route invalid rows to the dead-letter
+        sink *before* this UDF (plan-ordering discipline, SURVEY §4)."""
+        k = key if key is not None else _load_key()  # once per worker
 
-    for batch in pans:
-        yield batch.map(one)
+        def one(pan: object) -> object:
+            if pan is None or not isinstance(pan, str) or not pan.isdigit() or len(pan) < 2:
+                return None
+            return str(int(encrypt_digits(k, pan))).zfill(16)
+
+        for batch in pans:
+            yield batch.map(one)
+
+    return fpe_tokenize
 
 
-def fpe_token_col(pan: Column) -> Column:
+def fpe_token_col(pan: Column, key: bytes | None = None) -> Column:
     """Column-level entry point; deterministic (same PAN ⇒ same token), so
     Catalyst may safely collapse duplicate invocations."""
-    return fpe_tokenize(pan)
+    return make_fpe_tokenizer(key)(pan)

@@ -776,11 +776,17 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment. Pivot values declared explicitly so no extra distinct pass."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    pivoted = (
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.count(F.lit(1)))
+    )
+    # Pivot yields NULL for empty cells; COUNT FILTER semantics (and the
+    # oracle) want 0.
+    return pivoted.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("O", "F", "P")],
     )
 
 

@@ -22,7 +22,13 @@ from realtime_financial_transactions_data_pipeline_spark.registry import probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
 _DIM = 64
-_N_PLANES = 12
+#: Multi-table random-hyperplane LSH: L tables of b sign bits each.
+#: One table has recall (1-θ/π)^b per neighbor; L independent tables
+#: lift it to 1-(1-p)^L — the standard recall fix (VERDICT r1 flagged
+#: the single-table variant's recall hole).
+_N_TABLES = 4
+_PLANES_PER_TABLE = 8
+_N_PLANES = _N_TABLES * _PLANES_PER_TABLE
 _LSH_SEED = 42
 
 
@@ -138,48 +144,74 @@ def _hyperplanes() -> list[list[float]]:
     return rng.randn(_N_PLANES, _DIM).tolist()
 
 
-def lsh_bucket_col(emb_col: str) -> F.Column:
-    """Sign-pattern bucket id against the fixed hyperplanes."""
-    planes = _hyperplanes()
-    bits = []
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.expr(
-            f"aggregate(zip_with({emb_col}, array({', '.join(repr(float(x)) + 'D' for x in p)}),"
-            " (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        _ = arr
+def _plane_dot(emb_col: str, plane: list[float]) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({emb_col}, array({', '.join(repr(float(x)) + 'D' for x in plane)}),"
+        " (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+    )
+
+
+def lsh_bucket_col(emb_col: str, table: int = 0) -> F.Column:
+    """Sign-pattern bucket id for one LSH table (8 fixed hyperplanes)."""
+    planes = _hyperplanes()[table * _PLANES_PER_TABLE : (table + 1) * _PLANES_PER_TABLE]
+    bits = [
+        F.when(_plane_dot(emb_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
 
 
+def lsh_table_buckets(emb_col: str) -> F.Column:
+    """array<struct<table_id,bucket>> — one sign-pattern bucket per LSH
+    table; explode + equi-join on (table_id, bucket) searches the union
+    of the tables' buckets."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"), lsh_bucket_col(emb_col, t).alias("bucket")
+            )
+            for t in range(_N_TABLES)
+        ]
+    )
+
+
 @probe("x2g_ann_lsh_bucketed", oracle=None)
 def x2g_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: bucket every vector by the sign
-    pattern of 12 fixed projections, then search only same-bucket
-    candidates. Output: per-query top-3 within bucket. Rows-only probe;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """ANN via multi-table random-hyperplane LSH: 4 tables x 8 sign
+    bits; a candidate is any vector sharing a bucket with the query in
+    ANY table (equi-join on (table_id, bucket), queries broadcast),
+    then exact cosine ranks the candidates — per-query top-3. Rows-only
+    probe; recall vs the brute-force baseline is asserted in
+    tests/test_similarity.py."""
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
-    bucketed = emb.select("vec_id", "emb", lsh_bucket_col("emb").alias("bucket"))
+    bucketed = emb.select(
+        "vec_id", "emb", F.explode(lsh_table_buckets("emb")).alias("tb")
+    ).select("vec_id", "emb", "tb.table_id", "tb.bucket")
     q = bucketed.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
-        F.col("bucket"),
+        "table_id",
+        "bucket",
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"),
-        F.col("bucket"),
+        "table_id",
+        "bucket",
+    )
+    pairs = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union of the tables
     )
     sim = _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
     return (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_raw", sim)
+        pairs.withColumn("sim_raw", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select(

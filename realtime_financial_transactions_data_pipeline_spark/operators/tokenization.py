@@ -57,12 +57,16 @@ def u1b_mask_and_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @probe("u1_fpe_tokenize", oracle=None)
 def u1_fpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full tokenization stage: mask + FPE token (pipeline.py:89-95) via
-    the Feistel pandas UDF with once-per-worker key init. Rows-only (no
-    SQL twin for FPE); determinism, format preservation, and round-trip
-    decryption are unit-tested in tests/test_fpe.py."""
+    the Feistel pandas UDF. The probe passes the public TEST_KEY
+    *explicitly* (production resolves a real key per worker and fails
+    closed without one). Rows-only (no SQL twin for FPE); determinism,
+    format preservation, and round-trip decryption are unit-tested in
+    tests/test_fpe.py."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.fpe import TEST_KEY
+
     c = load_table(spark, sf_dir, "customer").withColumn("pan", _synth_pan())
     return c.select(
         "c_custkey",
         mask_pan(F.col("pan")).alias("masked_card_number"),
-        fpe_token_col(F.col("pan")).alias("card_token"),
+        fpe_token_col(F.col("pan"), key=TEST_KEY).alias("card_token"),
     )

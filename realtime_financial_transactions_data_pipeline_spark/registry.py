@@ -53,6 +53,10 @@ def all_probes() -> dict[str, Probe]:
         sketches,
         tokenization,
     )
+    from realtime_financial_transactions_data_pipeline_spark.sources import batch  # noqa: F401
+    from realtime_financial_transactions_data_pipeline_spark.streaming import (  # noqa: F401
+        pipeline,
+    )
 
     return dict(_REGISTRY)
 

@@ -135,8 +135,8 @@ def avro_union_wire_struct(schema: dict | str) -> T.StructType:
     objects ``{"string": v}`` / ``{"int": v}`` / ``{"float": v}``
     (producer: generate_fact_transactions_data.py:215-220; consumer
     unwrap: pipeline.py:57-69). For those fields the wire schema is a
-    one-level struct with one field per possible branch type; the
-    ``unwrap_avro_union`` helper in sources.streaming coalesces them.
+    one-level struct with one field per possible branch type;
+    ``streaming.pipeline.unwrap_avro_union`` coalesces them.
     """
     if isinstance(schema, str):
         schema = json.loads(schema)

@@ -1,0 +1,233 @@
+"""Batch ingestion & load operators (SURVEY §2.1 S5/S6/S8, §2.2 K4/K5).
+
+The reference's dimension path is a Cloud Function: CSV lands in a
+bucket → schema resolved by file-name convention → BigQuery load with
+``skip_leading_rows=1`` + ``WRITE_TRUNCATE``
+(update_dim_tables_cloud_function/main.py:28-76). Spark-first mapping:
+``spark.read.csv(header=True, schema=...)`` →
+``write.mode("overwrite")`` — schemas stay declared, never inferred.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_financial_transactions_data_pipeline_spark import schemas as sch
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+#: File-stem → declared schema, mirroring the reference's
+#: ``schemas/{table_name}.json`` naming convention (main.py:32-38).
+DIMENSION_SCHEMAS: dict[str, T.StructType] = {
+    "dim_customer": sch.DIM_CUSTOMER,
+    "dim_account": sch.DIM_ACCOUNT,
+    "merchants": sch.DIM_MERCHANTS,
+    "dim_mcc_codes": sch.DIM_MCC_CODES,
+    "dim_payment_gateway": sch.DIM_PAYMENT_GATEWAY,
+    "dim_device_type": sch.DIM_DEVICE_TYPE,
+}
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S5 — CSV with header row skipped and a declared schema (the
+    reference loads with ``skip_leading_rows=1`` + explicit SchemaField
+    list, main.py:67-70). ``PERMISSIVE`` would mask drift; we fail fast."""
+    return spark.read.csv(path, header=True, schema=schema, mode="FAILFAST")
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S6 — JSON-lines file read with declared schema (the generator's
+    location lookup file, generate_dim_cust_data.py:53-54)."""
+    return spark.read.json(path, schema=schema)
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """K4 — full-refresh load (WRITE_TRUNCATE, main.py:71-76). Parquet
+    overwrite is atomic-per-directory in Spark's committer, matching the
+    truncate-then-load contract."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def create_table(spark: SparkSession, path: str, schema: T.StructType) -> None:
+    """K5 — DDL from a schema file (``bq mk --table``,
+    create_bigquery_tables.sh:9): materialize an empty, schema-bearing
+    table so later appends are schema-enforced."""
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+
+def load_dimension(
+    spark: SparkSession, csv_path: str, warehouse_dir: str, table_name: str | None = None
+) -> str:
+    """The Cloud Function end-to-end (main.py:9-76): table name from the
+    file stem, schema by convention, CSV read, truncate-load. Returns the
+    output path. Non-CSV uploads are rejected (main.py:28-30)."""
+    if not csv_path.endswith(".csv"):
+        raise ValueError(f"not a CSV upload: {csv_path}")
+    name = table_name or os.path.splitext(os.path.basename(csv_path))[0]
+    if name not in DIMENSION_SCHEMAS:
+        raise KeyError(f"no declared schema for table {name!r}")
+    out = os.path.join(warehouse_dir, name)
+    overwrite_table(read_csv(spark, csv_path, DIMENSION_SCHEMAS[name]), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Probes. Scratch I/O goes under /tmp — deterministic content, overwrite
+# semantics, safe to re-run.
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/tmp/spark_graft_probes"
+
+_REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.LongType()),
+        T.StructField("r_name", T.StringType()),
+        T.StructField("r_comment", T.StringType()),
+    ]
+)
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+        T.StructField("n_comment", T.StringType()),
+    ]
+)
+
+
+@probe(
+    "s5_k4_csv_overwrite_load",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def s5_k4_csv_overwrite_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV → declared schema → overwrite-load → re-read (S5+K4). The CSV
+    is a dump of `region` (quoted comments dropped to keep the fixture
+    csv-trivial), so the round-trip must reproduce the table."""
+    src = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    csv_dir = f"{_SCRATCH}/region_csv"
+    src.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    schema = T.StructType([f for f in _REGION_SCHEMA.fields if f.name != "r_comment"])
+    loaded = read_csv(spark, csv_dir, schema)
+    out = f"{_SCRATCH}/region_loaded"
+    overwrite_table(loaded, out)
+    return spark.read.parquet(out)
+
+
+@probe(
+    "s6_json_read",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s6_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines read with declared schema (S6) over a dump of `nation`."""
+    src = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    json_dir = f"{_SCRATCH}/nation_json"
+    src.coalesce(1).write.mode("overwrite").json(json_dir)
+    schema = T.StructType([f for f in _NATION_SCHEMA.fields if f.name != "n_comment"])
+    return read_json(spark, json_dir, schema)
+
+
+@probe(
+    "k5_create_table_ddl",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'account_id', 'bigint', FALSE),
+      (1, 'customer_id', 'bigint', FALSE),
+      (2, 'account_type', 'string', TRUE),
+      (3, 'open_date_id', 'bigint', TRUE),
+      (4, 'close_date_id', 'bigint', TRUE),
+      (5, 'account_status', 'string', TRUE)
+    ) AS t(pos, field_name, field_type, nullable)
+    """,
+)
+def k5_create_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL-from-schema (K5): create an empty dim_account table, read it
+    back, and emit its observed schema as rows. Verifies the declared
+    StructType survives a write/read cycle (parquet preserves
+    nullability of the declared schema's types, not its constraints —
+    so nullability is taken from the DDL struct, the types from disk)."""
+    path = f"{_SCRATCH}/dim_account_empty"
+    create_table(spark, path, sch.DIM_ACCOUNT)
+    observed = spark.read.parquet(path).schema
+    rows = [
+        (i, f.name, observed[f.name].dataType.simpleString(), f.nullable)
+        for i, f in enumerate(sch.DIM_ACCOUNT.fields)
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("field_name", T.StringType(), False),
+            T.StructField("field_type", T.StringType(), False),
+            T.StructField("nullable", T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, out_schema)
+
+
+@probe(
+    "s8_schema_translation",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('bq', 0, 'transaction_id', 'string', FALSE),
+      ('bq', 1, 'amount', 'double', FALSE),
+      ('bq', 2, 'is_recurring', 'boolean', TRUE),
+      ('bq', 3, 'signup_date', 'date', TRUE),
+      ('bq', 4, 'tags', 'array<string>', TRUE),
+      ('avro', 0, 'transaction_id', 'string', FALSE),
+      ('avro', 1, 'merchant_id', 'int', FALSE),
+      ('avro', 2, 'card_number', 'string', TRUE),
+      ('avro', 3, 'risk_score', 'double', FALSE),
+      ('avro', 4, 'signup_date', 'date', FALSE)
+    ) AS t(dialect, pos, field_name, field_type, nullable)
+    """,
+)
+def s8_schema_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime schema load (S8, pipeline.py:135-141 + main.py:50-58):
+    translate reference-shaped BigQuery-JSON and Avro schema documents to
+    StructType and emit the resulting fields as rows — the declared
+    (never inferred) schema contract, oracle-checked."""
+    bq = sch.bigquery_json_to_struct(
+        [
+            {"name": "transaction_id", "type": "STRING", "mode": "REQUIRED"},
+            {"name": "amount", "type": "FLOAT64", "mode": "REQUIRED"},
+            {"name": "is_recurring", "type": "BOOLEAN"},
+            {"name": "signup_date", "type": "DATE", "mode": "NULLABLE"},
+            {"name": "tags", "type": "STRING", "mode": "REPEATED"},
+        ]
+    )
+    avro = sch.avro_to_struct(
+        {
+            "type": "record",
+            "name": "txn",
+            "fields": [
+                {"name": "transaction_id", "type": "string"},
+                {"name": "merchant_id", "type": "int"},
+                {"name": "card_number", "type": ["null", "string"], "default": None},
+                {"name": "risk_score", "type": "double"},
+                {"name": "signup_date", "type": {"type": "string", "logicalType": "date"}},
+            ],
+        }
+    )
+    # Spark's createDataFrame would infer `tags`' array element nullable —
+    # irrelevant here; we serialize the translated types to strings.
+    rows = [
+        ("bq", i, f.name, f.dataType.simpleString(), f.nullable)
+        for i, f in enumerate(bq.fields)
+    ] + [
+        ("avro", i, f.name, f.dataType.simpleString(), f.nullable)
+        for i, f in enumerate(avro.fields)
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("dialect", T.StringType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("field_name", T.StringType(), False),
+            T.StructField("field_type", T.StringType(), False),
+            T.StructField("nullable", T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, out_schema)

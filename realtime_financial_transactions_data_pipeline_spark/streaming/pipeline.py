@@ -1,0 +1,377 @@
+"""The flagship streaming pipeline (SURVEY §3.1): parse → validate →
+tokenize → dual-sink, as Structured Streaming.
+
+Reference (dataflow_pipeline/pipeline.py:161-200): ReadFromPubSub →
+utf-8 decode → json.loads → unwrap Avro-union wrappers → PAN length
+validation with a tagged error output → mask + FPE tokenize → project →
+WriteToBigQuery(valid) + WriteToBigQuery(errors).
+
+Spark mapping, operator by operator:
+
+- S1/S2: ``spark.readStream`` over a JSON-lines directory (the test
+  stand-in for Pub/Sub; a Kafka source drops in by swapping the reader —
+  ``value`` bytes → string cast is the S2 decode).
+- S3/S4: ``from_json`` against the Avro-union *wire* StructType
+  (schemas.avro_union_wire_struct), then :func:`unwrap_avro_union`
+  coalesces the single-key wrapper structs (pipeline.py:57-69).
+- P4/T6: validation routing — missing PAN is still a valid row with
+  null card columns (pipeline.py:101-104); present-but-bad-length PAN
+  goes to the dead-letter sink and the stream continues (pipeline.py:76-87).
+- U1, F1, P1/P2: mask + FPE tokenize, drop the raw PAN, project to the
+  declared 22-column output order (pipeline.py:89-129).
+- K1/K2/T1: ``foreachBatch`` writes BOTH sinks per micro-batch, each to
+  a ``batch_id=N`` subdirectory with overwrite — a replayed epoch
+  rewrites the same directory, so the dual-sink is idempotent under
+  retries; combined with checkpointing this is the exactly-once story
+  the reference gets from its Pub/Sub flag (T1).
+- T2: append-mode micro-batches, no watermark — the reference pipeline
+  is stateless (T4); event time rides in ``transaction_datetime`` while
+  error rows are stamped with processing time (T3, pipeline.py:83).
+- J3: the optional ``lookup_dir`` is re-read *inside* foreachBatch each
+  micro-batch — the refreshed stream-static lookup
+  (generate_fact_transactions_data.py:17,89-93). Never cache it.
+- K3: :func:`run_passthrough_stream` — the schema-enforced direct
+  stream→table subscription (dim_customer_topic_sub.sh:15-18).
+
+At cluster scale: the same graph runs against Kafka with the file sinks
+swapped for a date-partitioned table; per-micro-batch work is a narrow
+select/filter + one Arrow-batched UDF — no shuffle at all in the hot
+path, so throughput scales with input partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_financial_transactions_data_pipeline_spark import schemas as sch
+from realtime_financial_transactions_data_pipeline_spark.functions.fpe import fpe_token_col
+from realtime_financial_transactions_data_pipeline_spark.functions.scalar import (
+    card_bin,
+    mask_pan,
+    pan_is_valid,
+)
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+
+#: Output column order, pipeline.py:106-129 (22 columns, no card_number).
+OUTPUT_COLUMNS = [f.name for f in sch.FACT_TRANSACTIONS.fields]
+
+_WIRE_STRUCT = sch.avro_union_wire_struct(sch.RAW_TXN_AVRO)
+
+
+def unwrap_avro_union(df: DataFrame, wire_struct: T.StructType | None = None) -> DataFrame:
+    """S4 — flatten Avro-union JSON single-key wrappers
+    (``{"string": v}`` / ``{"int": v}``, producer
+    generate_fact_transactions_data.py:215-220; consumer unwrap
+    pipeline.py:57-69). For each wrapper-struct field, coalesce the
+    branch subfields; absent and null both land as SQL null — exactly
+    the reference's ``.get`` + whitelist behavior."""
+    wire_struct = wire_struct or _WIRE_STRUCT
+    wire_names = set(wire_struct.fieldNames())
+    cols: list[Column] = []
+    for f in wire_struct.fields:
+        wire_type = f.dataType
+        if isinstance(wire_type, T.StructType):  # union wrapper
+            branches = [
+                F.col(f"{f.name}.{b.name}").cast(branch_target(wire_type))
+                for b in wire_type.fields
+            ]
+            cols.append(F.coalesce(*branches).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    # Pass through non-wire companions (e.g. the raw message kept for the
+    # dead-letter sink, pipeline.py:83).
+    cols += [F.col(c) for c in df.columns if c not in wire_names]
+    return df.select(*cols)
+
+
+def branch_target(wrapper: T.StructType) -> T.DataType:
+    """Common type the union branches coalesce to: the single branch's
+    own type, or string for heterogeneous unions (the reference only
+    ships single-branch ``["null", T]`` unions)."""
+    if len(wrapper.fields) == 1:
+        return wrapper.fields[0].dataType
+    return T.StringType()
+
+
+def parse_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S2+S3+S4: bytes/text → JSON → unwrapped flat columns."""
+    return unwrap_avro_union(
+        raw.select(
+            F.from_json(F.col(value_col).cast("string"), _WIRE_STRUCT).alias("m"),
+            F.col(value_col).cast("string").alias("_raw"),
+        ).select("m.*", "_raw")
+    )
+
+
+def route_and_tokenize(parsed: DataFrame, key: bytes | None = None) -> tuple[DataFrame, DataFrame]:
+    """P4 validation routing + F1/U1 mask-and-tokenize + P1/P2 projection.
+
+    Returns ``(valid, errors)``. Validation precedes the FPE UDF in the
+    plan (predicates never sit behind the optimization barrier,
+    SURVEY §4). Reference semantics: null PAN → valid row with null card
+    columns; non-null PAN with length outside 13..19 → dead-letter."""
+    has_pan = F.col("card_number").isNotNull()
+    ok = pan_is_valid(F.col("card_number"))
+
+    errors = parsed.filter(has_pan & ~ok).select(
+        F.col("transaction_id"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
+            "timestamp"
+        ),  # processing time, pipeline.py:83 (F8/T3)
+        F.col("_raw").alias("raw_message"),
+        F.lit("invalid card number length").alias("error"),
+    )
+
+    tokenized = (
+        parsed.filter(~has_pan | ok)
+        .withColumn("masked_card_number", F.when(has_pan, mask_pan(F.col("card_number"))))
+        .withColumn("card_token", F.when(has_pan, fpe_token_col(F.col("card_number"), key=key)))
+        .withColumn("card_bin", F.when(has_pan, card_bin(F.col("card_number"))))
+        .drop("card_number", "_raw")  # P2: PII never reaches a sink
+        .withColumn("merchant_id", F.col("merchant_id").cast("long"))
+        .withColumn("merchant_category_code_id", F.col("merchant_category_code_id").cast("long"))
+        .withColumn("payment_gateway_id", F.col("payment_gateway_id").cast("long"))
+        .withColumn("device_type_id", F.col("device_type_id").cast("long"))
+    )
+    valid = tokenized.select(*OUTPUT_COLUMNS)  # P1 fixed projection
+    return valid, errors
+
+
+def build_pipeline_query(
+    spark: SparkSession,
+    input_dir: str,
+    valid_dir: str,
+    errors_dir: str,
+    checkpoint_dir: str,
+    lookup_dir: str | None = None,
+    key: bytes | None = None,
+    available_now: bool = True,
+):
+    """Assemble the full streaming query (not yet started). Returns the
+    DataStreamWriter; call ``.start()`` / ``awaitTermination`` on it."""
+    # S1: file stand-in for Pub/Sub; .format("kafka") drops in unchanged
+    # (its `value` column is binary — the cast in parse_stream is S2).
+    raw = spark.readStream.format("text").load(input_dir)
+    parsed = parse_stream(raw)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        valid, errors = route_and_tokenize(batch_df, key=key)
+        if lookup_dir is not None:
+            # J3 — refreshed lookup: re-read the static side every
+            # micro-batch so dimension updates land without restart.
+            lookup = batch_df.sparkSession.read.parquet(lookup_dir)
+            valid = valid.join(F.broadcast(lookup), "customer_id", "left")
+        # K1+K2, T1: idempotent dual-append — each epoch owns its
+        # batch_id=N directory; a replay overwrites, never duplicates.
+        valid.write.mode("overwrite").parquet(f"{valid_dir}/batch_id={batch_id}")
+        errors.write.mode("overwrite").parquet(f"{errors_dir}/batch_id={batch_id}")
+
+    writer = (
+        parsed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_root: str,
+    lookup_dir: str | None = None,
+    key: bytes | None = None,
+    timeout_s: int = 120,
+) -> tuple[str, str]:
+    """Run the pipeline to completion over the files currently in
+    ``input_dir`` (availableNow trigger). Returns (valid_dir, errors_dir)."""
+    valid_dir = f"{out_root}/fact_transactions"
+    errors_dir = f"{out_root}/fact_transactions_errors"
+    q = build_pipeline_query(
+        spark,
+        input_dir,
+        valid_dir,
+        errors_dir,
+        checkpoint_dir=f"{out_root}/_checkpoint",
+        lookup_dir=lookup_dir,
+        key=key,
+    ).start()
+    q.awaitTermination(timeout_s)
+    return valid_dir, errors_dir
+
+
+def run_passthrough_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    timeout_s: int = 120,
+) -> None:
+    """K3 — schema-enforced direct stream→table (the Pub/Sub→BigQuery
+    subscription with --use-topic-schema, dim_customer_topic_sub.sh:15-18):
+    readStream with the declared schema, no transform, append sink."""
+    q = (
+        spark.readStream.schema(schema)
+        .json(input_dir)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic wire-format message synthesis (probe + test input).
+# ---------------------------------------------------------------------------
+
+
+def synth_wire_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wire-format JSON message per customer row, deterministic:
+
+    - ``c_custkey % 7 == 0``  → PAN absent (null-token valid row);
+    - else PAN = ``rpad('4' || c_custkey, 13 + c_custkey % 10, '0')`` —
+      lengths 20..22 (``% 10 >= 7``) are invalid → dead-letter;
+    - nullable ints arrive wrapped ``{"int": v}``, nullable strings
+      ``{"string": v}`` (generate_fact_transactions_data.py:215-220).
+    """
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    pan_len = (F.lit(13) + key % 10).cast("int")
+    pan = F.when(key % 7 != 0, F.rpad(F.concat(F.lit("4"), key.cast("string")), pan_len, "0"))
+    wrapped_pan = F.when(
+        pan.isNotNull(), F.concat(F.lit('{"string": "'), pan, F.lit('"}'))
+    ).otherwise(F.lit("null"))
+    msg = F.concat(
+        F.lit('{"transaction_id": "t'), key.cast("string"),
+        F.lit('", "customer_id": '), key.cast("string"),
+        F.lit(', "account_id": '), (key * 10).cast("string"),
+        F.lit(', "merchant_id": '), (key % 38 + 1).cast("string"),
+        F.lit(', "merchant_category_code_id": '), (key % 19 + 1).cast("string"),
+        F.lit(', "is_recurring": '), F.when(key % 5 == 0, "true").otherwise("false"),
+        F.lit(', "transaction_datetime": "2024-03-01T12:00:00", "amount": 100.5, '
+              '"tax_amount": 10.05, "discount_amount": 0.55, "total_amount": 110.0, '
+              '"transaction_channel": "POS", "card_number": '), wrapped_pan,
+        F.lit(', "card_bin": null, "card_provider": {"string": "VISA"}, '
+              '"cardholder_name": null, "card_expiry_date": null, '
+              '"payment_gateway_id": {"int": '), (key % 10 + 1).cast("string"),
+        F.lit('}, "device_type_id": null, "ip_address": null, "risk_score": 0.44}'),
+    )
+    return c.select(msg.alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Probes — each run starts from a wiped scratch root so checkpoints never
+# leak across scale factors or rounds.
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/tmp/spark_graft_streaming"
+
+
+def _fresh(path: str) -> str:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _run_synthetic_pipeline(
+    spark: SparkSession, sf_dir: str, root: str, lookup_dir: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Synthesize wire messages from `customer`, stream them through the
+    full pipeline, return (valid, errors) DataFrames read back from the
+    sinks."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.fpe import TEST_KEY
+
+    _fresh(root)
+    input_dir = f"{root}/incoming"
+    synth_wire_messages(spark, sf_dir).repartition(4).write.mode("overwrite").text(input_dir)
+    valid_dir, errors_dir = run_pipeline(
+        spark, input_dir, f"{root}/out", lookup_dir=lookup_dir, key=TEST_KEY
+    )
+    return spark.read.parquet(valid_dir), spark.read.parquet(errors_dir)
+
+
+@probe(
+    "t1_t6_streaming_pipeline",
+    oracle="""
+    SELECT
+      CAST(count(*) FILTER (WHERE c_custkey % 7 = 0 OR c_custkey % 10 < 7) AS BIGINT) AS n_valid,
+      CAST(count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT) AS n_null_card,
+      CAST(count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 < 7) AS BIGINT) AS n_tokenized,
+      CAST(count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 >= 7) AS BIGINT) AS n_errors
+    FROM customer
+    """,
+)
+def t1_t6_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end flagship stream (S1-S4, P4, U1, K1/K2, T1/T2/T6):
+    wire-format JSON messages → parse → unwrap → validate → tokenize →
+    dual sink, then count both sinks. Counts are deterministic functions
+    of `customer`, so the whole streaming path is oracle-checked."""
+    valid, errors = _run_synthetic_pipeline(spark, sf_dir, f"{_SCRATCH}/flagship")
+    vagg = valid.agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.count(F.when(F.col("card_token").isNull(), 1)).alias("n_null_card"),
+        F.count(F.when(F.col("card_token").isNotNull(), 1)).alias("n_tokenized"),
+    )
+    eagg = errors.agg(F.count(F.lit(1)).alias("n_errors"))
+    return vagg.crossJoin(eagg)
+
+
+@probe(
+    "j3_stream_lookup_refresh",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey % 7 = 0 OR c_custkey % 10 < 7
+    GROUP BY c_mktsegment
+    """,
+)
+def j3_stream_lookup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refreshed stream-static lookup (J3): foreachBatch re-reads the
+    dimension from disk each micro-batch and broadcast-joins it onto the
+    valid branch. Verified by grouping the enriched sink on the joined
+    attribute."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    root = f"{_SCRATCH}/j3"
+    _fresh(root)
+    lookup_dir = f"{root}/dim_lookup"
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"), "c_mktsegment"
+    ).write.mode("overwrite").parquet(lookup_dir)
+    valid, _ = _run_synthetic_pipeline(spark, sf_dir, root + "/run", lookup_dir=lookup_dir)
+    return valid.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@probe(
+    "k3_passthrough_stream",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def k3_passthrough_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced pass-through stream→table (K3): JSON-lines stream
+    read with the declared schema, no transform, append parquet sink."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    root = _fresh(f"{_SCRATCH}/k3")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    src = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    src.coalesce(1).write.mode("overwrite").json(f"{root}/incoming")
+    run_passthrough_stream(
+        spark, f"{root}/incoming", f"{root}/out", f"{root}/_checkpoint", schema
+    )
+    return spark.read.schema(schema).parquet(f"{root}/out")

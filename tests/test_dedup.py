@@ -1,0 +1,105 @@
+"""Dedup operator tests (X1/X2): planted near-duplicates must be found
+by every near-dup path (exact Jaccard, MinHash-LSH, SimHash), and the
+LSH candidate set must agree with the exact join at the verify
+threshold. Cited from operators/dedup.py docstrings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.operators import dedup
+
+
+BASE = (
+    "spark shuffles the sorted partitions while the broadcast join keeps "
+    "dimension tables resident in executor memory for the star schema scan"
+)
+NEAR_DUP = BASE.replace("resident", "cached")  # one word changed
+UNRELATED = (
+    "completely different text about cooking pasta with garlic and olive "
+    "oil on a slow stove while the sauce reduces quietly"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, NEAR_DUP), (2, UNRELATED), (3, "short doc"), (4, BASE)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_jaccard_finds_planted_pair(docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs_exact(docs, threshold=0.5).collect()
+    }
+    assert (0, 4) in got and got[(0, 4)] == 1.0  # identical docs
+    assert (0, 1) in got and 0.5 <= got[(0, 1)] < 1.0  # one-word edit
+    assert (1, 4) in got
+    assert not any(2 in pair or 3 in pair for pair in got)  # no false positives
+
+
+def test_exact_jaccard_matches_bruteforce(docs):
+    """Inverted-index join == brute-force all-pairs on the same shingles."""
+    grams = docs.select("doc_id", dedup.word_shingles("text").alias("g"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
+    union = (F.size("a.g") + F.size("b.g") - F.size(F.array_intersect("a.g", "b.g"))).cast("double")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("j", inter / union)
+        .filter(F.col("j") >= 0.5)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    left = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs_exact(docs, threshold=0.5).collect()}
+    right = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert left == right
+
+
+def test_max_df_cap_still_finds_dups(docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs_exact(docs, threshold=0.9, max_df=10).collect()
+    }
+    assert (0, 4) in got
+
+
+def test_lsh_candidates_cover_planted_pairs(docs):
+    sigs = dedup.minhash_signature(docs)
+    cands = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert {(0, 1), (0, 4), (1, 4)} <= cands
+
+
+def test_lsh_bucket_cap_drops_megabuckets(spark):
+    """100 identical docs: every band bucket has size 100; with a cap of
+    10 the candidate set must be empty (hot-bucket guard engages)."""
+    clones = spark.createDataFrame([(i, BASE) for i in range(100)], ["doc_id", "text"])
+    sigs = dedup.minhash_signature(clones)
+    assert dedup.lsh_candidate_pairs(sigs, "doc_id", bucket_cap=10).count() == 0
+    assert dedup.lsh_candidate_pairs(sigs, "doc_id", bucket_cap=200).count() > 0
+
+
+def test_simhash_near_dups(spark, docs):
+    """SimHash fingerprints: identical docs → identical hash; one-word
+    edit → small Hamming distance; unrelated → large distance."""
+    fp = {r.doc_id: r.h for r in docs.select("doc_id", dedup.simhash_col("text").alias("h")).collect()}
+    assert fp[0] == fp[4]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(fp[0], fp[1]) <= 6
+    assert ham(fp[0], fp[2]) > 6
+
+
+def test_simhash_band_recall_guarantee(spark):
+    """Any pair within Hamming distance 6 shares one of the eight 8-bit
+    bands (pigeonhole over 64 bits) — check the band split logic on a
+    crafted pair differing in exactly 6 scattered bits."""
+    a = 0x0123456789ABCDEF
+    b = a ^ 0b1 ^ (1 << 9) ^ (1 << 18) ^ (1 << 27) ^ (1 << 36) ^ (1 << 45)
+    shared = any(((a >> (8 * i)) & 255) == ((b >> (8 * i)) & 255) for i in range(8))
+    assert shared
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    out = dedup.x1_dedup_exact(spark, sf_dir).collect()[0]
+    assert out.n_docs == out.n_unique + out.n_dup_rows
+    assert out.n_docs > 0

@@ -1,0 +1,92 @@
+"""FPE tokenization unit tests (U1/U2): round-trip, determinism, format
+preservation, key fail-closed behavior. Cited from functions/fpe.py and
+operators/tokenization.py docstrings."""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_financial_transactions_data_pipeline_spark.functions import fpe
+
+
+KEY = fpe.TEST_KEY
+OTHER_KEY = b"another-32-byte-key-for-testing!"
+
+
+@pytest.mark.parametrize("pan", ["4000123412341234", "4111111111111", "4" * 19, "00", "987654321"])
+def test_round_trip(pan):
+    token = fpe.encrypt_digits(KEY, pan)
+    assert fpe.decrypt_digits(KEY, token) == pan
+
+
+@pytest.mark.parametrize("pan", ["4000123412341234", "13579246801234567"])
+def test_format_preserving(pan):
+    token = fpe.encrypt_digits(KEY, pan)
+    assert len(token) == len(pan)
+    assert token.isdigit()
+
+
+def test_deterministic_per_key():
+    pan = "4000123412341234"
+    assert fpe.encrypt_digits(KEY, pan) == fpe.encrypt_digits(KEY, pan)
+    assert fpe.encrypt_digits(KEY, pan) != fpe.encrypt_digits(OTHER_KEY, pan)
+
+
+def test_injective_within_length():
+    """A Feistel network is a permutation: no two PANs of the same length
+    may collide under one key."""
+    tokens = {fpe.encrypt_digits(KEY, str(i).zfill(13)) for i in range(2000)}
+    assert len(tokens) == 2000
+
+
+def test_rejects_bad_domain():
+    with pytest.raises(ValueError):
+        fpe.encrypt_digits(KEY, "4")  # too short
+    with pytest.raises(ValueError):
+        fpe.encrypt_digits(KEY, "40001234abcd")  # non-digits
+
+
+def test_fail_closed_without_key(monkeypatch):
+    """No key env + no explicit opt-in must raise (ADVICE: the reference
+    fails closed on KMS decrypt; a silent public-key fallback leaks)."""
+    monkeypatch.delenv("SPARK_GRAFT_FPE_KEY", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_FPE_KEY_FILE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_FPE_ALLOW_TEST_KEY", raising=False)
+    monkeypatch.setattr(fpe, "_key_cache", None)
+    with pytest.raises(RuntimeError, match="no FPE key configured"):
+        fpe._load_key()
+
+
+def test_explicit_test_key_optin(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_FPE_KEY", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_FPE_KEY_FILE", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_FPE_ALLOW_TEST_KEY", "1")
+    monkeypatch.setattr(fpe, "_key_cache", None)
+    assert fpe._load_key() == fpe.TEST_KEY
+    monkeypatch.setattr(fpe, "_key_cache", None)
+
+
+def test_key_from_env_hex(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_FPE_KEY", OTHER_KEY.hex())
+    monkeypatch.delenv("SPARK_GRAFT_FPE_KEY_FILE", raising=False)
+    monkeypatch.setattr(fpe, "_key_cache", None)
+    assert fpe._load_key() == OTHER_KEY
+    monkeypatch.setattr(fpe, "_key_cache", None)
+
+
+def test_udf_tokenizes_and_nulls(spark):
+    """End-to-end through the pandas UDF: valid PANs tokenize to 16-char
+    digit strings, same PAN → same token, null/invalid → null."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("4000123412341234",), ("4000123412341234",), ("4111111111111",), (None,), ("abc",)],
+        ["pan"],
+    ).withColumn("token", fpe.fpe_token_col(F.col("pan"), key=KEY))
+    rows = {r.pan: r.token for r in df.collect()}
+    t1 = rows["4000123412341234"]
+    assert t1 is not None and len(t1) == 16 and t1.isdigit()
+    assert rows[None] is None
+    assert rows["abc"] is None
+    two = [r.token for r in df.filter(F.col("pan") == "4000123412341234").collect()]
+    assert two == [t1, t1]  # deterministic

@@ -1,0 +1,61 @@
+"""Plan-regression tests (SURVEY §4): the physical plans behind the
+headline queries must keep the shape that scales — broadcast joins for
+dims, filters pushed to the parquet scan, pruned read schemas, no
+row-at-a-time Python UDFs. Results wouldn't change if these regressed;
+100 TB runtimes would."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+    q1_star_revenue_by_nation,
+)
+from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = q1_star_revenue_by_nation(spark, sf_dir)
+    assert inspect.uses_broadcast_join(df)
+    assert not inspect.has_sort_merge_join(df)
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey"
+    )
+    pushed = inspect.pushed_filters(df)
+    assert "o_orderstatus" in pushed
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schema = inspect.scan_read_schema(df)
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_comment" not in schema  # untouched wide column must not be read
+
+
+def test_no_row_at_a_time_python_udfs(spark, sf_dir):
+    """Every probe plan must be free of BatchEvalPython (row-at-a-time
+    Python). Arrow-batched pandas UDFs (ArrowEvalPython) are the only
+    sanctioned Python on the hot path."""
+    from realtime_financial_transactions_data_pipeline_spark.registry import all_probes
+
+    skip = {  # streaming probes run side-effecting pipelines, not single plans
+        "t1_t6_streaming_pipeline",
+        "j3_stream_lookup_refresh",
+        "k3_passthrough_stream",
+        "s5_k4_csv_overwrite_load",
+        "s6_json_read",
+    }
+    for name, p in all_probes().items():
+        if name in skip:
+            continue
+        df = p.fn(spark, sf_dir)
+        assert not inspect.has_python_row_udf(df), f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_codegen_active_on_relational_path(spark, sf_dir):
+    df = q1_star_revenue_by_nation(spark, sf_dir)
+    assert inspect.has_wholestage_codegen(df)

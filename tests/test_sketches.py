@@ -1,0 +1,43 @@
+"""Sketch accuracy tests (X5): HLL++ distinct and GK percentiles must
+land within documented error bounds of their exact twins. Cited from
+operators/sketches.py docstrings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    row = e.agg(
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()[0]
+    # default rsd = 5%; allow 3 sigma
+    assert abs(row.approx - row.exact) <= max(0.15 * row.exact, 5)
+
+
+def test_percentile_approx_within_tolerance(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    row = e.agg(
+        F.percentile_approx("value", 0.5).alias("approx"),
+        F.percentile("value", 0.5).alias("exact"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).collect()[0]
+    span = row.hi - row.lo
+    assert abs(row.approx - row.exact) <= 0.05 * span
+
+
+def test_sketches_per_group_shapes(spark, sf_dir):
+    from realtime_financial_transactions_data_pipeline_spark.operators.sketches import (
+        x5_approx_sketches,
+    )
+
+    out = x5_approx_sketches(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {"event_type", "approx_users", "p50_approx", "p90_approx"}
+    assert all(r.approx_users > 0 for r in rows)

@@ -1,0 +1,67 @@
+"""Batch source/sink tests (S5/S6/K4/K5): declared-schema CSV/JSON
+reads, overwrite loads, DDL-from-schema, and the Cloud-Function-shaped
+load_dimension convention (schema by file stem, non-CSV rejected)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import types as T
+
+from realtime_financial_transactions_data_pipeline_spark import schemas as sch
+from realtime_financial_transactions_data_pipeline_spark.sources import batch
+
+ROOT = "/tmp/spark_graft_tests/sources"
+
+
+@pytest.fixture()
+def fresh_root(request):
+    path = f"{ROOT}/{request.node.name}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def test_load_dimension_by_stem(spark, fresh_root, tmp_path):
+    csv = tmp_path / "dim_device_type.csv"
+    csv.write_text("device_type_id,device_type_name\n1,mobile\n2,desktop\n")
+    out = batch.load_dimension(spark, str(csv), fresh_root)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    # parquet reads surface every column nullable; names/types must match
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in sch.DIM_DEVICE_TYPE
+    ]
+    rows = {r.device_type_id: r.device_type_name for r in got.collect()}
+    assert rows == {1: "mobile", 2: "desktop"}
+
+
+def test_load_dimension_rejects_non_csv(spark, fresh_root):
+    with pytest.raises(ValueError):
+        batch.load_dimension(spark, "/tmp/whatever.json", fresh_root)
+    with pytest.raises(KeyError):
+        batch.load_dimension(spark, "/tmp/unknown_table.csv", fresh_root)
+
+
+def test_overwrite_is_full_refresh(spark, fresh_root):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    df2 = spark.createDataFrame([(3, "c")], ["id", "v"])
+    batch.overwrite_table(df1, f"{fresh_root}/t")
+    batch.overwrite_table(df2, f"{fresh_root}/t")
+    got = spark.read.parquet(f"{fresh_root}/t").collect()
+    assert len(got) == 1 and got[0].id == 3  # WRITE_TRUNCATE semantics
+
+
+def test_csv_failfast_on_schema_drift(spark, tmp_path):
+    csv = tmp_path / "bad.csv"
+    csv.write_text("device_type_id,device_type_name\nnot_a_number,mobile\n")
+    with pytest.raises(Exception):
+        batch.read_csv(spark, str(csv), sch.DIM_DEVICE_TYPE).collect()
+
+
+def test_create_table_empty_with_schema(spark, fresh_root):
+    batch.create_table(spark, f"{fresh_root}/empty", sch.DIM_ACCOUNT)
+    got = spark.read.parquet(f"{fresh_root}/empty")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [f.name for f in sch.DIM_ACCOUNT.fields]
+    assert got.schema["account_id"].dataType == T.LongType()
