@@ -52,8 +52,12 @@ def all_probes() -> dict[str, Probe]:
         text,
         sketches,
         tokenization,
+        multimodal,
     )
-    from realtime_financial_transactions_data_pipeline_spark.sources import batch  # noqa: F401
+    from realtime_financial_transactions_data_pipeline_spark.sources import (  # noqa: F401
+        batch,
+        datagen,
+    )
     from realtime_financial_transactions_data_pipeline_spark.streaming import (  # noqa: F401
         pipeline,
     )

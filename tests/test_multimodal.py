@@ -1,0 +1,51 @@
+"""Multimodal-column tests (X4): schema, deterministic synth, the
+mapInPandas decode plumbing (stub), and the not-implemented gate for
+real codecs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.operators import multimodal
+
+
+def test_media_schema_shape(spark, sf_dir):
+    m = multimodal.synth_media(spark, sf_dir)
+    assert [f.name for f in m.schema.fields] == [
+        "media_id", "modality", "path", "content", "meta",
+    ]
+    assert dict(m.dtypes)["content"] == "binary"
+    row = m.filter(F.col("modality") == "image").first()
+    assert row.meta.width is not None and row.meta.sample_rate is None
+    arow = m.filter(F.col("modality") == "audio").first()
+    assert arow.meta.sample_rate == 16000 and arow.meta.width is None
+    assert row.path.startswith("s3://media-bucket/image/")
+
+
+def test_binary_matches_text_bytes(spark, sf_dir):
+    m = multimodal.synth_media(spark, sf_dir).limit(5).collect()
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    texts = {
+        r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+    }
+    for r in m:
+        assert bytes(r.content) == texts[r.media_id].encode("utf-8")
+        assert r.meta.n_bytes == len(bytes(r.content))
+
+
+def test_decode_stub_deterministic(spark, sf_dir):
+    d1 = multimodal.decode_media(multimodal.synth_media(spark, sf_dir))
+    d2 = multimodal.decode_media(multimodal.synth_media(spark, sf_dir))
+    assert d1.exceptAll(d2).count() == 0
+    row = d1.first()
+    assert row.n_pixels == row.width * row.height
+    assert row.checksum > 0
+
+
+def test_decode_real_raises_not_implemented(spark, sf_dir):
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_media(
+            multimodal.synth_media(spark, sf_dir), stub=False
+        ).collect()
