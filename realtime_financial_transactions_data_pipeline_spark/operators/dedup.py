@@ -94,8 +94,8 @@ def x1b_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SHINGLE_WORDS = 3  # word shingles
-_N_HASHES = 64
-_BAND_ROWS = 4  # 16 bands × 4 rows: P(cand | J=0.9) ≈ 1 - 4e-8
+_N_HASHES = 48
+_BAND_ROWS = 4  # 12 bands × 4 rows: P(cand | J=0.9) ≈ 1 - 3e-6
 _BUCKET_CAP = 200  # hot-bucket guard: drop LSH buckets larger than this
 _NEARDUP_T = 0.6  # verify threshold; planted dups sit at J ≥ 0.9
 

@@ -1,0 +1,84 @@
+"""Scale-path join strategies (SURVEY §4 "physical execution for
+100 TB"): bucketed co-located joins and skew salting.
+
+These are the two knobs the DataFrame API doesn't apply automatically:
+
+- **Bucketing** pre-shuffles a table once at write time
+  (``bucketBy(n, key)``); two tables bucketed the same way join with
+  ZERO exchange — at 100 TB that's the difference between re-shuffling
+  the fact table on every query and never shuffling it again. AQE can't
+  do this (it's a storage-layout decision).
+- **Salting** splits a hot key across ``salt_factor`` sub-keys —
+  the skew fix when one merchant/gateway dominates (the reference's
+  dashboard shows the top gateway at ~2bn of 5.87bn revenue, so a
+  gateway-keyed shuffle WILL skew). AQE's skew-join splitting handles
+  sort-merge skew at runtime; explicit salting is for aggregations and
+  for joins AQE can't split (e.g. bucketed or broadcast-ineligible
+  paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Bucket count for co-located fact/dim joins. Matched on both sides of
+#: a join, and sized so one bucket of 100 TB fact data (~100 GB with
+#: 1024 buckets) splits into sane tasks.
+DEFAULT_BUCKETS = 16
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Persist ``df`` bucketed + sorted by ``key``. Subsequent equi-joins
+    or aggregations on ``key`` between tables bucketed with the same
+    ``n_buckets`` need no Exchange (verified in tests/test_scale.py)."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — reads align
+    bucket-for-bucket, so the plan is exchange-free."""
+    return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Skew-proof equi-join: the fact side gets a random salt in
+    [0, salt_factor); the dim side is exploded ``salt_factor``× so every
+    (key, salt) pair still matches. A key holding N% of all rows now
+    spreads over ``salt_factor`` partitions. Dim grows by the factor —
+    use for genuinely small-but-unbroadcastable dims or pre-aggregation
+    fan-out, and keep AQE skew-join on for the sort-merge paths."""
+    salted_fact = fact.withColumn("_salt", (F.rand(7) * salt_factor).cast("int"))
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")
+
+
+def salted_groupby_count(df: DataFrame, key: str, salt_factor: int = 8) -> DataFrame:
+    """Two-phase skew-proof aggregation: partial count per (key, salt),
+    then final sum per key. The first shuffle spreads a hot key over
+    ``salt_factor`` reducers; the second handles only
+    #distinct-keys × salt_factor rows. (Spark's hash aggregate already
+    does map-side partials — explicit salting matters when a single
+    reducer key still overflows, i.e. extreme skew.)"""
+    return (
+        df.withColumn("_salt", (F.rand(7) * salt_factor).cast("int"))
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+        .groupBy(key)
+        .agg(F.sum("_partial").alias("n"))
+    )

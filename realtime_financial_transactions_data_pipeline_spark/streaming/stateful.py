@@ -1,0 +1,208 @@
+"""Stateful streaming operators (SURVEY §2.10 T4/T5 + the custom
+stateful-operator pattern).
+
+- T4: streaming exact-once-per-key dedupe — ``dropDuplicates`` over an
+  unbounded stream keeps the seen-key set in the state store, and the
+  checkpoint restores it across restarts (the reference's producer-side
+  ``seen_customer_ids`` set, generate_dim_account_data.py:69-70, done
+  engine-side so every consumer benefits).
+- T5: pacing/backpressure — the ``rate`` source emits rows at a
+  configured rows-per-second, standing in for the reference's
+  ``time.sleep``-paced producers (generate_fact_transactions_data.py:231).
+- Custom stateful operator: per-customer running aggregates via
+  ``applyInPandasWithState`` — the Arrow-batched, state-store-backed
+  escape hatch for semantics no built-in stateful operator covers.
+  State lives in the state store per group, survives restarts with the
+  checkpoint, and scales horizontally because groups hash across
+  executors.
+
+At 100 TB scale the state store is RocksDB-backed
+(``spark.sql.streaming.stateStore.providerClass``) so state size is
+bounded by disk, not heap; keys hash-partition across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedupe(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    key_cols: list[str],
+    timeout_s: int = 120,
+) -> None:
+    """T4 — keep only the first occurrence of each key ever seen on the
+    stream. dropDuplicates on a streaming DataFrame is stateful: the
+    key set persists in the state store and the checkpoint carries it
+    across restarts (no watermark = keys are remembered forever, the
+    reference's semantics; add ``withWatermark`` to bound state when
+    keys expire)."""
+    q = (
+        spark.readStream.schema(schema)
+        .json(input_dir)
+        .dropDuplicates(key_cols)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """T5 — paced synthetic stream (the rate source), shaped like the
+    reference's producer output: a monotonically increasing id at a
+    fixed offered rate."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("event_time"),
+            F.col("value").alias("seq"),
+            F.concat(F.lit("t"), F.col("value").cast("string")).alias("transaction_id"),
+        )
+    )
+
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("n_txns", T.LongType()),
+        T.StructField("total_amount", T.DoubleType()),
+    ]
+)
+
+_RUNNING_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n_txns", T.LongType()),
+        T.StructField("total_amount", T.DoubleType()),
+    ]
+)
+
+
+def _update_running_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for one customer into the stored
+    (count, sum) state and emit the updated totals. Runs Arrow-batched;
+    state round-trips through the state store between micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["amount"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"customer_id": [key[0]], "n_txns": [n], "total_amount": [round(total, 2)]}
+    )
+
+
+def running_totals_stream(txns: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-customer lifetime transaction count
+    and amount total, updated every micro-batch. The built-in streaming
+    aggregation could express this exact case; the applyInPandasWithState
+    form is the template for semantics it can't (session logic, model
+    state, cross-row custom folds)."""
+    return txns.groupBy("customer_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=_RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_running_totals(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    timeout_s: int = 120,
+) -> None:
+    """Drive the stateful running-totals operator over a JSON-lines
+    directory; each micro-batch's updated totals append (with their
+    epoch id) so the latest row per customer is the current state."""
+    txns = spark.readStream.schema(schema).json(input_dir)
+    updates = running_totals_stream(txns)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    q = (
+        updates.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+# ---------------------------------------------------------------------------
+# Probes
+# ---------------------------------------------------------------------------
+
+
+from realtime_financial_transactions_data_pipeline_spark.registry import probe  # noqa: E402
+
+_TXN_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("dedupe_key", T.LongType()),
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+@probe(
+    "t4_stateful_stream_dedupe",
+    oracle="""
+    SELECT CAST(count(DISTINCT c_custkey % 500) AS BIGINT) AS n_unique_keys,
+           CAST(count(*) AS BIGINT) AS n_input_rows
+    FROM customer
+    """,
+)
+def t4_stateful_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — stateful streaming dedupe: every customer row becomes a
+    message keyed by ``c_custkey % 500`` (guaranteed duplicates), the
+    stream keeps first-seen keys in the state store, and the surviving
+    row count must equal the distinct-key count."""
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    root = "/tmp/spark_graft_streaming/t4"
+    shutil.rmtree(root, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer")
+    n_input = c.count()
+    c.select(
+        (F.col("c_custkey") % 500).alias("dedupe_key"),
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_acctbal").alias("amount"),
+    ).coalesce(2).write.mode("overwrite").json(f"{root}/in")
+    streaming_dedupe(
+        spark, f"{root}/in", f"{root}/out", f"{root}/_cp", _TXN_PROBE_SCHEMA, ["dedupe_key"]
+    )
+    out = spark.read.schema(_TXN_PROBE_SCHEMA).parquet(f"{root}/out")
+    # count(*) of the sink, NOT countDistinct: if duplicates leaked
+    # through, the row count exceeds the oracle's distinct-key count.
+    return out.agg(
+        F.count(F.lit(1)).alias("n_unique_keys"),
+        F.max(F.lit(n_input)).cast("long").alias("n_input_rows"),
+    )

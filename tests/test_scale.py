@@ -1,0 +1,83 @@
+"""Scale-strategy tests: bucketed joins must be exchange-free, salted
+joins/aggregations must match their unsalted results while spreading
+hot keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.operators import scale
+from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a previous session's managed-table dir blocks re-creation
+        shutil.rmtree(f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/{t}",
+                      ignore_errors=True)
+    orders = spark.range(0, 2000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_status")
+    )
+    lineitem = spark.range(0, 10000).select(
+        (F.col("id") % 2000).alias("o_orderkey"), (F.col("id") % 100).alias("qty")
+    )
+    scale.write_bucketed(orders, "b_orders", "o_orderkey")
+    scale.write_bucketed(lineitem, "b_lineitem", "o_orderkey")
+    return orders, lineitem
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    """Bucketing matters exactly when the dim is too big to broadcast —
+    disable broadcast to enter that regime, then the same-bucketed join
+    must run with no shuffle Exchange (bucket-aligned scans)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.bucketed_join(spark, "b_lineitem", "b_orders", "o_orderkey")
+        plan = inspect.formatted_plan(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_unbucketed_join_would_exchange(spark, warehouse):
+    """Control: the same join without bucketing (and above broadcast
+    threshold) shuffles — proving the bucketing is what removed it."""
+    orders, lineitem = warehouse
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = inspect.formatted_plan(lineitem.join(orders, "o_orderkey"))
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be semantically invisible: same rows out."""
+    fact = spark.range(0, 5000).select(
+        (F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id"))).alias("k"),  # 90% key=1
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("attr"))
+    plain = fact.join(dim, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+    ).collect()[0]
+    salted = scale.salted_join(fact, dim, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_salted_groupby_matches_plain(spark):
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") % 100 < 95, "hot").otherwise(F.col("id").cast("string")).alias("k")
+    )
+    plain = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r.k: r.n for r in scale.salted_groupby_count(df, "k").collect()}
+    assert plain == salted
+    assert salted["hot"] == 19000
