@@ -221,3 +221,78 @@ def x2g_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("sim_raw", 4).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF — inverted-file ANN (the other standard scale path besides LSH)
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 2
+
+
+def ivf_centroids(emb: DataFrame, k_col: str = "label") -> DataFrame:
+    """Coarse quantizer trained in one distributed pass: element-wise
+    mean embedding per coarse key (posexplode → per-position avg →
+    re-assemble). With no labels, substitute any clustering assignment —
+    the index structure downstream is identical."""
+    by_pos = emb.select(k_col, F.posexplode("emb").alias("pos", "v"))
+    pos_means = by_pos.groupBy(k_col, "pos").agg(F.avg("v").alias("m"))
+    return pos_means.groupBy(k_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select(
+        F.col(k_col).alias("list_id"),
+        F.expr("transform(pm, x -> x.m)").alias("centroid"),
+    )
+
+
+def _cos(a: str, b: str) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_assign(vecs: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (centroids
+    broadcast — they are k rows). nprobe=1 builds the index; nprobe>1
+    is the query-side probe set."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", _cos("emb", "centroid"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= nprobe)
+        .select("vec_id", "emb", "list_id")
+    )
+
+
+@probe("x2h_ann_ivf", oracle=None)
+def x2h_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF: train a coarse quantizer (per-label mean centroids),
+    assign every vector to its nearest list, then answer each query by
+    scanning only the nprobe=2 nearest lists — candidates shrink by
+    ~k/nprobe versus brute force while the final ranking stays exact
+    cosine. Rows-only probe; recall on planted clusters is asserted in
+    tests/test_similarity.py."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "label"
+    )
+    cents = ivf_centroids(emb).cache()
+    index = ivf_assign(emb, cents, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"), "list_id"
+    )
+    queries = ivf_assign(emb.filter(F.col("vec_id") < 20), cents, nprobe=_IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "list_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    return (
+        index.join(F.broadcast(queries), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("sim_raw", _cos("q_emb", "c_emb"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            dround("sim_raw", 4).alias("cosine"),
+        )
+    )

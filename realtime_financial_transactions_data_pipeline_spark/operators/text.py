@@ -204,3 +204,52 @@ def x3d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn(
         "group_size", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3e — BPE-style pre-tokenization (the GPT-2 pretokenizer family)
+# ---------------------------------------------------------------------------
+
+#: GPT-2-ish pre-tokenizer: contraction suffixes, space-prefixed letter
+#: runs, digit runs, punctuation runs (lookaheads dropped so the same
+#: pattern runs on Java regex (Spark) and RE2 (DuckDB)).
+_BPE_RE = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+
+@probe(
+    "x3e_bpe_pretokenize",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                           / len(toks), 4) END AS avg_bpe_len
+    FROM tok
+    """,
+)
+def x3e_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer regex segments
+    text into contraction/letter/digit/punctuation runs — the unit a
+    byte-pair tokenizer would merge within. Counting these (instead of
+    whitespace words, x3a) approximates LLM token budgets for corpus
+    sizing. All JVM-side regexp work."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.regexp_extract_all("text", F.lit(_BPE_RE), 0).alias("toks")
+    )
+    n = F.size("toks")
+    tot = F.expr("aggregate(transform(toks, t -> length(t)), 0, (s, v) -> s + v)")
+    return tok.select(
+        "doc_id",
+        n.cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        F.when(n == 0, F.lit(None)).otherwise(dround(tot.cast("double") / n, 4)).alias(
+            "avg_bpe_len"
+        ),
+    )

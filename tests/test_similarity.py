@@ -91,3 +91,30 @@ def test_lsh_bucket_is_deterministic(spark):
     b1 = df.select(similarity.lsh_bucket_col("emb").alias("b")).collect()[0].b
     b2 = df.select(similarity.lsh_bucket_col("emb").alias("b")).collect()[0].b
     assert b1 == b2
+
+
+def test_ivf_finds_planted_clusters(spark):
+    """IVF with a per-cluster coarse quantizer: queries drawn from a
+    cluster must retrieve their own cluster's members (nprobe=1 suffices
+    when clusters are separated)."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 64) * 10
+    rows = []
+    for c in range(4):
+        for j in range(25):
+            v = centers[c] + rng.randn(64) * 0.1
+            rows.append((c * 25 + j, [float(x) for x in v], c))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cents = similarity.ivf_centroids(df)
+    assert cents.count() == 4
+    assigned = similarity.ivf_assign(df, cents, nprobe=1)
+    # every vector must be assigned to its own cluster's centroid
+    joined = assigned.join(df.select("vec_id", "label"), "vec_id")
+    assert joined.filter(F.col("list_id") != F.col("label")).count() == 0
