@@ -1,0 +1,71 @@
+"""Event-time windowed aggregation with watermarks (extension beyond
+the reference's stateless pipeline — SURVEY §2.10 T2 notes the
+reference has no windows; this is the Structured Streaming path a
+scaled deployment adds for late-data-tolerant time-series rollups).
+
+Semantics: tumbling event-time windows keyed on the *event* timestamp
+(T3's event-time column), with a watermark bounding how late a row may
+arrive and still update its window. State per open window lives in the
+state store; the watermark lets Spark finalize and evict windows, so
+state is O(windows in the lateness horizon), not O(stream length) —
+the property that makes this safe on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+def windowed_revenue(
+    txns: DataFrame,
+    ts_col: str = "event_time",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Tumbling-window revenue/volume rollup. On a stream the watermark
+    bounds state and admits late rows up to the horizon; on a batch
+    DataFrame the same expression computes the identical result (used
+    by the oracle-checked probe below)."""
+    src = txns.withWatermark(ts_col, watermark) if streaming else txns
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@probe(
+    "t2b_event_time_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def t2b_event_time_windows(spark, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows, batch twin (identical expression to
+    the streaming path; DuckDB's time_bucket is the oracle). The
+    streaming behavior — late rows inside the watermark admitted,
+    beyond it dropped, state evicted — is tested in
+    tests/test_windows.py."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("event_time"), "value"
+    )
+    return windowed_revenue(e, streaming=False)
