@@ -38,7 +38,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -155,19 +155,24 @@ def jaccard_pairs_exact(
         F.col(id_col).alias("_id"), word_shingles(text_col).alias("grams")
     ).withColumn("n", F.size("grams"))
     posting = sized.select("_id", "n", F.explode("grams").alias("gram"))
-    if max_df is not None:
-        df_counts = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
-        posting = posting.join(df_counts.filter(F.col("_df") <= max_df), "gram")
-    a = posting.alias("a")
-    b = posting.alias("b")
+    by_gram = posting.groupBy("gram").agg(
+        F.array_sort(F.collect_list(F.struct("_id", "n"))).alias("ids")
+    )
+    # One shuffle keyed by shingle; pairs are generated *inside* each
+    # posting list, so shingles with df=1 (the vast majority of word
+    # 3-grams) never reach a join at all, and there is no second
+    # shuffle of the full posting table.
+    cap = F.lit(max_df) if max_df is not None else F.size("ids")
+    bounded = by_gram.filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
+    pair_gen = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> "
+        "struct(a._id AS id_a, b._id AS id_b, a.n AS n_a, b.n AS n_b))))"
+    )
     inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
+        bounded.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     jac = F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c")).cast("double")
@@ -187,29 +192,44 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_exact(d)
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", grams_col: str | None = None
+) -> DataFrame:
     """Append `sig` (array<bigint>, length _N_HASHES): per-seed min of
-    xxhash64 over the word-shingle set. Pure built-ins → codegen'd."""
-    shingled = df.withColumn("_shingles", word_shingles(text_col))
+    xxhash64 over the word-shingle set. Pure built-ins → codegen'd.
+    Pass ``grams_col`` when the shingle array is already materialized
+    (x2a shares one persisted shingling pass between the signature and
+    the exact-Jaccard verify instead of re-shingling per consumer)."""
+    if grams_col is None:
+        df = df.withColumn("_shingles", word_shingles(text_col))
+        src = "_shingles"
+    else:
+        src = grams_col
+    # Hash each shingle STRING once; the per-seed family re-hashes the
+    # resulting 8-byte long (fixed-width input), so the 48 passes cost
+    # 48 × |grams| long-hashes instead of 48 full string scans.
+    df = df.withColumn("_hg", F.expr(f"transform({src}, s -> xxhash64(s))"))
     mins = [
         F.array_min(
-            F.expr(f"transform(_shingles, s -> xxhash64(s, {seed}))")
+            F.expr(f"transform(_hg, v -> xxhash64(v, {seed}))")
         ).alias(f"_h{seed}")
         for seed in range(_N_HASHES)
     ]
+    tmp = ["_hg"] if grams_col is not None else ["_hg", "_shingles"]
     return (
-        shingled.select("*", *mins)
+        df.select("*", *mins)
         .withColumn("sig", F.array(*[f"_h{s}" for s in range(_N_HASHES)]))
-        .drop("_shingles", *[f"_h{s}" for s in range(_N_HASHES)])
+        .drop(*tmp, *[f"_h{s}" for s in range(_N_HASHES)])
     )
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, bucket_cap: int = _BUCKET_CAP
 ) -> DataFrame:
-    """Band the signature and self-join per (band_id, band_hash) bucket.
-    Returns distinct candidate (id_a, id_b) with id_a < id_b. The join
-    is an equi-join on the bucket key; buckets larger than
+    """Band the signature and pair up ids *within* each (band_id,
+    band_hash) bucket. Returns distinct candidate (id_a, id_b) with
+    id_a < id_b. One shuffle (groupBy the bucket key) — singleton
+    buckets vanish in the aggregate, and buckets larger than
     ``bucket_cap`` are dropped outright so one hot bucket can never go
     quadratic (near-dup clusters are small; a mega-bucket is a
     hash-collision pathology, not signal)."""
@@ -228,20 +248,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_hash")
-    w = Window.partitionBy("band_id", "band_hash")
-    banded = banded.withColumn("_bsize", F.count(F.lit(1)).over(w)).filter(
-        F.col("_bsize") <= bucket_cap
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    pair_gen = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> "
+        "struct(a AS id_a, b AS id_b))))"
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        buckets.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -257,19 +276,27 @@ def x2a_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Properties (planted near-dups found, parity with x2b) are
     unit-tested in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature(d)
+    grams = (
+        d.select("doc_id", word_shingles("text").alias("grams"))
+        .withColumn("n", F.size("grams"))
+        .persist()
+    )
+    sigs = minhash_signature(grams, grams_col="grams").select("doc_id", "sig")
     cands = lsh_candidate_pairs(sigs, "doc_id")
-    grams = d.select(F.col("doc_id"), word_shingles("text").alias("grams"))
-    docs_a = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("sh_a"))
-    docs_b = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
-        "double"
+    docs_a = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    docs_b = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("sh_b"), F.col("n").alias("n_b")
     )
     return (
         cands.join(docs_a, "id_a")
         .join(docs_b, "id_b")
-        .withColumn("jaccard_raw", inter / union)
+        .withColumn("c", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")).cast("double"),
+        )
         .filter(F.col("jaccard_raw") >= _NEARDUP_T)
         .select("id_a", "id_b", dround("jaccard_raw", 4).alias("jaccard"))
     )
@@ -340,9 +367,19 @@ def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    # Unlike lsh_candidate_pairs (whose minhash-band buckets are tiny),
+    # 8-bit simhash bands have only 256 values, so buckets are FAT —
+    # the codegen'd shuffle hash join beats interpreted in-bucket pair
+    # generation here. At larger corpora, widen the bands (more tables,
+    # Manku et al. WWW'07 block combinations) so bucket size stays
+    # bounded; width 8 is sized for the pigeonhole guarantee below.
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Hamming-filter BEFORE the distinct: the predicate runs inside the
+    # join's codegen stage, so the dedup shuffle only ever sees the few
+    # surviving near-dup pairs, not every raw band collision.
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -352,14 +389,8 @@ def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 6)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -42,8 +42,15 @@ def _norm(a: str) -> F.Column:
 
 def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Cast array<float> → array<double> once, up front, so all scoring
-    runs in double (matches the DuckDB oracle's CAST(... AS DOUBLE[]))."""
-    return df.withColumn("emb", F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))"))
+    runs in double (matches the DuckDB oracle's CAST(... AS DOUBLE[])),
+    and precompute the vector L2 norm (`nrm`) ONCE PER VECTOR. Spark
+    evaluates higher-order-function lambdas interpreted (outside
+    codegen), so hoisting the norm out of the pairwise join halves the
+    interpreted work; `dot/(nrm_a*nrm_b)` is the same float expression
+    as before, so results are bit-identical."""
+    return df.withColumn(
+        "emb", F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+    ).withColumn("nrm", _norm("emb"))
 
 
 def cosine_topk(
@@ -53,12 +60,16 @@ def cosine_topk(
     broadcast; candidates stream through a single scan. Self-matches
     excluded; ties broken on neighbor id for determinism."""
     q = with_double_embedding(queries).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     c = with_double_embedding(candidates).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
-    sim = _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
+    sim = _dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
     return (
         c.crossJoin(F.broadcast(q))
@@ -119,12 +130,18 @@ def x2f_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: block by coarse cluster, verify by exact cosine)."""
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("emb").alias("emb_a")
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("emb").alias("emb_b")
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    sim = _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b"))
+    sim = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("sim_raw", sim)
@@ -188,27 +205,29 @@ def x2g_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
     bucketed = emb.select(
-        "vec_id", "emb", F.explode(lsh_table_buckets("emb")).alias("tb")
-    ).select("vec_id", "emb", "tb.table_id", "tb.bucket")
+        "vec_id", "emb", "nrm", F.explode(lsh_table_buckets("emb")).alias("tb")
+    ).select("vec_id", "emb", "nrm", "tb.table_id", "tb.bucket")
     q = bucketed.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         "table_id",
         "bucket",
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
         "table_id",
         "bucket",
     )
     pairs = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .select("query_id", "q_emb", "q_nrm", "neighbor_id", "c_emb", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])  # union of the tables
     )
-    sim = _dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))
+    sim = _dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("sim_raw", sim)
@@ -242,24 +261,25 @@ def ivf_centroids(emb: DataFrame, k_col: str = "label") -> DataFrame:
     ).select(
         F.col(k_col).alias("list_id"),
         F.expr("transform(pm, x -> x.m)").alias("centroid"),
-    )
-
-
-def _cos(a: str, b: str) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    ).withColumn("c_nrm2", _norm("centroid"))
 
 
 def ivf_assign(vecs: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (centroids
     broadcast — they are k rows). nprobe=1 builds the index; nprobe>1
-    is the query-side probe set."""
+    is the query-side probe set. ``vecs`` should carry the precomputed
+    ``nrm`` column (see :func:`with_double_embedding`; computed here if
+    absent); centroid norms come precomputed from :func:`ivf_centroids`."""
+    if "nrm" not in vecs.columns:
+        vecs = vecs.withColumn("nrm", _norm("emb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    sim = _dot("emb", "centroid") / (F.col("nrm") * F.col("c_nrm2"))
     return (
         vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", _cos("emb", "centroid"))
+        .withColumn("sim", sim)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= nprobe)
-        .select("vec_id", "emb", "list_id")
+        .select("vec_id", "emb", "nrm", "list_id")
     )
 
 
@@ -272,21 +292,27 @@ def x2h_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine. Rows-only probe; recall on planted clusters is asserted in
     tests/test_similarity.py."""
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "emb", "label"
+        "vec_id", "emb", "nrm", "label"
     )
     cents = ivf_centroids(emb).cache()
     index = ivf_assign(emb, cents, nprobe=1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"), "list_id"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "list_id",
     )
     queries = ivf_assign(emb.filter(F.col("vec_id") < 20), cents, nprobe=_IVF_NPROBE).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "list_id"
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "list_id",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
     return (
         index.join(F.broadcast(queries), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("sim_raw", _cos("q_emb", "c_emb"))
+        .withColumn("sim_raw", _dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select(
