@@ -1,0 +1,144 @@
+"""End-to-end corpus-curation pipeline (north-star X1+X2+X3 composed):
+the shape of a real LLM training-data job, as one declarative plan.
+
+Stages (all deterministic, so the WHOLE pipeline is oracle-checked):
+
+1. **Exact dedup** — canonical doc per md5(text) group (keep lowest
+   doc_id). Shuffles 16-byte digests, not payloads.
+2. **Quality gate** — drop docs below a surface-statistics quality
+   threshold (same formula as x3c_quality_score).
+3. **Near-dup removal** — exact word-3-gram Jaccard pairs ≥ 0.6 via the
+   inverted-index similarity join (dedup.jaccard_pairs_exact — no
+   quadratic self-join); for each pair the later doc (higher id) drops,
+   keeping the canonical earlier one. Single-level drop (the standard
+   keep-first heuristic), not transitive clustering — SQL-expressible
+   and deterministic.
+4. **Corpus stats** — per-language doc counts, token totals, mean
+   quality: the numbers a dataset card reports.
+
+At 100 TB: stage 1 is one digest-keyed shuffle; stage 2 is a scan-level
+filter; stage 3's work is bounded by shingle document frequency (word
+3-grams), with a df cap available for degenerate stop-shingles; stage 4
+is a partial-aggregated groupBy on ~30 language keys. Nothing in the
+plan holds state proportional to corpus size on any single node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+    jaccard_pairs_exact,
+)
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+_QUALITY_MIN = 0.3
+_NEARDUP_T = 0.6
+_TOKEN_RE = "[a-zA-Z0-9]+"
+
+
+def quality_col(text_col: str = "text") -> F.Column:
+    """Surface-statistics quality score — the x3c formula, shared so the
+    gate and the probe stay in lockstep."""
+    n = F.length(text_col).cast("double")
+    punct = (n - F.length(F.regexp_replace(text_col, "[.,;:!?]", ""))) / n
+    digit = (n - F.length(F.regexp_replace(text_col, "[0-9]", ""))) / n
+    return F.least(n / 500.0, F.lit(1.0)) * (1 - punct) * (1 - digit)
+
+
+def exact_dedup_keep_first(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id doc of each exact-content group. The window
+    partitions on the 16-byte digest, so the shuffle key is fixed-width
+    regardless of document size."""
+    w = Window.partitionBy(F.md5(text_col)).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = _NEARDUP_T,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Remove the later (higher-id) document of every near-dup pair.
+    Pairs come from the inverted-index exact-Jaccard join; the drop is
+    a left_anti against the distinct id_b set."""
+    pairs = jaccard_pairs_exact(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold, max_df=max_df
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def curate(docs: DataFrame, quality_min: float = _QUALITY_MIN) -> DataFrame:
+    """The full curation chain: exact dedup → quality gate → near-dup
+    drop. Returns the surviving documents with their quality score."""
+    deduped = exact_dedup_keep_first(docs)
+    gated = deduped.withColumn("quality", quality_col()).filter(
+        (F.length("text") > 0) & (F.col("quality") >= quality_min)
+    )
+    return drop_near_duplicates(gated)
+
+
+@probe(
+    "x6_corpus_curation",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1),
+    gated AS (
+      SELECT doc_id, lang, text,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             * (1 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                    / length(text))
+             * (1 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / length(text)) AS quality
+      FROM dedup WHERE length(text) > 0),
+    kept AS (SELECT * FROM gated WHERE quality >= {_QUALITY_MIN}),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(
+                      string_split(text, ' ')[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+                      ' '))) AS grams
+      FROM kept),
+    losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= {_NEARDUP_T}),
+    final AS (
+      SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS n_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM final GROUP BY lang
+    """,
+)
+def x6_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline probe: documents → exact dedup →
+    quality gate → near-dup removal → per-language dataset-card stats.
+    Every stage is deterministic, so the whole chain is hash-verified
+    against the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    final = curate(d)
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("long").alias("n_tokens"),
+        dround(F.avg("quality"), 4).alias("avg_quality"),
+    )

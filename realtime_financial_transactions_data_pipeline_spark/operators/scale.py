@@ -1,7 +1,8 @@
-"""Scale-path join strategies (SURVEY §4 "physical execution for
-100 TB"): bucketed co-located joins and skew salting.
+"""Scale-path storage and join strategies (SURVEY §4 "physical
+execution for 100 TB"): date-partitioned layout, bucketed co-located
+joins, and skew salting.
 
-These are the two knobs the DataFrame API doesn't apply automatically:
+These are the knobs the DataFrame API doesn't apply automatically:
 
 - **Bucketing** pre-shuffles a table once at write time
   (``bucketBy(n, key)``); two tables bucketed the same way join with
@@ -21,6 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
 #: Bucket count for co-located fact/dim joins. Matched on both sides of
 #: a join, and sized so one bucket of 100 TB fact data (~100 GB with
@@ -81,4 +86,64 @@ def salted_groupby_count(df: DataFrame, key: str, salt_factor: int = 8) -> DataF
         .agg(F.count(F.lit(1)).alias("_partial"))
         .groupBy(key)
         .agg(F.sum("_partial").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned storage layout (the fact-table layout at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+def write_date_partitioned(
+    df: DataFrame, path: str, date_col: str = "event_date"
+) -> None:
+    """Persist the fact table hive-partitioned by calendar date — the
+    standard layout for an append-only transaction stream (the
+    reference's BigQuery fact table is date-partitioned implicitly by
+    ingestion; here the partition column is explicit). Every
+    date-sliced dashboard query (L1) then PRUNES: a 30-day window over
+    3 years of data reads ~3% of the files, before any filter runs."""
+    df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+
+
+def read_pruned(
+    spark: SparkSession, path: str, start: str, end: str, date_col: str = "event_date"
+) -> DataFrame:
+    """Scan a date-partitioned table with a BETWEEN partition predicate.
+    The filter lands in the scan's PartitionFilters (asserted in
+    tests/test_scale.py) — non-matching partitions are never opened."""
+    return spark.read.parquet(path).filter(F.col(date_col).between(start, end))
+
+
+@probe(
+    "l1b_partition_pruned_slice",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           CAST(count(*) AS BIGINT) AS volume,
+           round(sum(value), 2) AS revenue
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+    GROUP BY 1
+    """,
+)
+def l1b_partition_pruned_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned layout end-to-end: land `events` partitioned by
+    event_date, then answer a 10-day dashboard slice from the pruned
+    scan. Results match querying the unpartitioned table; the plan
+    differs — the BETWEEN becomes a PartitionFilter instead of a row
+    predicate."""
+    import tempfile
+
+    path = f"{tempfile.gettempdir()}/spark_graft_scale/events_by_date"
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    write_date_partitioned(e, path)
+    sliced = read_pruned(spark, path, "2024-01-10", "2024-01-19")
+    # Partition-column type inference reads the hive value back as DATE;
+    # cast after the (already-pruned) scan to match the oracle's string.
+    sliced = sliced.withColumn("event_date", F.col("event_date").cast("string"))
+    return sliced.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("volume"),
+        dround(F.sum("value"), 2).alias("revenue"),
     )

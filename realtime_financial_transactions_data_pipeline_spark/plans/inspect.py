@@ -46,6 +46,16 @@ def scan_read_schema(df: DataFrame) -> str:
     )
 
 
+def partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters lines of every scan — predicates that prune
+    whole hive partitions before any file is opened."""
+    return "\n".join(
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "PartitionFilters" in line
+    )
+
+
 def has_wholestage_codegen(df: DataFrame) -> bool:
     """Whether any WholeStageCodegen subtree compiles for this plan
     (zero subtrees means nothing is codegen'd — a red flag for a

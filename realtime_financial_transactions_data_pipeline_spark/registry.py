@@ -53,6 +53,8 @@ def all_probes() -> dict[str, Probe]:
         sketches,
         tokenization,
         multimodal,
+        scale,
+        curation,
     )
     from realtime_financial_transactions_data_pipeline_spark.sources import (  # noqa: F401
         batch,

@@ -81,3 +81,22 @@ def test_salted_groupby_matches_plain(spark):
     salted = {r.k: r.n for r in scale.salted_groupby_count(df, "k").collect()}
     assert plain == salted
     assert salted["hot"] == 19000
+
+
+def test_date_partitioned_scan_prunes(spark, tmp_path):
+    """A date slice over the partitioned layout must land in the scan's
+    PartitionFilters (pruned before file-open), leave no row-level
+    filter on the date, and read only the matching partitions' rows."""
+    days = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30')) AS d"
+    )
+    rows = days.crossJoin(spark.range(0, 100)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("event_date"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "by_date")
+    scale.write_date_partitioned(rows, path)
+    sliced = scale.read_pruned(spark, path, "2024-01-10", "2024-01-19")
+    pf = inspect.partition_filters(sliced)
+    assert "event_date" in pf and pf.strip() != "PartitionFilters: []"
+    assert "event_date" not in inspect.pushed_filters(sliced)
+    assert sliced.count() == 10 * 100
