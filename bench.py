@@ -45,17 +45,22 @@ def main() -> None:
             timings[name] = -1.0
     total = round(time.time() - t_suite, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "probe_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "probe_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Streaming throughput vs BASELINE.md's ≤10k msg/s offered producer
+    # rate: the flagship probe streams one wire message per customer row
+    # through parse→validate→tokenize→dual-sink, so input_rows/wall is
+    # end-to-end pipeline throughput (single node, cold start included).
+    t_stream = timings.get("t1_t6_streaming_pipeline", -1.0)
+    if t_stream > 0:
+        n_msgs = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+        out["stream_msgs_per_sec"] = round(n_msgs / t_stream, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,72 @@ def windowed_revenue(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "event_time",
+    gap: str = "30 minutes",
+    streaming: bool = True,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: consecutive events of one key belong to a
+    session while each arrives within ``gap`` of the last; the window
+    end is last-event + gap (exclusive). On a stream the watermark
+    closes sessions whose gap horizon has passed, bounding state to the
+    open sessions inside it — the property that lets per-user
+    sessionization run forever on an unbounded stream."""
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(key, F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@probe(
+    "t4b_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def t4b_sessionization(spark, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap), batch twin of the
+    streaming expression; the DuckDB oracle is the classic
+    gaps-and-islands rewrite (lag → gap flag → running sum → group),
+    pinning Spark's session_window semantics: start = first event,
+    end = last event + gap, a gap-or-more pause splits."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("event_time"), "value"
+    )
+    return sessionize(e, streaming=False)
+
+
 @probe(
     "t2b_event_time_windows",
     oracle="""

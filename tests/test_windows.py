@@ -81,6 +81,55 @@ def test_late_data_within_watermark_counted(spark, fresh_root):
     assert rows["12:00"] == (1, 4.0)
 
 
+def test_sessionize_streaming_gap_semantics(spark, fresh_root):
+    """Streaming session windows: events within the 30-min gap merge
+    into one session; a gap-or-more pause starts a new one. A final
+    batch advances the watermark so append mode emits the closed
+    sessions."""
+    from realtime_financial_transactions_data_pipeline_spark.streaming.windows import sessionize
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    in_dir, out, cp = f"{fresh_root}/in", f"{fresh_root}/out", f"{fresh_root}/_cp"
+    rows = [
+        (1, "2024-01-01 08:00:00", 1.0),
+        (1, "2024-01-01 08:20:00", 2.0),   # within gap -> same session
+        (1, "2024-01-01 09:30:00", 4.0),   # 70 min pause -> new session
+        (2, "2024-01-01 08:05:00", 8.0),   # other key -> own session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "t", "value"]).select(
+        "user_id", F.to_timestamp("t").alias("event_time"), "value"
+    )
+    df.coalesce(1).write.mode("overwrite").json(in_dir)
+    spark.createDataFrame([(9, "2024-01-02 00:00:00", 0.0)], ["user_id", "t", "value"]).select(
+        "user_id", F.to_timestamp("t").alias("event_time"), "value"
+    ).coalesce(1).write.mode("append").json(in_dir)
+
+    q = (
+        sessionize(spark.readStream.schema(schema).json(in_dir), gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start.strftime("%H:%M")): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).filter("user_id < 9").collect()
+    }
+    assert got[(1, "08:00")] == (2, 3.0)
+    assert got[(1, "09:30")] == (1, 4.0)
+    assert got[(2, "08:05")] == (1, 8.0)
+
+
 def test_batch_and_streaming_window_exprs_agree(spark, sf_dir):
     """The probe's batch twin and a one-shot streaming run produce the
     same windows on the same input."""
