@@ -817,6 +817,31 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe(
+    "cube_segment_status",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subtotal-combinations via CUBE (the 2^k grouping-set lattice
+    behind cross-dim dashboard matrices)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # S3/S4 — JSON parse of the stream payload (batch probe; streaming path in
 # streaming/pipeline.py)
@@ -840,4 +865,24 @@ def s3_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.from_json("props", "k INT").getField("k").alias("k"),
         "event_type",
+    )
+
+
+@probe(
+    "s3b_json_path_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def s3b_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON-path extraction (get_json_object) — the ad-hoc
+    twin of the schema'd from_json parse: pull one path out of an
+    arbitrary payload without declaring the full message shape."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -102,8 +102,13 @@ def write_date_partitioned(
     reference's BigQuery fact table is date-partitioned implicitly by
     ingestion; here the partition column is explicit). Every
     date-sliced dashboard query (L1) then PRUNES: a 30-day window over
-    3 years of data reads ~3% of the files, before any filter runs."""
-    df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+    3 years of data reads ~3% of the files, before any filter runs.
+
+    The repartition on the partition column makes each task own whole
+    partitions, so a day writes one file instead of
+    one-per-shuffle-task — the small-files guard that matters when 3
+    years × 32k tasks would otherwise litter the table."""
+    df.repartition(date_col).write.mode("overwrite").partitionBy(date_col).parquet(path)
 
 
 def read_pruned(
