@@ -87,6 +87,11 @@ def curate(docs: DataFrame, quality_min: float = _QUALITY_MIN) -> DataFrame:
     gated = deduped.withColumn("quality", quality_col()).filter(
         (F.length("text") > 0) & (F.col("quality") >= quality_min)
     )
+    # The gated set feeds BOTH the pair join and the anti-join's left
+    # side; persist so the dedup window + quality regexes run once.
+    # (At cluster scale this is where you'd checkpoint the curated
+    # snapshot anyway — it IS the dataset being produced.)
+    gated = gated.persist()
     return drop_near_duplicates(gated)
 
 

@@ -15,8 +15,8 @@ grows with corpus size squared):
   3-grams keep max df tiny (25 at sf0.1, 1.3 M pair-occurrences vs the
   12.5 M all-pairs space), and a df cap drops degenerate stop-shingles
   at bigger scale. No O(N²) block self-join anywhere.
-- MinHash+LSH (x2a, Broder 1997 + banding) buckets 64 minhashes into
-  16 bands of 4; only same-bucket pairs join, buckets over a hard size
+- MinHash+LSH (x2a, Broder 1997 + banding) buckets 48 minhashes into
+  12 bands of 4; only same-bucket pairs join, buckets over a hard size
   cap are dropped (hot-bucket guard), and candidates are verified with
   exact Jaccard. All hashing is JVM-side ``xxhash64`` inside
   whole-stage codegen — no Python.
@@ -267,8 +267,8 @@ def lsh_candidate_pairs(
 
 @probe("x2a_minhash_lsh_neardup", oracle=_ORACLE_NEARDUP)
 def x2a_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: word shingles → 64 minhashes →
-    16-band bucketing (+ hot-bucket cap) → candidate equi-join → exact
+    """MinHash+LSH near-dup pipeline: word shingles → 48 minhashes →
+    12-band bucketing (+ hot-bucket cap) → candidate equi-join → exact
     Jaccard verify ≥ 0.6. The exact verify makes false positives
     impossible, and at the verify threshold the banding's recall is
     ≈ 1 - 4e-8 for J ≥ 0.9 near-dups — so the output matches the exact
