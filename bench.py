@@ -33,6 +33,9 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     t_suite = time.time()
+    # JVM/codegen warm-up so the alphabetically-first probe doesn't
+    # absorb session startup; counted in the suite total, not per-query.
+    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
     for name, p in sorted(all_probes().items()):
         if only and name not in only:
             continue
