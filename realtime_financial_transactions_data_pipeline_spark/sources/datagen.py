@@ -344,6 +344,32 @@ def f8_f13_generator_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe("a8b_generated_dashboard_charts", oracle=None)
+def a8b_generated_dashboard_charts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dashboard chart suite on its OWN star schema
+    (README.md:91-97): avg risk by state + revenue/volume by state
+    (A8/A9), over a date slicer (L1) and channel slicer (L2), fact
+    broadcast-joined to the generated dim_customer (J1). Rows-only
+    (seeded-rand inputs); state cardinality and slicer containment are
+    asserted in tests/test_datagen.py."""
+    fact = gen_fact_transactions(spark, 50_000)
+    cust = gen_dim_customer(spark)
+    sliced = fact.filter(
+        (F.col("transaction_datetime") >= "2023-04-01")
+        & (F.col("transaction_datetime") < "2024-10-01")  # L1
+        & F.col("transaction_channel").isin("POS", "UPI", "Online Payment Gateway")  # L2
+    )
+    return (
+        sliced.join(F.broadcast(cust), "customer_id")
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("volume"),
+            dround(F.sum("total_amount"), 2).alias("revenue"),
+            dround(F.avg("risk_score"), 4).alias("avg_risk"),
+        )
+    )
+
+
 @probe("a1_a6_generated_star", oracle=None)
 def a1_a6_generated_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dashboard stat-card suite (A1-A6) over the *generated*

@@ -88,6 +88,16 @@ def test_time_dim_shape(spark):
     assert (row.hour, row.minute, row.second, row.period) == (13, 30, 15, "PM")
 
 
+def test_generated_dashboard_charts_probe(spark):
+    """a8b probe semantics: all 28 generated states appear, slicers
+    contain the output (volume can't exceed the unsliced fact), and avg
+    risk stays within the generator's [0, 1] band."""
+    out = datagen.a8b_generated_dashboard_charts(spark, "").collect()
+    assert len(out) == 28  # dim_customer generates state_0..state_27
+    assert sum(r.volume for r in out) <= 50_000
+    assert all(0.0 <= r.avg_risk <= 1.0 for r in out)
+
+
 def test_star_schema_write_and_dashboard(spark):
     """Materialize the star schema (fact partitioned by date) and run a
     dashboard-style slice: join fact→date_dim, filter a date range,
