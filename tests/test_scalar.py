@@ -1,0 +1,47 @@
+"""Unit tests for the scalar column-function library (F1/F3/F9/F12/F15
+helpers not already covered by an oracle probe)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions import scalar
+
+
+def test_date_id_roundtrip(spark):
+    """id→date→id is the identity over the generator's 2-year domain
+    (F9, generate_fact_transactions_data.py:66-67)."""
+    df = spark.range(0, 731).select(
+        F.col("id").cast("int").alias("date_id"),
+        scalar.id_from_date(scalar.date_from_id(F.col("id").cast("int"))).alias("back"),
+    )
+    assert df.filter(F.col("date_id") != F.col("back")).count() == 0
+
+
+def test_high_risk_threshold_matches_band_boundary(spark):
+    """F15: the 0.6 threshold is the generator's band boundary — 0.6 is
+    high-risk, 0.59 is not."""
+    df = spark.createDataFrame([(0.59,), (0.6,), (0.95,)], ["risk"]).select(
+        "risk", scalar.is_high_risk(F.col("risk")).alias("hi")
+    )
+    got = {r.risk: r.hi for r in df.collect()}
+    assert got == {0.59: False, 0.6: True, 0.95: True}
+
+
+def test_total_amount_formula(spark):
+    """F12: total = round(amount + tax − discount, 2)
+    (generate_fact_transactions_data.py:143)."""
+    df = spark.createDataFrame([(100.0, 18.0, 2.555)], ["a", "t", "d"]).select(
+        scalar.total_amount(F.col("a"), F.col("t"), F.col("d")).alias("total")
+    )
+    assert df.collect()[0].total == 115.45
+
+
+def test_mask_pan_null_safe(spark):
+    """F1: null PAN yields null mask (pipeline.py:101-104)."""
+    df = spark.createDataFrame([("4000123456789012",), (None,)], ["pan"]).select(
+        scalar.mask_pan(F.col("pan")).alias("m")
+    )
+    vals = [r.m for r in df.collect()]
+    assert vals[0] == "400012******9012"
+    assert vals[1] is None
