@@ -61,6 +61,7 @@ def all_probes() -> dict[str, Probe]:
         datagen,
     )
     from realtime_financial_transactions_data_pipeline_spark.streaming import (  # noqa: F401
+        joins,
         pipeline,
         stateful,
         windows,

@@ -1,0 +1,62 @@
+"""Stream-stream time-bounded join: a purchase matches only clicks of
+the same user at most the horizon earlier; unmatched rows on either
+side emit nothing (inner join)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_financial_transactions_data_pipeline_spark.streaming.joins import (
+    stream_stream_attribution,
+)
+
+ROOT = "/tmp/spark_graft_tests/stream_joins"
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def test_stream_stream_join_horizon(spark):
+    root = ROOT
+    shutil.rmtree(root, ignore_errors=True)
+    rows = [
+        (100, 1, "click", "2024-01-01 10:00:00"),
+        (200, 1, "purchase", "2024-01-01 10:30:00"),  # within 1h of click 100
+        (201, 1, "purchase", "2024-01-01 11:30:00"),  # 90 min -> outside horizon
+        (202, 2, "purchase", "2024-01-01 10:15:00"),  # no click for user 2
+        (103, 3, "click", "2024-01-01 10:05:00"),     # no purchase for user 3
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "t"]).select(
+        "event_id", "user_id", "event_type", F.to_timestamp("t").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").json(f"{root}/in")
+
+    src = spark.readStream.schema(SCHEMA).json(f"{root}/in")
+    joined = stream_stream_attribution(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/_cp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [
+        (r.click_id, r.purchase_id, r.mins_to_purchase)
+        for r in spark.read.parquet(f"{root}/out").collect()
+    ]
+    assert got == [(100, 200, 30.0)]
