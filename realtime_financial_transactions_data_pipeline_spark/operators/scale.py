@@ -120,6 +120,30 @@ def read_pruned(
     return spark.read.parquet(path).filter(F.col(date_col).between(start, end))
 
 
+def compact_table(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> int:
+    """Small-files compaction — the maintenance pass every streaming
+    sink needs: micro-batches leave one file per trigger per partition,
+    and a year of 1-minute triggers is half a million tiny files whose
+    open/list overhead dominates scan time. Rewrites the table into
+    ``target_files`` files via a staging directory + atomic swap (on
+    object stores, the same two-step with a manifest/rename). Returns
+    the row count, verified unchanged (tests/test_scale.py)."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    staging = path.rstrip("/") + ".compacting"
+    df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)
+    return n_rows
+
+
 @probe(
     "l1b_partition_pruned_slice",
     oracle="""

@@ -206,6 +206,46 @@ def x3d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe(
+    "x3f_unigram_xentropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS w
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-log2(c / n)), 4) AS unigram_xent
+    FROM tok t JOIN cnt USING (w) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def x3f_unigram_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy per document — the language-model
+    perplexity filter of a training-data pipeline, with the corpus
+    itself as the model: train unigram MLE counts in one aggregation,
+    score each doc as mean −log2 P(w). Outlier docs (gibberish, wrong
+    domain) surface with high entropy. Two shuffles (vocab count, per-doc
+    mean); at open-web scale the vocab side is Zipf-small → broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dround(F.avg(-F.log2(F.col("c") / F.col("n"))), 4).alias("unigram_xent"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # X3e — BPE-style pre-tokenization (the GPT-2 pretokenizer family)
 # ---------------------------------------------------------------------------

@@ -83,6 +83,24 @@ def test_salted_groupby_matches_plain(spark):
     assert salted["hot"] == 19000
 
 
+def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Compaction must be invisible to readers (same rows, same values)
+    while collapsing the file count."""
+    import glob
+
+    path = str(tmp_path / "fragmented")
+    spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    ).repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*")) == 64
+    before = spark.read.parquet(path).agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
+    n = scale.compact_table(spark, path, target_files=4)
+    assert n == 10_000
+    assert len(glob.glob(f"{path}/part-*")) == 4
+    after = spark.read.parquet(path).agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
+    assert tuple(before) == tuple(after)
+
+
 def test_date_partitioned_scan_prunes(spark, tmp_path):
     """A date slice over the partitioned layout must land in the scan's
     PartitionFilters (pruned before file-open), leave no row-level
