@@ -1,9 +1,15 @@
 """Benchmark runner: executes every registered probe query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT (<1 KB) JSON line:
 
     {"metric": "probe_suite_wall", "value": N, "unit": "sec",
-     "queries": {"q1_...": sec, ...}, "sf": 0.1}
+     "sf": 0.1, "n_queries": N, "n_failed": N,
+     "stream_msgs_per_sec": N, "queries": {...headline subset...}}
+
+The driver captures only a stdout tail, so the final line must stay
+small — rounds 1 and 2 both lost the bench gate to a fat line. Full
+per-query timings go to BENCH_DETAIL.json next to this script; the
+stdout line carries only the headline probes.
 
 Each probe is timed to a full materialization (count of the result) —
 the same work the driver's harness does, minus the pandas conversion.
@@ -48,12 +54,31 @@ def main() -> None:
             timings[name] = -1.0
     total = round(time.time() - t_suite, 3)
 
+    # Full per-query timings go to a sidecar file; the stdout line keeps
+    # only a headline subset so it stays under the driver's tail capture.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({"metric": "probe_suite_wall", "value": total,
+                   "unit": "sec", "sf": sf, "queries": timings}, fh,
+                  indent=1, sort_keys=True)
+
+    headline = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    headline.setdefault(
+        "q1_star_revenue_by_nation",
+        timings.get("q1_star_revenue_by_nation", -1.0),
+    )
     out = {
         "metric": "probe_suite_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "queries": headline,
+        "detail": "BENCH_DETAIL.json",
     }
     # Streaming throughput vs BASELINE.md's ≤10k msg/s offered producer
     # rate: the flagship probe streams one wire message per customer row
@@ -63,7 +88,9 @@ def main() -> None:
     if t_stream > 0:
         n_msgs = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
         out["stream_msgs_per_sec"] = round(n_msgs / t_stream, 1)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1024, f"bench stdout line too long: {len(line)}B"
+    print(line)
 
 
 if __name__ == "__main__":

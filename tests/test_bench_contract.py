@@ -21,10 +21,20 @@ def test_bench_emits_one_json_line_with_timings():
         capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    last = out.stdout.strip().splitlines()[-1]
+    # Rounds 1 and 2 lost the bench gate because the driver's stdout
+    # tail capture truncated a fat line: the final line must stay small.
+    assert len(last) < 1024, f"bench stdout line too long: {len(last)}B"
+    payload = json.loads(last)
     assert payload["metric"] == "probe_suite_wall"
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
-    assert set(payload["queries"]) == {"q1_star_revenue_by_nation", "p1_projection"}
-    assert all(t >= 0 for t in payload["queries"].values())
+    assert payload["n_queries"] == 2
+    assert payload["n_failed"] == 0
+    # Per-query timings live in the sidecar detail file, not stdout.
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+        detail = json.load(fh)
+    assert set(detail["queries"]) == {"q1_star_revenue_by_nation",
+                                      "p1_projection"}
+    assert all(t >= 0 for t in detail["queries"].values())
