@@ -155,6 +155,68 @@ def x4_binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("hex_prefix", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+@probe(
+    "x4_multimodal_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             substring(hex(encode(text)), 1, 16) AS hex_prefix
+      FROM documents
+    )
+    SELECT media_id, modality, n_bytes, hex_prefix,
+           CAST(n_bytes % 640 + 16 AS INTEGER) AS width,
+           CAST(n_bytes % 480 + 16 AS INTEGER) AS height,
+           CAST((n_bytes % 640 + 16) * (n_bytes % 480 + 16) AS BIGINT) AS n_pixels
+    FROM m
+    """,
+)
+def x4_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 driver-window probe: binary/meta columns AND the mapInPandas
+    Arrow decode plumbing in one hash-checked pass. The stub decode's
+    outputs are deterministic functions of the payload bytes, so the
+    whole Arrow round-trip (binary batches → Python → typed rows) is
+    oracle-verified — the only fake part is the codec arithmetic itself
+    (see decode_media for the honest stub boundary)."""
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            raw = [b if b is not None else b"" for b in pdf["content"]]
+            n = np.array([len(b) for b in raw], dtype=np.int64)
+            width = (n % 640 + 16).astype(np.int32)
+            height = (n % 480 + 16).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": n,
+                    "hex_prefix": [b.hex().upper()[:16] for b in raw],
+                    "width": width,
+                    "height": height,
+                    "n_pixels": width.astype(np.int64) * height,
+                }
+            )
+
+    return synth_media(spark, sf_dir).mapInPandas(profile, _PROFILE_SCHEMA)
+
+
 @probe("x4b_decode_stub", oracle=None)
 def x4b_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing (stubbed codec): binary batches →

@@ -165,6 +165,26 @@ def p5_null_defaulting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", F.coalesce(nulled, F.lit(0.0)).alias("acctbal_or_zero"))
 
 
+@probe(
+    "p2_p5_shape_defaults",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+             AS acctbal_or_zero
+    FROM customer
+    """,
+)
+def p2_p5_shape_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P5 in one pass (driver-window representative of the
+    fine-grained p2_column_drop / p5_null_defaulting twins): PII-style
+    column drop plus null-branch defaulting on the same scan."""
+    c = _t(spark, sf_dir, "customer")
+    nulled = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return c.withColumn("acctbal_or_zero", F.coalesce(nulled, F.lit(0.0))).drop(
+        "c_acctbal"
+    )
+
+
 # ---------------------------------------------------------------------------
 # F1-F12, F15 — scalar function library probes
 # ---------------------------------------------------------------------------
@@ -268,6 +288,37 @@ def f9_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(
             F.greatest(F.to_date("o_orderdate"), F.lit("1997-01-01").cast("date")), "yyyy-MM-dd"
         ).alias("open_floor"),
+    )
+
+
+@probe(
+    "f9_f11_f12_datetime_money",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER)
+             AS ship_lag_days,
+           strftime(DATE '2023-01-01' + INTERVAL (l_linenumber) DAY, '%Y-%m-%d') AS line_date,
+           round(l_extendedprice * (1 - l_discount), 2) AS disc_price,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def f9_f11_f12_datetime_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 date arithmetic + F11/F12 money arithmetic on ONE lineitem
+    scan (driver-window representative of the f9_date_arithmetic /
+    f11_f12_arithmetic_round twins)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ep, dc, tx = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("ship_lag_days"),
+        F.date_format(
+            F.date_add(F.lit("2023-01-01").cast("date"), F.col("l_linenumber")), "yyyy-MM-dd"
+        ).alias("line_date"),
+        dround(ep * (1 - dc), 2).alias("disc_price"),
+        dround(ep * (1 - dc) * (1 + tx), 2).alias("charge"),
     )
 
 
@@ -441,6 +492,34 @@ def j4b_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @probe(
+    "j4_anti_semi",
+    oracle="""
+    SELECT c_custkey, 'anti' AS join_kind FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'semi' AS join_kind FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def j4_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 both halves in one probe (driver-window representative of the
+    j4_anti_join_new_rows / j4b_semi_join twins): left_anti (new rows
+    only) unioned with left_semi (EXISTS lookup), tagged."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("anti").alias("join_kind")
+    )
+    semi = c.join(
+        o.filter(F.col("o_orderstatus") == "F"),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", F.lit("semi").alias("join_kind"))
+    return anti.unionByName(semi)
+
+
+@probe(
     "j5_range_predicate_join",
     oracle="""
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_early_lines
@@ -483,7 +562,8 @@ def j5_range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS finished_share,
            CAST(sum(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) AS BIGINT)
              AS high_value_count,
-           round(avg(o_totalprice) / 1000, 4) AS avg_k
+           round(avg(o_totalprice) / 1000, 4) AS avg_k,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_customers
     FROM orders
     """,
 )
@@ -502,6 +582,7 @@ def a1_a6_stat_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("o_totalprice") >= 300000, 1).otherwise(0)).alias("high_value_count"),
         dround(F.avg("o_totalprice") / 1000, 4).alias("avg_k"),
+        F.countDistinct("o_custkey").alias("n_distinct_customers"),  # A10 exact
     )
 
 

@@ -19,6 +19,12 @@ from realtime_financial_transactions_data_pipeline_spark.tables import load_tabl
 _TOKEN_RE = "[a-zA-Z0-9]+"
 _WORD_RE = "[a-z]+"
 
+#: GPT-2-ish pre-tokenizer: contraction suffixes, space-prefixed letter
+#: runs, digit runs, punctuation runs (lookaheads dropped so the same
+#: pattern runs on Java regex (Spark) and RE2 (DuckDB)).
+_BPE_RE = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately short — the heuristic, not the lexicon, is the
 #: operator under test.
@@ -68,6 +74,66 @@ def x3a_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n == 0, F.lit(None)).otherwise(
             dround(tot_len.cast("double") / n, 4)
         ).alias("avg_token_len"),
+    )
+
+
+@probe(
+    "x3ade_doc_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(text, '{_TOKEN_RE}') AS tokens,
+             regexp_extract_all(text, '{_BPE_RE_SQL}') AS btoks,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+             length(text) AS n_chars_calc
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+           CASE WHEN len(tokens) = 0 THEN NULL
+                ELSE round(CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+                           / len(tokens), 4) END AS avg_token_len,
+           fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+           CAST(len(btoks) AS BIGINT) AS n_bpe_tokens
+    FROM tok
+    """,
+)
+def x3ade_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 per-document profile in ONE scan — driver-window
+    representative of the x3a_token_stats / x3d_fingerprint /
+    x3e_bpe_pretokenize twins: token stats + canonical md5 fingerprint
+    (with duplicate-group size) + BPE pre-token count."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0).alias("tokens"),
+        F.regexp_extract_all("text", F.lit(_BPE_RE), 0).alias("btoks"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+    n = F.size("tokens")
+    tot_len = F.expr("aggregate(transform(tokens, t -> length(t)), 0, (s, v) -> s + v)")
+    return tok.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        "n_chars_calc",
+        F.when(n == 0, F.lit(None)).otherwise(
+            dround(tot_len.cast("double") / n, 4)
+        ).alias("avg_token_len"),
+        "fingerprint",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fingerprint"))
+        .cast("long")
+        .alias("group_size"),
+        F.size("btoks").cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -134,6 +200,114 @@ def x3b_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@probe(
+    "x3bcf_doc_quality",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id,
+             CASE
+               WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+               ELSE (
+                 WITH t AS (SELECT list_distinct(regexp_extract_all(lower(text), '{_WORD_RE}')) AS toks)
+                 SELECT CASE
+                   WHEN len(list_intersect(toks, {_STOPWORDS['en']!r})) = 0
+                    AND len(list_intersect(toks, {_STOPWORDS['es']!r})) = 0
+                    AND len(list_intersect(toks, {_STOPWORDS['fr']!r})) = 0
+                    AND len(list_intersect(toks, {_STOPWORDS['de']!r})) = 0 THEN 'other'
+                   WHEN len(list_intersect(toks, {_STOPWORDS['en']!r})) >= greatest(
+                        len(list_intersect(toks, {_STOPWORDS['es']!r})),
+                        len(list_intersect(toks, {_STOPWORDS['fr']!r})),
+                        len(list_intersect(toks, {_STOPWORDS['de']!r}))) THEN 'en'
+                   WHEN len(list_intersect(toks, {_STOPWORDS['es']!r})) >= greatest(
+                        len(list_intersect(toks, {_STOPWORDS['fr']!r})),
+                        len(list_intersect(toks, {_STOPWORDS['de']!r}))) THEN 'es'
+                   WHEN len(list_intersect(toks, {_STOPWORDS['fr']!r})) >=
+                        len(list_intersect(toks, {_STOPWORDS['de']!r})) THEN 'fr'
+                   ELSE 'de' END
+                 FROM t)
+             END AS predicted
+      FROM documents),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+               AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               AS n_digit
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS w
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS nw FROM tok),
+    cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+    xent AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_word_tokens,
+             round(avg(-log2(c / nw)), 4) AS unigram_xent
+      FROM tok t JOIN cnt USING (w) CROSS JOIN tot
+      GROUP BY t.doc_id)
+    SELECT m.doc_id, m.lang, pred.predicted,
+           round(n_punct / n, 4) AS punct_ratio,
+           round(n_digit / n, 4) AS digit_ratio,
+           round(least(n / 500.0, 1.0) * (1 - n_punct / n) * (1 - n_digit / n), 4)
+             AS quality,
+           xent.n_word_tokens, xent.unigram_xent
+    FROM m JOIN pred USING (doc_id) LEFT JOIN xent USING (doc_id)
+    WHERE n > 0
+    """,
+)
+def x3bcf_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 per-document quality view — driver-window representative of
+    the x3b_language_id / x3c_quality_score / x3f_unigram_xentropy
+    twins: predicted language (per doc, stronger than x3b's aggregated
+    confusion matrix), surface-statistics quality, and corpus-model
+    unigram cross-entropy (null for docs with no word tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0))
+    scored = d.withColumn("toks", toks)
+    s = _lang_scores_spark("toks")
+    no_hits = (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["de"] == 0)
+    predicted = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(no_hits, "other")
+        .when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    n = F.length("text").cast("double")
+
+    def ratio(pattern: str) -> F.Column:
+        return (n - F.length(F.regexp_replace("text", pattern, ""))) / n
+
+    punct, digit = ratio("[.,;:!?]"), ratio("[0-9]")
+    quality = F.least(n / 500.0, F.lit(1.0)) * (1 - punct) * (1 - digit)
+    base = scored.filter(n > 0).select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted"),
+        dround(punct, 4).alias("punct_ratio"),
+        dround(digit, 4).alias("digit_ratio"),
+        dround(quality, 4).alias("quality"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0)).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("nw"))
+    xent = (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_word_tokens"),
+            dround(F.avg(-F.log2(F.col("c") / F.col("nw"))), 4).alias("unigram_xent"),
+        )
+    )
+    return base.join(xent, "doc_id", "left")
 
 
 @probe(
@@ -249,11 +423,6 @@ def x3f_unigram_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X3e — BPE-style pre-tokenization (the GPT-2 pretokenizer family)
 # ---------------------------------------------------------------------------
-
-#: GPT-2-ish pre-tokenizer: contraction suffixes, space-prefixed letter
-#: runs, digit runs, punctuation runs (lookaheads dropped so the same
-#: pattern runs on Java regex (Spark) and RE2 (DuckDB)).
-_BPE_RE = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
 
 
 @probe(

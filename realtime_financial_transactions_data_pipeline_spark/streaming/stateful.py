@@ -170,6 +170,44 @@ _TXN_PROBE_SCHEMA = T.StructType(
 )
 
 
+@probe("t5_rate_source", oracle=None)
+def t5_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — pacing/backpressure: run the rate source at 500 rows/s for a
+    couple of wall seconds into a parquet sink, then assert rows were
+    emitted at the offered pace. Output is reduced to deterministic
+    booleans so the rows-only check is stable across runs."""
+    import shutil
+    import time
+
+    root = "/tmp/spark_graft_streaming/t5"
+    shutil.rmtree(root, ignore_errors=True)
+    q = (
+        rate_stream(spark, rows_per_second=500)
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/_cp")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    time.sleep(2.5)
+    q.stop()
+    q.awaitTermination()
+    out_schema = T.StructType(
+        [
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("transaction_id", T.StringType()),
+        ]
+    )
+    out = spark.read.schema(out_schema).parquet(f"{root}/out")
+    n = out.count()
+    n_distinct = out.select("seq").distinct().count()
+    return spark.createDataFrame(
+        [(n > 0, n == n_distinct)],
+        "emitted_rows BOOLEAN, seq_unique BOOLEAN",
+    )
+
+
 @probe(
     "t4_stateful_stream_dedupe",
     oracle="""
