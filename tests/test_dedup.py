@@ -89,14 +89,43 @@ def test_simhash_near_dups(spark, docs):
     assert ham(fp[0], fp[2]) > 6
 
 
-def test_simhash_band_recall_guarantee(spark):
-    """Any pair within Hamming distance 6 shares one of the eight 8-bit
-    bands (pigeonhole over 64 bits) — check the band split logic on a
-    crafted pair differing in exactly 6 scattered bits."""
+def test_simhash_block_pair_recall_guarantee(spark):
+    """Manku block-combination pigeonhole: a pair within Hamming
+    distance 6 flips bits in at most 6 of the 8 blocks, so at least one
+    block PAIR (i<j) is jointly identical. Adversarial worst case: 6
+    flipped bits spread over 6 DIFFERENT blocks — exactly two blocks
+    survive, and only their combination matches."""
     a = 0x0123456789ABCDEF
     b = a ^ 0b1 ^ (1 << 9) ^ (1 << 18) ^ (1 << 27) ^ (1 << 36) ^ (1 << 45)
-    shared = any(((a >> (8 * i)) & 255) == ((b >> (8 * i)) & 255) for i in range(8))
-    assert shared
+    blk = lambda v, i: (v >> (8 * i)) & 255  # noqa: E731
+    shared_pairs = [
+        (i, j)
+        for i in range(8)
+        for j in range(i + 1, 8)
+        if blk(a, i) == blk(b, i) and blk(a, j) == blk(b, j)
+    ]
+    assert shared_pairs == [(6, 7)]  # bits 0..47 each hit blocks 0..5
+
+
+def test_simhash_pairs_finds_planted_near_dups(spark, docs):
+    """End-to-end simhash_pairs over the planted fixture: the identical
+    pair (0,4) must surface at Hamming 0 and the one-word edit (0,1)
+    within the ≤6 predicate; the unrelated doc 2 must not pair with 0."""
+    fp = docs.select("doc_id", dedup.simhash_col("text").alias("simhash"))
+    got = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(fp).collect()}
+    assert got.get((0, 4)) == 0
+    assert (0, 1) in got
+    assert (0, 2) not in got and (2, 4) not in got
+
+
+def test_simhash_pairs_bucket_cap(spark):
+    """Identical fingerprints across > cap docs: every block-pair bucket
+    exceeds the cap, so the guard drops them all."""
+    clones = spark.createDataFrame(
+        [(i, 0x0123456789ABCDEF) for i in range(50)], ["doc_id", "simhash"]
+    )
+    assert dedup.simhash_pairs(clones, bucket_cap=10).count() == 0
+    assert dedup.simhash_pairs(clones, bucket_cap=2000).count() == 50 * 49 // 2
 
 
 def test_exact_dedup_counts(spark, sf_dir):
