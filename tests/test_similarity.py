@@ -118,3 +118,40 @@ def test_ivf_finds_planted_clusters(spark):
     # every vector must be assigned to its own cluster's centroid
     joined = assigned.join(df.select("vec_id", "label"), "vec_id")
     assert joined.filter(F.col("list_id") != F.col("label")).count() == 0
+
+
+def test_cosine_pairs_tiled_matches_bruteforce(spark):
+    """Tiled-GEMM exact pair scan vs a numpy brute force, with the tile
+    edge forced below N so the diagonal-vs-cross-tile logic (unordered
+    pair shipped exactly once, ids normalized) is exercised."""
+    rng = np.random.RandomState(3)
+    n, dim, t = 120, 16, 0.3
+    vecs = rng.randn(n, dim)
+    rows = [
+        (i, [float(x) for x in vecs[i]], "grp%d" % (i % 3)) for i in range(n)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    df = similarity.with_double_embedding(spark.createDataFrame(rows, schema))
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_pairs_tiled(
+            df.select("vec_id", "label", "emb", "nrm"), t, tile=32
+        ).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    want = {
+        (i, j): sims[i, j]
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= t
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
