@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from realtime_financial_transactions_data_pipeline_spark.caching import shared_persist
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
     jaccard_pairs_exact,
@@ -91,7 +92,7 @@ def curate(docs: DataFrame, quality_min: float = _QUALITY_MIN) -> DataFrame:
     # side; persist so the dedup window + quality regexes run once.
     # (At cluster scale this is where you'd checkpoint the curated
     # snapshot anyway — it IS the dataset being produced.)
-    gated = gated.persist()
+    gated = shared_persist(gated)
     return drop_near_duplicates(gated)
 
 

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from realtime_financial_transactions_data_pipeline_spark.caching import shared_persist
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 from realtime_financial_transactions_data_pipeline_spark.registry import probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
@@ -112,10 +113,20 @@ _ORACLE_SHINGLES = """
       FROM documents
 """
 
-#: Exact all-pairs near-dup oracle — DuckDB only runs this at sf0.01
-#: (~500 docs); the Spark plans below compute the same result without
-#: ever materializing the quadratic pair space.
-_ORACLE_NEARDUP = f"""
+#: MinHash-LSH probe verify threshold. Deliberately ABOVE x2b's 0.6:
+#: 12-band/4-row banding recall per pair is ~81 % at J = 0.6 but
+#: 1 - 2.7e-6 at J ≥ 0.9 — the planted-dup regime (measured corpus: no
+#: pairs in [0.6, 0.8) at sf0.01/sf0.1) — so x2a's exact-equality
+#: oracle is robust to new fixtures rather than passing by luck.
+#: x2b (exact algorithm) keeps the 0.6 oracle.
+_LSH_VERIFY_T = 0.9
+
+
+def _oracle_neardup(threshold: float) -> str:
+    """Exact all-pairs near-dup oracle — DuckDB only runs this at
+    sf0.01 (~500 docs); the Spark plans below compute the same result
+    without ever materializing the quadratic pair space."""
+    return f"""
     WITH sh AS ({_ORACLE_SHINGLES})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -124,8 +135,11 @@ _ORACLE_NEARDUP = f"""
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-          >= {_NEARDUP_T}
+          >= {threshold}
 """
+
+
+_ORACLE_NEARDUP = _oracle_neardup(_NEARDUP_T)
 
 
 def word_shingles(col: str, k: int = _SHINGLE_WORDS) -> F.Column:
@@ -150,9 +164,13 @@ def jaccard_pairs_exact(
     """Exact Jaccard similarity join via an inverted index (AllPairs
     family). One shuffle keyed by shingle, one by pair; per-shingle work
     is df(g)², so feed ``max_df`` at open-web scale to drop degenerate
-    stop-shingles (exact for every pair that shares at least one
-    sub-cap shingle; pairs built *only* from stop-shingles can't reach
-    a meaningful threshold anyway)."""
+    stop-shingles. With a cap set the score becomes a LOWER BOUND:
+    capped shingles are excluded from the intersection count while the
+    set sizes n_a/n_b stay full, so a pair that also shares capped
+    shingles scores below its true Jaccard and can fall under the
+    threshold (false negatives near the cut — acceptable for dedup,
+    where stop-shingle-only overlap is noise; leave ``max_df=None`` for
+    the exact result)."""
     sized = docs.select(
         F.col(id_col).alias("_id"), word_shingles(text_col).alias("grams")
     ).withColumn("n", F.size("grams"))
@@ -267,21 +285,20 @@ def lsh_candidate_pairs(
     )
 
 
-@probe("x2a_minhash_lsh_neardup", oracle=_ORACLE_NEARDUP)
+@probe("x2a_minhash_lsh_neardup", oracle=_oracle_neardup(_LSH_VERIFY_T))
 def x2a_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline: word shingles → 48 minhashes →
     12-band bucketing (+ hot-bucket cap) → candidate equi-join → exact
-    Jaccard verify ≥ 0.6. The exact verify makes false positives
-    impossible, and at the verify threshold the banding's recall is
-    ≈ 1 - 4e-8 for J ≥ 0.9 near-dups — so the output matches the exact
-    all-pairs oracle while only ever joining same-bucket candidates.
-    Properties (planted near-dups found, parity with x2b) are
-    unit-tested in tests/test_dedup.py."""
+    Jaccard verify ≥ 0.9 (see ``_LSH_VERIFY_T`` for why the probe
+    verifies in the planted-dup regime rather than at x2b's 0.6). The
+    exact verify makes false positives impossible; at J ≥ 0.9 banding
+    recall is ≈ 1 - 2.7e-6 per pair, so the output matches the exact
+    all-pairs oracle. Properties (planted near-dups found, parity with
+    x2b) are unit-tested in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = (
+    grams = shared_persist(
         d.select("doc_id", word_shingles("text").alias("grams"))
         .withColumn("n", F.size("grams"))
-        .persist()
     )
     sigs = minhash_signature(grams, grams_col="grams").select("doc_id", "sig")
     cands = lsh_candidate_pairs(sigs, "doc_id")
@@ -299,7 +316,7 @@ def x2a_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_raw",
             F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")).cast("double"),
         )
-        .filter(F.col("jaccard_raw") >= _NEARDUP_T)
+        .filter(F.col("jaccard_raw") >= _LSH_VERIFY_T)
         .select("id_a", "id_b", dround("jaccard_raw", 4).alias("jaccard"))
     )
 

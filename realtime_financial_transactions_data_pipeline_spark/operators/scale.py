@@ -20,6 +20,8 @@ These are the knobs the DataFrame API doesn't apply automatically:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,28 +122,71 @@ def read_pruned(
     return spark.read.parquet(path).filter(F.col(date_col).between(start, end))
 
 
-def compact_table(
-    spark: SparkSession, path: str, target_files: int = 8
-) -> int:
+def current_table_path(root: str) -> str:
+    """Resolve the live generation of a pointer-managed table: ``root``
+    holds generation directories (``gen=N``) plus a one-line ``CURRENT``
+    pointer file. Readers follow the pointer; writers publish a new
+    generation and then flip the pointer with a single atomic rename —
+    the manifest pattern object stores require (directory rename is not
+    atomic on S3/GCS, but a small-object PUT/replace is)."""
+    with open(os.path.join(root, "CURRENT")) as fh:
+        return os.path.join(root, fh.read().strip())
+
+
+def compact_table(spark: SparkSession, root: str, target_files: int = 8) -> int:
     """Small-files compaction — the maintenance pass every streaming
     sink needs: micro-batches leave one file per trigger per partition,
     and a year of 1-minute triggers is half a million tiny files whose
-    open/list overhead dominates scan time. Rewrites the table into
-    ``target_files`` files via a staging directory + atomic swap (on
-    object stores, the same two-step with a manifest/rename). Returns
-    the row count, verified unchanged (tests/test_scale.py)."""
+    open/list overhead dominates scan time.
+
+    Crash-safe protocol (every instant has a complete readable table):
+
+    1. read the live generation via the ``CURRENT`` pointer;
+    2. write the compacted copy to a NEW generation directory;
+    3. verify the copy's row count against the source;
+    4. flip ``CURRENT`` via write-temp + ``os.replace`` (atomic on
+       POSIX; on an object store this is the single manifest PUT);
+    5. only then delete the old generation.
+
+    A crash before step 4 leaves the old generation live and a garbage
+    directory to sweep; a crash after 4 leaves the new generation live.
+    At no point is the table absent or partially swapped — unlike a
+    naive rename-out/rename-in, which has a window with NO live data.
+    Returns the row count (tests/test_scale.py kills the process midway
+    and asserts a complete table survives)."""
     import shutil
 
-    df = spark.read.parquet(path)
+    src = current_table_path(root)
+    gen = int(os.path.basename(src).split("=")[1])
+    df = spark.read.parquet(src)
     n_rows = df.count()
-    staging = path.rstrip("/") + ".compacting"
-    df.repartition(target_files).write.mode("overwrite").parquet(staging)
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(path, old)
-    shutil.move(staging, path)
-    shutil.rmtree(old)
+    new = os.path.join(root, f"gen={gen + 1}")
+    shutil.rmtree(new, ignore_errors=True)
+    df.repartition(target_files).write.mode("overwrite").parquet(new)
+    n_new = spark.read.parquet(new).count()
+    if n_new != n_rows:
+        raise RuntimeError(f"compaction row drift: {n_rows} -> {n_new}")
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"gen={gen + 1}\n")
+    os.replace(tmp, os.path.join(root, "CURRENT"))  # the atomic commit
+    shutil.rmtree(src)
     return n_rows
+
+
+def init_pointer_table(df: DataFrame, root: str) -> str:
+    """Materialize ``df`` as generation 0 of a pointer-managed table."""
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    gen0 = os.path.join(root, "gen=0")
+    df.write.mode("overwrite").parquet(gen0)
+    tmp = os.path.join(root, "CURRENT.tmp")
+    os.makedirs(root, exist_ok=True)
+    with open(tmp, "w") as fh:
+        fh.write("gen=0\n")
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+    return gen0
 
 
 @probe(

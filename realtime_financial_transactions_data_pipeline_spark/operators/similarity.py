@@ -17,6 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from realtime_financial_transactions_data_pipeline_spark.caching import shared_persist
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 from realtime_financial_transactions_data_pipeline_spark.registry import probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
@@ -371,7 +372,7 @@ def x2h_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "nrm", "label"
     )
-    cents = ivf_centroids(emb).cache()
+    cents = shared_persist(ivf_centroids(emb))
     index = ivf_assign(emb, cents, nprobe=1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"),

@@ -17,11 +17,20 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+#: Disk-backed state store for stateful streaming (T4, sessionization,
+#: stream-stream joins): bounds state by disk instead of executor heap.
+#: Ships with Spark ≥ 3.2; set via ``get_spark(rocksdb_state=True)`` or
+#: per-session with ``spark.conf.set`` before starting the query.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 def get_spark(
     app_name: str = "realtime_financial_transactions_data_pipeline_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
@@ -55,5 +64,11 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if rocksdb_state:
+        # Runtime-settable SQL conf, so it lands even when getOrCreate
+        # returned an existing session (builder confs would not).
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -139,6 +139,54 @@ def route_and_tokenize(parsed: DataFrame, key: bytes | None = None) -> tuple[Dat
     return valid, errors
 
 
+def kafka_reader_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """The reader options a Kafka-backed S1 needs (message-bus twin of
+    the reference's Pub/Sub subscription). Kept as a pure function so
+    the seam is unit-testable without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        # Surface broker data loss instead of silently skipping — the
+        # exactly-once posture of the checkpointed pipeline (T1).
+        "failOnDataLoss": "true",
+    }
+
+
+def build_stream_source(
+    spark: SparkSession,
+    source_format: str,
+    input_dir: str | None = None,
+    kafka_options: dict[str, str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1 with a pluggable transport: ``text`` (the sandbox's file
+    stand-in for Pub/Sub), ``json`` (schema-less JSON-lines files), or
+    ``kafka``. Every branch yields a ``value`` column — Kafka's is
+    binary, files' is string — and ``parse_stream``'s cast-to-string is
+    the S2 decode for both, so the downstream plan is identical across
+    transports. ``max_files_per_trigger`` paces file sources (the
+    backpressure knob; Kafka's twin is ``maxOffsetsPerTrigger``)."""
+    if source_format == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in (kafka_options or {}).items():
+            reader = reader.option(k, v)
+        try:
+            return reader.load().select("value")
+        except Exception as exc:  # pragma: no cover - no broker/jar here
+            raise RuntimeError(
+                "kafka source requires the spark-sql-kafka package on the "
+                "classpath and a reachable broker (pass kafka_options from "
+                "kafka_reader_options)"
+            ) from exc
+    if source_format not in ("text", "json"):
+        raise ValueError(f"unknown source_format {source_format!r}")
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
 def build_pipeline_query(
     spark: SparkSession,
     input_dir: str,
@@ -148,12 +196,19 @@ def build_pipeline_query(
     lookup_dir: str | None = None,
     key: bytes | None = None,
     available_now: bool = True,
+    source_format: str = "text",
+    kafka_options: dict[str, str] | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Assemble the full streaming query (not yet started). Returns the
     DataStreamWriter; call ``.start()`` / ``awaitTermination`` on it."""
-    # S1: file stand-in for Pub/Sub; .format("kafka") drops in unchanged
-    # (its `value` column is binary — the cast in parse_stream is S2).
-    raw = spark.readStream.format("text").load(input_dir)
+    raw = build_stream_source(
+        spark,
+        source_format,
+        input_dir=input_dir,
+        kafka_options=kafka_options,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     parsed = parse_stream(raw)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -178,6 +233,16 @@ def build_pipeline_query(
     return writer
 
 
+def await_or_raise(query, timeout_s: int) -> None:
+    """``awaitTermination(timeout)`` returning False means the stream is
+    STILL RUNNING: stop it and raise. Swallowing the timeout would let
+    the caller read partially-written sinks while the live query races
+    the next run's scratch cleanup."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"streaming query did not finish within {timeout_s}s")
+
+
 def run_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -199,7 +264,7 @@ def run_pipeline(
         lookup_dir=lookup_dir,
         key=key,
     ).start()
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return valid_dir, errors_dir
 
 
@@ -224,7 +289,7 @@ def run_passthrough_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
+    await_or_raise,
+)
+
 
 def streaming_dedupe(
     spark: SparkSession,
@@ -59,7 +63,7 @@ def streaming_dedupe(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
@@ -151,7 +155,7 @@ def run_running_totals(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
 
 
 # ---------------------------------------------------------------------------

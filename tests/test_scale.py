@@ -88,17 +88,68 @@ def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
     while collapsing the file count."""
     import glob
 
-    path = str(tmp_path / "fragmented")
-    spark.range(0, 10_000).select(
-        F.col("id"), (F.col("id") % 97).alias("v")
-    ).repartition(64).write.parquet(path)
-    assert len(glob.glob(f"{path}/part-*")) == 64
-    before = spark.read.parquet(path).agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
-    n = scale.compact_table(spark, path, target_files=4)
+    root = str(tmp_path / "fragmented")
+    scale.init_pointer_table(
+        spark.range(0, 10_000)
+        .select(F.col("id"), (F.col("id") % 97).alias("v"))
+        .repartition(64),
+        root,
+    )
+    assert len(glob.glob(f"{scale.current_table_path(root)}/part-*")) == 64
+    live = spark.read.parquet(scale.current_table_path(root))
+    before = live.agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
+    n = scale.compact_table(spark, root, target_files=4)
     assert n == 10_000
+    path = scale.current_table_path(root)
+    assert path.endswith("gen=1")
     assert len(glob.glob(f"{path}/part-*")) == 4
     after = spark.read.parquet(path).agg(F.sum("v"), F.count(F.lit(1))).collect()[0]
     assert tuple(before) == tuple(after)
+
+
+def test_compaction_crash_windows_leave_readable_table(spark, tmp_path, monkeypatch):
+    """Kill the compaction at each step boundary: whichever side of the
+    atomic pointer flip the crash lands on, the CURRENT pointer must
+    resolve to a complete, readable generation."""
+    import os as _os
+
+    root = str(tmp_path / "crashy")
+    scale.init_pointer_table(spark.range(0, 1000).selectExpr("id", "id % 7 AS v"), root)
+
+    # Crash BEFORE the pointer flip (os.replace raises): old gen stays live.
+    def boom(src, dst):
+        raise OSError("simulated crash before pointer commit")
+
+    monkeypatch.setattr(scale.os, "replace", boom)
+    try:
+        scale.compact_table(spark, root, target_files=2)
+    except OSError:
+        pass
+    monkeypatch.undo()
+    assert scale.current_table_path(root).endswith("gen=0")
+    assert spark.read.parquet(scale.current_table_path(root)).count() == 1000
+
+    # Crash AFTER the flip but before old-gen cleanup (rmtree raises):
+    # new gen is live; the leftover directory is garbage, not the table.
+    import shutil as _shutil
+
+    real_rmtree = _shutil.rmtree
+
+    def boom_rm(path, *a, **kw):
+        # The post-commit old-generation delete is the only rmtree call
+        # without ignore_errors — that's the window being simulated.
+        if "gen=" in str(path) and not kw.get("ignore_errors"):
+            raise OSError("simulated crash during cleanup")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", boom_rm)
+    try:
+        scale.compact_table(spark, root, target_files=2)
+    except OSError:
+        pass
+    monkeypatch.undo()
+    assert scale.current_table_path(root).endswith("gen=1")
+    assert spark.read.parquet(scale.current_table_path(root)).count() == 1000
 
 
 def test_date_partitioned_scan_prunes(spark, tmp_path):

@@ -126,3 +126,112 @@ def test_passthrough_stream_schema_enforced(spark, fresh_root):
     out = spark.read.parquet(f"{fresh_root}/out")
     assert out.count() == 2
     assert out.schema == schema
+
+
+def test_kafka_reader_options_shape():
+    """The Kafka S1 seam: options carry broker, subscription, offset
+    reset, and the fail-on-data-loss posture (exactly-once, T1)."""
+    opts = sp.kafka_reader_options("broker1:9092,broker2:9092", "txn_topic")
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "txn_topic"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "true"
+
+
+def test_kafka_source_raises_actionable_error_without_broker(spark):
+    """No kafka jar/broker in the sandbox: the seam must fail with
+    guidance, not a bare classpath stack."""
+    with pytest.raises((RuntimeError, Exception)) as ei:
+        sp.build_stream_source(
+            spark, "kafka", kafka_options=sp.kafka_reader_options("none:9092", "t")
+        )
+    assert "kafka" in str(ei.value).lower()
+
+
+def test_unknown_source_format_rejected(spark):
+    with pytest.raises(ValueError):
+        sp.build_stream_source(spark, "pubsub", input_dir="/tmp/nope")
+
+
+def test_max_files_per_trigger_paces_micro_batches(spark, fresh_root):
+    """maxFilesPerTrigger=1 over a 3-file input must produce one
+    micro-batch per file (3 batch_id sinks) and the same total rows as
+    the unpaced run — the file-source backpressure knob, wired."""
+    import glob
+
+    input_dir = f"{fresh_root}/in"
+    msgs = [_msg(f"t{i}", "4000000000000000") for i in range(3)]
+    for i, m in enumerate(msgs):
+        spark.createDataFrame([(m,)], "value STRING").coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).text(input_dir)
+    # three part files present?
+    n_files = len(glob.glob(f"{input_dir}/part-*"))
+    out = f"{fresh_root}/out"
+    q = sp.build_pipeline_query(
+        spark,
+        input_dir,
+        f"{out}/valid",
+        f"{out}/errors",
+        checkpoint_dir=f"{out}/_cp",
+        key=TEST_KEY,
+        max_files_per_trigger=1,
+    ).start()
+    sp.await_or_raise(q, 120)
+    batches = glob.glob(f"{out}/valid/batch_id=*")
+    assert len(batches) == n_files >= 2
+    total = spark.read.parquet(f"{out}/valid").count()
+    assert total == 3
+
+
+def test_rocksdb_state_store_conf_lands():
+    """get_spark(rocksdb_state=True) must set the provider conf even on
+    an existing session (runtime conf, not builder conf)."""
+    from realtime_financial_transactions_data_pipeline_spark import session as sess
+
+    spark = sess.get_spark("rocksdb_test", rocksdb_state=True)
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == sess.ROCKSDB_STATE_PROVIDER
+    )
+    # restore the default provider for other tests sharing the session
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_rocksdb_state_store_runs_stateful_query(spark, fresh_root):
+    """End-to-end stateful dedupe with the RocksDB provider: state goes
+    through rocksdb instead of the heap map and results are unchanged."""
+    from pyspark.sql import types as T
+
+    from realtime_financial_transactions_data_pipeline_spark import session as sess
+    from realtime_financial_transactions_data_pipeline_spark.streaming import (
+        stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("dedupe_key", T.LongType()),
+            T.StructField("customer_id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    rows = [(i % 5, i, float(i)) for i in range(50)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").json(
+        f"{fresh_root}/in"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", sess.ROCKSDB_STATE_PROVIDER
+    )
+    try:
+        stateful.streaming_dedupe(
+            spark,
+            f"{fresh_root}/in",
+            f"{fresh_root}/out",
+            f"{fresh_root}/_cp",
+            schema,
+            ["dedupe_key"],
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.read.schema(schema).parquet(f"{fresh_root}/out")
+    assert out.count() == 5
