@@ -9,11 +9,17 @@ the whole generator is one codegen'd projection, so synthesizing a
 100 TB fact table is embarrassingly parallel (range splits across
 executors, no shuffle at all).
 
-Determinism: ``rand(seed)`` is reproducible for a fixed partitioning,
-so every builder pins ``numPartitions``. Surrogate ids use
-sha2-truncation of the row id (F14's deterministic twin — ``uuid()``
-exists but would defeat the oracle and re-run stability; the reference
-itself seeds Faker for the same reason, generate_dim_cust_data.py:17-18).
+Determinism: every uniform draw is a COUNTER-BASED generator —
+``md5(seed || '-' || row_id)`` truncated to 32 bits and scaled to
+[0, 1). Unlike ``rand(seed)`` (whose stream depends on the physical
+partitioning), this is a pure function of the row id, so the generated
+tables are identical under any partitioning/AQE decision AND the same
+construction is expressible in DuckDB SQL — which is what lets the
+generated-star probes below be hash-checked instead of rows-only.
+Surrogate ids use sha2-truncation of the row id (F14's deterministic
+twin — ``uuid()`` exists but would defeat the oracle and re-run
+stability; the reference itself seeds Faker for the same reason,
+generate_dim_cust_data.py:17-18).
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ from realtime_financial_transactions_data_pipeline_spark.functions.scalar import
 from realtime_financial_transactions_data_pipeline_spark.registry import probe
 
 _SEED = 42
-_N_PARTITIONS = 8  # pinned: rand(seed) reproducibility requires it
+_N_PARTITIONS = 8  # parallelism only; draws no longer depend on it
 
 #: Channel mix, generate_fact_transactions_data.py:119-128 (recurring
 #: transactions are always OPG, :115).
@@ -74,17 +80,32 @@ def surrogate_id(prefix: str, id_col: F.Column, length: int = 20) -> F.Column:
     return F.substring(F.sha2(F.concat(F.lit(prefix), id_col.cast("string")), 256), 1, length)
 
 
+def hash_uniform(seed: int, id_col: str = "id") -> F.Column:
+    """Counter-based uniform in [0, 1): first 32 bits of
+    ``md5(seed-rowid)`` scaled by 2^-32. Pure function of the row id —
+    partitioning-independent, re-run stable, and bit-identical to the
+    DuckDB twin :func:`sql_uniform` (verified by the hash-checked
+    generated-star probes below)."""
+    h = F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0)
+
+
+def sql_uniform(seed: int, id_expr: str = "id") -> str:
+    """DuckDB twin of :func:`hash_uniform` (md5 and IEEE division agree
+    bit-for-bit across the engines)."""
+    return (
+        f"(('0x' || substr(md5('{seed}-' || CAST({id_expr} AS VARCHAR)), 1, 8))::UINTEGER"
+        " / 4294967296.0)"
+    )
+
+
 def _with_draws(df: DataFrame, seeds: dict[str, int]) -> DataFrame:
-    """Materialize every uniform draw as a named column in its own
-    projection. Referencing ``F.rand(seed)`` expression objects in
-    several places puts *independent* Rand instances in the plan, and an
-    instance only advances its stream on rows where its branch actually
-    evaluates — conditional use desynchronizes the streams (two `when`
-    branches reusing "one" draw silently see different values). Drawing
-    once into a column makes every downstream reference read the same
-    value, and Catalyst will not collapse a nondeterministic projection
-    into its consumers."""
-    return df.select("*", *[F.rand(s).alias(name) for name, s in seeds.items()])
+    """Materialize every uniform draw as a named column (one projection).
+    Historical note: the first implementation used ``F.rand(seed)``,
+    whose stream advances per evaluated row per partition — results
+    silently changed with partitioning and with WHICH branch evaluated
+    a draw. The counter-based generator has no such stream state."""
+    return df.select("*", *[hash_uniform(s).alias(name) for name, s in seeds.items()])
 
 
 def gen_dim_customer(spark: SparkSession, n: int = 1000) -> DataFrame:
@@ -330,13 +351,61 @@ def f14_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@probe("f8_f13_generator_mix", oracle=None)
+#: Shared SQL twin of the fact generator's money/risk columns (the
+#: CTE bodies the generated-star oracles compose; seeds 49-58 =
+#: _SEED + 7.._SEED + 16, the _with_draws map in gen_fact_transactions).
+def _sql_fact(n: int) -> str:
+    u = sql_uniform
+    return f"""
+      draws AS (
+        SELECT range AS id,
+               {u(49)} AS u_chan, {u(50)} AS u_rec, {u(51)} AS u_big,
+               {u(52)} AS u_amt, {u(53)} AS u_tax, {u(54)} AS u_hasdisc,
+               {u(55)} AS u_disc, {u(56)} AS u_band, {u(57)} AS u_risk,
+               {u(58)} AS u_date
+        FROM range(0, {n})),
+      amt AS (
+        SELECT *,
+               round(CASE WHEN u_big < 0.1 THEN u_amt * 40000 + 10000
+                          ELSE u_amt * 4950 + 50 END, 2) AS amount
+        FROM draws),
+      fact AS (
+        SELECT id, u_rec < 0.2 AS is_recurring, amount,
+               CASE WHEN u_rec < 0.2 THEN 'Online Payment Gateway'
+                    WHEN u_chan < 0.37 THEN 'Online Payment Gateway'
+                    WHEN u_chan < 0.64 THEN 'UPI'
+                    WHEN u_chan < 0.91 THEN 'POS'
+                    ELSE 'Net Banking' END AS transaction_channel,
+               round(amount * u_tax * 0.18, 2) AS tax_amount,
+               round(CASE WHEN u_hasdisc < 0.1 THEN amount * u_disc * 0.10
+                          ELSE 0.0 END, 2) AS discount_amount,
+               round(CASE WHEN u_band < 0.2 THEN u_risk * 0.4 + 0.6
+                          ELSE u_risk * 0.6 END, 2) AS risk_score,
+               strftime(DATE '2023-01-01' + CAST(floor(u_date * 730) AS INTEGER), '%Y-%m-%d')
+                 || 'T' || lpad(CAST(id % 24 AS VARCHAR), 2, '0') || ':00:00'
+                 AS transaction_datetime
+        FROM amt),
+      fact2 AS (
+        SELECT *, round(amount + tax_amount - discount_amount, 2) AS total_amount
+        FROM fact)
+"""
+
+
+@probe(
+    "f8_f13_generator_mix",
+    oracle=f"""
+    WITH {_sql_fact(20_000)}
+    SELECT transaction_channel, CAST(count(*) AS BIGINT) AS n,
+           strftime(now(), '%Y') AS generated_year
+    FROM fact2 GROUP BY 1
+    """,
+)
 def f8_f13_generator_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8 + F13 — weighted-random generation. Emits the generated
-    channel mix (seeded rand + when-chain) with a processing-time stamp;
-    rows-only (DuckDB can't reproduce Spark's rand stream — the
-    reference's own generator is likewise seed-dependent). Mix ratios
-    are asserted against the declared weights in tests/test_datagen.py."""
+    """F8 + F13 — weighted-random generation: the channel mix from one
+    uniform draw + chained when, stamped with processing time (F8).
+    Hash-checked: the counter-based md5 uniforms reproduce exactly in
+    DuckDB, so the oracle re-derives the same mix (ratios vs declared
+    weights are additionally asserted in tests/test_datagen.py)."""
     fact = gen_fact_transactions(spark, 20_000)
     return fact.groupBy("transaction_channel").agg(
         F.count(F.lit(1)).alias("n"),
@@ -344,14 +413,29 @@ def f8_f13_generator_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@probe("a8b_generated_dashboard_charts", oracle=None)
+@probe(
+    "a8b_generated_dashboard_charts",
+    oracle=f"""
+    WITH {_sql_fact(50_000)}
+    SELECT 'state_' || CAST((id % 1000) % 28 AS VARCHAR) AS state,
+           CAST(count(*) AS BIGINT) AS volume,
+           round(sum(total_amount), 2) AS revenue,
+           round(avg(risk_score), 4) AS avg_risk
+    FROM fact2
+    WHERE transaction_datetime >= '2023-04-01'
+      AND transaction_datetime < '2024-10-01'
+      AND transaction_channel IN ('POS', 'UPI', 'Online Payment Gateway')
+    GROUP BY 1
+    """,
+)
 def a8b_generated_dashboard_charts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's dashboard chart suite on its OWN star schema
     (README.md:91-97): avg risk by state + revenue/volume by state
     (A8/A9), over a date slicer (L1) and channel slicer (L2), fact
-    broadcast-joined to the generated dim_customer (J1). Rows-only
-    (seeded-rand inputs); state cardinality and slicer containment are
-    asserted in tests/test_datagen.py."""
+    broadcast-joined to the generated dim_customer (J1). Hash-checked:
+    the oracle re-derives the fact columns from the counter-based
+    uniforms and the joined state from the dim's deterministic
+    ``state_(idx % 28)`` layout."""
     fact = gen_fact_transactions(spark, 50_000)
     cust = gen_dim_customer(spark)
     sliced = fact.filter(
@@ -370,14 +454,27 @@ def a8b_generated_dashboard_charts(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@probe("a1_a6_generated_star", oracle=None)
+@probe(
+    "a1_a6_generated_star",
+    oracle=f"""
+    WITH {_sql_fact(50_000)}
+    SELECT CAST(count(*) AS BIGINT) AS total_txns,
+           round(sum(total_amount), 2) AS total_revenue,
+           round(avg(amount), 2) AS avg_txn_amount,
+           round(avg(CASE WHEN is_recurring THEN 1.0 ELSE 0.0 END), 4) AS recurring_pct,
+           CAST(count(CASE WHEN risk_score >= 0.6 THEN 1 END) AS BIGINT) AS high_risk_txns,
+           round(avg(risk_score), 4) AS avg_risk_score
+    FROM fact2
+    """,
+)
 def a1_a6_generated_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dashboard stat-card suite (A1-A6) over the *generated*
     reference-schema fact table — proves the engine answers the
     reference's own dashboard queries on its own schema, not just the
-    TPC-H proxies. Rows-only (seeded-rand inputs); invariants
+    TPC-H proxies. Hash-checked end-to-end: generator AND aggregate are
+    re-derived in DuckDB from the counter-based uniforms; invariants
     (recurring ≈ 20%, high-risk ≈ 20%, total = amount+tax-disc) are
-    asserted in tests/test_datagen.py."""
+    additionally asserted in tests/test_datagen.py."""
     fact = gen_fact_transactions(spark, 50_000)
     return fact.agg(
         F.count(F.lit(1)).alias("total_txns"),
