@@ -190,10 +190,18 @@ def t5_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("parquet")
         .option("path", f"{root}/out")
         .option("checkpointLocation", f"{root}/_cp")
-        .trigger(processingTime="250 milliseconds")
+        .trigger(processingTime="200 milliseconds")
         .start()
     )
-    time.sleep(2.5)
+    # Stop as soon as one epoch has fully committed (lastProgress
+    # advances past batch 0) instead of sleeping a fixed wall time —
+    # stopping mid-first-batch would leave an empty sink.
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("batchId", 0) >= 1 and p.get("numInputRows", 0) > 0:
+            break
+        time.sleep(0.1)
     q.stop()
     q.awaitTermination()
     out_schema = T.StructType(
