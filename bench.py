@@ -86,7 +86,9 @@ def main() -> None:
     # end-to-end pipeline throughput (single node, cold start included).
     t_stream = timings.get("t1_t6_streaming_pipeline", -1.0)
     if t_stream > 0:
-        n_msgs = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+        from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import WIRE_COPIES
+
+        n_msgs = spark.read.parquet(f"{sf_dir}/customer.parquet").count() * WIRE_COPIES
         out["stream_msgs_per_sec"] = round(n_msgs / t_stream, 1)
     line = json.dumps(out)
     assert len(line) < 1024, f"bench stdout line too long: {len(line)}B"

@@ -12,12 +12,15 @@ Design for 100 TB of media:
   Arrow ships the binary batches to Python once, the UDF is free to use
   numpy/codec libs, and the operation parallelizes per partition with
   no shuffle.
-- The actual codec step is STUBBED here (no image/audio libs in this
-  container): `decode_stub=True` produces a deterministic fake decode
-  (metadata derived from the bytes), `decode_stub=False` raises
-  NotImplementedError where a real ``PIL.Image.open`` / ``soundfile``
-  call would go. Schema, batching, and partitioning — the Spark side —
-  are real and tested.
+- Decoding: REAL parsers ship for the formats stdlib can handle —
+  PCM-WAV (:func:`decode_wav`, RIFF/fmt/data chunk parsing + numpy
+  sample views) and binary PPM (:func:`decode_ppm`, P6 header + pixel
+  reshaping) — both hash-checked end-to-end (x4c_real_decode). Only
+  COMPRESSED codecs (jpeg/mp3/h264) remain stubbed behind
+  ``decode_media(stub=False)``'s NotImplementedError, because they
+  need PIL/soundfile/ffmpeg, absent in this container. Schema,
+  batching, and partitioning are identical across the real and stubbed
+  paths.
 """
 
 from __future__ import annotations
@@ -108,8 +111,9 @@ def decode_media(df: DataFrame, stub: bool = True) -> DataFrame:
 
         if not stub:
             raise NotImplementedError(
-                "real media decode requires codec libraries (PIL/soundfile/ffmpeg); "
-                "install them and implement here — the Spark plumbing is complete"
+                "compressed-codec decode requires PIL/soundfile/ffmpeg (absent "
+                "in this container); for uncompressed formats use the REAL "
+                "parsers decode_wav / decode_ppm in this module"
             )
         for pdf in batches:
             payloads = [np.frombuffer(b, dtype=np.uint8) if b is not None else
@@ -229,3 +233,213 @@ def x4b_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pixels").alias("total_pixels"),
         F.sum("checksum").alias("checksum_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (no external codec libs needed): PCM-WAV and binary PPM
+# are fully parseable with stdlib struct/numpy. decode_media's stub
+# remains the boundary for COMPRESSED codecs only (jpeg/mp3/h264 need
+# PIL/soundfile/ffmpeg, absent in this container).
+# ---------------------------------------------------------------------------
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("amplitude", T.IntegerType()),
+    ]
+)
+
+PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_red", T.IntegerType()),
+    ]
+)
+
+_WAV_RATE = 8000
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Build VALID 16-bit PCM mono WAV payloads (RIFF/fmt/data chunks)
+    per document: n_samples = len(text) % 400 + 10, constant amplitude
+    doc_id % 2000. Runs in mapInPandas (binary assembly is byte work,
+    not expression work); fully deterministic."""
+    import struct
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text) % 400 + 10
+                amp = int(doc_id) % 2000
+                samples = np.full(n, amp, dtype="<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(samples))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(samples))
+                )
+                payloads.append(hdr + samples)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse the RIFF header and fmt/data chunks,
+    validate magic numbers, and read the PCM samples (numpy view) —
+    stdlib-only, so 'no codec libs in the container' does not apply.
+    Arrow-batched mapInPandas, one pass, no shuffle."""
+    import struct
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "sample_rate", "n_channels", "bits_per_sample",
+                    "n_samples", "duration_ms", "amplitude")}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(raw)
+                if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"media {mid}: not a RIFF/WAVE payload")
+                (_, fmt, n_ch, rate, _, _, bits) = struct.unpack("<IHHIIHH", b[16:36])
+                if fmt != 1:
+                    raise ValueError(f"media {mid}: compressed WAV (fmt={fmt})")
+                data_len = struct.unpack("<I", b[40:44])[0]
+                samples = np.frombuffer(b[44 : 44 + data_len], dtype="<i2")
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["bits_per_sample"].append(bits)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(len(samples) * 1000 // rate)
+                out["amplitude"].append(int(samples.max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, WAV_SCHEMA)
+
+
+def synth_ppm_media(docs: DataFrame) -> DataFrame:
+    """Valid binary PPM (P6) payloads: width = len(text) % 32 + 4,
+    height = doc_id % 24 + 4, all pixels (doc_id % 256, 0, 255)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = len(text) % 32 + 4
+                h = int(doc_id) % 24 + 4
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = int(doc_id) % 256
+                px[:, :, 1] = 0
+                px[:, :, 2] = 255
+                payloads.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """REAL image decode for binary PPM: parse the P6 header, reshape
+    the pixel buffer, compute per-image channel stats with numpy."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "n_pixels", "mean_red")}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(raw)
+                if not b.startswith(b"P6"):
+                    raise ValueError(f"media {mid}: not a binary PPM")
+                header, _, rest = b.partition(b"255\n")
+                dims = header.split()
+                w, h = int(dims[1]), int(dims[2])
+                px = np.frombuffer(rest[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_red"].append(int(round(px[:, :, 0].mean())))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, PPM_SCHEMA)
+
+
+@probe(
+    "x4c_real_decode",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id % 2 AS grp,
+             (length(text) % 400 + 10) AS n_samples
+      FROM documents WHERE doc_id % 2 = 0),
+    ppm AS (
+      SELECT doc_id % 2 AS grp,
+             (length(text) % 32 + 4) * (doc_id % 24 + 4) AS n_px
+      FROM documents WHERE doc_id % 2 = 1)
+    SELECT 'audio' AS modality,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(n_samples) AS BIGINT) AS total_units,
+           CAST(max(n_samples) * 1000 // 8000 AS BIGINT) AS max_duration_ms
+    FROM wav
+    UNION ALL
+    SELECT 'image', CAST(count(*) AS BIGINT), CAST(sum(n_px) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ppm
+    """,
+)
+def x4c_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 with REAL codecs: even docs become valid PCM-WAV payloads,
+    odd docs valid binary PPM images; the decoders parse actual RIFF /
+    P6 headers and pixel/sample buffers (stdlib struct + numpy — the
+    'no codec libs' limitation only applies to compressed formats).
+    Hash-checked: header-derived fields are deterministic functions of
+    the source docs, so DuckDB re-derives the decode output without
+    ever seeing the binary."""
+    d = load_table(spark, sf_dir, "documents")
+    wav = decode_wav(synth_wav_media(d.filter(F.col("doc_id") % 2 == 0)))
+    ppm = decode_ppm(synth_ppm_media(d.filter(F.col("doc_id") % 2 == 1)))
+    a = wav.agg(
+        F.lit("audio").alias("modality"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_samples").cast("long").alias("total_units"),
+        F.max("duration_ms").cast("long").alias("max_duration_ms"),
+    ).select("modality", "n_items", "total_units", "max_duration_ms")
+    b = ppm.agg(
+        F.lit("image").alias("modality"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_pixels").cast("long").alias("total_units"),
+        F.lit(None).cast("long").alias("max_duration_ms"),
+    ).select("modality", "n_items", "total_units", "max_duration_ms")
+    return a.unionByName(b)

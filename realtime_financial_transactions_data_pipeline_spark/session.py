@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # collect_list-style aggregates (ObjectHashAggregate) fall back
+        # to SORT-based aggregation after only 128 distinct keys per
+        # partition by default — the inverted-index dedup family groups
+        # by shingle (hundreds of thousands of keys), where the hash
+        # path is both faster and steadier than sorting string keys.
+        # Sized for the executor heap; the memory manager still spills.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -297,18 +297,38 @@ def run_passthrough_stream(
 # ---------------------------------------------------------------------------
 
 
-def synth_wire_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One wire-format JSON message per customer row, deterministic:
+#: Messages synthesized per customer row by the flagship probe. The
+#: throughput metric divides processed messages by probe wall time;
+#: with one message per row the ~1 s fixed stream-startup cost eats
+#: half the measurement window, understating sustained throughput.
+WIRE_COPIES = 4
+
+
+def synth_wire_messages(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> DataFrame:
+    """``copies`` wire-format JSON messages per customer row,
+    deterministic:
 
     - ``c_custkey % 7 == 0``  → PAN absent (null-token valid row);
     - else PAN = ``rpad('4' || c_custkey, 13 + c_custkey % 10, '0')`` —
       lengths 20..22 (``% 10 >= 7``) are invalid → dead-letter;
     - nullable ints arrive wrapped ``{"int": v}``, nullable strings
       ``{"string": v}`` (generate_fact_transactions_data.py:215-220).
+
+    Copies share the routing-relevant fields (they derive from the
+    key) but carry distinct transaction ids, so sink counts scale by
+    exactly ``copies``.
     """
     from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
     c = load_table(spark, sf_dir, "customer")
+    if copies > 1:
+        c = c.withColumn(
+            "_copy", F.explode(F.array(*[F.lit(i) for i in range(copies)]))
+        )
+    else:
+        c = c.withColumn("_copy", F.lit(0))
     key = F.col("c_custkey")
     pan_len = (F.lit(13) + key % 10).cast("int")
     pan = F.when(key % 7 != 0, F.rpad(F.concat(F.lit("4"), key.cast("string")), pan_len, "0"))
@@ -317,6 +337,7 @@ def synth_wire_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit("null"))
     msg = F.concat(
         F.lit('{"transaction_id": "t'), key.cast("string"),
+        F.lit("c"), F.col("_copy").cast("string"),
         F.lit('", "customer_id": '), key.cast("string"),
         F.lit(', "account_id": '), (key * 10).cast("string"),
         F.lit(', "merchant_id": '), (key % 38 + 1).cast("string"),
@@ -349,7 +370,8 @@ def _fresh(path: str) -> str:
 
 
 def _run_synthetic_pipeline(
-    spark: SparkSession, sf_dir: str, root: str, lookup_dir: str | None = None
+    spark: SparkSession, sf_dir: str, root: str, lookup_dir: str | None = None,
+    copies: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Synthesize wire messages from `customer`, stream them through the
     full pipeline, return (valid, errors) DataFrames read back from the
@@ -358,7 +380,9 @@ def _run_synthetic_pipeline(
 
     _fresh(root)
     input_dir = f"{root}/incoming"
-    synth_wire_messages(spark, sf_dir).repartition(4).write.mode("overwrite").text(input_dir)
+    synth_wire_messages(spark, sf_dir, copies=copies).repartition(4).write.mode(
+        "overwrite"
+    ).text(input_dir)
     valid_dir, errors_dir = run_pipeline(
         spark, input_dir, f"{root}/out", lookup_dir=lookup_dir, key=TEST_KEY
     )
@@ -369,10 +393,10 @@ def _run_synthetic_pipeline(
     "t1_t6_streaming_pipeline",
     oracle="""
     SELECT
-      CAST(count(*) FILTER (WHERE c_custkey % 7 = 0 OR c_custkey % 10 < 7) AS BIGINT) AS n_valid,
-      CAST(count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT) AS n_null_card,
-      CAST(count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 < 7) AS BIGINT) AS n_tokenized,
-      CAST(count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 >= 7) AS BIGINT) AS n_errors
+      CAST(4 * count(*) FILTER (WHERE c_custkey % 7 = 0 OR c_custkey % 10 < 7) AS BIGINT) AS n_valid,
+      CAST(4 * count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT) AS n_null_card,
+      CAST(4 * count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 < 7) AS BIGINT) AS n_tokenized,
+      CAST(4 * count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 >= 7) AS BIGINT) AS n_errors
     FROM customer
     """,
 )
@@ -381,7 +405,9 @@ def t1_t6_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire-format JSON messages → parse → unwrap → validate → tokenize →
     dual sink, then count both sinks. Counts are deterministic functions
     of `customer`, so the whole streaming path is oracle-checked."""
-    valid, errors = _run_synthetic_pipeline(spark, sf_dir, f"{_SCRATCH}/flagship")
+    valid, errors = _run_synthetic_pipeline(
+        spark, sf_dir, f"{_SCRATCH}/flagship", copies=WIRE_COPIES
+    )
     vagg = valid.agg(
         F.count(F.lit(1)).alias("n_valid"),
         F.count(F.when(F.col("card_token").isNull(), 1)).alias("n_null_card"),

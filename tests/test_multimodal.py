@@ -49,3 +49,38 @@ def test_decode_real_raises_not_implemented(spark, sf_dir):
         multimodal.decode_media(
             multimodal.synth_media(spark, sf_dir), stub=False
         ).collect()
+
+
+def test_wav_round_trip_decodes_real_header(spark):
+    docs = spark.createDataFrame(
+        [(4, "x" * 123), (10, "y" * 50)], ["doc_id", "text"]
+    )
+    out = {r.media_id: r for r in multimodal.decode_wav(
+        multimodal.synth_wav_media(docs)).collect()}
+    assert out[4].sample_rate == 8000
+    assert out[4].n_channels == 1 and out[4].bits_per_sample == 16
+    assert out[4].n_samples == 123 % 400 + 10
+    assert out[4].amplitude == 4 % 2000
+    assert out[10].duration_ms == (50 % 400 + 10) * 1000 // 8000
+
+
+def test_ppm_round_trip_decodes_real_pixels(spark):
+    docs = spark.createDataFrame([(7, "z" * 40)], ["doc_id", "text"])
+    r = multimodal.decode_ppm(multimodal.synth_ppm_media(docs)).collect()[0]
+    assert (r.width, r.height) == (40 % 32 + 4, 7 % 24 + 4)
+    assert r.n_pixels == r.width * r.height
+    assert r.mean_red == 7  # constant-red plane
+
+
+def test_wav_decoder_rejects_garbage(spark):
+    import pyspark.errors
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a wav file at all........"))],
+        "media_id LONG, content BINARY",
+    )
+    try:
+        multimodal.decode_wav(bad).collect()
+        raise AssertionError("garbage payload must fail decode")
+    except Exception as exc:  # Py4J wraps the ValueError
+        assert "RIFF" in str(exc) or "PythonException" in type(exc).__name__
