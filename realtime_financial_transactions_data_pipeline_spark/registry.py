@@ -76,7 +76,7 @@ _DRIVER_ORDER = [
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
     "t2b_event_time_windows",        # T2 event-time + watermark
     "t4_stateful_stream_dedupe",     # T4
-    "t7_stream_stream_join",         # stream-stream join extension
+    "t8_stream_outer_attribution",   # LEFT-OUTER stream-stream join, e2e streaming
     "x1_dedup_exact",                # X1
     "x2a_minhash_lsh_neardup",       # X2 minhash LSH
     "x2b_ngram_jaccard",             # X2 exact inverted-index

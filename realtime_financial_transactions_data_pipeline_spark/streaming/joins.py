@@ -88,3 +88,154 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click")
     purchases = e.filter(F.col("event_type") == "purchase")
     return stream_stream_attribution(clicks, purchases, streaming=False)
+
+
+# ---------------------------------------------------------------------------
+# Left-outer stream-stream join (t8). The hard part is DETERMINISM: Spark
+# emits a null-side row only after the watermark passes the join horizon
+# AND the state-eviction pass runs, which lags the watermark by a
+# micro-batch — a single availableNow batch never emits them (this
+# blocked the operator in round 2). The fix is to shape the input into
+# multiple micro-batches (maxFilesPerTrigger=1) with far-future
+# "watermark pusher" rows on BOTH sides (the watermark is the min across
+# sources): the pushers advance the watermark in batch k and the k+1
+# batch's eviction emits the expired unmatched rows. Two pusher files
+# guarantee the lag is covered inside one availableNow run.
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WIRE_SCHEMA = "user_id LONG, event_id STRING, ts TIMESTAMP"
+
+
+def run_attribution_outer_stream(
+    spark: SparkSession,
+    clicks_dir: str,
+    purchases_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "1 hour",
+    watermark: str = "30 minutes",
+    timeout_s: int = 120,
+) -> None:
+    """Drive the LEFT-OUTER attribution join over JSON-lines directories
+    (one file per micro-batch). Unmatched clicks land with null
+    purchase columns once the watermark passes their horizon."""
+    from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
+        await_or_raise,
+    )
+
+    def src(d: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ATTRIBUTION_WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+            .withWatermark("ts", watermark)
+        )
+
+    c = src(clicks_dir).select(
+        F.col("user_id").alias("c_key"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = src(purchases_dir).select(
+        F.col("user_id").alias("p_key"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = c.join(
+        p,
+        (F.col("c_key") == F.col("p_key"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    )
+    # A stream-stream join commits FOUR state stores per shuffle
+    # partition per micro-batch; with the session's 32 partitions and
+    # the multi-batch pusher protocol that is ~800 store commits of
+    # kilobyte state. Pin the stream's state partitioning small (it is
+    # fixed at first start from this conf and recorded in the
+    # checkpoint); restore the session conf afterwards. At production
+    # volume you would size it to the executor count instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@probe(
+    "t8_stream_outer_attribution",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
+               FROM events WHERE event_type = 'click' AND user_id % 10 = 3),
+         p AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
+               FROM events WHERE event_type = 'purchase' AND user_id % 10 = 3)
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def t8_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream attribution, END-TO-END STREAMING and
+    hash-checked: a click subset of `events` streams against the
+    purchase subset; unmatched clicks must surface with null purchase
+    ids — emitted only via watermark-driven state eviction, which the
+    pusher-file protocol makes deterministic (see module comment).
+    Timestamps truncate to seconds on both sides (JSON transport is
+    millisecond-precision; the oracle mirrors the truncation)."""
+    import glob
+    import os
+    import shutil
+
+    root = "/tmp/spark_graft_streaming/t8"
+    shutil.rmtree(root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    base = e.select(
+        "user_id",
+        F.col("event_id").cast("string").alias("event_id"),
+        F.date_trunc("second", "ts").alias("ts"),
+        "event_type",
+    )
+
+    # Two micro-batches per side: file 0 = data + first pusher (one
+    # batch ingests everything and advances the watermark), file 1 =
+    # second pusher (its batch runs the eviction that emits unmatched
+    # rows). Pusher lines are written with plain file IO — one JSON
+    # line each. mtimes pin the file order the source will follow.
+    def pusher_line(name: str, ts: str) -> str:
+        return f'{{"user_id": -1, "event_id": "{name}", "ts": "{ts}"}}\n'
+
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        rows = base.filter(F.col("event_type") == etype).drop("event_type")
+        rows.coalesce(1).write.mode("overwrite").json(f"{root}/{side}/b0")
+        flat = f"{root}/{side}_flat"
+        os.makedirs(flat, exist_ok=True)
+        (part,) = glob.glob(f"{root}/{side}/b0/part-*.json")
+        shutil.copy(part, f"{flat}/0.json")
+        with open(f"{flat}/0.json", "a") as fh:
+            fh.write(pusher_line("push1", "2030-01-01T00:00:00"))
+        with open(f"{flat}/1.json", "w") as fh:
+            fh.write(pusher_line("push2", "2030-01-02T00:00:00"))
+        for i in (0, 1):
+            os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+    run_attribution_outer_stream(
+        spark, f"{root}/clicks_flat", f"{root}/purchases_flat",
+        f"{root}/out", f"{root}/_cp",
+    )
+    out = spark.read.parquet(f"{root}/out")
+    return (
+        out.filter(F.col("c_key") >= 0)  # drop the watermark pushers
+        .select(
+            F.col("c_key").alias("user_id"),
+            "click_id",
+            "purchase_id",
+        )
+    )

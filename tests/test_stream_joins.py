@@ -9,6 +9,7 @@ import shutil
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from realtime_financial_transactions_data_pipeline_spark.streaming import joins
 from realtime_financial_transactions_data_pipeline_spark.streaming.joins import (
     stream_stream_attribution,
 )
@@ -60,3 +61,31 @@ def test_stream_stream_join_horizon(spark):
         for r in spark.read.parquet(f"{root}/out").collect()
     ]
     assert got == [(100, 200, 30.0)]
+
+
+def test_outer_join_emits_unmatched_clicks(spark, tmp_path):
+    """The pusher-file protocol must surface a click with no purchase
+    as a null-side row within ONE availableNow run — the determinism
+    problem that blocked this operator in round 2."""
+    import os
+
+    root = str(tmp_path)
+    for side, rows in (
+        ("clicks", [(1, "c1", "2024-01-01T10:00:00"), (2, "c2", "2024-01-01T10:05:00")]),
+        ("purchases", [(1, "p1", "2024-01-01T10:30:00")]),
+    ):
+        os.makedirs(f"{root}/{side}")
+        with open(f"{root}/{side}/0.json", "w") as fh:
+            for u, e, ts in rows:
+                fh.write(f'{{"user_id": {u}, "event_id": "{e}", "ts": "{ts}"}}\n')
+            fh.write('{"user_id": -1, "event_id": "push1", "ts": "2030-01-01T00:00:00"}\n')
+        with open(f"{root}/{side}/1.json", "w") as fh:
+            fh.write('{"user_id": -1, "event_id": "push2", "ts": "2030-01-02T00:00:00"}\n')
+        for i in (0, 1):
+            os.utime(f"{root}/{side}/{i}.json", (1700000000 + i, 1700000000 + i))
+    joins.run_attribution_outer_stream(
+        spark, f"{root}/clicks", f"{root}/purchases", f"{root}/out", f"{root}/_cp"
+    )
+    out = {r.click_id: r.purchase_id
+           for r in spark.read.parquet(f"{root}/out").filter("c_key >= 0").collect()}
+    assert out == {"c1": "p1", "c2": None}
