@@ -56,8 +56,12 @@ def main() -> None:
 
     # Full per-query timings go to a sidecar file; the stdout line keeps
     # only a headline subset so it stays under the driver's tail capture.
+    # Subset runs (explicit probe args, e.g. the contract smoke test)
+    # write a .partial file so they never clobber the committed
+    # full-suite round record.
+    detail_name = "BENCH_DETAIL.partial.json" if only else "BENCH_DETAIL.json"
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               detail_name)
     with open(detail_path, "w") as fh:
         json.dump({"metric": "probe_suite_wall", "value": total,
                    "unit": "sec", "sf": sf, "queries": timings}, fh,
@@ -78,7 +82,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "queries": headline,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     # Streaming throughput vs BASELINE.md's ≤10k msg/s offered producer
     # rate: the flagship probe streams one wire message per customer row

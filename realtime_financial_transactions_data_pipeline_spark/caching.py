@@ -22,16 +22,21 @@ from pyspark.sql import DataFrame
 _LIVE: list[DataFrame] = []
 
 
-def shared_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` for intra-operator reuse, evicting caches from
-    previous operator invocations (storage stays bounded by one
-    operator's working set)."""
-    for old in _LIVE:
-        try:
-            old.unpersist(blocking=False)
-        except Exception:  # session may be gone in teardown paths
-            pass
-    _LIVE.clear()
+def shared_persist(df: DataFrame, evict_previous: bool = True) -> DataFrame:
+    """Persist ``df`` for intra-operator reuse. With the default
+    ``evict_previous=True`` every cache registered by EARLIER calls is
+    unpersisted first — correct for operators that persist exactly one
+    intermediate (all current callers). An operator persisting several
+    intermediates must pass ``evict_previous=False`` from its second
+    call on, or it would evict its own first cache mid-build (silent
+    recompute, never a wrong result)."""
+    if evict_previous:
+        for old in _LIVE:
+            try:
+                old.unpersist(blocking=False)
+            except Exception:  # session may be gone in teardown paths
+                pass
+        _LIVE.clear()
     df = df.persist()
     _LIVE.append(df)
     return df

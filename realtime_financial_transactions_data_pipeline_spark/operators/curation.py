@@ -174,6 +174,7 @@ def contamination_check(
     bench_pred,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str = "lang",
     k: int = _CONTAM_K,
 ) -> DataFrame:
     """Benchmark decontamination (the n-gram overlap check every LLM
@@ -192,22 +193,22 @@ def contamination_check(
     )
 
     sh = docs.select(
-        F.col(id_col), F.col("lang"), word_shingles(text_col, k).alias("grams")
+        F.col(id_col), F.col(group_col), word_shingles(text_col, k).alias("grams")
     )
     bench_grams = (
         sh.filter(bench_pred).select(F.explode("grams").alias("gram")).distinct()
     )
     train = sh.filter(~bench_pred)
-    posting = train.select(id_col, "lang", F.explode("grams").alias("gram"))
+    posting = train.select(id_col, group_col, F.explode("grams").alias("gram"))
     contaminated = (
         posting.join(F.broadcast(bench_grams), "gram", "left_semi")
-        .select(id_col, "lang")
+        .select(id_col, group_col)
         .distinct()
     )
     return (
-        train.select(id_col, "lang")
+        train.select(id_col, group_col)
         .join(contaminated.select(id_col).withColumn("_c", F.lit(1)), id_col, "left")
-        .groupBy("lang")
+        .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_train_docs"),
             F.count("_c").alias("n_contaminated"),
@@ -243,10 +244,16 @@ def x7_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Mixture weights for the sampling probe (per-language keep rates —
-#: the "data mixing" knob of a training pipeline).
+#: the "data mixing" knob of a training pipeline). Drives BOTH the
+#: Spark when-chain and the oracle CASE below, so editing a rate cannot
+#: desynchronize them.
 _MIX_RATES = {"en": 0.5, "zh": 0.3}
 _MIX_DEFAULT_RATE = 0.1
 _MIX_SEED = 77
+
+_MIX_SQL_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {rate}" for lang, rate in _MIX_RATES.items()
+) + f" ELSE {_MIX_DEFAULT_RATE} END"
 
 
 @probe(
@@ -260,7 +267,7 @@ _MIX_SEED = 77
       FROM documents),
     kept AS (
       SELECT * FROM d
-      WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3 ELSE 0.1 END)
+      WHERE u < {_MIX_SQL_CASE})
     SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM kept GROUP BY lang
@@ -279,9 +286,9 @@ def x8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    rate = F.when(F.col("lang") == "en", 0.5).when(F.col("lang") == "zh", 0.3).otherwise(
-        _MIX_DEFAULT_RATE
-    )
+    rate = F.lit(_MIX_DEFAULT_RATE)
+    for lang, r in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
     n_tok = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
     return (
         d.withColumn("_u", hash_uniform(_MIX_SEED, "doc_id"))

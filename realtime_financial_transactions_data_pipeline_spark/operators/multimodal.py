@@ -100,6 +100,18 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stub_dims(n):
+    """The deterministic fake decode arithmetic, shared by the stub
+    decoder, the hash-checked profile probe, and (as SQL) their oracles:
+    width = n % 640 + 16, height = n % 480 + 16 for payload byte
+    length ``n`` (numpy int64 array in, int32 arrays out)."""
+    import numpy as np
+
+    width = (n % 640 + 16).astype(np.int32)
+    height = (n % 480 + 16).astype(np.int32)
+    return width, height
+
+
 def decode_media(df: DataFrame, stub: bool = True) -> DataFrame:
     """Decode step as ``mapInPandas``: Arrow-batched binary in, typed
     rows out. ``stub=True`` derives deterministic fake dimensions from
@@ -120,8 +132,7 @@ def decode_media(df: DataFrame, stub: bool = True) -> DataFrame:
                         np.empty(0, dtype=np.uint8) for b in pdf["content"]]
             n = np.array([p.size for p in payloads], dtype=np.int64)
             checksum = np.array([int(p.sum()) for p in payloads], dtype=np.int64)
-            width = (n % 640 + 16).astype(np.int32)
-            height = (n % 480 + 16).astype(np.int32)
+            width, height = stub_dims(n)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -204,8 +215,7 @@ def x4_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             raw = [b if b is not None else b"" for b in pdf["content"]]
             n = np.array([len(b) for b in raw], dtype=np.int64)
-            width = (n % 640 + 16).astype(np.int32)
-            height = (n % 480 + 16).astype(np.int32)
+            width, height = stub_dims(n)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -323,17 +333,35 @@ def decode_wav(media: DataFrame) -> DataFrame:
                 b = bytes(raw)
                 if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
                     raise ValueError(f"media {mid}: not a RIFF/WAVE payload")
-                (_, fmt, n_ch, rate, _, _, bits) = struct.unpack("<IHHIIHH", b[16:36])
-                if fmt != 1:
-                    raise ValueError(f"media {mid}: compressed WAV (fmt={fmt})")
-                data_len = struct.unpack("<I", b[40:44])[0]
-                samples = np.frombuffer(b[44 : 44 + data_len], dtype="<i2")
+                # Walk the chunk list (tag + little-endian size) instead
+                # of assuming the canonical 44-byte layout: encoders
+                # commonly emit an 18-byte fmt chunk (cbSize extension)
+                # or LIST/INFO chunks before data.
+                pos, fmt_chunk, data = 12, None, None
+                while pos + 8 <= len(b):
+                    tag = b[pos : pos + 4]
+                    size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                    body = b[pos + 8 : pos + 8 + size]
+                    if tag == b"fmt ":
+                        fmt_chunk = body
+                    elif tag == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if fmt_chunk is None or data is None:
+                    raise ValueError(f"media {mid}: missing fmt/data chunk")
+                fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
+                if fmt != 1 or bits != 16:
+                    raise ValueError(
+                        f"media {mid}: only 16-bit PCM is parseable here (fmt={fmt})"
+                    )
+                samples = np.frombuffer(data, dtype="<i2")
+                n_frames = len(samples) // max(n_ch, 1)
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(n_ch)
                 out["bits_per_sample"].append(bits)
-                out["n_samples"].append(len(samples))
-                out["duration_ms"].append(len(samples) * 1000 // rate)
+                out["n_samples"].append(n_frames)  # per-channel frames
+                out["duration_ms"].append(n_frames * 1000 // rate)
                 out["amplitude"].append(int(samples.max(initial=0)))
             yield pd.DataFrame(out)
 
@@ -377,16 +405,42 @@ def decode_ppm(media: DataFrame) -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def header_tokens(b: bytes):
+            """P6 header = magic + 3 whitespace-separated integers
+            (width, height, maxval), '#' comments allowed, then ONE
+            whitespace byte before the pixel data."""
+            if not b.startswith(b"P6"):
+                raise ValueError("not a binary PPM")
+            toks, pos = [], 2
+            while len(toks) < 3:
+                while pos < len(b) and b[pos : pos + 1].isspace():
+                    pos += 1
+                if b[pos : pos + 1] == b"#":  # comment to end of line
+                    pos = b.index(b"\n", pos) + 1
+                    continue
+                start = pos
+                while pos < len(b) and not b[pos : pos + 1].isspace():
+                    pos += 1
+                toks.append(int(b[start:pos]))
+            return toks, pos + 1  # single whitespace after maxval
+
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "n_pixels", "mean_red")}
             for mid, raw in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(raw)
-                if not b.startswith(b"P6"):
-                    raise ValueError(f"media {mid}: not a binary PPM")
-                header, _, rest = b.partition(b"255\n")
-                dims = header.split()
-                w, h = int(dims[1]), int(dims[2])
-                px = np.frombuffer(rest[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+                try:
+                    (w, h, maxval), start = header_tokens(b)
+                except ValueError as exc:
+                    raise ValueError(f"media {mid}: {exc}") from exc
+                if maxval != 255:
+                    raise ValueError(
+                        f"media {mid}: only 8-bit-per-channel PPM supported "
+                        f"(maxval={maxval})"
+                    )
+                px = np.frombuffer(b[start : start + w * h * 3], dtype=np.uint8)
+                if px.size != w * h * 3:
+                    raise ValueError(f"media {mid}: truncated pixel buffer")
+                px = px.reshape(h, w, 3)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -160,12 +160,12 @@ def build_stream_source(
     kafka_options: dict[str, str] | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """S1 with a pluggable transport: ``text`` (the sandbox's file
-    stand-in for Pub/Sub), ``json`` (schema-less JSON-lines files), or
-    ``kafka``. Every branch yields a ``value`` column — Kafka's is
-    binary, files' is string — and ``parse_stream``'s cast-to-string is
+    """S1 with a pluggable transport: ``text`` (the file stand-in for
+    Pub/Sub — one message per line, JSON or otherwise) or ``kafka``.
+    Both yield a ``value`` column — Kafka's is binary, the file
+    transport's is string — and ``parse_stream``'s cast-to-string is
     the S2 decode for both, so the downstream plan is identical across
-    transports. ``max_files_per_trigger`` paces file sources (the
+    transports. ``max_files_per_trigger`` paces the file source (the
     backpressure knob; Kafka's twin is ``maxOffsetsPerTrigger``)."""
     if source_format == "kafka":
         reader = spark.readStream.format("kafka")
@@ -179,7 +179,7 @@ def build_stream_source(
                 "classpath and a reachable broker (pass kafka_options from "
                 "kafka_reader_options)"
             ) from exc
-    if source_format not in ("text", "json"):
+    if source_format != "text":
         raise ValueError(f"unknown source_format {source_format!r}")
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
@@ -391,12 +391,12 @@ def _run_synthetic_pipeline(
 
 @probe(
     "t1_t6_streaming_pipeline",
-    oracle="""
+    oracle=f"""
     SELECT
-      CAST(4 * count(*) FILTER (WHERE c_custkey % 7 = 0 OR c_custkey % 10 < 7) AS BIGINT) AS n_valid,
-      CAST(4 * count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT) AS n_null_card,
-      CAST(4 * count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 < 7) AS BIGINT) AS n_tokenized,
-      CAST(4 * count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 >= 7) AS BIGINT) AS n_errors
+      CAST({WIRE_COPIES} * count(*) FILTER (WHERE c_custkey % 7 = 0 OR c_custkey % 10 < 7) AS BIGINT) AS n_valid,
+      CAST({WIRE_COPIES} * count(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT) AS n_null_card,
+      CAST({WIRE_COPIES} * count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 < 7) AS BIGINT) AS n_tokenized,
+      CAST({WIRE_COPIES} * count(*) FILTER (WHERE c_custkey % 7 <> 0 AND c_custkey % 10 >= 7) AS BIGINT) AS n_errors
     FROM customer
     """,
 )

@@ -33,7 +33,10 @@ def test_bench_emits_one_json_line_with_timings():
     assert payload["n_queries"] == 2
     assert payload["n_failed"] == 0
     # Per-query timings live in the sidecar detail file, not stdout.
-    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+    # Subset runs write the .partial variant so the committed full-suite
+    # record is never clobbered by this test.
+    assert payload["detail"] == "BENCH_DETAIL.partial.json"
+    with open(os.path.join(REPO, "BENCH_DETAIL.partial.json")) as fh:
         detail = json.load(fh)
     assert set(detail["queries"]) == {"q1_star_revenue_by_nation",
                                       "p1_projection"}
