@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
-from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.registry import pin_result, probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
 #: Bucket count for co-located fact/dim joins. Matched on both sides of
@@ -217,7 +217,9 @@ def l1b_partition_pruned_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partition-column type inference reads the hive value back as DATE;
     # cast after the (already-pruned) scan to match the oracle's string.
     sliced = sliced.withColumn("event_date", F.col("event_date").cast("string"))
-    return sliced.groupBy("event_date").agg(
-        F.count(F.lit(1)).alias("volume"),
-        dround(F.sum("value"), 2).alias("revenue"),
+    return pin_result(
+        sliced.groupBy("event_date").agg(
+            F.count(F.lit(1)).alias("volume"),
+            dround(F.sum("value"), 2).alias("revenue"),
+        )
     )

@@ -91,8 +91,31 @@ _DRIVER_ORDER = [
     "x5b_exact_percentiles",         # X5 (hash-checked twin)
     "x6_corpus_curation",            # X6 flagship curation chain
 ]
-assert len(_DRIVER_ORDER) == DRIVER_WINDOW, len(_DRIVER_ORDER)
-assert len(set(_DRIVER_ORDER)) == DRIVER_WINDOW
+if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
+    # Not assert: these invariants must hold under ``python -O`` too,
+    # and a broken window should fail at import with a clear message.
+    raise RuntimeError(
+        f"_DRIVER_ORDER must hold exactly {DRIVER_WINDOW} unique names, "
+        f"got {len(_DRIVER_ORDER)} ({len(set(_DRIVER_ORDER))} unique)"
+    )
+
+
+def pin_result(df: DataFrame) -> DataFrame:
+    """Materialize a probe result whose lineage reads probe-managed
+    scratch directories.
+
+    Side-effecting probes wipe and rewrite a fixed scratch dir on every
+    call. A LAZY result returned from such a probe re-reads scratch
+    whenever the caller evaluates it — so if the caller invokes the
+    probe twice (e.g. a schema pass then a value pass) and evaluates the
+    first result late, the second call's wipe races the first result's
+    deferred file read, yielding mixed-generation values (the round-3
+    driver hash mismatch on t8). Collecting pins the values at build
+    time — every scratch-backed probe result is at most a few hundred
+    rows by construction — and the rebuilt DataFrame is a local
+    relation with no scratch lineage at all, immune to later wipes.
+    """
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
 def probe(name: str, oracle: str | None = None, doc: str = ""):
@@ -132,8 +155,16 @@ def all_probes() -> dict[str, Probe]:
     )
 
     missing = [n for n in _DRIVER_ORDER if n not in _REGISTRY]
-    assert not missing, f"driver-window probes not registered: {missing}"
-    ordered = {n: _REGISTRY[n] for n in _DRIVER_ORDER}
+    if missing:
+        # Degrade instead of zeroing out the whole suite: the remaining
+        # probes still run (and the window test fails loudly), so one
+        # renamed probe costs one row, not all fifty.
+        import warnings
+
+        warnings.warn(
+            f"driver-window probes not registered: {missing}", RuntimeWarning
+        )
+    ordered = {n: _REGISTRY[n] for n in _DRIVER_ORDER if n in _REGISTRY}
     for n in sorted(_REGISTRY):
         ordered.setdefault(n, _REGISTRY[n])
     return ordered

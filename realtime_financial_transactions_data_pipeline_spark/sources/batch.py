@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from realtime_financial_transactions_data_pipeline_spark import schemas as sch
-from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.registry import pin_result, probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
 #: File-stem → declared schema, mirroring the reference's
@@ -115,7 +115,7 @@ def s5_k4_csv_overwrite_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded = read_csv(spark, csv_dir, schema)
     out = f"{_SCRATCH}/region_loaded"
     overwrite_table(loaded, out)
-    return spark.read.parquet(out)
+    return pin_result(spark.read.parquet(out))
 
 
 @probe(
@@ -128,7 +128,7 @@ def s6_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_dir = f"{_SCRATCH}/nation_json"
     src.coalesce(1).write.mode("overwrite").json(json_dir)
     schema = T.StructType([f for f in _NATION_SCHEMA.fields if f.name != "n_comment"])
-    return read_json(spark, json_dir, schema)
+    return pin_result(read_json(spark, json_dir, schema))
 
 
 @probe(

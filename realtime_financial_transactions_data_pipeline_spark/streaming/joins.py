@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
-from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.registry import pin_result, probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
 
@@ -166,6 +166,19 @@ def run_attribution_outer_stream(
             .start()
         )
         await_or_raise(q, timeout_s)
+        # Guard the pusher protocol's batch composition: correctness
+        # depends on availableNow + maxFilesPerTrigger=1 splitting each
+        # side into >= 2 micro-batches (data+push1, then push2 — whose
+        # batch runs the eviction pass that emits unmatched rows). If a
+        # future Spark re-batches the files differently, null-side rows
+        # would silently go missing; raise instead.
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) < 2:
+            raise RuntimeError(
+                "watermark-pusher protocol violated: expected >= 2 data "
+                f"micro-batches, got {len(data_batches)} "
+                f"(progress: {[p['numInputRows'] for p in q.recentProgress]})"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -231,7 +244,7 @@ def t8_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{root}/out", f"{root}/_cp",
     )
     out = spark.read.parquet(f"{root}/out")
-    return (
+    return pin_result(
         out.filter(F.col("c_key") >= 0)  # drop the watermark pushers
         .select(
             F.col("c_key").alias("user_id"),

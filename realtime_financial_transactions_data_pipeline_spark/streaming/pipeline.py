@@ -52,7 +52,7 @@ from realtime_financial_transactions_data_pipeline_spark.functions.scalar import
     mask_pan,
     pan_is_valid,
 )
-from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.registry import pin_result, probe
 
 #: Output column order, pipeline.py:106-129 (22 columns, no card_number).
 OUTPUT_COLUMNS = [f.name for f in sch.FACT_TRANSACTIONS.fields]
@@ -305,7 +305,7 @@ WIRE_COPIES = 4
 
 
 def synth_wire_messages(
-    spark: SparkSession, sf_dir: str, copies: int = 1
+    spark: SparkSession, sf_dir: str, copies: int = 1, max_custkey: int | None = None
 ) -> DataFrame:
     """``copies`` wire-format JSON messages per customer row,
     deterministic:
@@ -318,11 +318,14 @@ def synth_wire_messages(
 
     Copies share the routing-relevant fields (they derive from the
     key) but carry distinct transaction ids, so sink counts scale by
-    exactly ``copies``.
+    exactly ``copies``. ``max_custkey`` bounds the message count for
+    probes that only need a slice (oracles filter identically).
     """
     from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
     c = load_table(spark, sf_dir, "customer")
+    if max_custkey is not None:
+        c = c.filter(F.col("c_custkey") <= max_custkey)
     if copies > 1:
         c = c.withColumn(
             "_copy", F.explode(F.array(*[F.lit(i) for i in range(copies)]))
@@ -371,7 +374,7 @@ def _fresh(path: str) -> str:
 
 def _run_synthetic_pipeline(
     spark: SparkSession, sf_dir: str, root: str, lookup_dir: str | None = None,
-    copies: int = 1,
+    copies: int = 1, max_custkey: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Synthesize wire messages from `customer`, stream them through the
     full pipeline, return (valid, errors) DataFrames read back from the
@@ -380,9 +383,9 @@ def _run_synthetic_pipeline(
 
     _fresh(root)
     input_dir = f"{root}/incoming"
-    synth_wire_messages(spark, sf_dir, copies=copies).repartition(4).write.mode(
-        "overwrite"
-    ).text(input_dir)
+    synth_wire_messages(
+        spark, sf_dir, copies=copies, max_custkey=max_custkey
+    ).repartition(4).write.mode("overwrite").text(input_dir)
     valid_dir, errors_dir = run_pipeline(
         spark, input_dir, f"{root}/out", lookup_dir=lookup_dir, key=TEST_KEY
     )
@@ -414,7 +417,7 @@ def t1_t6_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("card_token").isNotNull(), 1)).alias("n_tokenized"),
     )
     eagg = errors.agg(F.count(F.lit(1)).alias("n_errors"))
-    return vagg.crossJoin(eagg)
+    return pin_result(vagg.crossJoin(eagg))
 
 
 @probe(
@@ -422,7 +425,7 @@ def t1_t6_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
     FROM customer
-    WHERE c_custkey % 7 = 0 OR c_custkey % 10 < 7
+    WHERE (c_custkey % 7 = 0 OR c_custkey % 10 < 7) AND c_custkey <= 1000
     GROUP BY c_mktsegment
     """,
 )
@@ -430,17 +433,21 @@ def j3_stream_lookup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Refreshed stream-static lookup (J3): foreachBatch re-reads the
     dimension from disk each micro-batch and broadcast-joins it onto the
     valid branch. Verified by grouping the enriched sink on the joined
-    attribute."""
+    attribute. A 1000-customer slice exercises the refresh mechanics
+    identically at a fraction of t1_t6's message volume (the oracle
+    filters on the same bound)."""
     from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
     root = f"{_SCRATCH}/j3"
     _fresh(root)
     lookup_dir = f"{root}/dim_lookup"
-    load_table(spark, sf_dir, "customer").select(
+    load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000).select(
         F.col("c_custkey").alias("customer_id"), "c_mktsegment"
     ).write.mode("overwrite").parquet(lookup_dir)
-    valid, _ = _run_synthetic_pipeline(spark, sf_dir, root + "/run", lookup_dir=lookup_dir)
-    return valid.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    valid, _ = _run_synthetic_pipeline(
+        spark, sf_dir, root + "/run", lookup_dir=lookup_dir, max_custkey=1000
+    )
+    return pin_result(valid.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")))
 
 
 @probe(
@@ -465,4 +472,4 @@ def k3_passthrough_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_passthrough_stream(
         spark, f"{root}/incoming", f"{root}/out", f"{root}/_checkpoint", schema
     )
-    return spark.read.schema(schema).parquet(f"{root}/out")
+    return pin_result(spark.read.schema(schema).parquet(f"{root}/out"))

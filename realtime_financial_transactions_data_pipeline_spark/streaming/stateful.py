@@ -163,7 +163,7 @@ def run_running_totals(
 # ---------------------------------------------------------------------------
 
 
-from realtime_financial_transactions_data_pipeline_spark.registry import probe  # noqa: E402
+from realtime_financial_transactions_data_pipeline_spark.registry import pin_result, probe  # noqa: E402
 
 _TXN_PROBE_SCHEMA = T.StructType(
     [
@@ -252,7 +252,9 @@ def t4_stateful_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.schema(_TXN_PROBE_SCHEMA).parquet(f"{root}/out")
     # count(*) of the sink, NOT countDistinct: if duplicates leaked
     # through, the row count exceeds the oracle's distinct-key count.
-    return out.agg(
-        F.count(F.lit(1)).alias("n_unique_keys"),
-        F.max(F.lit(n_input)).cast("long").alias("n_input_rows"),
+    return pin_result(
+        out.agg(
+            F.count(F.lit(1)).alias("n_unique_keys"),
+            F.max(F.lit(n_input)).cast("long").alias("n_input_rows"),
+        )
     )
