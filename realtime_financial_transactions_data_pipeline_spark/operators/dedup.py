@@ -362,10 +362,25 @@ def simhash_from_hashes(token_hashes: Iterator[pd.Series]) -> Iterator[pd.Series
         )
 
 
-def simhash_col(text_col: str) -> F.Column:
+def simhash_col(text_col: str, portable: bool = False) -> F.Column:
     """SimHash fingerprint of whitespace-lowered tokens (int64 carrying
-    the raw 64-bit pattern two's-complement-reinterpreted)."""
-    hashed = F.expr(f"transform(split(lower({text_col}), ' '), t -> xxhash64(t))")
+    the raw 64-bit pattern two's-complement-reinterpreted).
+
+    ``portable=False`` (the scale path) hashes tokens with JVM
+    ``xxhash64``. ``portable=True`` derives the 64-bit token hash from
+    the first 16 hex chars of ``md5(token)`` — marginally slower, but
+    reproducible in any engine with md5 (the same construction as
+    datagen's counter-based uniforms), which is what lets the x2d probe
+    be value-checked against a DuckDB twin instead of rows-only. Both
+    run the identical bit-majority + Manku banding code path."""
+    if portable:
+        hashed = F.expr(
+            f"transform(split(lower({text_col}), ' '), t -> "
+            "shiftleft(CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT), 32) | "
+            "CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT))"
+        )
+    else:
+        hashed = F.expr(f"transform(split(lower({text_col}), ' '), t -> xxhash64(t))")
     return simhash_from_hashes(hashed)
 
 
@@ -386,10 +401,31 @@ def simhash_pairs(
     distinct values per table instead of a single block's 256 — bucket
     population falls ~256× versus single-block blocking, which is what
     keeps the in-bucket pair generation sub-quadratic at corpus scale.
-    Buckets over ``bucket_cap`` are dropped (hash-collision pathology,
-    same guard as :func:`lsh_candidate_pairs`); the Hamming verify runs
-    immediately after pair generation so only true near-dups reach the
-    final distinct."""
+
+    Identical fingerprints (Hamming 0 — the usual cause of huge
+    buckets: exact-duplicate clusters) are handled by an exact
+    ``groupBy(simhash)`` path FIRST, so a duplicate cluster of any size
+    loses no pairs; banding then runs over one representative per
+    DISTINCT fingerprint, and qualifying fingerprint pairs expand back
+    to member pairs afterwards. ``bucket_cap`` therefore bounds
+    distinct fingerprints per 16-bit compound key — over-cap there is a
+    genuine hash-collision pathology, not a duplicate cluster — and the
+    x2d DuckDB oracle (an uncapped all-pairs twin) enforces that
+    nothing is dropped on the probe corpora."""
+    groups = fp.groupBy(sim_col).agg(
+        F.array_sort(F.collect_list(id_col)).alias("_members")
+    )
+    # Exact path: all pairs within an identical-fingerprint group.
+    within_gen = (
+        "flatten(transform(_members, (a, i) -> "
+        "transform(slice(_members, i + 2, size(_members)), b -> "
+        "struct(a AS id_a, b AS id_b))))"
+    )
+    within = (
+        groups.filter(F.size("_members") >= 2)
+        .select(F.explode(F.expr(within_gen)).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming"))
+    )
     # The 28 compound keys are generated with one nested-lambda
     # expression over a small block array rather than 28 inlined struct
     # literals: an unrolled 28-struct array is a huge codegen tree that
@@ -408,41 +444,78 @@ def simhash_pairs(
         "element_at(_blk, i + 1) * 256 + element_at(_blk, j + 1) AS key))))"
     )
     banded = (
-        fp.select(
-            F.col(id_col).alias("_id"), F.col(sim_col).alias("_sim"), blocks.alias("_blk")
+        groups.select(
+            F.col(sim_col).alias("_sim"), "_members", blocks.alias("_blk")
         )
-        .select("_id", "_sim", F.explode(keys).alias("tk"))
-        .select("_id", "_sim", "tk.table_id", "tk.key")
+        .select("_sim", "_members", F.explode(keys).alias("tk"))
+        .select("_sim", "_members", "tk.table_id", "tk.key")
     )
     buckets = (
         banded.groupBy("table_id", "key")
-        .agg(F.array_sort(F.collect_list(F.struct("_id", "_sim"))).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
+        .agg(F.array_sort(F.collect_list(F.struct("_sim", "_members"))).alias("fps"))
+        .filter((F.size("fps") >= 2) & (F.size("fps") <= bucket_cap))
     )
     pair_gen = (
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), b -> "
-        "struct(a._id AS id_a, b._id AS id_b, a._sim AS sim_a, b._sim AS sim_b))))"
+        "flatten(transform(fps, (a, i) -> "
+        "transform(slice(fps, i + 2, size(fps)), b -> "
+        "struct(a._sim AS sim_a, b._sim AS sim_b, "
+        "a._members AS mem_a, b._members AS mem_b))))"
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    cross = (
         buckets.select(F.explode(F.expr(pair_gen)).alias("p"))
         .select("p.*")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
+        # Dedup FINGERPRINT pairs (same pair surfaces in up to 28
+        # tables) before the member expansion — far cheaper than
+        # distinct over expanded id pairs.
+        .dropDuplicates(["sim_a", "sim_b"])
+        .select(F.explode("mem_a").alias("_ma"), "mem_b", "hamming")
+        .select("_ma", F.explode("mem_b").alias("_mb"), "hamming")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "hamming",
+        )
     )
+    return within.unionByName(cross)
 
 
-@probe("x2d_simhash", oracle=None)
+@probe(
+    "x2d_simhash",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    th AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+           FROM toks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+             FROM th, (SELECT unnest(generate_series(0, 63)) AS b) g
+             GROUP BY doc_id, b),
+    fp AS (SELECT bits.doc_id,
+                  CAST(sum(CASE WHEN 2 * ones > n
+                                THEN (CAST(1 AS UBIGINT) << b)
+                                ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sim
+           FROM bits JOIN cnt USING (doc_id) GROUP BY bits.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 6
+    """,
+)
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ 6 with Manku
     block-combination blocking (see :func:`simhash_pairs` — 28 tables
-    of 16-bit compound keys, pigeonhole-complete, bucket-capped).
-    Rows-only (hash function has no SQL twin); planted near-dups and
-    the block-pair recall guarantee are unit-tested in
-    tests/test_dedup.py."""
+    of 16-bit compound keys, pigeonhole-complete, bucket-capped on
+    DISTINCT fingerprints only). Hash-checked: tokens hash via the
+    md5-derived portable construction, so DuckDB computes the identical
+    fingerprints with plain arithmetic and an UNCAPPED all-pairs twin —
+    the oracle match certifies both the fingerprint math and banding
+    completeness. The xxhash64 fast path and the block-pair recall
+    guarantee are unit-tested in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = d.select("doc_id", simhash_col("text").alias("simhash"))
+    fp = d.select("doc_id", simhash_col("text", portable=True).alias("simhash"))
     return simhash_pairs(fp)

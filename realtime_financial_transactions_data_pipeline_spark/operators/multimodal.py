@@ -341,6 +341,14 @@ def decode_wav(media: DataFrame) -> DataFrame:
                 while pos + 8 <= len(b):
                     tag = b[pos : pos + 4]
                     size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                    # A declared size past the buffer end means a
+                    # truncated payload — refuse rather than silently
+                    # parsing a short body.
+                    if pos + 8 + size > len(b):
+                        raise ValueError(
+                            f"media {mid}: truncated chunk {tag!r} "
+                            f"(declares {size} bytes, {len(b) - pos - 8} remain)"
+                        )
                     body = b[pos + 8 : pos + 8 + size]
                     if tag == b"fmt ":
                         fmt_chunk = body
@@ -349,10 +357,19 @@ def decode_wav(media: DataFrame) -> DataFrame:
                     pos += 8 + size + (size & 1)  # chunks are word-aligned
                 if fmt_chunk is None or data is None:
                     raise ValueError(f"media {mid}: missing fmt/data chunk")
+                if len(fmt_chunk) < 16:
+                    raise ValueError(f"media {mid}: truncated fmt chunk")
                 fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
                 if fmt != 1 or bits != 16:
                     raise ValueError(
                         f"media {mid}: only 16-bit PCM is parseable here (fmt={fmt})"
+                    )
+                if rate == 0:
+                    raise ValueError(f"media {mid}: zero sample rate")
+                if len(data) % 2:
+                    raise ValueError(
+                        f"media {mid}: truncated data chunk "
+                        f"({len(data)} bytes is not whole 16-bit samples)"
                     )
                 samples = np.frombuffer(data, dtype="<i2")
                 n_frames = len(samples) // max(n_ch, 1)

@@ -133,6 +133,27 @@ def current_table_path(root: str) -> str:
         return os.path.join(root, fh.read().strip())
 
 
+def sweep_stale_generations(root: str) -> list[str]:
+    """Remove every generation directory that is not the ``CURRENT``
+    pointer's target. A compaction crash before the pointer flip leaves
+    a complete-but-unreferenced ``gen=N+1`` directory; repeated crashes
+    can leave several. They are invisible to readers (the pointer never
+    moved) but hold disk, and ``compact_table``'s own
+    ``rmtree(new, ...)`` only clears the ONE path it is about to write.
+    Called at compaction start so the table never accumulates strays.
+    Returns the swept directory names (crash-window test in
+    tests/test_scale.py)."""
+    import shutil
+
+    live = os.path.basename(current_table_path(root))
+    swept = []
+    for name in os.listdir(root):
+        if name.startswith("gen=") and name != live:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            swept.append(name)
+    return swept
+
+
 def compact_table(spark: SparkSession, root: str, target_files: int = 8) -> int:
     """Small-files compaction — the maintenance pass every streaming
     sink needs: micro-batches leave one file per trigger per partition,
@@ -156,6 +177,7 @@ def compact_table(spark: SparkSession, root: str, target_files: int = 8) -> int:
     and asserts a complete table survives)."""
     import shutil
 
+    sweep_stale_generations(root)
     src = current_table_path(root)
     gen = int(os.path.basename(src).split("=")[1])
     df = spark.read.parquet(src)
@@ -187,6 +209,33 @@ def init_pointer_table(df: DataFrame, root: str) -> str:
         fh.write("gen=0\n")
     os.replace(tmp, os.path.join(root, "CURRENT"))
     return gen0
+
+
+@probe(
+    "scale_salted_agg",
+    oracle="""
+    SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot_gateway'
+                ELSE 'gw_' || CAST(l_orderkey % 97 AS VARCHAR) END AS gateway,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def scale_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-toolkit demonstration on a deliberately hot key: a derived
+    `gateway` dimension where one value owns ~1/3 of all lineitem rows
+    (mirroring the reference dashboard's top-gateway revenue share —
+    README.md:91 "Volume by Payment Gateway"). :func:`salted_groupby_count`
+    spreads that hot key over 8 reducers via a two-phase (key, salt) →
+    key aggregation; the salt is provably result-invariant, so the plain
+    GROUP BY oracle hash-checks it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot_gateway"))
+        .otherwise(
+            F.concat(F.lit("gw_"), (F.col("l_orderkey") % 97).cast("string"))
+        )
+        .alias("gateway")
+    )
+    return salted_groupby_count(li, "gateway")
 
 
 @probe(

@@ -234,9 +234,13 @@ def x2f_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hyperplanes() -> list[list[float]]:
     """Fixed pseudo-random hyperplanes (seeded — deterministic across
-    runs and executors; shipped as plan literals, no side channel)."""
+    runs and executors; shipped as plan literals, no side channel).
+    Components are rounded to 3 decimals: LSH quality is unchanged
+    (only the sign pattern matters), and the short exact decimal
+    literals parse to identical doubles in Spark and DuckDB, keeping
+    the oracle SQL compact."""
     rng = np.random.RandomState(_LSH_SEED)
-    return rng.randn(_N_PLANES, _DIM).tolist()
+    return [[round(float(x), 3) for x in row] for row in rng.randn(_N_PLANES, _DIM)]
 
 
 def _plane_dot(emb_col: str, plane: list[float]) -> F.Column:
@@ -273,13 +277,59 @@ def lsh_table_buckets(emb_col: str) -> F.Column:
     )
 
 
-@probe("x2g_ann_lsh_bucketed", oracle=None)
+def _x2g_oracle() -> str:
+    """DuckDB twin of the multi-table LSH search. The hyperplanes are
+    plan literals, so the sign-pattern bucketing is plain arithmetic:
+    each table's bucket id is the sum of per-plane sign bits over
+    ``list_inner_product`` against the same literal planes Spark dots
+    against; candidates are the union of same-bucket vectors across
+    tables, ranked by exact cosine."""
+    planes = _hyperplanes()
+    per_table = []
+    for t in range(_N_TABLES):
+        terms = []
+        for i in range(_PLANES_PER_TABLE):
+            p = planes[t * _PLANES_PER_TABLE + i]
+            lst = "[" + ", ".join(repr(x) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(emb, {lst}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, {t} AS table_id, " + " + ".join(terms) + " AS bucket FROM e"
+        )
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    b AS ({buckets}),
+    q AS (SELECT vec_id AS query_id, table_id, bucket FROM b WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, table_id, bucket FROM b),
+    cand AS (SELECT DISTINCT query_id, neighbor_id
+             FROM q JOIN c USING (table_id, bucket)
+             WHERE query_id <> neighbor_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      list_cosine_similarity(eq.emb, ec.emb) AS sim_raw
+               FROM cand
+               JOIN e eq ON eq.vec_id = cand.query_id
+               JOIN e ec ON ec.vec_id = cand.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, sim_raw,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim_raw DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           round(sim_raw, 4) AS cosine
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@probe("x2g_ann_lsh_bucketed", oracle=_x2g_oracle())
 def x2g_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: 4 tables x 8 sign
     bits; a candidate is any vector sharing a bucket with the query in
     ANY table (equi-join on (table_id, bucket), queries broadcast),
-    then exact cosine ranks the candidates — per-query top-3. Rows-only
-    probe; recall vs the brute-force baseline is asserted in
+    then exact cosine ranks the candidates — per-query top-3.
+    Hash-checked: the seeded literal hyperplanes make the whole search
+    DuckDB-expressible (see :func:`_x2g_oracle`); recall vs the
+    brute-force baseline is additionally asserted in
     tests/test_similarity.py."""
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
     bucketed = emb.select(
@@ -361,13 +411,51 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFr
     )
 
 
-@probe("x2h_ann_ivf", oracle=None)
+_X2H_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos, unnest(emb) AS v
+        FROM e),
+pm AS (SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos),
+cents AS (SELECT label AS list_id, list(m ORDER BY pos) AS centroid
+          FROM pm GROUP BY label),
+sims AS (SELECT e.vec_id, c.list_id,
+                list_inner_product(e.emb, c.centroid)
+                / (sqrt(list_inner_product(e.emb, e.emb))
+                   * sqrt(list_inner_product(c.centroid, c.centroid))) AS sim
+         FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, list_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, list_id) AS rnk
+           FROM sims),
+idx AS (SELECT vec_id AS neighbor_id, list_id FROM assign WHERE rnk = 1),
+qs AS (SELECT vec_id AS query_id, list_id
+       FROM assign WHERE rnk <= {_IVF_NPROBE} AND vec_id < 20),
+cand AS (SELECT DISTINCT query_id, neighbor_id
+         FROM qs JOIN idx USING (list_id) WHERE query_id <> neighbor_id),
+scored AS (SELECT query_id, neighbor_id,
+                  list_cosine_similarity(eq.emb, ec.emb) AS sim_raw
+           FROM cand
+           JOIN e eq ON eq.vec_id = cand.query_id
+           JOIN e ec ON ec.vec_id = cand.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, sim_raw,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim_raw DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(sim_raw, 4) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+@probe("x2h_ann_ivf", oracle=_X2H_ORACLE)
 def x2h_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF: train a coarse quantizer (per-label mean centroids),
     assign every vector to its nearest list, then answer each query by
     scanning only the nprobe=2 nearest lists — candidates shrink by
     ~k/nprobe versus brute force while the final ranking stays exact
-    cosine. Rows-only probe; recall on planted clusters is asserted in
+    cosine. Hash-checked: the per-label mean centroids and nprobe
+    ranking are plain unnest+avg arithmetic in DuckDB; recall on
+    planted clusters is additionally asserted in
     tests/test_similarity.py."""
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "nrm", "label"

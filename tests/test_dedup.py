@@ -119,13 +119,22 @@ def test_simhash_pairs_finds_planted_near_dups(spark, docs):
 
 
 def test_simhash_pairs_bucket_cap(spark):
-    """Identical fingerprints across > cap docs: every block-pair bucket
-    exceeds the cap, so the guard drops them all."""
+    """Identical-fingerprint clusters bypass the cap entirely (exact
+    groupBy path), so a duplicate cluster of any size loses no pairs;
+    the cap bounds DISTINCT fingerprints per compound-key bucket."""
     clones = spark.createDataFrame(
         [(i, 0x0123456789ABCDEF) for i in range(50)], ["doc_id", "simhash"]
     )
-    assert dedup.simhash_pairs(clones, bucket_cap=10).count() == 0
-    assert dedup.simhash_pairs(clones, bucket_cap=2000).count() == 50 * 49 // 2
+    assert dedup.simhash_pairs(clones, bucket_cap=10).count() == 50 * 49 // 2
+    # 50 DISTINCT fingerprints differing only inside block 0 (6 low
+    # bits): pairwise Hamming <= 6, and every shared block-pair bucket
+    # holds all 50 — over cap they drop, under cap all pairs surface.
+    base = 0x0123456789ABCD00
+    distinct = spark.createDataFrame(
+        [(i, base | i) for i in range(50)], ["doc_id", "simhash"]
+    )
+    assert dedup.simhash_pairs(distinct, bucket_cap=10).count() == 0
+    assert dedup.simhash_pairs(distinct, bucket_cap=2000).count() == 50 * 49 // 2
 
 
 def test_exact_dedup_counts(spark, sf_dir):

@@ -152,6 +152,40 @@ def test_compaction_crash_windows_leave_readable_table(spark, tmp_path, monkeypa
     assert spark.read.parquet(scale.current_table_path(root)).count() == 1000
 
 
+def test_compaction_sweeps_stale_generations(spark, tmp_path, monkeypatch):
+    """Crashes before the pointer flip strand complete-but-unreferenced
+    generation dirs; repeated crashes strand several. The sweep at
+    compaction start must remove every non-CURRENT generation — not
+    just the one the new write is about to overwrite."""
+    import os as _os
+
+    root = str(tmp_path / "strays")
+    scale.init_pointer_table(spark.range(0, 500).selectExpr("id", "id % 3 AS v"), root)
+
+    # Simulate two historical crashed compactions: full garbage gens
+    # that no pointer references (gen=1 from one crash, gen=5 from a
+    # later run after the table had advanced and regressed — any
+    # non-live number is equally garbage).
+    for stray in ("gen=1", "gen=5"):
+        spark.range(0, 10).write.mode("overwrite").parquet(_os.path.join(root, stray))
+    assert sorted(n for n in _os.listdir(root) if n.startswith("gen=")) == [
+        "gen=0", "gen=1", "gen=5",
+    ]
+
+    swept = scale.sweep_stale_generations(root)
+    assert sorted(swept) == ["gen=1", "gen=5"]
+    assert [n for n in _os.listdir(root) if n.startswith("gen=")] == ["gen=0"]
+    # The live generation is untouched and readable.
+    assert spark.read.parquet(scale.current_table_path(root)).count() == 500
+
+    # End-to-end: a stray present at compaction time is swept by the
+    # compaction itself, and the table still compacts correctly.
+    spark.range(0, 10).write.mode("overwrite").parquet(_os.path.join(root, "gen=9"))
+    assert scale.compact_table(spark, root, target_files=2) == 500
+    assert scale.current_table_path(root).endswith("gen=1")
+    assert sorted(n for n in _os.listdir(root) if n.startswith("gen=")) == ["gen=1"]
+
+
 def test_date_partitioned_scan_prunes(spark, tmp_path):
     """A date slice over the partitioned layout must land in the scan's
     PartitionFilters (pruned before file-open), leave no row-level
