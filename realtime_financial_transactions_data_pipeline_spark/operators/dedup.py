@@ -482,10 +482,11 @@ def simhash_pairs(
     return within.unionByName(cross)
 
 
-@probe(
-    "x2d_simhash",
-    oracle="""
-    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+#: DuckDB CTE computing the portable-simhash near-dup pairs
+#: (id_a < id_b, Hamming <= 6) as an UNCAPPED all-pairs twin — shared by
+#: the x2d oracle and the x2i connected-components oracle.
+_PORTABLE_SIMHASH_PAIRS_CTE = """
+    toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                   FROM documents),
     th AS (SELECT doc_id,
                   CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
@@ -499,11 +500,19 @@ def simhash_pairs(
                   CAST(sum(CASE WHEN 2 * ones > n
                                 THEN (CAST(1 AS UBIGINT) << b)
                                 ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sim
-           FROM bits JOIN cnt USING (doc_id) GROUP BY bits.doc_id)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sim, b.sim)) <= 6
+           FROM bits JOIN cnt USING (doc_id) GROUP BY bits.doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+              FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sim, b.sim)) <= 6)
+"""
+
+
+@probe(
+    "x2d_simhash",
+    oracle=f"""
+    WITH {_PORTABLE_SIMHASH_PAIRS_CTE}
+    SELECT id_a, id_b, hamming FROM pairs
     """,
 )
 def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,3 +528,127 @@ def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fp = d.select("doc_id", simhash_col("text", portable=True).alias("simhash"))
     return simhash_pairs(fp)
+
+
+# ---------------------------------------------------------------------------
+# Connected-components canonicalization — the step AFTER pair generation
+# in a real dedup pipeline: near-duplication is transitive in practice
+# (A~B, B~C ⇒ keep one of {A,B,C}), but pairwise drop-the-b-side keeps
+# both endpoints of any chain the pair generator didn't emit directly.
+# Components + keep-the-minimum closes the chains.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+    pin: bool = True,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list: every node's
+    label converges to the smallest id reachable from it. Returns
+    ``(doc_id, canonical_id)`` for every node that appears in an edge.
+
+    Each round is one shuffle join + one aggregation — the standard
+    distributed-CC shape (GraphX/Pregel label propagation). Rounds
+    needed = graph diameter; duplicate clusters are dense, so real
+    corpora converge in a handful (the Kiveris et al. large-star/
+    small-star variant gets O(log n) worst-case — noted as the upgrade
+    path if a pathological chain corpus ever shows up; the iteration
+    cap guards against it meanwhile). The per-round convergence check
+    is a metadata-sized aggregate (count of changed labels), not a data
+    collect; intermediate labels are persisted and unpersisted
+    round-by-round so the lineage doesn't deepen geometrically.
+
+    ``pin=True`` (default) collects the converged labels into a local
+    relation — right for the probe/correctness path, where the output
+    is only the dup-cluster nodes (orders of magnitude smaller than the
+    corpus). At full corpus scale pass ``pin=False`` and write the
+    returned (still persisted) frame to a table; the caller owns the
+    unpersist."""
+    # Persist AND materialize the edge list before any iteration plan is
+    # built. The input `pairs` lineage can be arbitrarily deep (here: the
+    # whole simhash banding tree); every iteration's plan would embed it
+    # several times over (edges twice, the propagation join three times,
+    # the change-count join more) and Catalyst's optimizer goes
+    # superlinear in that duplicated tree — observed as the driver stuck
+    # in plan compilation with ZERO running stages. Counting right after
+    # persist fills the cache so iteration plans see a materialized
+    # InMemoryRelation leaf instead.
+    pairs = pairs.persist()
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("canonical_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            prop = edges.join(
+                labels, edges.dst == labels.doc_id, "inner"
+            ).select(F.col("src").alias("doc_id"), "canonical_id")
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("doc_id")
+                .agg(F.min("canonical_id").alias("canonical_id"))
+                .persist()
+            )
+            n_changed = (
+                new_labels.join(labels.withColumnRenamed("canonical_id", "_old"),
+                                "doc_id")
+                .filter(F.col("canonical_id") != F.col("_old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+            )
+        if not pin:
+            return labels  # caller unpersists after materializing
+        return labels.sparkSession.createDataFrame(labels.collect(), labels.schema)
+    finally:
+        edges.unpersist()
+        if pin:
+            labels.unpersist()
+
+
+@probe(
+    "x2i_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_PORTABLE_SIMHASH_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+    )
+    SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS canonical_id
+    FROM walk GROUP BY node
+    """,
+)
+def x2i_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: simhash pairs (the x2d edge
+    set) → connected components → ``canonical_id`` = the smallest doc id
+    in each cluster. Hash-checked: DuckDB computes the same components
+    via a recursive reachability CTE over the same portable-simhash
+    pairs, so the oracle certifies the iterative label propagation
+    converged to the true transitive closure."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.select("doc_id", simhash_col("text", portable=True).alias("simhash"))
+    return connected_components(simhash_pairs(fp))

@@ -462,3 +462,81 @@ def x3e_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bpe_len"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (x3g) — the text-side twin of the streaming pipeline's
+# PAN masking (F1/U1): a training corpus must shed emails, phone
+# numbers, and card numbers before anything trains on it. Pure
+# regexp_replace chains — JVM-side, codegen'd, zero Python per row.
+# Patterns stay inside the Java-regex ∩ RE2 dialect so the DuckDB twin
+# is byte-identical.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+_PII_PAN_RE = "\\b4[0-9]{12,18}\\b"
+
+
+def redact_pii(text_col: str = "text") -> F.Column:
+    """Replace emails, +1 phone numbers, and 13-19-digit Visa-style
+    PANs with typed placeholder tags, in one fixed order (email first:
+    the PAN pattern is digit-anchored and can't overlap it, but a fixed
+    order keeps the output deterministic regardless)."""
+    c = F.regexp_replace(text_col, _PII_EMAIL_RE, "[EMAIL]")
+    c = F.regexp_replace(c, _PII_PHONE_RE, "[PHONE]")
+    return F.regexp_replace(c, _PII_PAN_RE, "[PAN]")
+
+
+@probe(
+    "x3g_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || '; card 4' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                  || ' on file.' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{_PII_PAN_RE}', '[PAN]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_PAN_RE}')) AS INTEGER) AS n_pans
+    FROM aug
+    """,
+)
+def x3g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: PII is planted deterministically
+    (an email, a phone, a PAN derived from doc_id — the synthetic
+    documents carry none of their own), then redacted and counted. The
+    value hash covers the full redacted text, so the oracle certifies
+    every replacement site, not just the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("; card 4"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            F.lit(" on file."),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL_RE), 0))
+        .cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE_RE), 0))
+        .cast("int").alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PAN_RE), 0))
+        .cast("int").alias("n_pans"),
+    )

@@ -141,3 +141,29 @@ def test_exact_dedup_counts(spark, sf_dir):
     out = dedup.x1_dedup_exact(spark, sf_dir).collect()[0]
     assert out.n_docs == out.n_unique + out.n_dup_rows
     assert out.n_docs > 0
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """A 4-node chain (0-1, 1-2, 2-3) must collapse to one component
+    with canonical 0 even though (0,3) is never an edge — the transitive
+    closure pairwise drop misses; plus a separate 2-cluster and an
+    isolated pair keep their own minima."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (11, 10)],
+        ["id_a", "id_b"],
+    )
+    got = {r.doc_id: r.canonical_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-node path is the worst case for min-label propagation
+    (diameter rounds); it must still converge inside the iteration cap
+    and label every node with the chain head."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.canonical_id
+           for r in dedup.connected_components(pairs, max_iters=40).collect()}
+    assert got == {i: 0 for i in range(31)}
