@@ -565,66 +565,61 @@ def connected_components(
     relation — right for the probe/correctness path, where the output
     is only the dup-cluster nodes (orders of magnitude smaller than the
     corpus). At full corpus scale pass ``pin=False`` and write the
-    returned (still persisted) frame to a table; the caller owns the
-    unpersist."""
-    # Persist AND materialize the edge list before any iteration plan is
-    # built. The input `pairs` lineage can be arbitrarily deep (here: the
-    # whole simhash banding tree); every iteration's plan would embed it
-    # several times over (edges twice, the propagation join three times,
-    # the change-count join more) and Catalyst's optimizer goes
-    # superlinear in that duplicated tree — observed as the driver stuck
-    # in plan compilation with ZERO running stages. Counting right after
-    # persist fills the cache so iteration plans see a materialized
-    # InMemoryRelation leaf instead.
-    pairs = pairs.persist()
+    returned frame to a table.
+
+    Lineage is truncated EVERY round with ``localCheckpoint(eager=True)``.
+    Persisting alone is not enough: persist caches the *data* but the
+    *logical plan* for round k still embeds round k-1's whole tree twice
+    (once in the union, once in the propagation join), so the plan
+    doubles per round — Catalyst analysis went exponential and the
+    round-4 bench run stalled for hours producing 2 GiB plan strings.
+    localCheckpoint replaces the plan with a materialized LogicalRDD
+    leaf, keeping every round's plan constant-size; superseded
+    checkpoint blocks are reclaimed by the ContextCleaner once the
+    previous round's frame goes out of scope. On a cluster where
+    executor loss must be survivable mid-computation, swap for reliable
+    ``checkpoint()`` (HDFS/object-store backed) or a per-round table
+    write — same constant-plan property, durable blocks."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    edges.count()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("canonical_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-    try:
-        for _ in range(max_iters):
-            prop = edges.join(
-                labels, edges.dst == labels.doc_id, "inner"
-            ).select(F.col("src").alias("doc_id"), "canonical_id")
-            new_labels = (
-                labels.unionByName(prop)
-                .groupBy("doc_id")
-                .agg(F.min("canonical_id").alias("canonical_id"))
-                .persist()
-            )
-            n_changed = (
-                new_labels.join(labels.withColumnRenamed("canonical_id", "_old"),
-                                "doc_id")
-                .filter(F.col("canonical_id") != F.col("_old"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if n_changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iters} rounds"
-            )
-        if not pin:
-            return labels  # caller unpersists after materializing
-        return labels.sparkSession.createDataFrame(labels.collect(), labels.schema)
-    finally:
-        edges.unpersist()
-        if pin:
-            labels.unpersist()
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges.dst == labels.doc_id, "inner"
+        ).select(F.col("src").alias("doc_id"), "canonical_id")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("canonical_id").alias("canonical_id"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.join(labels.withColumnRenamed("canonical_id", "_old"),
+                            "doc_id")
+            .filter(F.col("canonical_id") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    if not pin:
+        return labels
+    return labels.sparkSession.createDataFrame(labels.collect(), labels.schema)
 
 
 @probe(

@@ -47,23 +47,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default. Read nanos as raw int64 (legacy conf) and
-    derive a microsecond timestamp — the same truncation DuckDB applies
-    when it reads the file — plus keep the raw nanos as ``ts_ns`` for
-    callers that need full-resolution ordering."""
+    """events.parquet has shipped with two physical schemas for ``ts``:
+    TIMESTAMP(NANOS) (which Spark's parquet reader rejects by default —
+    read nanos as raw int64 via the legacy conf and truncate to micros,
+    matching DuckDB) and plain TIMESTAMP(MICROS) (read directly). Detect
+    which one this file is and normalize to the same logical shape either
+    way: a microsecond ``ts`` plus a bigint ``ts_ns`` for callers that
+    need full-resolution ordering."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+        ts_ns = F.col("ts")
+    elif isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        ts = F.col("ts").cast(TimestampType())
+        ts_ns = (F.unix_micros(F.col("ts").cast(TimestampType())) * F.lit(1000)).cast(LongType())
+    else:  # pragma: no cover - future schema drift should fail loudly
+        raise TypeError(f"unsupported events.ts physical type: {ts_type}")
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",
         "props",
-        F.col("ts").alias("ts_ns"),
+        ts_ns.alias("ts_ns"),
     )
 
 
