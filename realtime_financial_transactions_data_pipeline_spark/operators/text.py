@@ -540,3 +540,83 @@ def x3g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_PII_PAN_RE), 0))
         .cast("int").alias("n_pans"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition metrics (x3h) — the Gopher-style repetition
+# filters every corpus pipeline applies: documents dominated by repeated
+# n-grams (boilerplate, scraped menus, keyword stuffing) are down-weighted
+# or dropped before training. Plain explode→groupBy relational plan:
+# partial aggregation combines map-side, the shuffle key is (doc_id,
+# bigram-hash)-sized, and nothing holds whole documents after the
+# explode — the shape that survives a 100 TB corpus.
+# ---------------------------------------------------------------------------
+
+_REP_FLAG_T = 0.2  # duplicate-bigram fraction above which a doc is flagged
+
+
+@probe(
+    "x3h_repetition_metrics",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words
+      FROM documents WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(words)),
+                    i -> words[CAST(i AS INTEGER)] || ' ' || words[CAST(i + 1 AS INTEGER)])) AS gram
+      FROM w),
+    per_gram AS (
+      SELECT doc_id, lang, gram, count(*) AS c FROM bg GROUP BY doc_id, lang, gram),
+    per_doc AS (
+      SELECT doc_id, lang,
+             sum(c) AS n2, count(*) AS n_distinct, max(c) AS top_c
+      FROM per_gram GROUP BY doc_id, lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(1.0 - n_distinct / CAST(n2 AS DOUBLE)), 4) AS avg_dup_frac,
+           round(avg(top_c / CAST(n2 AS DOUBLE)), 4) AS avg_top_frac,
+           CAST(sum(CASE WHEN 1.0 - n_distinct / CAST(n2 AS DOUBLE) > {_REP_FLAG_T}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY lang
+    """,
+)
+def x3h_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3h — Gopher-style intra-document repetition: per doc, the
+    fraction of word bigrams that are duplicates and the share of the
+    single most frequent bigram; aggregated per language with a count
+    of docs whose duplicate fraction crosses the flag threshold.
+    Exploding bigrams into rows (instead of array-side distinct math)
+    keeps every step a partial-aggregable groupBy."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.split("text", " ")
+    docs = d.select("doc_id", "lang", words.alias("w")).filter(F.size("w") >= 2)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "lang", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n2"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct") / F.col("n2").cast("double")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dround(F.avg(dup_frac), 4).alias("avg_dup_frac"),
+        dround(F.avg(F.col("top_c") / F.col("n2").cast("double")), 4).alias(
+            "avg_top_frac"
+        ),
+        F.sum(F.when(dup_frac > _REP_FLAG_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )

@@ -142,6 +142,7 @@ def all_probes() -> dict[str, Probe]:
         multimodal,
         scale,
         curation,
+        packing,
     )
     from realtime_financial_transactions_data_pipeline_spark.sources import (  # noqa: F401
         batch,

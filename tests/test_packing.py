@@ -1,0 +1,94 @@
+"""Sequence-packing (X10) and repetition-metric (x3h) semantics tests:
+boundary decisions of the greedy fold, shard isolation, mega-doc
+clamping, and the bigram repetition math on hand-built documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.operators.packing import (
+    _SEQ_LEN,
+    pack_sequences,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _text(n_tokens: int) -> str:
+    return " ".join(["tok"] * n_tokens)
+
+
+def test_greedy_boundary_respected(spark):
+    """Docs of 100+100+100 tokens at seq_len 256: the third doc would
+    overflow (300 > 256), so it starts sequence 1 — no doc crosses a
+    boundary."""
+    d = _docs(
+        spark,
+        [(1, "en", _text(100)), (2, "en", _text(100)), (3, "en", _text(100))],
+    )
+    out = pack_sequences(d).orderBy("seq_id").collect()
+    assert [(r.seq_id, r.n_docs, r.seq_tokens) for r in out] == [
+        (0, 2, 200),
+        (1, 1, 100),
+    ]
+
+
+def test_exact_fit_shares_sequence(spark):
+    d = _docs(spark, [(1, "en", _text(156)), (2, "en", _text(100))])
+    out = pack_sequences(d).collect()
+    assert len(out) == 1 and out[0].seq_tokens == _SEQ_LEN
+
+
+def test_mega_doc_clamped_to_seq_len(spark):
+    """A document longer than seq_len occupies one full sequence
+    instead of wedging the fold."""
+    d = _docs(spark, [(1, "en", _text(400)), (2, "en", _text(10))])
+    out = pack_sequences(d).orderBy("seq_id").collect()
+    assert [(r.seq_id, r.seq_tokens) for r in out] == [(0, _SEQ_LEN), (1, 10)]
+
+
+def test_groups_pack_independently(spark):
+    """Different languages never share a sequence."""
+    d = _docs(spark, [(1, "en", _text(10)), (2, "fr", _text(10))])
+    out = pack_sequences(d).collect()
+    assert len(out) == 2
+    assert {r.lang for r in out} == {"en", "fr"}
+
+
+def test_shard_budget_bounds_group_size(spark):
+    """With a small shard budget the same language splits into multiple
+    (shard, seq) groups — the property that bounds per-executor state at
+    corpus scale."""
+    rows = [(i, "en", _text(100)) for i in range(10)]
+    out = pack_sequences(_docs(spark, rows), shard_budget=300).collect()
+    assert {r.shard_id for r in out} == {0, 1, 2, 3}
+    # Every doc accounted for exactly once.
+    assert sum(r.n_docs for r in out) == 10
+    assert sum(r.seq_tokens for r in out) == 1000
+
+
+def test_repetition_metrics_flags_repeated_doc(spark, tmp_path):
+    """A doc that is one bigram repeated has dup_frac ≈ 1; a doc of all
+    distinct words has dup_frac 0. The probe reads the documents table,
+    so build a tiny parquet standing in for it."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        x3h_repetition_metrics,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "en", "spam spam spam spam spam spam"),
+            (2, "fr", "one two three four five six"),
+        ],
+        "doc_id long, lang string, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {r.lang: r for r in x3h_repetition_metrics(spark, sf).collect()}
+    # 5 bigrams, all identical -> 4 duplicates -> dup_frac 0.8, top 1.0
+    assert rows["en"].avg_dup_frac == 0.8
+    assert rows["en"].avg_top_frac == 1.0
+    assert rows["en"].n_flagged == 1
+    assert rows["fr"].avg_dup_frac == 0.0
+    assert rows["fr"].n_flagged == 0
