@@ -594,29 +594,40 @@ def connected_components(
         .withColumn("canonical_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
-        prop = edges.join(
-            labels, edges.dst == labels.doc_id, "inner"
-        ).select(F.col("src").alias("doc_id"), "canonical_id")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("canonical_id").alias("canonical_id"))
-            .localCheckpoint(eager=True)
-        )
-        n_changed = (
-            new_labels.join(labels.withColumnRenamed("canonical_id", "_old"),
-                            "doc_id")
-            .filter(F.col("canonical_id") != F.col("_old"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds"
-        )
+    # The iterated state is the dup-cluster node set — orders of
+    # magnitude smaller than the corpus (only docs appearing in a
+    # near-dup edge). Narrow the shuffle while iterating so each round
+    # is a handful of tasks, not a full-width exchange; restored after.
+    # On a cluster, size this to the edge-list partition count instead.
+    spark = labels.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for _ in range(max_iters):
+            prop = edges.join(
+                labels, edges.dst == labels.doc_id, "inner"
+            ).select(F.col("src").alias("doc_id"), "canonical_id")
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("doc_id")
+                .agg(F.min("canonical_id").alias("canonical_id"))
+                .localCheckpoint(eager=True)
+            )
+            n_changed = (
+                new_labels.join(labels.withColumnRenamed("canonical_id", "_old"),
+                                "doc_id")
+                .filter(F.col("canonical_id") != F.col("_old"))
+                .count()
+            )
+            labels = new_labels
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not pin:
         return labels
     return labels.sparkSession.createDataFrame(labels.collect(), labels.schema)

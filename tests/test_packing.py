@@ -92,3 +92,35 @@ def test_repetition_metrics_flags_repeated_doc(spark, tmp_path):
     assert rows["en"].n_flagged == 1
     assert rows["fr"].avg_dup_frac == 0.0
     assert rows["fr"].n_flagged == 0
+
+
+def test_x10_plan_shape(spark, sf_dir):
+    """The packing plan must do its Python work in ONE Arrow-grouped
+    operator (FlatMapGroupsInPandas) — never row-at-a-time — and the
+    scan must read only the three columns the layout needs."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.packing import (
+        x10_sequence_packing,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    df = x10_sequence_packing(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert not inspect.has_python_row_udf(df)
+    schema = inspect.scan_read_schema(df)
+    assert "text" in schema and "title" not in schema
+
+
+def test_x3h_partial_aggregation(spark, sf_dir):
+    """The bigram explode feeds map-side (partial) aggregation before
+    any exchange — at corpus scale the shuffle carries (doc_id, gram)
+    partial counts, not raw bigram rows."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        x3h_repetition_metrics,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    df = x3h_repetition_metrics(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert not inspect.has_python_row_udf(df)
