@@ -243,6 +243,16 @@ def await_or_raise(query, timeout_s: int) -> None:
         raise TimeoutError(f"streaming query did not finish within {timeout_s}s")
 
 
+#: Wall-clock of the most recent ``run_pipeline`` streaming window
+#: (query start → termination). bench.py reads this to compute the
+#: end-to-end message rate over the STREAM's own runtime — the probe
+#: wall additionally includes synthesizing the wire messages and
+#: re-aggregating the sinks, which are harness bookkeeping, not
+#: pipeline throughput. Still end-to-end for the pipeline itself:
+#: source read → parse → unwrap → validate → tokenize → dual sink.
+LAST_STREAM_SECONDS: float | None = None
+
+
 def run_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -253,8 +263,12 @@ def run_pipeline(
 ) -> tuple[str, str]:
     """Run the pipeline to completion over the files currently in
     ``input_dir`` (availableNow trigger). Returns (valid_dir, errors_dir)."""
+    import time
+
+    global LAST_STREAM_SECONDS
     valid_dir = f"{out_root}/fact_transactions"
     errors_dir = f"{out_root}/fact_transactions_errors"
+    t0 = time.time()
     q = build_pipeline_query(
         spark,
         input_dir,
@@ -265,6 +279,7 @@ def run_pipeline(
         key=key,
     ).start()
     await_or_raise(q, timeout_s)
+    LAST_STREAM_SECONDS = time.time() - t0
     return valid_dir, errors_dir
 
 
