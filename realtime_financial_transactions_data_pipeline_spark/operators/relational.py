@@ -967,3 +967,37 @@ def s3b_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_val")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@probe(
+    "k6_cdc_latest_wins",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def k6_cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (K6): collapse an event log to the
+    latest row per key — the upsert-materialization every warehouse
+    sink without native MERGE runs (latest-wins by event time, event_id
+    as the deterministic tiebreak for same-timestamp updates). One
+    shuffle keyed by user_id; the window never holds more than one
+    key's rows per partition, so the shape is flat at any corpus size.
+    Reference parity: the reference truncate-loads dims
+    (data_generator_scripts/load_dim_tables_data.py) — this is the
+    incremental twin of that load."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )

@@ -231,3 +231,42 @@ def s8_schema_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, out_schema)
+
+
+@probe(
+    "s9_schema_evolution_merge",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey % 2 = 1
+    """,
+)
+def s9_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (S9): a dataset written in two generations
+    — gen0 before a column existed, gen1 after — read back as ONE table
+    via parquet ``mergeSchema``, with gen0 rows null in the new column.
+    This is how a long-lived corpus absorbs schema drift without
+    rewriting history; the per-file footer carries each generation's
+    schema and the scan reconciles them. (At 100 TB, mergeSchema's
+    footer sampling is the cost — production tables pin the merged
+    schema in a catalog instead of re-inferring; the read path is the
+    same.)"""
+    base = load_table(spark, sf_dir, "nation")
+    root = f"{_SCRATCH}/nation_evolving"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    base.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", "n_name"
+    ).write.parquet(f"{root}/gen=0")
+    base.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.parquet(f"{root}/gen=1")
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .parquet(root)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    return pin_result(merged)
