@@ -355,3 +355,48 @@ def x9_token_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("shard_tokens"),
         )
     )
+
+
+_SHUFFLE_SEED = 1234
+
+
+@probe(
+    "x11_deterministic_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5('{_SHUFFLE_SEED}-' || CAST(doc_id AS VARCHAR)) AS sk
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS shuffle_pos
+    FROM keyed
+    ORDER BY shuffle_pos
+    LIMIT 100
+    """,
+)
+def x11_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — deterministic global shuffle: the training-order step after
+    packing/sharding. Ordering by ``md5(seed-doc_id)`` gives a
+    reproducible pseudo-random permutation — independent of
+    partitioning, task scheduling, and engine — which is what lets two
+    training runs (or a resumed run) see the identical example order.
+    The probe emits the first 100 positions; at corpus scale the same
+    sort key drives a ``repartitionByRange`` + within-partition sort
+    write (a total ordering without any single-node sort — Spark's
+    range exchange samples the keys, and md5 keys are uniform so range
+    bounds are balanced by construction)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = d.withColumn(
+        "_sk",
+        F.md5(F.concat(F.lit(f"{_SHUFFLE_SEED}-"), F.col("doc_id").cast("string"))),
+    )
+    # Distributed top-K first (TakeOrderedAndProject: per-partition
+    # heaps, no global sort), THEN rank the 100 survivors — a global
+    # row_number window over the full table would drag every row into
+    # one partition.
+    head = keyed.orderBy("_sk", "doc_id").limit(100)
+    w = Window.orderBy("_sk", "doc_id")
+    return (
+        head.withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "lang", "shuffle_pos")
+    )

@@ -374,10 +374,13 @@ def simhash_col(text_col: str, portable: bool = False) -> F.Column:
     be value-checked against a DuckDB twin instead of rows-only. Both
     run the identical bit-majority + Manku banding code path."""
     if portable:
+        # Two-stage transform so md5 runs ONCE per token — the single
+        # expression with two substr(md5(t), ...) references is not
+        # reliably subexpression-eliminated inside a lambda.
         hashed = F.expr(
-            f"transform(split(lower({text_col}), ' '), t -> "
-            "shiftleft(CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT), 32) | "
-            "CAST(conv(substr(md5(t), 9, 8), 16, 10) AS BIGINT))"
+            f"transform(transform(split(lower({text_col}), ' '), t -> md5(t)), h -> "
+            "shiftleft(CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT), 32) | "
+            "CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT))"
         )
     else:
         hashed = F.expr(f"transform(split(lower({text_col}), ' '), t -> xxhash64(t))")
