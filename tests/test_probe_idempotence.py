@@ -31,6 +31,7 @@ SIDE_EFFECTING = [
     "t5_rate_source",
     "t8_stream_outer_attribution",
     "l1b_partition_pruned_slice",
+    "s9_schema_evolution_merge",
 ]
 
 
