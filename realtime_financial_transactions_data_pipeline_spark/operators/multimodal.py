@@ -514,3 +514,146 @@ def x4c_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("max_duration_ms"),
     ).select("modality", "n_items", "total_units", "max_duration_ms")
     return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# BMP (third real codec): Windows DIB files exercise two parsing hazards
+# the PPM path cannot — 4-byte row padding and bottom-up row storage
+# (positive biHeight stores the LAST logical row first; negative means
+# top-down). Uncompressed 24-bit BI_RGB only; compressed BMPs raise like
+# every other compressed format.
+# ---------------------------------------------------------------------------
+
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("corner_red", T.IntegerType()),
+        T.StructField("sum_red", T.LongType()),
+        T.StructField("mean_blue", T.IntegerType()),
+    ]
+)
+
+
+def _bmp_bytes(w: int, h: int, blue: int, top_down: bool = False) -> bytes:
+    """Serialize a 24-bit BI_RGB BMP: blue channel constant, green 77,
+    red = 7 × logical row index. Rows are padded to 4 bytes and written
+    bottom-up unless ``top_down`` (negative biHeight)."""
+    import struct
+
+    import numpy as np
+
+    row_stride = (w * 3 + 3) & ~3
+    px = np.zeros((h, w, 3), dtype=np.uint8)  # BGR order on disk
+    px[:, :, 0] = blue
+    px[:, :, 1] = 77
+    px[:, :, 2] = (7 * np.arange(h, dtype=np.uint16)[:, None] % 256).astype(np.uint8)
+    rows = px if top_down else px[::-1]
+    body = b"".join(
+        rows[y].tobytes() + b"\x00" * (row_stride - w * 3) for y in range(h)
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def synth_bmp_media(docs: DataFrame) -> DataFrame:
+    """Valid 24-bit BMP payloads: width = len(text) % 16 + 4 (odd widths
+    force nonzero row padding), height = doc_id % 12 + 4, blue channel
+    = doc_id % 256, red a per-row gradient (7y) that makes the
+    bottom-up flip observable in the decoded corner pixel."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _bmp_bytes(len(t) % 16 + 4, int(i) % 12 + 4, int(i) % 256)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """REAL BMP decode: parse BITMAPFILEHEADER + BITMAPINFOHEADER with
+    stdlib struct, strip per-row padding, un-flip bottom-up storage,
+    and compute channel stats over the logical (top-down) image."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in BMP_SCHEMA.fields}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(raw)
+                if b[:2] != b"BM":
+                    raise ValueError(f"media {mid}: not a BMP")
+                _, _, _, _, data_off = struct.unpack_from("<2sIHHI", b, 0)
+                hdr_size, w, h_signed, planes, bpp, compression = struct.unpack_from(
+                    "<IiiHHI", b, 14
+                )
+                if hdr_size < 40 or planes != 1:
+                    raise ValueError(f"media {mid}: unsupported DIB header")
+                if compression != 0 or bpp != 24:
+                    raise NotImplementedError(
+                        f"media {mid}: only uncompressed 24-bit BI_RGB supported "
+                        f"(compression={compression}, bpp={bpp})"
+                    )
+                top_down = h_signed < 0
+                h = -h_signed if top_down else h_signed
+                row_stride = (w * 3 + 3) & ~3
+                body = np.frombuffer(b, dtype=np.uint8, count=row_stride * h,
+                                     offset=data_off)
+                rows = body.reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
+                logical = rows if top_down else rows[::-1]  # BGR, top-down
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["corner_red"].append(int(logical[0, 0, 2]))
+                out["sum_red"].append(int(logical[:, :, 2].astype(np.int64).sum()))
+                out["mean_blue"].append(int(round(float(logical[:, :, 0].mean()))))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, BMP_SCHEMA)
+
+
+@probe(
+    "x4d_bmp_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) % 16 + 4 AS INTEGER) AS width,
+           CAST(doc_id % 12 + 4 AS INTEGER) AS height,
+           CAST((length(text) % 16 + 4) * (doc_id % 12 + 4) AS BIGINT) AS n_pixels,
+           0 AS corner_red,
+           CAST((length(text) % 16 + 4) * 7 * (doc_id % 12 + 4) * (doc_id % 12 + 3) / 2
+                AS BIGINT) AS sum_red,
+           CAST(doc_id % 256 AS INTEGER) AS mean_blue
+    FROM documents
+    """,
+)
+def x4d_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 third real codec: every doc becomes a valid 24-bit BMP (padded
+    rows, bottom-up storage) and is decoded back by parsing the actual
+    file + DIB headers. corner_red certifies the bottom-up flip (an
+    unflipped read would see the LAST logical row's gradient value);
+    sum_red = w·7·h(h−1)/2 certifies the full pixel buffer; mean_blue
+    the per-doc constant channel. All header-derived fields are
+    deterministic functions of the source docs, so DuckDB re-derives
+    the decode output without seeing the binary."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_bmp(synth_bmp_media(d))

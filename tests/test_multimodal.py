@@ -84,3 +84,41 @@ def test_wav_decoder_rejects_garbage(spark):
         raise AssertionError("garbage payload must fail decode")
     except Exception as exc:  # Py4J wraps the ValueError
         assert "RIFF" in str(exc) or "PythonException" in type(exc).__name__
+
+
+def test_bmp_decode_flips_bottom_up_and_strips_padding(spark):
+    """Width 5 forces 1 byte of row padding; the red gradient makes an
+    unflipped read visible in corner_red."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _bmp_bytes,
+        decode_bmp,
+    )
+
+    rows = [(1, _bmp_bytes(5, 4, blue=9)), (2, _bmp_bytes(5, 4, blue=9, top_down=True))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in decode_bmp(media).collect()}
+    for mid in (1, 2):  # bottom-up and top-down must decode identically
+        r = got[mid]
+        assert (r.width, r.height, r.n_pixels) == (5, 4, 20)
+        assert r.corner_red == 0          # logical top row has red 0
+        assert r.sum_red == 5 * 7 * (0 + 1 + 2 + 3)
+        assert r.mean_blue == 9
+
+
+def test_bmp_decode_rejects_compressed(spark):
+    import struct
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _bmp_bytes,
+        decode_bmp,
+    )
+
+    good = bytearray(_bmp_bytes(4, 4, blue=1))
+    struct.pack_into("<I", good, 14 + 16, 1)  # biCompression = BI_RLE8
+    media = spark.createDataFrame(
+        [(1, bytes(good))], "media_id long, content binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="BI_RGB|NotImplemented"):
+        decode_bmp(media).collect()
