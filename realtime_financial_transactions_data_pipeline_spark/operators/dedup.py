@@ -92,6 +92,48 @@ def x1b_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe(
+    "x1c_incremental_dedup",
+    oracle="""
+    WITH prior AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
+    batch AS (
+      SELECT lang, md5(text) AS h FROM documents WHERE doc_id % 4 <> 0)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(*) FILTER (WHERE h NOT IN (SELECT h FROM prior))
+                AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE h IN (SELECT h FROM prior))
+                AS BIGINT) AS n_already_ingested
+    FROM batch GROUP BY lang
+    """,
+)
+def x1c_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the weekly-crawl workflow: drop new
+    documents whose content digest already exists in the prior corpus
+    snapshot (docs with ``doc_id % 4 == 0`` stand in for it). The prior
+    side is reduced to DISTINCT 16-byte digests before the join; here
+    it broadcasts, and at 100-TB-prior scale the same plan degrades
+    gracefully to a digest-keyed shuffle join — or a Bloom-filter
+    prefilter (~10 bits/digest) when only approximate early pruning is
+    needed before the exact join. Payloads never move either way."""
+    d = load_table(spark, sf_dir, "documents")
+    prior = (
+        d.filter(F.col("doc_id") % 4 == 0).select(F.md5("text").alias("h")).distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 4 != 0).select(
+        "lang", F.md5("text").alias("h")
+    )
+    tagged = batch.join(
+        F.broadcast(prior.withColumn("_seen", F.lit(1))), "h", "left"
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(F.col("_seen").isNull(), 1)).alias("n_new"),
+        F.count("_seen").alias("n_already_ingested"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2 — near-duplicate detection
 # ---------------------------------------------------------------------------
