@@ -84,7 +84,18 @@ def _prf(key: bytes, round_no: int, value: int, width: int) -> int:
     )
 
 
-def encrypt_digits(key: bytes, digits: str) -> str:
+def _prf_portable(key: bytes, round_no: int, value: int, width: int) -> int:
+    """Engine-portable round PRF: first 4 bytes of md5(key || msg) as a
+    uint32. NOT a secure keyed PRF (md5 with key-prefixing) — it exists
+    solely so the u1c probe's Feistel rounds can be replayed bit-for-bit
+    in DuckDB SQL, certifying the NETWORK STRUCTURE (round schedule,
+    halving, modular arithmetic, padding) against an independent engine.
+    Production tokenization always uses the keyed-BLAKE2b :func:`_prf`."""
+    msg = key + f"{round_no}|{width}|{value}".encode()
+    return int.from_bytes(hashlib.md5(msg).digest()[:4], "big")
+
+
+def encrypt_digits(key: bytes, digits: str, prf=_prf) -> str:
     """Feistel-encrypt a decimal string, preserving its length."""
     n = len(digits)
     if n < 2 or not digits.isdigit():
@@ -95,13 +106,13 @@ def encrypt_digits(key: bytes, digits: str) -> str:
     mod_a, mod_b = 10**left_w, 10**right_w
     for r in range(_ROUNDS):
         if r % 2 == 0:
-            b = (b + _prf(key, r, a, n)) % mod_b
+            b = (b + prf(key, r, a, n)) % mod_b
         else:
-            a = (a + _prf(key, r, b, n)) % mod_a
+            a = (a + prf(key, r, b, n)) % mod_a
     return str(a).zfill(left_w) + str(b).zfill(right_w)
 
 
-def decrypt_digits(key: bytes, digits: str) -> str:
+def decrypt_digits(key: bytes, digits: str, prf=_prf) -> str:
     n = len(digits)
     left_w = n // 2
     right_w = n - left_w
@@ -109,17 +120,20 @@ def decrypt_digits(key: bytes, digits: str) -> str:
     mod_a, mod_b = 10**left_w, 10**right_w
     for r in reversed(range(_ROUNDS)):
         if r % 2 == 0:
-            b = (b - _prf(key, r, a, n)) % mod_b
+            b = (b - prf(key, r, a, n)) % mod_b
         else:
-            a = (a - _prf(key, r, b, n)) % mod_a
+            a = (a - prf(key, r, b, n)) % mod_a
     return str(a).zfill(left_w) + str(b).zfill(right_w)
 
 
-def make_fpe_tokenizer(key: bytes | None = None):
+def make_fpe_tokenizer(key: bytes | None = None, portable: bool = False):
     """Build the tokenizing pandas UDF. With ``key=None`` the key is
     resolved on each worker via :func:`_load_key` (fail-closed env
     lookup, once per worker process — the DoFn.setup() pattern); an
-    explicit ``key`` is baked into the closure (tests, probes)."""
+    explicit ``key`` is baked into the closure (tests, probes).
+    ``portable=True`` swaps the round PRF for the md5-based
+    :func:`_prf_portable` (oracle probes only — see its docstring)."""
+    prf = _prf_portable if portable else _prf
 
     @F.pandas_udf(T.StringType())
     def fpe_tokenize(pans: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -132,7 +146,7 @@ def make_fpe_tokenizer(key: bytes | None = None):
         def one(pan: object) -> object:
             if pan is None or not isinstance(pan, str) or not pan.isdigit() or len(pan) < 2:
                 return None
-            return str(int(encrypt_digits(k, pan))).zfill(16)
+            return str(int(encrypt_digits(k, pan, prf=prf))).zfill(16)
 
         for batch in pans:
             yield batch.map(one)
@@ -140,7 +154,9 @@ def make_fpe_tokenizer(key: bytes | None = None):
     return fpe_tokenize
 
 
-def fpe_token_col(pan: Column, key: bytes | None = None) -> Column:
+def fpe_token_col(
+    pan: Column, key: bytes | None = None, portable: bool = False
+) -> Column:
     """Column-level entry point; deterministic (same PAN ⇒ same token), so
     Catalyst may safely collapse duplicate invocations."""
-    return make_fpe_tokenizer(key)(pan)
+    return make_fpe_tokenizer(key, portable=portable)(pan)

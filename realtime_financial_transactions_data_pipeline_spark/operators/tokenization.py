@@ -70,3 +70,65 @@ def u1_fpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask_pan(F.col("pan")).alias("masked_card_number"),
         fpe_token_col(F.col("pan"), key=TEST_KEY).alias("card_token"),
     )
+
+
+def _u1c_oracle() -> str:
+    """DuckDB replay of the 10-round Feistel over 16-digit PANs with the
+    portable md5 PRF: prf(r, v) = first 4 bytes of
+    md5(key || r || '|16|' || v) as uint32; even rounds update the right
+    half, odd rounds the left, both mod 10^8. Generated as chained CTEs
+    so every round's arithmetic is explicit and independently
+    inspectable."""
+    key = "spark-graft-default-test-dek-32B"  # public TEST_KEY bytes as text
+
+    def prf(r: int, v: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{key}' || '{r}|16|' || CAST({v} AS VARCHAR)), 1, 8))"
+            "::UINTEGER)::BIGINT"
+        )
+
+    ctes = [
+        """r_init AS (
+      SELECT c_custkey,
+             CAST(substring(pan, 1, 8) AS BIGINT) AS a,
+             CAST(substring(pan, 9, 8) AS BIGINT) AS b
+      FROM pans)"""
+    ]
+    prev = "r_init"
+    for r in range(10):
+        if r % 2 == 0:
+            upd = f"a, (b + {prf(r, 'a')}) % 100000000 AS b"
+        else:
+            upd = f"(a + {prf(r, 'b')}) % 100000000 AS a, b"
+        ctes.append(f"r{r} AS (SELECT c_custkey, {upd} FROM {prev})")
+        prev = f"r{r}"
+    return f"""
+    WITH pans AS (
+      SELECT c_custkey,
+             lpad(CAST(4000000000000000 + c_custkey AS VARCHAR), 16, '0') AS pan
+      FROM customer),
+    {', '.join(ctes)}
+    SELECT c_custkey,
+           lpad(CAST(a AS VARCHAR), 8, '0') || lpad(CAST(b AS VARCHAR), 8, '0')
+             AS card_token
+    FROM {prev}
+    """
+
+
+@probe("u1c_fpe_portable", oracle=_u1c_oracle())
+def u1c_fpe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked FPE structure probe: the same 10-round Feistel
+    network as u1_fpe_tokenize but with the engine-portable md5 round
+    PRF (functions/fpe.py:_prf_portable), so DuckDB replays every round
+    bit-for-bit. This certifies the Feistel structure — round schedule,
+    domain halving, modular arithmetic, zero-padding — against an
+    independent engine; the production keyed-BLAKE2b PRF stays
+    rows-only + unit-tested (no blake2b in DuckDB), which is exactly
+    the boundary a crypto twin should have."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.fpe import TEST_KEY
+
+    c = load_table(spark, sf_dir, "customer").withColumn("pan", _synth_pan())
+    return c.select(
+        "c_custkey",
+        fpe_token_col(F.col("pan"), key=TEST_KEY, portable=True).alias("card_token"),
+    )

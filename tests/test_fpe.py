@@ -90,3 +90,20 @@ def test_udf_tokenizes_and_nulls(spark):
     assert rows["abc"] is None
     two = [r.token for r in df.filter(F.col("pan") == "4000123412341234").collect()]
     assert two == [t1, t1]  # deterministic
+
+
+def test_portable_prf_round_trips_and_differs_from_blake2b():
+    from realtime_financial_transactions_data_pipeline_spark.functions.fpe import (
+        TEST_KEY,
+        _prf_portable,
+        decrypt_digits,
+        encrypt_digits,
+    )
+
+    pan = "4000000000001234"
+    tok = encrypt_digits(TEST_KEY, pan, prf=_prf_portable)
+    assert tok.isdigit() and len(tok) == 16 and tok != pan
+    assert decrypt_digits(TEST_KEY, tok, prf=_prf_portable) == pan
+    # The portable construction is a DIFFERENT PRF, not an alias of the
+    # production one — tokens must disagree.
+    assert tok != encrypt_digits(TEST_KEY, pan)
