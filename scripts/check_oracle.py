@@ -27,6 +27,15 @@ SF_DIR = "/root/testdata/sf0.01"
 def canon_cell(v) -> str:
     if v is None:
         return "<null>"
+    if isinstance(v, str):
+        # Type-strict: a string never collapses with a number. The t8
+        # driver hash mismatch (rounds 3-5) was Spark returning STRING
+        # event ids against a BIGINT oracle column — the old canon
+        # mapped "59" and 59 to the same token, so only the driver's
+        # hasher saw the difference. Int/float still collapse below
+        # (pandas upcasts nullable int columns to float64, a fetchdf
+        # artifact, not an engine difference).
+        return "s:" + v
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
