@@ -103,15 +103,20 @@ def main() -> None:
     if t_stream > 0:
         from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import WIRE_COPIES
 
-        # Rate over the streaming query's own window (source read →
-        # parse → validate → tokenize → dual sink) — the probe wall
-        # additionally covers synthesizing input files and re-reading
-        # the sinks, which is harness bookkeeping, not throughput.
-        # Falls back to probe wall if the window wasn't captured.
+        # Two rates, two explicit keys (round-5 ADVICE: round 5 silently
+        # redefined stream_msgs_per_sec from probe-wall to query-window):
+        #   stream_msgs_per_sec        — over the PROBE WALL, the
+        #     definition rounds 1-4 reported, so round-over-round BENCH
+        #     comparisons stay apples-to-apples;
+        #   stream_msgs_per_sec_window — over the streaming query's own
+        #     window (source read → parse → validate → tokenize → dual
+        #     sink), excluding harness bookkeeping (input synthesis,
+        #     sink re-reads).
         window = stream_window_s if stream_window_s else t_stream
         n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
         n_msgs = n_cust * WIRE_COPIES
-        out["stream_msgs_per_sec"] = round(n_msgs / window, 1)
+        out["stream_msgs_per_sec"] = round(n_msgs / t_stream, 1)
+        out["stream_msgs_per_sec_window"] = round(n_msgs / window, 1)
         out["stream_wire_copies"] = WIRE_COPIES
         out["stream_window_sec"] = round(window, 3)
         out["stream_msgs_per_sec_1x"] = round(n_cust / window, 1)

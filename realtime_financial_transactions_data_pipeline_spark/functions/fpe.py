@@ -132,7 +132,15 @@ def make_fpe_tokenizer(key: bytes | None = None, portable: bool = False):
     lookup, once per worker process — the DoFn.setup() pattern); an
     explicit ``key`` is baked into the closure (tests, probes).
     ``portable=True`` swaps the round PRF for the md5-based
-    :func:`_prf_portable` (oracle probes only — see its docstring)."""
+    :func:`_prf_portable` (oracle probes only — see its docstring).
+    The portable path is guarded: it only accepts the public
+    :data:`TEST_KEY`, so a production key can never be combined with
+    the weak md5 construction (round-5 ADVICE)."""
+    if portable and key != TEST_KEY:
+        raise ValueError(
+            "portable=True is an oracle-replay mode using a weak md5 PRF; "
+            "it only accepts the public TEST_KEY, never a production key"
+        )
     prf = _prf_portable if portable else _prf
 
     @F.pandas_udf(T.StringType())

@@ -99,13 +99,16 @@ def x1b_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
     batch AS (
       SELECT lang, md5(text) AS h FROM documents WHERE doc_id % 4 <> 0)
-    SELECT lang,
+    -- LEFT JOIN, not NOT IN: a NULL text would make md5 NULL, and NOT
+    -- IN's three-valued logic would drop that row from n_new while the
+    -- Spark left join counts it (round-5 ADVICE). The join mirrors the
+    -- Spark plan: NULL digests never match, so they land in n_new.
+    SELECT b.lang,
            CAST(count(*) AS BIGINT) AS n_batch,
-           CAST(count(*) FILTER (WHERE h NOT IN (SELECT h FROM prior))
-                AS BIGINT) AS n_new,
-           CAST(count(*) FILTER (WHERE h IN (SELECT h FROM prior))
-                AS BIGINT) AS n_already_ingested
-    FROM batch GROUP BY lang
+           CAST(count(*) FILTER (WHERE p.h IS NULL) AS BIGINT) AS n_new,
+           CAST(count(p.h) AS BIGINT) AS n_already_ingested
+    FROM batch b LEFT JOIN prior p ON b.h = p.h
+    GROUP BY b.lang
     """,
 )
 def x1c_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +647,13 @@ def connected_components(
     # near-dup edge). Narrow the shuffle while iterating so each round
     # is a handful of tasks, not a full-width exchange; restored after.
     # On a cluster, size this to the edge-list partition count instead.
+    # NOTE: this mutates a SESSION-scoped conf for the duration of the
+    # loop (restored in finally). Safe under the harness's sequential
+    # probe execution; if probes ever run concurrently on a shared
+    # session, other queries started inside this window would plan
+    # their exchanges at 4 partitions too — use separate sessions
+    # (spark.newSession()) or pass an explicitly repartitioned edge
+    # list in that deployment.
     spark = labels.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")

@@ -27,6 +27,8 @@ training-data toolchain the build plan adds on top (SURVEY.md §6).
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,37 +45,42 @@ _SEQ_LEN = 256
 #: so the probe exercises multiple groups per language even at sf0.01.
 _PACK_SHARD_BUDGET = 5_000
 
-_PACK_SCHEMA = T.StructType(
-    [
-        T.StructField("lang", T.StringType()),
-        T.StructField("shard_id", T.LongType()),
-        T.StructField("seq_id", T.LongType()),
-        T.StructField("n_docs", T.LongType()),
-        T.StructField("seq_tokens", T.LongType()),
-    ]
-)
+def _pack_schema(group_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(group_col, T.StringType()),
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("seq_tokens", T.LongType()),
+        ]
+    )
 
 
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Greedy boundary-respecting fold over one (lang, shard) group,
-    in doc_id order. Pure-integer loop over token counts — group sizes
+def _pack_group(
+    pdf: pd.DataFrame, *, seq_len: int, id_col: str, group_col: str
+) -> pd.DataFrame:
+    """Greedy boundary-respecting fold over one (group, shard) group,
+    in id order. Pure-integer loop over token counts — group sizes
     are bounded by the shard budget, so this is O(budget/avg_doc_len)
     rows per invocation."""
-    pdf = pdf.sort_values("doc_id")
-    lang = pdf["lang"].iloc[0]
+    pdf = pdf.sort_values(id_col)
+    group = pdf[group_col].iloc[0]
     shard = int(pdf["shard_id"].iloc[0])
     out: list[tuple[str, int, int, int, int]] = []
     seq_id, fill, n_docs = 0, 0, 0
     for n_tok in pdf["n_tok"].to_numpy():
         n_tok = int(n_tok)
-        if n_docs > 0 and fill + n_tok > _SEQ_LEN:
-            out.append((lang, shard, seq_id, n_docs, fill))
+        if n_docs > 0 and fill + n_tok > seq_len:
+            out.append((group, shard, seq_id, n_docs, fill))
             seq_id, fill, n_docs = seq_id + 1, 0, 0
         fill += n_tok
         n_docs += 1
     if n_docs > 0:
-        out.append((lang, shard, seq_id, n_docs, fill))
-    return pd.DataFrame(out, columns=[f.name for f in _PACK_SCHEMA.fields])
+        out.append((group, shard, seq_id, n_docs, fill))
+    return pd.DataFrame(
+        out, columns=[group_col, "shard_id", "seq_id", "n_docs", "seq_tokens"]
+    )
 
 
 def pack_sequences(
@@ -106,8 +113,11 @@ def pack_sequences(
         )
         .drop("_cum")
     )
+    fold = functools.partial(
+        _pack_group, seq_len=seq_len, id_col=id_col, group_col=group_col
+    )
     return laid_out.groupBy(group_col, "shard_id").applyInPandas(
-        _pack_group, schema=_PACK_SCHEMA
+        fold, schema=_pack_schema(group_col)
     )
 
 

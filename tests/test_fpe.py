@@ -107,3 +107,20 @@ def test_portable_prf_round_trips_and_differs_from_blake2b():
     # The portable construction is a DIFFERENT PRF, not an alias of the
     # production one — tokens must disagree.
     assert tok != encrypt_digits(TEST_KEY, pan)
+
+
+def test_portable_mode_rejects_non_test_keys():
+    """The weak md5 portable PRF must be unreachable with a production
+    key (round-5 ADVICE): only the public TEST_KEY is accepted."""
+    import pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.functions.fpe import (
+        TEST_KEY,
+        make_fpe_tokenizer,
+    )
+
+    with pytest.raises(ValueError, match="TEST_KEY"):
+        make_fpe_tokenizer(b"x" * 32, portable=True)
+    with pytest.raises(ValueError, match="TEST_KEY"):
+        make_fpe_tokenizer(None, portable=True)  # env-resolved keys too
+    make_fpe_tokenizer(TEST_KEY, portable=True)  # allowed

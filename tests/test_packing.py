@@ -124,3 +124,26 @@ def test_x3h_partial_aggregation(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "partial_count" in plan or "partial" in plan.lower()
     assert not inspect.has_python_row_udf(df)
+
+
+def test_pack_sequences_honors_seq_len_and_group_col(spark):
+    """seq_len/group_col thread through to the fold (round-5 ADVICE:
+    they were silently ignored, packing at 256 whatever the caller
+    asked for). Six 300-token docs at seq_len=1000 must pack 3-per-
+    sequence under a custom group column."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 300, "g1") for i in range(6)],
+        ["doc_id", "text", "bucket"],
+    )
+    out = pack_sequences(
+        docs, seq_len=1000, shard_budget=10_000, group_col="bucket"
+    ).collect()
+    assert {r.bucket for r in out} == {"g1"}
+    assert sorted((r.seq_id, r.n_docs, r.seq_tokens) for r in out) == [
+        (0, 3, 900),
+        (1, 3, 900),
+    ]
