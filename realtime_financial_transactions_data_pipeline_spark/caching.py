@@ -17,7 +17,9 @@ pattern — each probe's result is consumed before the next probe runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 
 _LIVE: list[DataFrame] = []
 
@@ -39,4 +41,42 @@ def shared_persist(df: DataFrame, evict_previous: bool = True) -> DataFrame:
         _LIVE.clear()
     df = df.persist()
     _LIVE.append(df)
+    return df
+
+
+_MEMO: dict[tuple, DataFrame] = {}
+_MEMO_CAPACITY = 4
+
+
+def memo_persist(
+    spark: SparkSession, key: tuple, builder: Callable[[], DataFrame]
+) -> DataFrame:
+    """CROSS-probe keyed cache for derived frames several probes share
+    (the word-shingle pass feeding x2a AND x2b; the simhash fingerprint
+    pass feeding x2d AND x2i). ``shared_persist`` cannot express this —
+    its caches die at the next operator's persist — while these frames
+    are deterministic functions of (table files, derivation), so reuse
+    across probes is semantics-free and saves the suite a full
+    re-derivation each time (the round-5 suite spent ~23 % of wall in
+    the similarity family, most of it duplicated shingling/hashing).
+
+    Keys are namespaced by the Spark application so a cache from a
+    stopped session is never served. FIFO-bounded at
+    ``_MEMO_CAPACITY`` entries; eviction only unpersists (consumers of
+    an evicted frame recompute, never err). This is a probe-harness
+    amortization: the operators themselves still accept arbitrary
+    DataFrames, and at corpus scale the same sharing is done by writing
+    the derived table once (SURVEY §6 layout step)."""
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _MEMO.get(full_key)
+    if df is not None:
+        return df
+    while len(_MEMO) >= _MEMO_CAPACITY:
+        old = _MEMO.pop(next(iter(_MEMO)))  # FIFO: oldest entry first
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    df = builder().persist()
+    _MEMO[full_key] = df
     return df

@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from realtime_financial_transactions_data_pipeline_spark.caching import shared_persist
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 from realtime_financial_transactions_data_pipeline_spark.registry import probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
@@ -199,12 +198,40 @@ def word_shingles(col: str, k: int = _SHINGLE_WORDS) -> F.Column:
     )
 
 
+def _corpus_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, grams, n) word-shingle frame over `documents`
+    — the one expensive text pass both x2a and x2b start from; computed
+    once per (app, sf_dir) and reused across the suite."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return d.select("doc_id", word_shingles("text").alias("grams")).withColumn(
+            "n", F.size("grams")
+        )
+
+    return memo_persist(spark, ("corpus_grams", sf_dir), build)
+
+
+def _corpus_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, simhash) portable-fingerprint frame — the
+    pandas-UDF pass both x2d and x2i start from."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return d.select("doc_id", simhash_col("text", portable=True).alias("simhash"))
+
+    return memo_persist(spark, ("corpus_simhash", sf_dir), build)
+
+
 def jaccard_pairs_exact(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = _NEARDUP_T,
     max_df: int | None = None,
+    sized: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity join via an inverted index (AllPairs
     family). One shuffle keyed by shingle, one by pair; per-shingle work
@@ -215,10 +242,15 @@ def jaccard_pairs_exact(
     shingles scores below its true Jaccard and can fall under the
     threshold (false negatives near the cut — acceptable for dedup,
     where stop-shingle-only overlap is noise; leave ``max_df=None`` for
-    the exact result)."""
-    sized = docs.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col).alias("grams")
-    ).withColumn("n", F.size("grams"))
+    the exact result). ``sized`` optionally supplies a pre-shingled
+    (id, grams, n) frame (id column named ``id_col``) so callers can
+    share one shingling pass across operators."""
+    if sized is None:
+        sized = docs.select(
+            F.col(id_col).alias("_id"), word_shingles(text_col).alias("grams")
+        ).withColumn("n", F.size("grams"))
+    else:
+        sized = sized.select(F.col(id_col).alias("_id"), "grams", "n")
     posting = sized.select("_id", "n", F.explode("grams").alias("gram"))
     by_gram = posting.groupBy("gram").agg(
         F.array_sort(F.collect_list(F.struct("_id", "n"))).alias("ids")
@@ -254,7 +286,7 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index algorithm, identical output to the all-pairs oracle
     with no quadratic join anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs_exact(d)
+    return jaccard_pairs_exact(d, sized=_corpus_grams(spark, sf_dir))
 
 
 def minhash_signature(
@@ -340,11 +372,7 @@ def x2a_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is ≈ 1 - 2.7e-6 per pair, so the output matches the exact
     all-pairs oracle. Properties (planted near-dups found, parity with
     x2b) are unit-tested in tests/test_dedup.py."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = shared_persist(
-        d.select("doc_id", word_shingles("text").alias("grams"))
-        .withColumn("n", F.size("grams"))
-    )
+    grams = _corpus_grams(spark, sf_dir)
     sigs = minhash_signature(grams, grams_col="grams").select("doc_id", "sig")
     cands = lsh_candidate_pairs(sigs, "doc_id")
     docs_a = grams.select(
@@ -573,9 +601,7 @@ def x2d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle match certifies both the fingerprint math and banding
     completeness. The xxhash64 fast path and the block-pair recall
     guarantee are unit-tested in tests/test_dedup.py."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = d.select("doc_id", simhash_col("text", portable=True).alias("simhash"))
-    return simhash_pairs(fp)
+    return simhash_pairs(_corpus_simhash(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -710,6 +736,4 @@ def x2i_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a recursive reachability CTE over the same portable-simhash
     pairs, so the oracle certifies the iterative label propagation
     converged to the true transitive closure."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = d.select("doc_id", simhash_col("text", portable=True).alias("simhash"))
-    return connected_components(simhash_pairs(fp))
+    return connected_components(simhash_pairs(_corpus_simhash(spark, sf_dir)))
