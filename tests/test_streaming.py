@@ -235,3 +235,42 @@ def test_rocksdb_state_store_runs_stateful_query(spark, fresh_root):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     out = spark.read.schema(schema).parquet(f"{fresh_root}/out")
     assert out.count() == 5
+
+
+def test_kafka_branch_applies_every_option_and_projects_value():
+    """End-to-end plumbing check for the kafka branch with a mocked
+    reader (VERDICT r05 #5 — no broker exists in the sandbox): every
+    option from kafka_reader_options must reach the reader, format must
+    be 'kafka', and the source must project exactly the value column."""
+    from realtime_financial_transactions_data_pipeline_spark.streaming import (
+        pipeline as sp,
+    )
+
+    calls = {"format": None, "options": {}, "loaded": False, "selected": None}
+
+    class FakeReader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            calls["options"][k] = v
+            return self
+
+        def load(self):
+            calls["loaded"] = True
+            return self
+
+        def select(self, *cols):
+            calls["selected"] = cols
+            return self
+
+    class FakeSpark:
+        readStream = FakeReader()
+
+    opts = sp.kafka_reader_options("b1:9092", "txns")
+    out = sp.build_stream_source(FakeSpark(), "kafka", kafka_options=opts)
+    assert calls["format"] == "kafka"
+    assert calls["options"] == opts  # nothing dropped, nothing renamed
+    assert calls["loaded"] and calls["selected"] == ("value",)
+    assert out is not None
