@@ -1,0 +1,163 @@
+"""J6 — as-of (point-in-time) join: for every left row, the single most
+recent right row with the same key at-or-before the left timestamp.
+
+The canonical financial lookup the reference's star schema implies but
+BigQuery had to emulate with correlated subqueries: attribute each
+transaction to the prevailing exchange rate / risk score / consent
+snapshot *as of* the transaction time (reference README.md:40-49's
+slowly-changing dimensions are the batch cousin of this).
+
+Scale design — union + one window pass, NO join node:
+
+    left(key, ts, payload_l)  ─┐ tag side=1
+                               ├─ union → window PARTITION BY key
+    right(key, ts, payload_r) ─┘ tag side=0     ORDER BY ts, side
+                                   last(payload_r, ignorenulls) ⇒ match
+
+A naive formulation (equi-join on key + ts filter + row_number to keep
+the latest) shuffles BOTH tables on the key and then explodes every
+(left, right) candidate pair before pruning — O(matches²) per key in
+the worst case. The union-window plan shuffles each row exactly once,
+carries no pair blow-up, and AQE handles key skew like any other
+window. Rows at identical (ts) order right-before-left (side 0 < 1),
+giving the standard >= semantics; the right side is pre-reduced to one
+row per (key, ts) so the match is unique and deterministic.
+
+Oracle: DuckDB's native ASOF LEFT JOIN — an independent engine's
+implementation of the same semantics, not a replay of our plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Append ``right_payload`` columns (plus ``_asof_ts``, the matched
+    right timestamp) to ``left``: values from the latest right row with
+    the same ``key`` whose ``right_ts`` <= ``left_ts``; all null when no
+    right row qualifies. ``tolerance_seconds`` additionally nulls
+    matches older than the window (the "don't join to a quote from last
+    month" guard).
+
+    The right side must be unique per (key, right_ts) — reduce it first
+    (e.g. max/last by tie-break column) so the result is deterministic;
+    this function asserts nothing about it and simply takes the last
+    row in (ts, input-order), which is only stable if uniqueness holds.
+    """
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_payload, right_ts).alias("s")).schema[
+                "s"
+            ].dataType
+        ).alias("_r"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*right_payload, right_ts).alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        l.unionByName(r)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_seconds is not None:
+        joined = joined.withColumn(
+            "_match",
+            F.when(
+                F.unix_timestamp("_ts")
+                - F.unix_timestamp(F.col("_match")[right_ts])
+                <= tolerance_seconds,
+                F.col("_match"),
+            ),
+        )
+    out = joined.select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_match.{c}").alias(c) for c in right_payload],
+        F.col(f"_match.{right_ts}").alias("_asof_ts"),
+    )
+    return out
+
+
+@probe(
+    "j6_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id,
+                      date_trunc('second', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, date_trunc('second', ts) AS cts,
+                      max(event_id) AS click_id
+               FROM events WHERE event_type = 'click'
+               GROUP BY user_id, date_trunc('second', ts))
+    SELECT p.user_id, p.purchase_id, c.click_id,
+           round(epoch(p.pts - c.cts) / 60.0, 2) AS mins_since_click
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.pts >= c.cts
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join each purchase event to the user's most recent click
+    at-or-before it (last-touch attribution, point-in-time-correct).
+    Hash-checked against DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation of the semantics, so the oracle match
+    certifies ordering, tie-breaks, and the unmatched-null contract,
+    not just our own plan replayed. Clicks reduce to one row per
+    (user, second) with the max event id first, making the match
+    unique in both engines; both sides truncate to seconds (the
+    delay-arithmetic granularity, matching t7/t8)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_trunc("second", "ts").alias("pts"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.date_trunc("second", "ts").alias("cts"))
+        .groupBy("user_id", "cts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="pts",
+        right_ts="cts",
+        right_payload=["click_id"],
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        dround(
+            (F.unix_timestamp("pts") - F.unix_timestamp("_asof_ts")) / 60.0, 2
+        ).alias("mins_since_click"),
+    )

@@ -133,6 +133,7 @@ def probe(name: str, oracle: str | None = None, doc: str = ""):
 def all_probes() -> dict[str, Probe]:
     # Import side-effect modules that register probes.
     from realtime_financial_transactions_data_pipeline_spark.operators import (  # noqa: F401
+        asof,
         relational,
         dedup,
         similarity,

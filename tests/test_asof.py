@@ -1,0 +1,145 @@
+"""J6 as-of join: semantics, tolerance, and the no-join-node plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    txns = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:05"), "t1"),
+            (1, _ts("2024-01-01T09:00:00"), "t2"),  # before any quote
+            (2, _ts("2024-01-01T12:00:00"), "t3"),  # equal-ts match
+            (3, _ts("2024-01-01T12:00:00"), "t4"),  # key with no quotes
+        ],
+        ["k", "ts", "txn_id"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 5.0),
+            (1, _ts("2024-01-01T10:00:00"), 7.0),  # latest <= t1
+            (1, _ts("2024-01-01T11:00:00"), 9.0),  # after t1 - ignored
+            (2, _ts("2024-01-01T12:00:00"), 2.0),  # ties t3 exactly
+        ],
+        ["k", "qts", "rate"],
+    )
+    return txns, quotes
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    txns, quotes = _frames(spark)
+    out = {
+        r.txn_id: (r.rate, r._asof_ts)
+        for r in asof_join(
+            txns, quotes, key="k", left_ts="ts", right_ts="qts",
+            right_payload=["rate"],
+        ).collect()
+    }
+    assert out["t1"] == (7.0, _ts("2024-01-01T10:00:00"))  # not 5.0, not 9.0
+    assert out["t2"] == (None, None)  # no quote yet
+    assert out["t3"] == (2.0, _ts("2024-01-01T12:00:00"))  # >= includes equal
+    assert out["t4"] == (None, None)  # key never quoted
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    txns, quotes = _frames(spark)
+    out = {
+        r.txn_id: r.rate
+        for r in asof_join(
+            txns, quotes, key="k", left_ts="ts", right_ts="qts",
+            right_payload=["rate"], tolerance_seconds=1,
+        ).collect()
+    }
+    assert out["t1"] is None  # 5s-old quote > 1s tolerance
+    assert out["t3"] == 2.0  # 0s old
+
+
+def test_asof_plan_has_single_window_and_no_join(spark):
+    """The union-window formulation must never degrade into a join with
+    a per-key pair blow-up: no join node of any kind, exactly one
+    Window, and the left/right scans shuffled once for it."""
+    txns, quotes = _frames(spark)
+    out = asof_join(
+        txns, quotes, key="k", left_ts="ts", right_ts="qts",
+        right_payload=["rate"],
+    )
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("(.*Window") <= 1 or plan.count(") Window") == 1
+    assert "Union" in plan
+
+
+def test_j6_probe_matches_naive_join_formulation(spark, sf_dir):
+    """Cross-check the window plan against an independently-written
+    naive Spark formulation (join + row_number) on real testdata."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.asof import (
+        j6_asof_join,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+    from pyspark.sql import Window
+
+    fast = {
+        (r.user_id, r.purchase_id): (r.click_id, r.mins_since_click)
+        for r in j6_asof_join(spark, sf_dir).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_trunc("second", "ts").alias("pts"),
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.date_trunc("second", "ts").alias("cts"))
+        .groupBy("user_id", "cts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    # The eligibility predicate lives IN the join condition so a
+    # purchase whose clicks are all in the future still survives as an
+    # unmatched null row (a WHERE would drop it).
+    pa, ca = p.alias("p"), c.alias("c")
+    w = Window.partitionBy("p.user_id", "p.purchase_id").orderBy(
+        F.col("c.cts").desc()
+    )
+    naive = (
+        pa.join(
+            ca,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.cts") <= F.col("p.pts")),
+            "left",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            "p.purchase_id",
+            "c.click_id",
+            "p.pts",
+            "c.cts",
+        )
+    )
+    slow = {}
+    for r in naive.collect():
+        mins = (
+            None
+            if r.cts is None
+            else round((r.pts - r.cts).total_seconds() / 60.0, 2)
+        )
+        slow[(r.user_id, r.purchase_id)] = (r.click_id, mins)
+    assert set(fast) == set(slow)
+    mismatches = {k: (fast[k], slow[k]) for k in fast if fast[k] != slow[k]}
+    assert not mismatches, list(mismatches.items())[:5]
