@@ -620,3 +620,135 @@ def x3h_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3i — BM25 relevance scoring (Robertson/Spärck Jones; the ranking
+# function behind quality-by-query corpus filtering and retrieval-based
+# data selection). Extension beyond the reference surface.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ["join", "window", "spark"]
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_cols: list[str],
+    text_col: str = "text",
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """Per-document BM25 score for a fixed query-term list, shuffle-free
+    on the corpus side:
+
+    * per-doc term frequencies come from JVM ``filter(tokens, t -> ...)``
+      lambdas over the token array — no explode, no (doc, term) shuffle;
+    * the corpus statistics (N, avgdl, per-term document frequencies)
+      are ONE tiny aggregate broadcast back via crossJoin;
+    * the score itself is a single codegen'd expression whose per-term
+      summands add in fixed list order, so an independent engine
+      replaying the same expression gets bit-comparable doubles.
+
+    At 100 TB this is a map-only pass over the corpus plus a scalar
+    aggregate — the same shape as x3f's cross-entropy scorer."""
+    def _matches(term: str):
+        # Single-arg lambda: F.filter dispatches on arity, and a
+        # two-parameter signature would receive the array INDEX as the
+        # second argument.
+        return lambda t: t == F.lit(term)
+
+    toked = docs.select(
+        *id_cols,
+        F.regexp_extract_all(text_col, F.lit(_TOKEN_RE), 0).alias("tokens"),
+    ).select(
+        *id_cols,
+        F.size("tokens").cast("double").alias("dl"),
+        *[
+            F.size(F.filter("tokens", _matches(term)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = toked.crossJoin(F.broadcast(stats))
+    summands = [
+        F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        * (
+            (F.col(f"tf_{i}") * (k1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        for i in range(len(terms))
+    ]
+    score = summands[0]
+    for s in summands[1:]:
+        score = score + s
+    return scored.select(*id_cols, score.alias("bm25_raw"))
+
+
+def _bm25_oracle_sql(terms: list[str], k1: float, b: float) -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(tokens, t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    summands = " + ".join(
+        f"(ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        f" * ((t.tf_{i} * ({k1} + 1.0))"
+        f" / (t.tf_{i} + {k1} * (1.0 - {b} + {b} * t.dl / s.avgdl))))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, lang, text,
+                   regexp_extract_all(text, '{_TOKEN_RE}') AS tokens
+            FROM documents)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
+      FROM tok
+    )
+    SELECT t.doc_id, t.lang, round({summands}, 4) AS bm25
+    FROM tok t CROSS JOIN s
+    WHERE {" + ".join(f"t.tf_{i}" for i in range(len(terms)))} > 0
+    """
+
+
+@probe(
+    "x3i_bm25",
+    oracle=_bm25_oracle_sql(_BM25_TERMS, _BM25_K1, _BM25_B),
+)
+def x3i_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3i — BM25 score of every document against the fixed query
+    {join, window, spark} (k1=1.2, b=0.75), keeping docs that match at
+    least one term. Hash-checked: DuckDB replays the identical
+    tokenization, tf/df/avgdl statistics, and fixed-order summation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = bm25_scores(d, _BM25_TERMS, id_cols=["doc_id", "lang"])
+    return scored.filter(F.col("bm25_raw") > 0).select(
+        "doc_id", "lang", dround("bm25_raw", 4).alias("bm25")
+    )

@@ -1,0 +1,46 @@
+"""X3i BM25: hand-computed scores and the shuffle-free plan."""
+
+from __future__ import annotations
+
+
+def test_bm25_matches_hand_computation(spark):
+    """Three tiny docs, one query term - verify the exact BM25 value."""
+    import math
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog dog dog"), (3, "cat bird fish bird")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.bm25_raw
+        for r in bm25_scores(docs, ["cat"], id_cols=["doc_id"]).collect()
+    }
+    n_docs, avgdl, df = 3.0, (3 + 3 + 4) / 3.0, 2.0
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert abs(out[1] - score(2, 3)) < 1e-12
+    assert abs(out[2] - score(0, 3)) < 1e-12  # no match -> 0
+    assert abs(out[3] - score(1, 4)) < 1e-12
+
+
+def test_bm25_plan_is_map_only_plus_scalar_agg(spark, sf_dir):
+    """The corpus side must never shuffle: no exchange other than the
+    single-row stats aggregate, tf via array lambdas (no Generate/
+    explode), stats broadcast back."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        x3i_bm25,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    df = x3i_bm25(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Generate" not in plan  # tf computed array-side, not exploded
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert not inspect.has_python_row_udf(df)
