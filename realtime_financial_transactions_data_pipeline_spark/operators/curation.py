@@ -400,3 +400,76 @@ def x11_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         head.withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "lang", "shuffle_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# X12 — per-domain quota capping (C4 / RefinedWeb-style source caps):
+# no single domain may contribute more than `cap` documents, and which
+# documents survive must be deterministic and seed-driven, not
+# partition-order luck. Extension beyond the reference surface.
+# ---------------------------------------------------------------------------
+
+_QUOTA_CAP = 20
+_QUOTA_SEED = 77
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = _QUOTA_SEED,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, selected by a
+    deterministic md5 priority (seeded, engine-portable — the same
+    construction as X8's mixture sampler and X11's global shuffle, so
+    reruns and resumed jobs keep the identical subset).
+
+    One window shuffle keyed by domain. Domain cardinality is Zipf-ish
+    at corpus scale and a mega-domain's partition holds at most its
+    pre-cap rows; if one domain dominates the corpus outright, the
+    standard refinement is a two-phase count-then-sample (count per
+    domain, then per-row keep iff md5-rank percentile <= cap/count) —
+    noted here because the window formulation is the right default, not
+    the only shape."""
+    w = Window.partitionBy(domain_col).orderBy("_pri", id_col)
+    return (
+        docs.withColumn(
+            "_pri",
+            F.md5(
+                F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string"))
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_pri", "_rn")
+    )
+
+
+@probe(
+    "x12_domain_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_QUOTA_SEED}-' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM ranked WHERE rn <= {_QUOTA_CAP}
+    GROUP BY source
+    """,
+)
+def x12_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — cap every source domain at {cap} documents with seeded
+    md5 priority; report per-domain kept counts and language spread.
+    Hash-checked: DuckDB replays the same priority and window."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = cap_per_domain(d, _QUOTA_CAP)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

@@ -86,3 +86,29 @@ def test_token_sharding_respects_budget_and_preserves_docs(spark, sf_dir):
             assert s.shard_tokens > 0
         # shard ids are dense from 0
         assert [s.shard_id for s in shards] == list(range(len(shards)))
+
+
+def test_cap_per_domain_deterministic_and_capped(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+        cap_per_domain,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 3}", "t") for i in range(30)], ["doc_id", "source", "text"]
+    )
+    kept = cap_per_domain(docs, cap=4, seed=9)
+    per = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {"d0": 4, "d1": 4, "d2": 4}
+    # Deterministic across invocations and independent of input order
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    shuffled = docs.orderBy(F.rand(123))
+    ids2 = sorted(
+        r.doc_id for r in cap_per_domain(shuffled, cap=4, seed=9).collect()
+    )
+    assert ids1 == ids2
+    # A different seed keeps a different subset (caps still hold)
+    ids3 = sorted(r.doc_id for r in cap_per_domain(docs, cap=4, seed=10).collect())
+    assert ids1 != ids3 and len(ids3) == 12
