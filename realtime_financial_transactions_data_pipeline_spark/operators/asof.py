@@ -161,3 +161,83 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("pts") - F.unix_timestamp("_asof_ts")) / 60.0, 2
         ).alias("mins_since_click"),
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+) -> DataFrame:
+    """J7 — interval-overlap join: all (a, b) row pairs sharing ``key``
+    whose [start, end] intervals intersect (closed-interval semantics:
+    touching endpoints overlap).
+
+    With an equi key, this is a plain shuffle join on the key with the
+    overlap conjunction as a post-join predicate — per-key work is
+    bounded by per-key interval counts (AQE splits skewed keys), and no
+    all-pairs blow-up crosses key boundaries. For the KEYLESS variant at
+    corpus scale, bucketize time into fixed-width epochs, emit each
+    interval into every epoch it touches, equi-join on the epoch, and
+    dedup pairs — the standard range-bucketing rewrite; not needed here
+    because every reference query carries a key.
+    """
+    return a.join(
+        b,
+        (a[key] == b[key])
+        & (a[a_start] <= b[b_end])
+        & (b[b_start] <= a[a_end]),
+    )
+
+
+@probe(
+    "j7_interval_overlap",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k, o_orderkey AS id, o_orderdate AS s,
+             o_orderdate + INTERVAL 30 DAY AS e
+      FROM orders
+    )
+    SELECT a.k AS custkey,
+           CAST(count(*) AS BIGINT) AS n_overlap_pairs,
+           CAST(max(date_diff('day',
+                              greatest(a.s, b.s),
+                              least(a.e, b.e))) AS BIGINT) AS max_overlap_days
+    FROM o a JOIN o b
+      ON a.k = b.k AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.k
+    """,
+)
+def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: per-customer overlapping 30-day order windows — the
+    'concurrent exposure' query (how many of a customer's transaction
+    windows were simultaneously open, and for how long). Self
+    interval-overlap join on the customer key; pair order pinned by
+    orderkey so each unordered pair counts once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").alias("s"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("e"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    )
+    return pairs.groupBy(F.col("a.k").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_overlap_pairs"),
+        F.max(
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            )
+        ).cast("long").alias("max_overlap_days"),
+    )

@@ -473,3 +473,62 @@ def x12_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+def quantile_gate(
+    docs: DataFrame,
+    score_col: F.Column,
+    q: float,
+) -> DataFrame:
+    """X13 — corpus-relative quality gate: keep documents whose score is
+    at or above the corpus's exact ``q``-quantile (computed on THIS
+    corpus, not a hand-tuned absolute threshold — the way production
+    pipelines set per-source floors that track distribution drift).
+
+    Scale shape: the quantile is one scalar aggregate (exact
+    ``percentile`` here; swap to ``percentile_approx`` / GK at 100 TB
+    for single-pass bounded memory — the filter logic is unchanged),
+    broadcast back as a 1-row frame; the corpus itself is filtered in
+    place with no shuffle.
+    """
+    scored = docs.withColumn("_score", score_col)
+    thr = scored.agg(F.percentile("_score", q).alias("_thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("_score") >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+@probe(
+    "x13_quantile_gate",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             least(length(text) / 500.0, 1.0)
+               * (1 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
+               * (1 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text))
+               AS s
+      FROM documents WHERE length(text) > 0
+    ),
+    thr AS (SELECT quantile_cont(s, 0.25) AS t FROM scored)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_retained,
+           round(avg(s), 4) AS avg_quality
+    FROM scored, thr WHERE s >= t
+    GROUP BY lang
+    """,
+)
+def x13_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: drop the bottom quality quartile of the corpus (threshold =
+    exact P25 of the x3c surface-statistics score, computed over the
+    corpus itself), report retained docs + mean quality per language.
+    Spark `percentile` and DuckDB `quantile_cont` share linear
+    interpolation on identical doubles, so the gate boundary is
+    bit-identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    kept = quantile_gate(docs, quality_col(), q=0.25)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_retained"),
+        dround(F.avg("_score"), 4).alias("avg_quality"),
+    )

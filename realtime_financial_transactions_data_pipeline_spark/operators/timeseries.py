@@ -1,0 +1,266 @@
+"""Time-series & behavioral analytics extensions (A11–A13): calendar
+gap-fill + moving average, event funnels, cohort retention.
+
+The reference dashboard's timeline chart (README.md:91, the A7 daily
+time-series) silently drops days with no transactions and has no
+trend smoothing, funnel, or retention view — BigQuery dashboards
+usually bolt these on with generate_series + window SQL. Here they are
+first-class operators on the events stream table.
+
+Scale notes (100 TB):
+  * Gap-fill builds the calendar spine from a 1-row min/max aggregate
+    crossed with the distinct dimension values — spine size is
+    |dims| x |days| (thousands), never proportional to the fact table;
+    the fact side is pre-aggregated to daily grain BEFORE the join, so
+    the spine join touches ~rows-per-day-per-dim aggregates only.
+  * The moving average runs on integer cents (exact arithmetic), so
+    window-sum implementation details (running accumulation vs DuckDB's
+    segment tree) cannot produce cross-engine FP drift.
+  * Funnel stages are min-timestamp aggregates per user joined on the
+    user key — shuffle on the natural key, each stage's frame shrinks
+    monotonically (only users who reached the prior stage survive).
+  * Cohort retention is two user-grain aggregates joined on user_id and
+    re-aggregated to (cohort_week, week_offset) — output cardinality is
+    weeks², independent of fact scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+def gapfill_daily(
+    facts: DataFrame,
+    ts_col: str,
+    dim_col: str,
+    value_col: str,
+    ma_days: int = 7,
+) -> DataFrame:
+    """Daily ``value_col`` totals per ``dim_col`` with every calendar day
+    between the global min and max date present (0.0 where no rows), plus
+    an ``ma{n}`` trailing moving average over the last ``ma_days`` days.
+
+    Totals are carried as exact integer cents through the window so the
+    moving average is engine-portable (no FP summation-order drift).
+    """
+    daily = (
+        facts.groupBy(
+            F.col(dim_col), F.to_date(ts_col).alias("d")
+        ).agg(
+            F.round(F.sum(value_col) * 100, 0).cast("long").alias("cents")
+        )
+    )
+    bounds = facts.agg(
+        F.min(F.to_date(ts_col)).alias("d0"), F.max(F.to_date(ts_col)).alias("d1")
+    )
+    spine = (
+        facts.select(dim_col).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(dim_col, F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    filled = spine.join(daily, [dim_col, "d"], "left").withColumn(
+        "cents", F.coalesce("cents", F.lit(0).cast("long"))
+    )
+    w = (
+        Window.partitionBy(dim_col)
+        .orderBy("d")
+        .rowsBetween(-(ma_days - 1), Window.currentRow)
+    )
+    return filled.select(
+        F.col(dim_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.col("cents") / 100.0).alias("revenue"),
+        dround(
+            F.sum("cents").over(w) / (100.0 * ma_days), 2
+        ).alias(f"ma{ma_days}"),
+    )
+
+
+@probe(
+    "a11_gapfill_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.d
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+                  FROM bounds) g
+    ),
+    filled AS (
+      SELECT s.event_type, s.d, coalesce(daily.cents, 0) AS cents
+      FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type
+                                  AND s.d = daily.d
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           cents / 100.0 AS revenue,
+           round(sum(cents) OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 / 700.0, 2) AS ma7
+    FROM filled
+    """,
+)
+def a11_gapfill_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: calendar gap-fill + 7-day trailing moving average of daily
+    revenue per event_type. Every day in [min, max] appears for every
+    type (revenue 0.0 on silent days); the MA sums integer cents in the
+    window frame, so Spark's running accumulation and DuckDB's segment
+    tree agree bit-for-bit."""
+    return gapfill_daily(
+        load_table(spark, sf_dir, "events"),
+        ts_col="ts",
+        dim_col="event_type",
+        value_col="value",
+        ma_days=7,
+    )
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel user counts: stage i counts users whose earliest
+    ``stages[i]`` event STRICTLY AFTER their stage i-1 entry time exists.
+    Returns one row: ``n_<stage>`` user counts plus ``rate_<stage>``
+    conversion vs the first stage.
+
+    Each stage is a min-timestamp aggregate over the (shrinking) set of
+    users who reached the previous stage — no window over the full
+    event stream, no per-user event sorting.
+    """
+    reached = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    counts = [reached.count()]
+    prev_ts = "t0"
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .join(reached, user_col)
+            .filter(F.col(ts_col) > F.col(prev_ts))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        reached = nxt
+        prev_ts = f"t{i}"
+        counts.append(reached.count())
+    spark = events.sparkSession
+    row = {}
+    for stage, n in zip(stages, counts):
+        row[f"n_{stage}"] = n
+    for stage, n in zip(stages[1:], counts[1:]):
+        row[f"rate_{stage}"] = round(n / counts[0], 4) if counts[0] else 0.0
+    return spark.createDataFrame([row])
+
+
+@probe(
+    "a12_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t1
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t0
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t2
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t1
+               GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 4)
+             AS rate_click,
+           round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v), 4)
+             AS rate_purchase
+    """,
+)
+def a12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: ordered view → click → purchase funnel over the events
+    stream. A user converts at stage N only with an event strictly
+    after their stage N-1 entry timestamp (min-ts semantics, so
+    re-orderings of same-type events don't matter)."""
+    out = funnel(
+        load_table(spark, sf_dir, "events"),
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )
+    return out.select(
+        F.col("n_view").cast("long"),
+        F.col("n_click").cast("long"),
+        F.col("n_purchase").cast("long"),
+        F.col("rate_click").cast("double"),
+        F.col("rate_purchase").cast("double"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the ISO week of
+    their first event; ``active_users`` counts distinct users of that
+    cohort active in each subsequent week (``week_offset`` weeks after
+    the cohort week)."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(F.to_date(ts_col))).cast("date").alias("cw")
+    )
+    activity = events.select(
+        F.col(user_col),
+        F.date_trunc("week", F.to_date(ts_col)).cast("date").alias("aw"),
+    ).distinct()
+    return (
+        activity.join(first, user_col)
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("aw", "cw") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("active_users"))
+    )
+
+
+@probe(
+    "a13_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id,
+             date_trunc('week', min(CAST(ts AS DATE))) AS cw
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS aw
+      FROM events
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, aw) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM activity JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def a13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: weekly cohort retention over events. Both engines truncate
+    to Monday-start weeks (Spark date_trunc('week') and DuckDB
+    date_trunc('week') share ISO semantics); offsets are exact integer
+    day-diffs / 7."""
+    return cohort_retention(
+        load_table(spark, sf_dir, "events"), user_col="user_id", ts_col="ts"
+    )

@@ -144,6 +144,7 @@ def all_probes() -> dict[str, Probe]:
         scale,
         curation,
         packing,
+        timeseries,
     )
     from realtime_financial_transactions_data_pipeline_spark.sources import (  # noqa: F401
         batch,

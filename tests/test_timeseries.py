@@ -1,0 +1,133 @@
+"""A11–A13 time-series/behavioral analytics + J7 interval overlap +
+X5c heavy hitters + X13 quantile gate: semantic unit tests on
+hand-built frames (the sf0.01 oracle sweep covers the testdata path)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.operators.asof import (
+    interval_overlap_join,
+)
+from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+    quantile_gate,
+)
+from realtime_financial_transactions_data_pipeline_spark.operators.sketches import (
+    misra_gries_candidates,
+)
+from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+    cohort_retention,
+    funnel,
+    gapfill_daily,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_gapfill_fills_silent_days_and_mas(spark):
+    facts = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T10:00:00"), 10.0),
+            ("a", _ts("2024-01-04T10:00:00"), 40.0),  # 2nd/3rd silent
+            ("b", _ts("2024-01-02T10:00:00"), 5.0),
+        ],
+        ["dim", "ts", "v"],
+    )
+    out = gapfill_daily(facts, "ts", "dim", "v", ma_days=2)
+    rows = {(r.dim, r.day): r for r in out.collect()}
+    # Every (dim, day) cell exists for the full global span.
+    assert len(rows) == 2 * 4
+    assert rows[("a", "2024-01-02")].revenue == 0.0
+    assert rows[("b", "2024-01-04")].revenue == 0.0
+    # 2-day trailing MA: day4 for a = (0 + 40)/2.
+    assert rows[("a", "2024-01-04")].ma2 == 20.0
+    assert rows[("a", "2024-01-01")].ma2 == 5.0  # frame clipped at start
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 converts fully in order.
+            (1, _ts("2024-01-01T10:00:00"), "view"),
+            (1, _ts("2024-01-01T10:01:00"), "click"),
+            (1, _ts("2024-01-01T10:02:00"), "purchase"),
+            # u2 clicked BEFORE viewing - click must not count.
+            (2, _ts("2024-01-01T09:00:00"), "click"),
+            (2, _ts("2024-01-01T10:00:00"), "view"),
+            # u3 viewed only.
+            (3, _ts("2024-01-01T10:00:00"), "view"),
+            # u4 purchased without view - not even stage 1.
+            (4, _ts("2024-01-01T10:00:00"), "purchase"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    row = funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]).head()
+    assert (row.n_view, row.n_click, row.n_purchase) == (3, 1, 1)
+    assert abs(row.rate_purchase - round(1 / 3, 4)) < 1e-9
+
+
+def test_cohort_retention_offsets(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 first in week of Mon 2024-01-01, active again 2 weeks on.
+            (1, _ts("2024-01-02T10:00:00")),
+            (1, _ts("2024-01-16T10:00:00")),
+            # u2 same cohort week, active only then.
+            (2, _ts("2024-01-05T10:00:00")),
+            # u3 cohort week of Mon 2024-01-08.
+            (3, _ts("2024-01-10T10:00:00")),
+        ],
+        ["user_id", "ts"],
+    )
+    out = {
+        (r.cohort_week, r.week_offset): r.active_users
+        for r in cohort_retention(ev, "user_id", "ts").collect()
+    }
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 2)] == 1
+    assert out[("2024-01-08", 0)] == 1
+    assert ("2024-01-01", 1) not in out  # silent week absent (sparse matrix)
+
+
+def test_interval_overlap_closed_endpoints(spark):
+    a = spark.createDataFrame(
+        [(1, "a1", 0, 10), (1, "a2", 20, 30), (2, "a3", 0, 10)],
+        ["k", "id_a", "s_a", "e_a"],
+    )
+    b = spark.createDataFrame(
+        [(1, "b1", 10, 15), (1, "b2", 31, 40), (2, "b3", 11, 12)],
+        ["k", "id_b", "s_b", "e_b"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in interval_overlap_join(a, b, "k", "s_a", "e_a", "s_b", "e_b")
+        .select("id_a", "id_b")
+        .collect()
+    }
+    # a1/b1 touch at 10 (closed), a2/b2 gap of 1, a3/b3 disjoint, and
+    # no cross-key pair (a3 would overlap b1 if keys were ignored).
+    assert pairs == {("a1", "b1")}
+
+
+def test_misra_gries_superset_of_heavy_hitters(spark):
+    # 60 'hot' + 40 singletons over >=2 partitions; theta = 1/4.
+    rows = [("hot",)] * 60 + [(f"w{i}",) for i in range(40)]
+    items = spark.createDataFrame(rows, ["w"]).repartition(4)
+    cand = {r.w for r in misra_gries_candidates(items, "w", k=8).collect()}
+    assert "hot" in cand
+    # Summary stayed bounded: each of the 4 partitions emits <= k items.
+    assert len(cand) <= 4 * 8
+
+
+def test_quantile_gate_keeps_top_three_quarters(spark):
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], ["doc_id", "s"]
+    )
+    kept = quantile_gate(docs, F.col("s"), q=0.25)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # Exact P25 of 1..8 = 2.75 (linear interpolation) -> keep 3..8.
+    assert ids == [3, 4, 5, 6, 7, 8]
