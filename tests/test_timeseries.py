@@ -20,6 +20,7 @@ from realtime_financial_transactions_data_pipeline_spark.operators.sketches impo
 from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
     cohort_retention,
     funnel,
+    funnel_single_pass,
     gapfill_daily,
 )
 
@@ -65,9 +66,13 @@ def test_funnel_requires_strict_order(spark):
         ],
         ["user_id", "ts", "event_type"],
     )
-    row = funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]).head()
-    assert (row.n_view, row.n_click, row.n_purchase) == (3, 1, 1)
-    assert abs(row.rate_purchase - round(1 / 3, 4)) < 1e-9
+    stages = ["view", "click", "purchase"]
+    # Both plans (staged multi-join, single-shuffle array walk) must
+    # produce identical funnels.
+    for impl in (funnel, funnel_single_pass):
+        row = impl(ev, "user_id", "ts", "event_type", stages).head()
+        assert (row.n_view, row.n_click, row.n_purchase) == (3, 1, 1), impl
+        assert abs(row.rate_purchase - round(1 / 3, 4)) < 1e-9, impl
 
 
 def test_cohort_retention_offsets(spark):
