@@ -407,7 +407,7 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFr
         .withColumn("sim", sim)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= nprobe)
-        .select("vec_id", "emb", "nrm", "list_id")
+        .select("vec_id", "emb", "nrm", "list_id", "sim")
     )
 
 
@@ -487,4 +487,111 @@ def x2h_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
             dround("sim_raw", 4).alias("cosine"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means — distributed Lloyd iterations (embedding clustering: semantic
+# dedup buckets / domain discovery over a corpus's embedding column)
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Seeded distributed Lloyd k-means over cosine similarity.
+
+    Init is deterministic WITHOUT a driver-side RNG: the k seed vectors
+    are the k lowest ``md5(vec_id)`` rows — a uniform pseudo-random
+    draw any engine can replay. Each iteration is (1) assign: broadcast
+    the k centroids, per-vector argmax cosine (``ivf_assign`` — one
+    map-side pass, no shuffle of the corpus), (2) update: per-position
+    mean of each cluster's members (``ivf_centroids`` — posexplode +
+    partial-aggregated avg, one shuffle keyed on (cluster, pos)).
+    Cluster ids stay the seed vec_ids throughout; a cluster that loses
+    all members simply drops out (both engines agree).
+
+    Returns (final assignment with its ``sim`` to the centroid it was
+    assigned under, the final updated centroids). At 100 TB: centroids
+    are k×dim doubles (broadcast-trivial); per-iteration cost is one
+    corpus map pass + one (k·dim)-key shuffle — the corpus itself never
+    shuffles. For many iterations, localCheckpoint per round (the x2i
+    lineage rule); at iters<=3 plan growth is immaterial.
+    """
+    seeds = (
+        emb.select("vec_id", "emb")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+    )
+    cents = seeds.select(
+        F.col("vec_id").alias("list_id"), F.col("emb").alias("centroid")
+    ).withColumn("c_nrm2", _norm("centroid"))
+    assign = None
+    for _ in range(iters):
+        assign = ivf_assign(emb, cents, nprobe=1)
+        cents = ivf_centroids(
+            assign.select(F.col("list_id").alias("label"), "emb"), "label"
+        )
+    # Final assignment pairs with the centroids it was computed AGAINST
+    # (cents as of the loop's last assign); callers wanting the final
+    # cents get them in slot 2.
+    return assign, cents
+
+
+_X2J_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+seeds AS (SELECT vec_id, emb FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_KMEANS_K}),
+c0 AS (SELECT vec_id AS list_id, emb AS centroid FROM seeds),
+s1 AS (SELECT e.vec_id, c0.list_id,
+              list_inner_product(e.emb, c0.centroid)
+              / (sqrt(list_inner_product(e.emb, e.emb))
+                 * sqrt(list_inner_product(c0.centroid, c0.centroid))) AS sim
+       FROM e CROSS JOIN c0),
+a1 AS (SELECT vec_id, list_id FROM (
+         SELECT vec_id, list_id,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, list_id) AS rnk
+         FROM s1) WHERE rnk = 1),
+pos1 AS (SELECT a1.list_id, unnest(generate_series(1, len(e.emb))) AS pos,
+                unnest(e.emb) AS v
+         FROM a1 JOIN e USING (vec_id)),
+m1 AS (SELECT list_id, pos, avg(v) AS m FROM pos1 GROUP BY list_id, pos),
+c1 AS (SELECT list_id, list(m ORDER BY pos) AS centroid
+       FROM m1 GROUP BY list_id),
+s2 AS (SELECT e.vec_id, c1.list_id,
+              list_inner_product(e.emb, c1.centroid)
+              / (sqrt(list_inner_product(e.emb, e.emb))
+                 * sqrt(list_inner_product(c1.centroid, c1.centroid))) AS sim
+       FROM e CROSS JOIN c1),
+a2 AS (SELECT vec_id, list_id, sim FROM (
+         SELECT vec_id, list_id, sim,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, list_id) AS rnk
+         FROM s2) WHERE rnk = 1)
+SELECT list_id AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(sim), 4) AS mean_cosine
+FROM a2 GROUP BY list_id
+"""
+
+
+@probe("x2j_kmeans", oracle=_X2J_ORACLE)
+def x2j_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2j: embedding clustering — 2 Lloyd iterations of cosine k-means
+    (k=8, deterministic md5-order seeding), reporting each cluster's
+    size and mean member-to-centroid cosine. The DuckDB oracle replays
+    BOTH iterations (seed → assign → mean-update → assign) in plain
+    SQL, so the hash certifies the full iterative computation, not just
+    one step."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "nrm"
+    )
+    assign, _ = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
+    return assign.groupBy(F.col("list_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        dround(F.avg("sim"), 4).alias("mean_cosine"),
     )

@@ -752,3 +752,87 @@ def x3i_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("bm25_raw") > 0).select(
         "doc_id", "lang", dround("bm25_raw", 4).alias("bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# x3j — bigram LM perplexity (CCNet-style quality filter, corpus as model)
+# ---------------------------------------------------------------------------
+
+_ADD_K = 0.5
+
+
+def bigram_xentropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", add_k: float = _ADD_K
+) -> DataFrame:
+    """Per-document bigram cross-entropy under an add-k-smoothed bigram
+    model trained on the corpus itself (the CCNet recipe, one order up
+    from x3f's unigram twin): score(d) = mean over d's bigrams of
+    −log2 P(w2|w1), P(w2|w1) = (c(w1,w2)+k) / (c(w1,·)+k·V).
+
+    Bigrams are built ARRAY-NATIVELY — ``zip_with(slice(toks, 1, n-1),
+    slice(toks, 2, n-1))`` inside each row — so pairing needs no window
+    sort and no shuffle; docs with < 2 word tokens score null.
+
+    Scale: two count aggregates (bigram types, left-context types — both
+    Zipf-bounded by vocab, not corpus size), one equi-join of the
+    exploded bigram stream to the bigram counts, left-context counts and
+    the scalar V broadcast. The corpus shuffles once, keyed on the
+    bigram (fixed-width hash at scale if tokens are long).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    d = docs.select(id_col, toks.alias("ts"))
+    big = d.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.expr("slice(ts, 1, size(ts) - 1)"),
+                F.expr("slice(ts, 2, size(ts) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    vocab = d.select(F.explode("ts").alias("w")).agg(
+        F.countDistinct("w").cast("double").alias("v")
+    )
+    p = (F.col("c2") + F.lit(add_k)) / (F.col("c1") + F.lit(add_k) * F.col("v"))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dround(F.avg(-F.log2(p)), 4).alias("bigram_xent"),
+        )
+    )
+
+
+@probe(
+    "x3j_bigram_xentropy",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_WORD_RE}') AS ts
+      FROM documents),
+    big AS (
+      SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+      FROM t WHERE len(ts) >= 2),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT unnest(ts) AS w FROM t))
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2((c2.c2 + {_ADD_K}) / (c1.c1 + {_ADD_K} * v.v))), 4)
+             AS bigram_xent
+    FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+)
+def x3j_bigram_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3j: bigram-LM perplexity scoring with the corpus as its own
+    model (add-0.5 smoothing) — the quality filter one order above
+    x3f's unigram cross-entropy. High-entropy docs are gibberish or
+    out-of-domain; the add-k floor keeps unseen bigrams finite."""
+    return bigram_xentropy(load_table(spark, sf_dir, "documents"))

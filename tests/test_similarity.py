@@ -155,3 +155,33 @@ def test_cosine_pairs_tiled_matches_bruteforce(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-9
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    # Two tight planted clusters far apart; k=2 must split them
+    # regardless of which seeds the md5 order picks.
+    import itertools
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + 0.01 * i, 0.0, 0.0]))
+    for i in range(8, 16):
+        rows.append((i, [0.0, 10.0 + 0.01 * i, 0.0]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        kmeans_lloyd,
+        with_double_embedding,
+    )
+    e = with_double_embedding(emb).select("vec_id", "emb", "nrm")
+    assign, cents = kmeans_lloyd(e, k=2, iters=2)
+    got = assign.select("vec_id", "list_id").collect()
+    clusters = {}
+    for r in got:
+        clusters.setdefault(r.list_id, set()).add(r.vec_id)
+    assert sorted(frozenset(v) for v in clusters.values()) == sorted(
+        [frozenset(range(8)), frozenset(range(8, 16))]
+    )
+    # Deterministic: a second run yields the identical assignment.
+    again, _ = kmeans_lloyd(e, k=2, iters=2)
+    assert sorted(map(tuple, got)) == sorted(
+        map(tuple, again.select("vec_id", "list_id").collect())
+    )

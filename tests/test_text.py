@@ -44,3 +44,24 @@ def test_bm25_plan_is_map_only_plus_scalar_agg(spark, sf_dir):
     assert "Generate" not in plan  # tf computed array-side, not exploded
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert not inspect.has_python_row_udf(df)
+
+
+def test_bigram_xentropy_hand_case(spark):
+    import math
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        bigram_xentropy,
+    )
+
+    # Corpus: d1 = "a b a b" (bigrams ab, ba, ab), d2 = "a" (no bigrams).
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in bigram_xentropy(docs, add_k=0.5).collect()}
+    # V = 2 (a, b); c(a,b)=2, c(b,a)=1; c(a,.)=2, c(b,.)=1.
+    p_ab = (2 + 0.5) / (2 + 0.5 * 2)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 2)
+    want = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].bigram_xent - round(want, 4)) < 1e-9
+    assert 2 not in out  # <2 tokens -> no bigrams -> absent
