@@ -43,6 +43,17 @@ def main() -> None:
     # JVM/codegen warm-up so the alphabetically-first probe doesn't
     # absorb session startup; counted in the suite total, not per-query.
     spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
+    # Host-speed calibration anchor: a fixed pure-JVM workload, timed.
+    # The sandbox is a Firecracker microVM (no steal-time reporting), so
+    # host oversubscription silently inflates wall clocks 1.5-3x between
+    # boots; calib_sec lets round-over-round suite comparisons normalize
+    # out the host factor (same-host q1 noise measured +-10%, while
+    # cross-boot suite walls have differed ~2x at identical code).
+    t_cal = time.time()
+    spark.range(0, 50_000_000).selectExpr(
+        "sum(id * 2654435761 % 1000003)"
+    ).collect()
+    calib_sec = round(time.time() - t_cal, 3)
     for name, p in sorted(all_probes().items()):
         if only and name not in only:
             continue
@@ -71,7 +82,8 @@ def main() -> None:
                                detail_name)
     with open(detail_path, "w") as fh:
         json.dump({"metric": "probe_suite_wall", "value": total,
-                   "unit": "sec", "sf": sf, "queries": timings}, fh,
+                   "unit": "sec", "sf": sf, "calib_sec": calib_sec,
+                   "queries": timings}, fh,
                   indent=1, sort_keys=True)
 
     headline = dict(
@@ -88,6 +100,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
+        "calib_sec": calib_sec,
         "queries": headline,
         "detail": detail_name,
     }
