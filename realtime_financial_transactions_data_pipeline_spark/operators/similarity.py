@@ -595,3 +595,87 @@ def x2j_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         dround(F.avg("sim"), 4).alias("mean_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x2k — int8 embedding quantization (vector compression for ANN at scale)
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "emb") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|, code_i =
+    floor(x_i·127/scale + 0.5) clamped to [-127, 127]. Appends ``scale``
+    (double), ``codes`` (array<int>), and ``recon_err`` — the L2 norm of
+    (x − dequant(x)) — all with JVM array lambdas, no Python, no
+    shuffle. ``floor(v + 0.5)`` is used instead of round() because the
+    two engines' round() differ on doubles; floor+0.5 is bit-identical
+    everywhere.
+
+    4x memory cut for ANN candidate stores; recon_err quantifies the
+    recall cost per vector. A zero vector gets scale 0 and all-zero
+    codes (the 0/0 guard)."""
+    scale = F.expr(f"aggregate({vec_col}, 0.0D, (s, v) -> greatest(s, abs(v)))")
+    d = emb.withColumn("scale", scale)
+    code = (
+        "transform({v}, x -> CAST(greatest(-127.0D, least(127.0D, "
+        "floor(CASE WHEN scale = 0.0D THEN 0.0D ELSE x * 127.0D / scale END + 0.5D)"
+        ")) AS INT))"
+    ).format(v=vec_col)
+    d = d.withColumn("codes", F.expr(code))
+    err = F.sqrt(
+        F.expr(
+            f"aggregate(zip_with({vec_col}, codes, (x, q) -> "
+            "CASE WHEN scale = 0.0D THEN 0.0D "
+            "ELSE (x - q * scale / 127.0D) * (x - q * scale / 127.0D) END), "
+            "0.0D, (s, v) -> s + v)"
+        )
+    )
+    return d.withColumn("recon_err", err)
+
+
+@probe(
+    "x2k_int8_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (
+      SELECT vec_id, emb,
+             list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale
+      FROM e
+    ),
+    c AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x -> CAST(greatest(-127.0, least(127.0,
+               floor(CASE WHEN scale = 0.0 THEN 0.0
+                          ELSE x * 127.0 / scale END + 0.5))) AS INTEGER))
+               AS codes
+      FROM q
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_aggregate(codes, 'max') AS INTEGER) AS code_max,
+           CAST(list_aggregate(codes, 'min') AS INTEGER) AS code_min,
+           round(sqrt(list_sum(list_transform(
+             list_zip(emb, codes),
+             p -> CASE WHEN scale = 0.0 THEN 0.0
+                       ELSE (p[1] - p[2] * scale / 127.0)
+                            * (p[1] - p[2] * scale / 127.0) END))), 6)
+             AS recon_err
+    FROM c
+    """,
+)
+def x2k_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2k: symmetric int8 vector quantization with per-vector recon
+    error — the compression step before an ANN candidate store (4x
+    smaller, dot products in int arithmetic). The oracle recomputes
+    codes and reconstruction with DuckDB list lambdas; floor(v+0.5)
+    keeps the code assignment bit-identical across engines."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb"
+    )
+    out = quantize_int8(emb)
+    return out.select(
+        "vec_id",
+        dround("scale", 6).alias("scale"),
+        F.array_max("codes").cast("int").alias("code_max"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        dround("recon_err", 6).alias("recon_err"),
+    )

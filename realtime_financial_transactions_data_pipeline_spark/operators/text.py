@@ -9,6 +9,7 @@ byte-for-byte on UTF-8 text.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -836,3 +837,68 @@ def x3j_bigram_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     x3f's unigram cross-entropy. High-entropy docs are gibberish or
     out-of-domain; the add-k floor keeps unseen bigrams finite."""
     return bigram_xentropy(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x3k — text normalization (NFC + casefold + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text_col(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``norm`` — the canonical form of ``text_col``: Unicode NFC
+    → lowercase → whitespace runs collapsed to single spaces → trimmed.
+    The first stop of any dedup/hashing pipeline (exact-dup digests are
+    meaningless if 'é' composed and 'é' decomposed hash apart).
+
+    NFC runs in an Arrow-batched pandas UDF (`unicodedata.normalize`,
+    stdlib — Spark exposes no normalizer builtin); case/whitespace stay
+    JVM-side. The UDF is a pure map over one string column: no shuffle,
+    vectorized batches, scale-neutral.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return df.withColumn(
+        "norm",
+        F.trim(
+            F.regexp_replace(F.lower(_nfc(F.col(text_col))), r"\s+", " ")
+        ),
+    )
+
+
+@probe(
+    "x3k_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                 lower(nfc_normalize(text || ' E' || chr(769) || '  x')),
+                 '\\s+', ' ', 'g'))) AS norm_digest,
+           CAST(length(trim(regexp_replace(
+                 lower(nfc_normalize(text || ' E' || chr(769) || '  x')),
+                 '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def x3k_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3k: canonical text normalization, digest-certified. The corpus
+    is ASCII, so the probe appends a DECOMPOSED 'E' + combining acute
+    (U+0301) plus ragged spaces inside the query — NFC must compose it
+    to é (U+00E9) and the collapse must eat the double space, or the
+    md5 diverges; the oracle replays with DuckDB's native
+    nfc_normalize, an independent NFC implementation."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" É  x"))
+    )
+    out = normalize_text_col(d)
+    return out.select(
+        "doc_id",
+        F.md5("norm").alias("norm_digest"),
+        F.length("norm").cast("long").alias("norm_len"),
+    )

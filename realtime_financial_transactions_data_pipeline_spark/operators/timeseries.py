@@ -332,3 +332,56 @@ def a13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(
         load_table(spark, sf_dir, "events"), user_col="user_id", ts_col="ts"
     )
+
+
+def daily_anomalies(
+    facts: DataFrame, ts_col: str, value_col: str, z_threshold: float = 2.0
+) -> DataFrame:
+    """A14 — z-score anomaly flags on the daily total series: each day's
+    revenue scored against the mean/stddev of ALL days; |z| above the
+    threshold flags the day. The stats are one 1-row aggregate over the
+    (tiny) daily series, broadcast back — the fact table aggregates
+    once, daily rows never shuffle again."""
+    daily = facts.groupBy(F.to_date(ts_col).alias("d")).agg(
+        dround(F.sum(value_col), 2).alias("revenue")
+    )
+    stats = daily.agg(
+        F.avg("revenue").alias("_mu"), F.stddev_samp("revenue").alias("_sd")
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "revenue",
+            dround((F.col("revenue") - F.col("_mu")) / F.col("_sd"), 4).alias("z"),
+            (
+                F.abs(F.col("revenue") - F.col("_mu"))
+                > F.lit(z_threshold) * F.col("_sd")
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+@probe(
+    "a14_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, round(sum(value), 2) AS revenue
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT avg(revenue) AS mu, stddev_samp(revenue) AS sd FROM daily)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           revenue,
+           round((revenue - mu) / sd, 4) AS z,
+           abs(revenue - mu) > 2.0 * sd AS is_anomaly
+    FROM daily, stats
+    """,
+)
+def a14_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: daily revenue outlier detection — z-score each day against
+    the whole series, flag |z| > 2 (the dashboard's 'unusual day'
+    marker). Mean/stddev agree cross-engine (both stddev_samp over the
+    same rounded daily totals)."""
+    return daily_anomalies(
+        load_table(spark, sf_dir, "events"), ts_col="ts", value_col="value"
+    )

@@ -185,3 +185,19 @@ def test_kmeans_lloyd_separates_planted_clusters(spark):
     assert sorted(map(tuple, got)) == sorted(
         map(tuple, again.select("vec_id", "list_id").collect())
     )
+
+
+def test_quantize_int8_codes_and_error(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [2.0, -1.0, 0.5]), (2, [0.0, 0.0, 0.0])], ["vec_id", "emb"]
+    )
+    out = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    assert out[1].scale == 2.0
+    # codes = floor(x*127/2 + .5) -> [127, floor(-63.0)= -63... check: -1*63.5+0.5=-63 -> -63], [0.5*63.5+0.5=32.25 -> 32]
+    assert out[1].codes == [127, -63, 32]
+    assert out[1].recon_err > 0
+    assert out[2].scale == 0.0 and out[2].codes == [0, 0, 0] and out[2].recon_err == 0.0

@@ -65,3 +65,19 @@ def test_bigram_xentropy_hand_case(spark):
     assert out[1].n_bigrams == 3
     assert abs(out[1].bigram_xent - round(want, 4)) < 1e-9
     assert 2 not in out  # <2 tokens -> no bigrams -> absent
+
+
+def test_normalize_text_col_nfc_and_whitespace(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        normalize_text_col,
+    )
+
+    composed = "café"            # é as U+00E9
+    decomposed = "café"         # e + combining acute
+    docs = spark.createDataFrame(
+        [(1, f"  {composed}   BAR "), (2, f"{decomposed} bar"), (3, None)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.norm for r in normalize_text_col(docs).collect()}
+    assert out[1] == out[2] == "café bar"  # NFC unified + collapsed
+    assert out[3] is None

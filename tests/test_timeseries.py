@@ -136,3 +136,23 @@ def test_quantile_gate_keeps_top_three_quarters(spark):
     ids = sorted(r.doc_id for r in kept.collect())
     # Exact P25 of 1..8 = 2.75 (linear interpolation) -> keep 3..8.
     assert ids == [3, 4, 5, 6, 7, 8]
+
+
+def test_daily_anomalies_flags_outlier(spark):
+    import datetime as dt
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        daily_anomalies,
+    )
+
+    rows = []
+    # 10 quiet days of 100, one spike day of 1000.
+    for day in range(1, 11):
+        rows.append((dt.datetime(2024, 1, day, 12), 100.0))
+    rows.append((dt.datetime(2024, 1, 11, 12), 1000.0))
+    out = {r.day: r for r in daily_anomalies(
+        spark.createDataFrame(rows, ["ts", "v"]), "ts", "v"
+    ).collect()}
+    assert out["2024-01-11"].is_anomaly
+    assert not out["2024-01-05"].is_anomaly
+    assert out["2024-01-11"].z > 2.0
