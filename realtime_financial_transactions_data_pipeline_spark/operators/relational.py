@@ -1001,3 +1001,93 @@ def k6_cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# K7 — MERGE-style upsert (the lakehouse mutation primitive)
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO target USING source — batch-relational form of the
+    Delta/Iceberg upsert: ``source`` rows carry ``op`` ∈ {'upsert',
+    'delete'}; an upsert updates the matched target row (source payload
+    wins) or inserts when unmatched, a delete removes the matched row,
+    and untouched target rows pass through.
+
+    One full-outer shuffle join on the key (both sides co-partitioned;
+    AQE splits skew) and a coalesce projection — no row explosion, no
+    driver loop. Equivalent decomposition for engines without full-outer
+    (or when the source is broadcast-small): (target anti source-keys)
+    ∪ (target semi-join upserts, updated) ∪ (upserts anti target) —
+    three co-partitioned joins on the same key. Source keys must be
+    unique (last-writer-wins dedupe upstream, see k6)."""
+    j = target.alias("t").join(source.alias("s"), on=key, how="full_outer")
+    survives = F.col(f"s.{op_col}").isNull() | (F.col(f"s.{op_col}") == "upsert")
+    return j.filter(survives).select(
+        F.col(key),
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )
+
+
+@probe(
+    "k7_merge_upsert",
+    oracle="""
+    WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    upd AS (SELECT c_custkey, 'upsert' AS op, c_name,
+                   round(c_acctbal + 100, 2) AS c_acctbal
+            FROM customer WHERE c_custkey % 3 = 0),
+    del AS (SELECT c_custkey, 'delete' AS op, CAST(NULL AS VARCHAR) AS c_name,
+                   CAST(NULL AS DOUBLE) AS c_acctbal
+            FROM customer WHERE c_custkey % 3 = 1 AND c_custkey % 7 = 0),
+    ins AS (SELECT c_custkey + 1000000 AS c_custkey, 'upsert' AS op,
+                   'NEW-' || CAST(c_custkey AS VARCHAR) AS c_name,
+                   round(c_acctbal * 2, 2) AS c_acctbal
+            FROM customer WHERE c_custkey % 3 = 2 AND c_custkey % 11 = 0),
+    s AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+          UNION ALL SELECT * FROM ins)
+    SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+           coalesce(s.c_name, t.c_name) AS c_name,
+           coalesce(s.c_acctbal, t.c_acctbal) AS c_acctbal
+    FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    WHERE s.op IS NULL OR s.op = 'upsert'
+    """,
+)
+def k7_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: MERGE upsert against the customer snapshot — every third key
+    updated (+100 balance), every 21st-ish deleted (mod-3/mod-7 slice),
+    a mod-11 slice inserted under fresh keys. The driver hash certifies
+    update/delete/insert/passthrough in one result."""
+    c = _t(spark, sf_dir, "customer")
+    target = c.select("c_custkey", "c_name", "c_acctbal")
+    upd = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("upsert").alias("op"),
+        "c_name",
+        dround(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+    )
+    dele = c.filter((F.col("c_custkey") % 3 == 1) & (F.col("c_custkey") % 7 == 0)).select(
+        "c_custkey",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    ins = c.filter((F.col("c_custkey") % 3 == 2) & (F.col("c_custkey") % 11 == 0)).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        dround(F.col("c_acctbal") * 2, 2).alias("c_acctbal"),
+    )
+    source = upd.unionByName(dele).unionByName(ins)
+    return merge_upsert(
+        target, source, key="c_custkey", payload_cols=["c_name", "c_acctbal"]
+    )

@@ -59,3 +59,29 @@ def test_no_row_at_a_time_python_udfs(spark, sf_dir):
 def test_codegen_active_on_relational_path(spark, sf_dir):
     df = q1_star_revenue_by_nation(spark, sf_dir)
     assert inspect.has_wholestage_codegen(df)
+
+
+def test_funnel_single_pass_shuffles_once(spark, sf_dir):
+    """a12's whole point is one exchange; a regression to the staged
+    shape (one shuffle per stage) would still be correct, just 2x
+    slower — pin the plan."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        a12_funnel,
+    )
+
+    plan = inspect.formatted_plan(a12_funnel(spark, sf_dir))
+    # One data shuffle (the groupBy(user) hashpartitioning); the only
+    # other exchange is the SinglePartition collapse of 1-row aggs.
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_heavy_hitters_prunes_before_recount(spark, sf_dir):
+    """x5c must semi-join the token stream down to MG candidates BEFORE
+    the exact-count shuffle, and run the summary pass in Arrow batches."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.sketches import (
+        x5c_heavy_hitters,
+    )
+
+    plan = inspect.formatted_plan(x5c_heavy_hitters(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "MapInPandas" in plan

@@ -203,3 +203,26 @@ def test_date_partitioned_scan_prunes(spark, tmp_path):
     assert "event_date" in pf and pf.strip() != "PartitionFilters: []"
     assert "event_date" not in inspect.pushed_filters(sliced)
     assert sliced.count() == 10 * 100
+
+
+def test_merge_upsert_semantics(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "bal"],
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "upsert", "b2", 99.0),   # update
+            (3, "delete", None, None),   # delete
+            (4, "upsert", "d", 40.0),    # insert
+        ],
+        ["k", "op", "name", "bal"],
+    )
+    out = {r.k: (r.name, r.bal) for r in merge_upsert(
+        target, source, key="k", payload_cols=["name", "bal"]
+    ).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 99.0), 4: ("d", 40.0)}
