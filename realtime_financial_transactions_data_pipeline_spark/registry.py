@@ -152,6 +152,7 @@ def all_probes() -> dict[str, Probe]:
     )
     from realtime_financial_transactions_data_pipeline_spark.streaming import (  # noqa: F401
         joins,
+        merge_sink,
         pipeline,
         stateful,
         windows,

@@ -274,3 +274,40 @@ def test_kafka_branch_applies_every_option_and_projects_value():
     assert calls["options"] == opts  # nothing dropped, nothing renamed
     assert calls["loaded"] and calls["selected"] == ("value",)
     assert out is not None
+
+
+def test_merge_latest_wins_no_resurrection(spark):
+    """A delete tombstone must survive a LATE-ARRIVING OLDER upsert for
+    the same key (the cross-batch correctness property the k8 snapshot
+    relies on), and newer upserts must still win over tombstones."""
+    import datetime as dt
+
+    from realtime_financial_transactions_data_pipeline_spark.streaming.merge_sink import (
+        merge_latest_wins,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    cols = ["user_id", "event_id", "event_type", "value", "ts", "op"]
+    # Snapshot: u1 deleted at 12:00 (tombstone), u2 live at 10:00.
+    snap = spark.createDataFrame(
+        [
+            (1, 100, "error", None, t("2024-01-01T12:00:00"), "delete"),
+            (2, 200, "view", 5.0, t("2024-01-01T10:00:00"), "upsert"),
+        ],
+        cols,
+    )
+    # Batch: u1 gets an OLDER upsert (11:00 < tombstone) - must NOT
+    # resurrect; u2 gets a newer upsert - must win.
+    batch = spark.createDataFrame(
+        [
+            (1, 90, "view", 1.0, t("2024-01-01T11:00:00"), "upsert"),
+            (2, 210, "click", 9.0, t("2024-01-01T11:00:00"), "upsert"),
+        ],
+        cols,
+    )
+    out = {
+        r.user_id: (r.op, r.event_id)
+        for r in merge_latest_wins(snap, batch, "user_id", ["ts", "event_id"]).collect()
+    }
+    assert out[1] == ("delete", 100)  # tombstone retained
+    assert out[2] == ("upsert", 210)  # newer upsert wins
