@@ -210,18 +210,42 @@ def build_pipeline_query(
         max_files_per_trigger=max_files_per_trigger,
     )
     parsed = parse_stream(raw)
+    # Data-quality observability (the dashboards the reference ran as
+    # BigQuery count queries, here as zero-cost stream metrics): named
+    # aggregates computed inline with each micro-batch and surfaced via
+    # QueryProgress.observedMetrics — no second scan, no extra action.
+    parsed = parsed.observe(
+        "quality",
+        F.count(F.lit(1)).alias("n_messages"),
+        F.count(
+            F.when(
+                F.col("card_number").isNotNull()
+                & ~pan_is_valid(F.col("card_number")),
+                1,
+            )
+        ).alias("n_invalid_pan"),
+        F.count(F.when(F.col("card_number").isNull(), 1)).alias("n_null_pan"),
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        valid, errors = route_and_tokenize(batch_df, key=key)
-        if lookup_dir is not None:
-            # J3 — refreshed lookup: re-read the static side every
-            # micro-batch so dimension updates land without restart.
-            lookup = batch_df.sparkSession.read.parquet(lookup_dir)
-            valid = valid.join(F.broadcast(lookup), "customer_id", "left")
-        # K1+K2, T1: idempotent dual-append — each epoch owns its
-        # batch_id=N directory; a replay overwrites, never duplicates.
-        valid.write.mode("overwrite").parquet(f"{valid_dir}/batch_id={batch_id}")
-        errors.write.mode("overwrite").parquet(f"{errors_dir}/batch_id={batch_id}")
+        # Two sink actions follow; without a persist each would re-run
+        # the whole batch plan (source read + JSON parse + unwrap) AND
+        # re-fire the observe counters, double-counting every metric.
+        # Caching the micro-batch runs the plan (and metrics) once.
+        batch_df.persist()
+        try:
+            valid, errors = route_and_tokenize(batch_df, key=key)
+            if lookup_dir is not None:
+                # J3 — refreshed lookup: re-read the static side every
+                # micro-batch so dimension updates land without restart.
+                lookup = batch_df.sparkSession.read.parquet(lookup_dir)
+                valid = valid.join(F.broadcast(lookup), "customer_id", "left")
+            # K1+K2, T1: idempotent dual-append — each epoch owns its
+            # batch_id=N directory; a replay overwrites, never duplicates.
+            valid.write.mode("overwrite").parquet(f"{valid_dir}/batch_id={batch_id}")
+            errors.write.mode("overwrite").parquet(f"{errors_dir}/batch_id={batch_id}")
+        finally:
+            batch_df.unpersist()
 
     writer = (
         parsed.writeStream.foreachBatch(process_batch)
@@ -252,6 +276,25 @@ def await_or_raise(query, timeout_s: int) -> None:
 #: source read → parse → unwrap → validate → tokenize → dual sink.
 LAST_STREAM_SECONDS: float | None = None
 
+#: Summed ``observe`` metrics (n_messages / n_invalid_pan / n_null_pan)
+#: across the most recent ``run_pipeline`` window's micro-batches — the
+#: stream's own data-quality counters, computed inline by the named
+#: observation in ``build_pipeline_query`` (zero extra scans). A
+#: monitoring deployment would push each batch's observedMetrics to its
+#: metrics bus from a StreamingQueryListener instead of summing here.
+LAST_OBSERVED: dict[str, int] | None = None
+
+
+def _sum_observed(query, name: str = "quality") -> dict[str, int] | None:
+    totals: dict[str, int] = {}
+    for prog in query.recentProgress:
+        row = (prog.observedMetrics or {}).get(name)
+        if row is None:
+            continue
+        for k, v in row.asDict().items():
+            totals[k] = totals.get(k, 0) + int(v)
+    return totals or None
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -280,6 +323,8 @@ def run_pipeline(
     ).start()
     await_or_raise(q, timeout_s)
     LAST_STREAM_SECONDS = time.time() - t0
+    global LAST_OBSERVED
+    LAST_OBSERVED = _sum_observed(q)
     return valid_dir, errors_dir
 
 

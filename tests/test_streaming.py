@@ -311,3 +311,28 @@ def test_merge_latest_wins_no_resurrection(spark):
     }
     assert out[1] == ("delete", 100)  # tombstone retained
     assert out[2] == ("upsert", 210)  # newer upsert wins
+
+
+def test_observe_metrics_match_sinks(spark, fresh_root):
+    """The inline `observe` counters (zero-cost data-quality metrics in
+    QueryProgress) must agree with what actually landed in the sinks:
+    n_messages = valid + errors, n_invalid_pan = dead-letter count,
+    n_null_pan = valid rows with null card columns."""
+    msgs = [
+        _msg("ok", "4000123412341234"),
+        _msg("nopan", None),
+        _msg("short", "4111"),
+    ]
+    spark.createDataFrame([(m,) for m in msgs], ["value"]).coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{fresh_root}/in")
+    valid_dir, errors_dir = sp.run_pipeline(
+        spark, f"{fresh_root}/in", f"{fresh_root}/out", key=TEST_KEY
+    )
+    n_valid = spark.read.parquet(valid_dir).count()
+    n_err = spark.read.parquet(errors_dir).count()
+    obs = sp.LAST_OBSERVED
+    assert obs is not None
+    assert obs["n_messages"] == n_valid + n_err == 3
+    assert obs["n_invalid_pan"] == n_err == 1
+    assert obs["n_null_pan"] == 1
