@@ -18,9 +18,10 @@ Design for 100 TB of media:
   reshaping) — both hash-checked end-to-end (x4c_real_decode). Only
   COMPRESSED codecs (jpeg/mp3/h264) remain stubbed behind
   ``decode_media(stub=False)``'s NotImplementedError, because they
-  need PIL/soundfile/ffmpeg, absent in this container. Schema,
-  batching, and partitioning are identical across the real and stubbed
-  paths.
+  need PIL/soundfile/ffmpeg, absent in this container (re-probed each
+  round via ``importlib.util.find_spec`` — rounds 5 and 6 both found
+  none of PIL/soundfile/cv2/librosa). Schema, batching, and
+  partitioning are identical across the real and stubbed paths.
 """
 
 from __future__ import annotations

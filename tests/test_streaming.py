@@ -336,3 +336,54 @@ def test_observe_metrics_match_sinks(spark, fresh_root):
     assert obs["n_messages"] == n_valid + n_err == 3
     assert obs["n_invalid_pan"] == n_err == 1
     assert obs["n_null_pan"] == 1
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, fresh_root):
+    """k8b property: a batch's delta directory holds partitions ONLY for
+    the buckets the batch touched (untouched buckets are never read or
+    rewritten), and the final snapshot equals global latest-wins."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from realtime_financial_transactions_data_pipeline_spark.streaming.merge_sink import (
+        read_bucketed_snapshot,
+        run_cdc_merge_stream_bucketed,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    b1 = [
+        (1, 10, "view", 1.0, t("2024-01-01T10:00:00")),
+        (2, 20, "view", 2.0, t("2024-01-01T10:00:00")),
+    ]
+    b2 = [
+        (1, 11, "click", 3.0, t("2024-01-01T11:00:00")),  # only user 1
+    ]
+    in_dir = f"{fresh_root}/in"
+    for i, rows in enumerate([b1, b2]):
+        (
+            spark.createDataFrame(rows, cols)
+            .coalesce(1)
+            .write.mode("append")
+            .json(in_dir)
+        )
+    snap_root = run_cdc_merge_stream_bucketed(
+        spark, in_dir, f"{fresh_root}/run", n_buckets=4
+    )
+    out = {
+        r.user_id: r.event_id
+        for r in read_bucketed_snapshot(spark, snap_root)
+        .filter("op = 'upsert'")
+        .collect()
+    }
+    assert out == {1: 11, 2: 20}
+    # The last batch's delta holds exactly ONE bucket partition (user 1's).
+    deltas = sorted(d for d in os.listdir(snap_root) if d.startswith("delta="))
+    last = os.path.join(snap_root, deltas[-1])
+    bkts = [d for d in os.listdir(last) if d.startswith("_bkt=")]
+    assert len(bkts) == 1
+    # Manifest still points every one of the 4 buckets somewhere live.
+    with open(os.path.join(snap_root, "MANIFEST")) as fh:
+        man = _json.load(fh)
+    assert set(man) == {"0", "1", "2", "3"}
