@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis) for the operators whose correctness
+is an ALGEBRAIC claim — fold-invariance of the merge sink, as-of match
+semantics, the Misra-Gries superset guarantee, int8 quantization error
+bounds. Randomized inputs catch the edge interleavings hand-written
+cases miss; examples stay tiny so each Spark round trip is cheap."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: int) -> dt.datetime:
+    return _BASE + dt.timedelta(minutes=minutes)
+
+
+# One record: (key, unique event_id, is_delete, ts_minutes).
+_records = st.lists(
+    st.tuples(
+        st.integers(0, 4),
+        st.booleans(),
+        st.integers(0, 30),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(recs=_records, n_batches=st.integers(1, 4), data=st.data())
+@settings(**_SETTINGS)
+def test_merge_fold_equals_global_latest_wins(spark, recs, n_batches, data):
+    """Folding merge_latest_wins over ANY slicing of the stream into
+    ordered batches must equal the one-shot global latest-wins — the
+    invariant that makes the k8 sink correct under arbitrary
+    micro-batch boundaries."""
+    from realtime_financial_transactions_data_pipeline_spark.streaming.merge_sink import (
+        merge_latest_wins,
+    )
+
+    cols = ["user_id", "event_id", "event_type", "value", "ts", "op"]
+    rows = [
+        (
+            k,
+            i,  # unique id = total order tie-break
+            "error" if is_del else "view",
+            float(i),
+            _ts(m),
+            "delete" if is_del else "upsert",
+        )
+        for i, (k, is_del, m) in enumerate(recs)
+    ]
+    # Random ordered slicing into n_batches contiguous chunks.
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(rows)), min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    chunks, prev = [], 0
+    for c in cuts + [len(rows)]:
+        chunks.append(rows[prev:c])
+        prev = c
+
+    snap = spark.createDataFrame([], schema="user_id long, event_id long, event_type string, value double, ts timestamp, op string")
+    for chunk in chunks:
+        if not chunk:
+            continue
+        batch = spark.createDataFrame(chunk, cols)
+        snap = merge_latest_wins(snap, batch, "user_id", ["ts", "event_id"])
+    got = {
+        r.user_id: r.event_id
+        for r in snap.collect()
+        if r.op == "upsert"
+    }
+
+    # Pure-python global latest-wins reference.
+    best: dict[int, tuple] = {}
+    for k, eid, _etype, _v, ts, op in rows:
+        cur = best.get(k)
+        if cur is None or (ts, eid) > (cur[0], cur[1]):
+            best[k] = (ts, eid, op)
+    want = {k: eid for k, (ts, eid, op) in best.items() if op == "upsert"}
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=10),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_reference(spark, left, right):
+    """asof_join == 'latest right at-or-before, per key' on random
+    frames (right deduped to one row per (key, ts) keeping max value,
+    matching the operator's uniqueness contract)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    l_rows = [(k, _ts(m), i) for i, (k, m) in enumerate(left)]
+    r_best: dict[tuple, float] = {}
+    for k, m in right:
+        r_best[(k, m)] = max(r_best.get((k, m), float("-inf")), float(k * 100 + m))
+    r_rows = [(k, _ts(m), v) for (k, m), v in r_best.items()]
+
+    ldf = spark.createDataFrame(l_rows, ["k", "ts", "lid"])
+    rdf = spark.createDataFrame(r_rows, ["k", "qts", "val"])
+    out = {
+        r.lid: r.val
+        for r in asof_join(ldf, rdf, "k", "ts", "qts", ["val"]).collect()
+    }
+
+    for k, m, lid in [(k, m, i) for i, (k, m) in enumerate(left)]:
+        cands = [(m2, v) for (k2, m2), v in r_best.items() if k2 == k and m2 <= m]
+        want = max(cands)[1] if cands else None
+        assert out[lid] == want, (k, m, cands)
+
+
+@given(
+    items=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200),
+    k=st.integers(2, 10),
+    parts=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_misra_gries_never_misses_a_heavy_hitter(spark, items, k, parts):
+    """Any item with global count STRICTLY above N/(k+1) must appear in
+    the distributed MG candidate union — the exactness precondition of
+    x5c's two-pass heavy hitters."""
+    from collections import Counter
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    df = spark.createDataFrame([(w,) for w in items], ["w"]).repartition(parts)
+    cand = {r.w for r in misra_gries_candidates(df, "w", k=k).collect()}
+    n = len(items)
+    for w, c in Counter(items).items():
+        if c > n / (k + 1):
+            assert w in cand, (w, c, n, k, cand)
+
+
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=8
+    )
+)
+@settings(**_SETTINGS)
+def test_quantize_int8_error_bound(spark, vec):
+    """Per-element reconstruction error of symmetric int8 quantization
+    is bounded by scale/254 (half a code step), so recon_err (the L2
+    over elements) is bounded by sqrt(dim) * scale/254."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = spark.createDataFrame([(1, [float(x) for x in vec])], ["vec_id", "emb"])
+    row = quantize_int8(emb).head()
+    bound = (len(vec) ** 0.5) * (row.scale / 254) + 1e-9
+    assert row.recon_err <= bound, (row.scale, row.recon_err, bound)
+    assert all(-127 <= c <= 127 for c in row.codes)
