@@ -335,3 +335,67 @@ def k8b_bucketed_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "event_type", "value"
         )
     )
+
+
+def sweep_unreferenced(snap_root: str) -> list[str]:
+    """Remove every delta/compact directory the manifest no longer
+    references (stale generations left by repointing, or crashed
+    batches that never published). The 'empty' sentinel always stays —
+    it serves untouched buckets. Returns swept directory names."""
+    man = _read_manifest(snap_root)
+    live_roots = {rel.split("/")[0] for rel in man.values()}
+    swept = []
+    for name in os.listdir(snap_root):
+        if not (name.startswith("delta=") or name.startswith("compact=")):
+            continue
+        if name in live_roots:
+            # Referenced via at least one bucket subdir — keep the whole
+            # delta; per-subdir sweeping would also work but buys little
+            # (a delta's unreferenced subdirs age out at its last
+            # reference's compaction).
+            continue
+        shutil.rmtree(os.path.join(snap_root, name), ignore_errors=True)
+        swept.append(name)
+    return swept
+
+
+def compact_bucketed_snapshot(
+    spark: SparkSession,
+    snap_root: str,
+    key: str = "user_id",
+    n_buckets: int = 8,
+) -> int:
+    """Fold the delta chain: rewrite every bucket's live data into ONE
+    fresh compact directory (partitioned by bucket), repoint the whole
+    manifest atomically, and sweep the now-unreferenced deltas — the
+    maintenance pass that keeps the per-bucket file count flat no
+    matter how many micro-batches have landed (the same small-files
+    argument as operators/scale.compact_table, at bucket granularity).
+    Crash-safe like the merge itself: the old manifest stays live until
+    the single os.replace. Returns the compacted row count."""
+    man = _read_manifest(snap_root)
+    live_paths = sorted({os.path.join(snap_root, rel) for rel in man.values()})
+    bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    df = spark.read.parquet(*live_paths).withColumn("_bkt", bucket_of)
+    df.persist()
+    try:
+        n_rows = df.count()
+        existing = [
+            int(d.split("=")[1])
+            for d in os.listdir(snap_root)
+            if d.startswith("compact=")
+        ]
+        dst_rel = f"compact={max(existing, default=-1) + 1}"
+        dst = os.path.join(snap_root, dst_rel)
+        shutil.rmtree(dst, ignore_errors=True)
+        df.write.partitionBy("_bkt").mode("overwrite").parquet(dst)
+        populated = {r._bkt for r in df.select("_bkt").distinct().collect()}
+        new_man = {
+            str(b): (f"{dst_rel}/_bkt={b}" if b in populated else "empty")
+            for b in range(n_buckets)
+        }
+        _write_manifest(snap_root, new_man)
+        sweep_unreferenced(snap_root)
+    finally:
+        df.unpersist()
+    return n_rows

@@ -387,3 +387,44 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, fresh_root):
     with open(os.path.join(snap_root, "MANIFEST")) as fh:
         man = _json.load(fh)
     assert set(man) == {"0", "1", "2", "3"}
+
+
+def test_bucketed_compaction_folds_deltas_and_sweeps(spark, fresh_root):
+    """After compaction the snapshot reads identically, the manifest
+    points every populated bucket into ONE compact dir, and all stale
+    delta dirs are gone."""
+    import datetime as dt
+    import os
+
+    from realtime_financial_transactions_data_pipeline_spark.streaming.merge_sink import (
+        compact_bucketed_snapshot,
+        read_bucketed_snapshot,
+        run_cdc_merge_stream_bucketed,
+    )
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    batches = [
+        [(1, 10, "view", 1.0, t("2024-01-01T10:00:00")),
+         (2, 20, "view", 2.0, t("2024-01-01T10:00:00"))],
+        [(1, 11, "click", 3.0, t("2024-01-01T11:00:00")),
+         (3, 30, "error", None, t("2024-01-01T11:00:00"))],
+    ]
+    in_dir = f"{fresh_root}/in"
+    for rows in batches:
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("append").json(in_dir)
+    snap_root = run_cdc_merge_stream_bucketed(
+        spark, in_dir, f"{fresh_root}/run", n_buckets=4
+    )
+    before = sorted(
+        (r.user_id, r.event_id, r.op)
+        for r in read_bucketed_snapshot(spark, snap_root).collect()
+    )
+    n = compact_bucketed_snapshot(spark, snap_root, key="user_id", n_buckets=4)
+    after = sorted(
+        (r.user_id, r.event_id, r.op)
+        for r in read_bucketed_snapshot(spark, snap_root).collect()
+    )
+    assert after == before and n == len(before)  # tombstone u3 included
+    assert not [d for d in os.listdir(snap_root) if d.startswith("delta=")]
+    assert len([d for d in os.listdir(snap_root) if d.startswith("compact=")]) == 1
