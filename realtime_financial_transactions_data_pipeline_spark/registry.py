@@ -134,6 +134,7 @@ def all_probes() -> dict[str, Probe]:
     # Import side-effect modules that register probes.
     from realtime_financial_transactions_data_pipeline_spark.operators import (  # noqa: F401
         asof,
+        chunking,
         relational,
         dedup,
         similarity,
