@@ -270,3 +270,40 @@ def s9_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
     )
     return pin_result(merged)
+
+
+@probe(
+    "s10_orc_roundtrip",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_clicks,
+           sum(value) AS total_value
+    FROM events
+    WHERE user_id % 20 = 7 AND event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (format breadth beyond the reference's
+    CSV/JSON/Avro/parquet matrix): write an `events` slice to ORC
+    partitioned by event_type, read it back with a partition filter,
+    aggregate. ORC is Spark's second columnar native format — same
+    predicate-pushdown / column-pruning / partition-pruning machinery
+    as parquet, so the scale story carries over unchanged; the probe's
+    partition filter prunes non-click directories at file-listing time.
+    The oracle computes the identical aggregate from the parquet view,
+    so the hash certifies the ORC round-trip is lossless."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 7)
+        .select("user_id", "event_type", "value")
+    )
+    orc_dir = f"{_SCRATCH}/events_orc"
+    src.write.mode("overwrite").partitionBy("event_type").orc(orc_dir)
+    back = spark.read.orc(orc_dir).filter(F.col("event_type") == "click")
+    return pin_result(
+        back.groupBy("user_id").agg(
+            F.count("*").alias("n_clicks"),
+            F.sum("value").alias("total_value"),
+        )
+    )

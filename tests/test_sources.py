@@ -7,6 +7,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from realtime_financial_transactions_data_pipeline_spark import schemas as sch
@@ -65,3 +66,26 @@ def test_create_table_empty_with_schema(spark, fresh_root):
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == [f.name for f in sch.DIM_ACCOUNT.fields]
     assert got.schema["account_id"].dataType == T.LongType()
+
+
+def test_orc_roundtrip_partition_pruned(spark, sf_dir):
+    """The s10 ORC read plans a PartitionFilters entry on event_type —
+    non-click partition directories are pruned at file-listing time,
+    never opened (same machinery as the parquet date-partition probe)."""
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+    from realtime_financial_transactions_data_pipeline_spark.sources.batch import _SCRATCH
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 7)
+        .select("user_id", "event_type", "value")
+    )
+    orc_dir = f"{_SCRATCH}/events_orc_plan_test"
+    src.write.mode("overwrite").partitionBy("event_type").orc(orc_dir)
+    back = spark.read.orc(orc_dir).filter(F.col("event_type") == "click")
+    plan = inspect.formatted_plan(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "event_type" in pf[0] and "PartitionFilters: []" not in pf[0], pf[0]
+    assert back.count() > 0
