@@ -61,6 +61,11 @@ def chunk_documents(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError(
+            "stride > window would skip tokens; use stride <= window "
+            "(== window for contiguous, < window for overlap)"
+        )
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(

@@ -170,3 +170,48 @@ def test_quantize_int8_error_bound(spark, vec):
     bound = (len(vec) ** 0.5) * (row.scale / 254) + 1e-9
     assert row.recon_err <= bound, (row.scale, row.recon_err, bound)
     assert all(-127 <= c <= 127 for c in row.codes)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    wh=st.tuples(st.integers(1, 8), st.integers(1, 8)).map(
+        lambda t: (max(t), min(t))  # (window, stride) with stride <= window
+    ),
+)
+@settings(**_SETTINGS)
+def test_chunking_covers_every_token_in_order(spark, docs, wh):
+    window, stride = wh
+    """Every token appears in some chunk; non-overlap (stride >= window)
+    reconstructs the document exactly; chunk sizes never exceed the
+    window."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=window, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, words in enumerate(docs):
+        toks = " ".join(words).split(" ")  # split('') == [''] like Spark
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert all(r.n_tokens <= window for r in chunks)
+        # Expected chunk starts: 0, stride, ... last start covers the end.
+        covered = set()
+        for r in chunks:
+            start = r.chunk_id * stride
+            got = r.chunk_text.split(" ") if r.chunk_text != "" or toks == [""] else []
+            assert got == toks[start : start + window]
+            covered.update(range(start, min(start + window, len(toks))))
+        assert covered == set(range(len(toks)))
+        if stride >= window:
+            rebuilt = " ".join(c.chunk_text for c in chunks if c.chunk_text != "")
+            # Non-overlapping chunks concatenate back to the original
+            # (modulo empty-token bookkeeping for the empty document).
+            assert rebuilt == " ".join(t for t in toks if t != "") or toks == [""]
