@@ -658,3 +658,229 @@ def x4d_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decode output without seeing the binary."""
     d = load_table(spark, sf_dir, "documents")
     return decode_bmp(synth_bmp_media(d))
+
+
+# ---------------------------------------------------------------------------
+# PNG — the first COMPRESSED real codec: stdlib zlib covers the DEFLATE
+# stream, so truecolor PNG decodes with no external library. The parser
+# walks the chunk layout (CRC-verified), inflates the concatenated
+# IDATs, and reverses all five scanline filters (None/Sub/Up/Average/
+# Paeth). The encoder below cycles the filter type per row, so the
+# round-trip probe exercises every unfilter branch on every image.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_filter_row(row, prev, ft):
+    """Apply PNG filter ``ft`` to one RGB scanline (uint8 arrays;
+    bpp=3). uint8 arithmetic wraps mod 256, as the spec requires."""
+    import numpy as np
+
+    if ft == 0:
+        return row.copy()
+    left = np.zeros_like(row)
+    left[3:] = row[:-3]
+    if ft == 1:  # Sub
+        return row - left
+    if ft == 2:  # Up
+        return row - prev
+    if ft == 3:  # Average
+        return row - (
+            (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+        ).astype(np.uint8)
+    # Paeth
+    ul = np.zeros_like(prev)
+    ul[3:] = prev[:-3]
+    a, b, c = left.astype(np.int16), prev.astype(np.int16), ul.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return row - pred.astype(np.uint8)
+
+
+def _png_unfilter_row(ft, f, prev):
+    """Reverse one scanline filter. Sub/Up vectorize (prefix-sum /
+    elementwise); Average and Paeth are inherently sequential along x
+    (each pixel depends on the reconstructed left neighbor), so they
+    loop — the spec's data dependency, not an implementation shortcut."""
+    import numpy as np
+
+    if ft == 0:
+        return f.copy()
+    if ft == 2:
+        return f + prev  # uint8 wrap
+    if ft == 1:
+        # recon[x] = f[x] + recon[x-3]: a mod-256 prefix sum per lane.
+        lanes = f.reshape(-1, 3).astype(np.int64)
+        return (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(-1)
+    recon = np.zeros_like(f)
+    for x in range(f.size):
+        a = int(recon[x - 3]) if x >= 3 else 0
+        b = int(prev[x])
+        c = int(prev[x - 3]) if x >= 3 else 0
+        if ft == 3:
+            pred = (a + b) >> 1
+        elif ft == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        recon[x] = (int(f[x]) + pred) & 0xFF
+    return recon
+
+
+def _png_bytes(w: int, h: int, blue: int) -> bytes:
+    """Serialize a truecolor 8-bit non-interlaced PNG: red = 7 × row
+    index, green 77, blue constant. Row y uses filter type y % 5, so a
+    5-row image exercises every filter. Chunks carry real CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)  # RGB order
+    px[:, :, 0] = (7 * np.arange(h, dtype=np.uint16)[:, None] % 256).astype(np.uint8)
+    px[:, :, 1] = 77
+    px[:, :, 2] = blue
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        row = px[y].reshape(-1)
+        ft = y % 5
+        raw.append(ft)
+        raw += _png_filter_row(row, prev, ft).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Valid compressed PNG payloads per document: width =
+    len(text) % 16 + 4, height = doc_id % 12 + 4 (>= 5 rows hits all
+    five filter types), blue = doc_id % 256."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _png_bytes(len(t) % 16 + 4, int(i) % 12 + 4, int(i) % 256)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode, stdlib only: verify the signature
+    and every chunk CRC, parse IHDR, inflate the IDAT stream with zlib,
+    reverse the per-scanline filters, and compute channel stats.
+    Supports truecolor 8-bit non-interlaced (color type 2) — palette/
+    alpha/16-bit/interlaced raise NotImplementedError, keeping the
+    honest-stub discipline for the unimplemented corners."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in BMP_SCHEMA.fields}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(raw)
+                if b[: len(_PNG_SIG)] != _PNG_SIG:
+                    raise ValueError(f"media {mid}: not a PNG")
+                pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+                while pos < len(b):
+                    (length,) = struct.unpack_from(">I", b, pos)
+                    tag = b[pos + 4 : pos + 8]
+                    data = b[pos + 8 : pos + 8 + length]
+                    (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+                    if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+                        raise ValueError(f"media {mid}: CRC mismatch in {tag!r}")
+                    if tag == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif tag == b"IDAT":
+                        idat += data
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + length
+                if ihdr is None:
+                    raise ValueError(f"media {mid}: missing IHDR")
+                w, h, depth, color, _comp, _filt, interlace = ihdr
+                if depth != 8 or color != 2 or interlace != 0:
+                    raise NotImplementedError(
+                        f"media {mid}: only 8-bit truecolor non-interlaced "
+                        f"supported (depth={depth}, color={color}, "
+                        f"interlace={interlace})"
+                    )
+                stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+                stride = w * 3 + 1  # +1 filter byte per scanline
+                if stream.size != stride * h:
+                    raise ValueError(f"media {mid}: truncated pixel stream")
+                rows = stream.reshape(h, stride)
+                prev = np.zeros(w * 3, dtype=np.uint8)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev)
+                    px[y] = prev.reshape(w, 3)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["corner_red"].append(int(px[0, 0, 0]))
+                out["sum_red"].append(int(px[:, :, 0].astype(np.int64).sum()))
+                out["mean_blue"].append(int(round(float(px[:, :, 2].mean()))))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, BMP_SCHEMA)
+
+
+@probe(
+    "x4e_png_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) % 16 + 4 AS INTEGER) AS width,
+           CAST(doc_id % 12 + 4 AS INTEGER) AS height,
+           CAST((length(text) % 16 + 4) * (doc_id % 12 + 4) AS BIGINT) AS n_pixels,
+           0 AS corner_red,
+           CAST((length(text) % 16 + 4) * 7 * (doc_id % 12 + 4) * (doc_id % 12 + 3) / 2
+                AS BIGINT) AS sum_red,
+           CAST(doc_id % 256 AS INTEGER) AS mean_blue
+    FROM documents
+    """,
+)
+def x4e_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 fourth real codec — and the first COMPRESSED one: every doc
+    becomes a valid truecolor PNG (DEFLATE-compressed, CRC'd chunks,
+    filter type cycling 0-4 across rows) and is decoded back by the
+    stdlib-zlib parser. sum_red certifies every scanline survived all
+    five unfilter branches; the header-derived fields are deterministic
+    functions of the source docs, so DuckDB re-derives the decode
+    output without seeing the binary."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_png(synth_png_media(d))

@@ -122,3 +122,98 @@ def test_bmp_decode_rejects_compressed(spark):
 
     with _pytest.raises(Exception, match="BI_RGB|NotImplemented"):
         decode_bmp(media).collect()
+
+
+def test_png_roundtrip_all_filters():
+    """Direct (no-Spark) round-trip: a 7-row image cycles filter types
+    0-4 (plus repeats); decode must reproduce the exact pixel design."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_bytes,
+        _png_unfilter_row,
+    )
+
+    b = _png_bytes(5, 7, 200)
+    assert b.startswith(_PNG_SIG)
+    # Walk to the IDAT, inflate, unfilter, and check the pixel law.
+    pos, idat = len(_PNG_SIG), b""
+    while pos < len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    stream = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    rows = stream.reshape(7, 5 * 3 + 1)
+    assert sorted(set(rows[:, 0])) == [0, 1, 2, 3, 4]  # every filter used
+    prev = np.zeros(15, dtype=np.uint8)
+    for y in range(7):
+        prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev)
+        px = prev.reshape(5, 3)
+        assert (px[:, 0] == 7 * y).all()      # red gradient
+        assert (px[:, 1] == 77).all()         # green constant
+        assert (px[:, 2] == 200).all()        # blue constant
+
+
+def test_png_decode_spark_roundtrip(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        synth_png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "x" * 10), (17, "y" * 23)], "doc_id long, text string"
+    )
+    out = {r.media_id: r for r in decode_png(synth_png_media(docs)).collect()}
+    r = out[3]
+    assert (r.width, r.height) == (10 % 16 + 4, 3 % 12 + 4)
+    assert r.sum_red == r.width * 7 * r.height * (r.height - 1) // 2
+    assert r.mean_blue == 3
+    assert out[17].mean_blue == 17
+
+
+def test_png_crc_corruption_raises(spark):
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _png_bytes,
+        decode_png,
+    )
+
+    b = bytearray(_png_bytes(4, 5, 9))
+    b[-17] ^= 0xFF  # flip a byte inside the IDAT payload
+    df = spark.createDataFrame([(1, bytes(b))], "media_id long, content binary")
+    with _pytest.raises(Exception, match="CRC mismatch|PythonException"):
+        decode_png(df).collect()
+
+
+def test_png_unsupported_color_type_raises(spark):
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # Grayscale (color type 0) header — valid CRCs, unsupported layout.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    b = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + chunk(b"IEND", b"")
+    df = spark.createDataFrame([(1, b)], "media_id long, content binary")
+    with _pytest.raises(Exception, match="NotImplementedError|only 8-bit truecolor|PythonException"):
+        decode_png(df).collect()
