@@ -14,14 +14,16 @@ Design for 100 TB of media:
   no shuffle.
 - Decoding: REAL parsers ship for the formats stdlib can handle —
   PCM-WAV (:func:`decode_wav`, RIFF/fmt/data chunk parsing + numpy
-  sample views) and binary PPM (:func:`decode_ppm`, P6 header + pixel
-  reshaping) — both hash-checked end-to-end (x4c_real_decode). Only
-  COMPRESSED codecs (jpeg/mp3/h264) remain stubbed behind
-  ``decode_media(stub=False)``'s NotImplementedError, because they
-  need PIL/soundfile/ffmpeg, absent in this container (re-probed each
-  round via ``importlib.util.find_spec`` — rounds 5 and 6 both found
-  none of PIL/soundfile/cv2/librosa). Schema, batching, and
-  partitioning are identical across the real and stubbed paths.
+  sample views), binary PPM (:func:`decode_ppm`), 24-bit BMP
+  (:func:`decode_bmp`), and — because stdlib zlib covers DEFLATE —
+  truecolor PNG (:func:`decode_png`, chunk walk + CRC verify +
+  inflate + all five scanline unfilters), each hash-checked
+  end-to-end. Only codecs needing external libraries (jpeg/mp3/h264:
+  PIL/soundfile/ffmpeg, absent in this container, re-probed each
+  round — rounds 5 and 6 both found none of PIL/soundfile/cv2/
+  librosa) remain stubbed behind ``decode_media(stub=False)``'s
+  NotImplementedError. Schema, batching, and partitioning are
+  identical across the real and stubbed paths.
 """
 
 from __future__ import annotations
@@ -124,9 +126,10 @@ def decode_media(df: DataFrame, stub: bool = True) -> DataFrame:
 
         if not stub:
             raise NotImplementedError(
-                "compressed-codec decode requires PIL/soundfile/ffmpeg (absent "
-                "in this container); for uncompressed formats use the REAL "
-                "parsers decode_wav / decode_ppm in this module"
+                "jpeg/mp3/h264 decode requires PIL/soundfile/ffmpeg (absent "
+                "in this container); REAL parsers exist in this module for "
+                "PCM-WAV, PPM, BMP, and zlib-compressed PNG "
+                "(decode_wav / decode_ppm / decode_bmp / decode_png)"
             )
         for pdf in batches:
             payloads = [np.frombuffer(b, dtype=np.uint8) if b is not None else
