@@ -272,3 +272,107 @@ def l1b_partition_pruned_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout — the multi-column clustering primitive behind
+# Delta OPTIMIZE ZORDER / Iceberg sort orders. Interleaving the bits of
+# two dimension keys gives a single sort key under which ranges of BOTH
+# dimensions are spatially clustered, so per-file min/max statistics
+# prune selective predicates on EITHER column. All bit-spreading is JVM
+# shiftleft/and/or expression chains — codegen'd, shuffle-free.
+# ---------------------------------------------------------------------------
+
+
+def _spread_bits(col: F.Column) -> F.Column:
+    """Spread the low 16 bits of ``col`` so bit i lands at position 2i
+    (the classic Morton magic-number ladder)."""
+    c = col.cast("long")
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def zorder_key(x: F.Column, y: F.Column) -> F.Column:
+    """Morton code of two non-negative ints (low 16 bits each): x in
+    even bit positions, y in odd."""
+    return _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+
+
+def zorder_layout_stats(
+    df: DataFrame, x_col: str, y_col: str, bucket_bits: int = 14
+) -> DataFrame:
+    """Assign each row its Morton bucket (z >> bucket_bits — a prefix
+    range, so bucketing needs NO sort or shuffle beyond the final
+    stats groupBy) and report per-bucket min/max of both dimensions.
+
+    The per-bucket ranges are the file-level min/max statistics a
+    z-ordered table would publish: narrow on BOTH x and y, which is
+    the whole point — a predicate on either column prunes most
+    buckets. At cluster scale the layout write is
+    ``repartitionByRange(z)`` + sortWithinPartitions(z); the stats
+    query here is the verifiable core."""
+    z = zorder_key(F.col(x_col), F.col(y_col))
+    return (
+        df.withColumn("_z", z)
+        .withColumn("zbucket", F.shiftright("_z", bucket_bits))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(x_col).alias("x_min"),
+            F.max(x_col).alias("x_max"),
+            F.min(y_col).alias("y_min"),
+            F.max(y_col).alias("y_max"),
+        )
+    )
+
+
+@probe(
+    "scale_zorder_layout",
+    oracle="""
+    WITH d AS (
+      SELECT user_id % 1024 AS x, CAST(floor(value) AS BIGINT) % 1024 AS y
+      FROM events WHERE value >= 0),
+    sx AS (
+      SELECT x, y,
+             ((x | (x << 8)) & 16711935) AS x1,
+             ((y | (y << 8)) & 16711935) AS y1
+      FROM d),
+    s2 AS (
+      SELECT x, y,
+             ((x1 | (x1 << 4)) & 252645135) AS x2,
+             ((y1 | (y1 << 4)) & 252645135) AS y2
+      FROM sx),
+    s3 AS (
+      SELECT x, y,
+             ((x2 | (x2 << 2)) & 858993459) AS x3,
+             ((y2 | (y2 << 2)) & 858993459) AS y3
+      FROM s2),
+    s4 AS (
+      SELECT x, y,
+             ((x3 | (x3 << 1)) & 1431655765) AS xs,
+             ((y3 | (y3 << 1)) & 1431655765) AS ys
+      FROM s3),
+    z AS (SELECT x, y, (xs | (ys << 1)) >> 14 AS zbucket FROM s4)
+    SELECT zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order `events` on (user_id bucket, value bucket) and emit the
+    per-z-bucket min/max statistics. The oracle replays the Morton
+    magic-number ladder in SQL, certifying the bit interleave exactly;
+    the narrow per-bucket ranges on BOTH dimensions (asserted in
+    tests/test_scale.py) are what make z-order prune two-column
+    predicates where a lexicographic sort prunes only the leading one."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    d = e.select(
+        (F.col("user_id") % 1024).alias("x"),
+        (F.floor("value").cast("long") % 1024).alias("y"),
+    )
+    return zorder_layout_stats(d, "x", "y")

@@ -226,3 +226,44 @@ def test_merge_upsert_semantics(spark):
         target, source, key="k", payload_cols=["name", "bal"]
     ).collect()}
     assert out == {1: ("a", 10.0), 2: ("b2", 99.0), 4: ("d", 40.0)}
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Morton interleave against a bit-twiddling-free Python reference."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import zorder_key
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (5, 3), (1023, 0), (0, 1023), (777, 515), (65535, 65535)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == ref(x, y), (x, y)
+
+
+def test_zorder_buckets_are_tiles_on_both_dims(spark, sf_dir):
+    """z >> 14 keeps the top 3 bits of each 10-bit dimension, so every
+    bucket is a 128x128 tile: BOTH dimension ranges are narrow — the
+    property that lets min/max stats prune predicates on either column
+    (a lexicographic sort would leave y_max - y_min ~ full width)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        zorder_layout_stats,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") >= 0)
+    d = e.select(
+        (F.col("user_id") % 1024).alias("x"),
+        (F.floor("value").cast("long") % 1024).alias("y"),
+    )
+    for r in zorder_layout_stats(d, "x", "y").collect():
+        assert r.x_max - r.x_min <= 127, r
+        assert r.y_max - r.y_min <= 127, r
