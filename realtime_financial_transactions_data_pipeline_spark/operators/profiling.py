@@ -1,0 +1,139 @@
+"""Single-pass table profiling — the `ANALYZE TABLE` / dbt-test /
+data-catalog statistics sweep: per-column non-null counts, exact
+distinct cardinality, and min/max, computed for EVERY column in one
+scan of the table.
+
+Plan shape: one `agg` carrying all columns' statistics (Spark plans the
+multiple exact count-distincts via a single Expand + two aggregate
+levels — still exactly one pass over the data), then the 1-row result
+pivots to long form through an `explode` of a literal struct array —
+driver-side cost is zero, the explode runs on a single row.
+
+At 100 TB the same plan holds: the scan dominates, every statistic is
+partial-aggregable (count/min/max map-side combine; the Expand
+multiplies rows by the number of distinct-aggregated columns before
+the shuffle, the documented cost of EXACT cardinality — swap
+`approx_count_distinct` to drop the Expand when ±2 % suffices).
+Numeric min/max travel as DOUBLE and text/date min/max as STRING in
+separate columns, so no engine-specific double→string formatting ever
+enters the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.registry import probe
+from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+
+def profile_table(
+    df: DataFrame, num_cols: list[str], str_cols: list[str], date_cols: list[str]
+) -> DataFrame:
+    """Long-format profile: one row per column with
+    (col_name, n_nonnull, n_distinct, min_num, max_num, min_str,
+    max_str). Dates report through the string channel as yyyy-MM-dd."""
+    aggs, rows = [], []
+    for c in num_cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    for c in date_cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.date_format(F.min(c).cast("date"), "yyyy-MM-dd").alias(f"mn_{c}"),
+            F.date_format(F.max(c).cast("date"), "yyyy-MM-dd").alias(f"mx_{c}"),
+        ]
+    onerow = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_num"),
+                F.col(f"mx_{c}").alias("max_num"),
+                null_s.alias("min_str"),
+                null_s.alias("max_str"),
+            )
+        )
+    for c in str_cols + date_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                null_d.alias("min_num"),
+                null_d.alias("max_num"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+            )
+        )
+    return onerow.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def _profile_oracle_block(col: str, kind: str) -> str:
+    nn = f"CAST(count({col}) AS BIGINT) AS n_nonnull"
+    nd = f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct"
+    if kind == "num":
+        vals = (
+            f"CAST(min({col}) AS DOUBLE) AS min_num, "
+            f"CAST(max({col}) AS DOUBLE) AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        )
+    elif kind == "str":
+        vals = (
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+            f"min({col}) AS min_str, max({col}) AS max_str"
+        )
+    else:  # date
+        vals = (
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+            f"CAST(CAST(min({col}) AS DATE) AS VARCHAR) AS min_str, "
+            f"CAST(CAST(max({col}) AS DATE) AS VARCHAR) AS max_str"
+        )
+    return f"SELECT '{col}' AS col_name, {nn}, {nd}, {vals} FROM orders"
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "date"),
+]
+
+
+@probe(
+    "prof1_table_profile",
+    oracle="\nUNION ALL\n".join(
+        _profile_oracle_block(c, k) for c, k in _PROFILE_COLS
+    ),
+)
+def prof1_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile every column of `orders` in one scan: non-null count,
+    exact distinct cardinality, min/max. The DuckDB oracle computes
+    the same statistics as a UNION ALL of per-column aggregates —
+    six passes there, ONE here, same values."""
+    o = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        num_cols=[c for c, k in _PROFILE_COLS if k == "num"],
+        str_cols=[c for c, k in _PROFILE_COLS if k == "str"],
+        date_cols=[c for c, k in _PROFILE_COLS if k == "date"],
+    )

@@ -135,6 +135,7 @@ def all_probes() -> dict[str, Probe]:
     from realtime_financial_transactions_data_pipeline_spark.operators import (  # noqa: F401
         asof,
         chunking,
+        profiling,
         relational,
         dedup,
         similarity,
