@@ -136,6 +136,7 @@ def all_probes() -> dict[str, Probe]:
         asof,
         chunking,
         profiling,
+        quality,
         relational,
         dedup,
         similarity,
