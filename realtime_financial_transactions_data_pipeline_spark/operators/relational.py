@@ -16,7 +16,7 @@ literal predicates on scan columns → parquet row-group pushdown.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
@@ -1090,4 +1090,66 @@ def k7_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = upd.unionByName(dele).unionByName(ins)
     return merge_upsert(
         target, source, key="c_custkey", payload_cols=["c_name", "c_acctbal"]
+    )
+
+
+@probe(
+    "a15_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY event_type, 2
+    """,
+)
+def a15_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of `events.value` per event type (50-unit
+    buckets) — the distribution panel behind every dashboard's value
+    chart. One partial-aggregable groupBy on ~40 (type, bucket) keys;
+    at 100 TB the map-side combine reduces each partition to those same
+    few dozen rows before the single exchange."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("value"), 2).alias("total"),
+    )
+
+
+@probe(
+    "o6_ntile_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM t GROUP BY event_type, decile
+    """,
+)
+def o6_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bands of value within each event type via ntile(10)
+    (unique event_id tiebreak keeps the assignment deterministic
+    across engines), then per-band count and bounds. The window
+    shuffles once on event_type; a production variant over a skewed
+    partition key would swap in percentile_approx band edges to avoid
+    the per-partition sort."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.min("value"), 2).alias("lo"),
+            dround(F.max("value"), 2).alias("hi"),
+        )
     )
