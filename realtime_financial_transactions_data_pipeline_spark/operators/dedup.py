@@ -737,3 +737,54 @@ def x2i_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, so the oracle certifies the iterative label propagation
     converged to the true transitive closure."""
     return connected_components(simhash_pairs(_corpus_simhash(spark, sf_dir)))
+
+
+@probe(
+    "x16_crossdoc_dup_fraction",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    eg AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    dfreq AS (SELECT gram, count(*) AS n_docs FROM eg GROUP BY gram),
+    per AS (
+      SELECT e.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+      FROM eg e JOIN dfreq d USING (gram) GROUP BY e.doc_id)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_grams, 4) AS dup_frac
+    FROM per
+    """,
+)
+def x16_crossdoc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated n-gram fraction (the RefinedWeb/Gopher
+    CORPUS-level repetition signal, complementing x3h's within-doc
+    metrics): for each document, the share of its distinct word
+    3-grams that also appear in at least one other document. High
+    dup_frac flags boilerplate/templated docs that exact and near-dup
+    passes both miss.
+
+    Plan: reuses the memoized corpus shingle pass (shared with
+    x2a/x2b), explodes to (doc_id, gram), aggregates document
+    frequency per gram, and joins the df back — two gram-keyed
+    exchanges plus the per-doc rollup, Σ_g df(g) work, no pair space.
+    At 100 TB the gram explode dominates; hash the grams to 8-byte
+    xxhash64 before the shuffle (as x2a does) to cut exchange bytes."""
+    grams = _corpus_grams(spark, sf_dir)
+    eg = grams.select("doc_id", F.explode("grams").alias("gram"))
+    dfreq = eg.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    return (
+        eg.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            dround(F.col("n_shared") / F.col("n_grams"), 4).alias("dup_frac"),
+        )
+    )

@@ -167,3 +167,34 @@ def test_connected_components_long_chain_converges(spark):
     got = {r.doc_id: r.canonical_id
            for r in dedup.connected_components(pairs, max_iters=40).collect()}
     assert got == {i: 0 for i in range(31)}
+
+
+def test_crossdoc_dup_fraction_counts_shared_grams(spark):
+    """Two docs sharing exactly one 3-gram ('a b c'); a third disjoint
+    doc scores zero."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "z a b c"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    grams = d.select("doc_id", word_shingles("text").alias("grams"))
+    eg = grams.select("doc_id", F.explode("grams").alias("gram"))
+    dfreq = eg.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    out = {
+        r.doc_id: (r.n_grams, r.n_shared)
+        for r in eg.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+        .collect()
+    }
+    # doc1 grams: 'a b c', 'b c d'; doc2: 'z a b', 'a b c'; doc3: 2 unique
+    assert out[1] == (2, 1)
+    assert out[2] == (2, 1)
+    assert out[3] == (2, 0)
