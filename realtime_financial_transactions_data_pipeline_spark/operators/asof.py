@@ -241,3 +241,63 @@ def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("max_overlap_days"),
     )
+
+
+@probe(
+    "j6b_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id,
+                      date_trunc('second', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, date_trunc('second', ts) AS cts,
+                      max(event_id) AS click_id
+               FROM events WHERE event_type = 'click'
+               GROUP BY user_id, date_trunc('second', ts)),
+         j AS (SELECT p.user_id, p.purchase_id, c.click_id, c.cts, p.pts
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.pts >= c.cts)
+    SELECT user_id, purchase_id,
+           CASE WHEN cts IS NOT NULL AND epoch(pts - cts) <= 1800
+                THEN click_id END AS click_id,
+           CASE WHEN cts IS NOT NULL AND epoch(pts - cts) <= 1800
+                THEN round(epoch(pts - cts) / 60.0, 2) END AS mins_since_click
+    FROM j
+    """,
+)
+def j6b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas ``merge_asof``'s
+    ``tolerance`` / kdb wj parity): purchases attribute only to clicks
+    at most 30 minutes old — older matches null out rather than
+    attributing to a stale touchpoint. Same union+window plan as j6;
+    the tolerance is a post-window conditional, not a second join. The
+    oracle applies the identical bound on top of DuckDB's native ASOF
+    join."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_trunc("second", "ts").alias("pts"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.date_trunc("second", "ts").alias("cts"))
+        .groupBy("user_id", "cts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="pts",
+        right_ts="cts",
+        right_payload=["click_id"],
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        dround(
+            (F.unix_timestamp("pts") - F.unix_timestamp("_asof_ts")) / 60.0, 2
+        ).alias("mins_since_click"),
+    )
