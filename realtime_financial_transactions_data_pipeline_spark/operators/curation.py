@@ -532,3 +532,53 @@ def x13_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_retained"),
         dround(F.avg("_score"), 4).alias("avg_quality"),
     )
+
+
+_SPLIT_SEED = 271828
+
+
+@probe(
+    "x17_train_val_test_split",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (('0x' || substr(md5('{_SPLIT_SEED}-' || CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+              / 4294967296.0) AS u
+      FROM documents),
+    s AS (
+      SELECT lang, n_chars,
+             CASE WHEN u < 0.90 THEN 'train'
+                  WHEN u < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u)
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM s GROUP BY split, lang
+    """,
+)
+def x17_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by counter-based
+    md5 uniform of the doc id — the standard leakage-safe holdout:
+    membership is a pure function of (seed, doc_id), so re-running the
+    pipeline, adding documents, or changing partitioning NEVER moves an
+    existing doc across splits (a random() split re-deals everything).
+    Shuffle-free on the corpus; the only exchange is the (split, lang)
+    accounting rollup returned here."""
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        hash_uniform,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_uniform(_SPLIT_SEED, "doc_id")
+    split = (
+        F.when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
