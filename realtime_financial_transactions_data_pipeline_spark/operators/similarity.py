@@ -541,7 +541,9 @@ def kmeans_lloyd(
     return assign, cents
 
 
-_X2J_ORACLE = f"""
+#: Shared CTE chain replaying seed -> assign -> update -> assign; the
+#: x2j and x2l oracles both build on the final assignment `a2`.
+_X2J_CTE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 seeds AS (SELECT vec_id, emb FROM e
           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_KMEANS_K}),
@@ -572,6 +574,9 @@ a2 AS (SELECT vec_id, list_id, sim FROM (
                 row_number() OVER (PARTITION BY vec_id
                                    ORDER BY sim DESC, list_id) AS rnk
          FROM s2) WHERE rnk = 1)
+"""
+
+_X2J_ORACLE = f"""{_X2J_CTE}
 SELECT list_id AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
        round(avg(sim), 4) AS mean_cosine
@@ -679,3 +684,83 @@ def x2k_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("codes").cast("int").alias("code_min"),
         dround("recon_err", 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x2l — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+# deduplication = cluster the embedding space, then prune high-cosine
+# pairs WITHIN clusters only. The clustering bounds the pair space to
+# Σ_c C(n_c, 2) ≈ N²/k instead of N² — and at corpus scale each cluster
+# is processed independently (one shuffle on cluster id), so the
+# threshold pass never materializes a global pair join.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.45  # this corpus's near-dup band (max pairwise cosine 0.51)
+
+_X2L_ORACLE = f"""{_X2J_CTE},
+m AS (SELECT a2.vec_id, a2.list_id, e.emb FROM a2 JOIN e USING (vec_id)),
+p AS (SELECT a.list_id, b.vec_id AS dropped_id,
+             list_inner_product(a.emb, b.emb)
+             / (sqrt(list_inner_product(a.emb, a.emb))
+                * sqrt(list_inner_product(b.emb, b.emb))) AS sim
+      FROM m a JOIN m b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id)
+SELECT DISTINCT dropped_id AS vec_id, list_id AS cluster_id
+FROM p WHERE sim >= {_SEMDEDUP_T}
+"""
+
+
+def semdedup(
+    emb: DataFrame, k: int = _KMEANS_K, iters: int = 2, threshold: float = _SEMDEDUP_T
+) -> DataFrame:
+    """Vectors to DROP under SemDeDup: for every within-cluster pair
+    with cosine >= threshold, the higher vec_id drops (keep-first, the
+    same canonical-survivor rule as the text dedup family). Returns
+    (vec_id, cluster_id) of dropped vectors.
+
+    Plan: k-means assignment (corpus never shuffles during assign), one
+    equi-join on cluster id with the id inequality + cosine threshold —
+    per-cluster pair work only, norms hoisted, dot products as JVM
+    array lambdas."""
+    assign, _ = kmeans_lloyd(emb, k=k, iters=iters)
+    m = assign.select("vec_id", "list_id").join(
+        emb.select("vec_id", "emb", "nrm"), "vec_id"
+    )
+    a = m.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = m.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+    )
+    pairs = (
+        a.join(b, ["list_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", dot / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("sim") >= threshold)
+    )
+    return pairs.select(
+        F.col("id_b").alias("vec_id"), F.col("list_id").alias("cluster_id")
+    ).distinct()
+
+
+@probe("x2l_semdedup", oracle=_X2L_ORACLE)
+def x2l_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over `embeddings`: 2-iteration seeded k-means (the x2j
+    machinery, oracle-replayed), then within-cluster cosine pruning at
+    0.45 — dropped vectors with the cluster they dropped in. The
+    DuckDB twin extends the x2j CTE chain with the same within-cluster
+    pair query, so the hash certifies clustering AND pruning
+    end-to-end."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "nrm"
+    )
+    return semdedup(emb)

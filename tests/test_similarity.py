@@ -201,3 +201,22 @@ def test_quantize_int8_codes_and_error(spark):
     assert out[1].codes == [127, -63, 32]
     assert out[1].recon_err > 0
     assert out[2].scale == 0.0 and out[2].codes == [0, 0, 0] and out[2].recon_err == 0.0
+
+
+def test_semdedup_drops_higher_id_of_near_identical_pair(spark):
+    """Two near-identical vectors land in the same cluster; the higher
+    id drops. A third orthogonal-ish vector survives."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        semdedup,
+        with_double_embedding,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.1]),
+        (2, [1.0, 0.01, 0.0, 0.1]),   # ~0.9999 cosine with vec 1
+        (3, [0.0, 1.0, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = with_double_embedding(df).select("vec_id", "emb", "nrm")
+    dropped = {r.vec_id for r in semdedup(emb, k=1, iters=1, threshold=0.95).collect()}
+    assert dropped == {2}
