@@ -122,3 +122,78 @@ def dq1_expectation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle needs four scans)."""
     e = load_table(spark, sf_dir, "events")
     return expectation_metrics(e, event_rules())
+
+
+def referential_audit(
+    facts: dict[str, tuple[DataFrame, str, DataFrame, str]]
+) -> DataFrame:
+    """Star-schema referential-integrity audit: for each named FK edge
+    (child_df, fk_col, parent_df, pk_col), report child row count,
+    distinct FK values, and orphan rows (FKs with no parent). Orphans
+    come from a left_anti join — broadcast when the parent is a dim —
+    so each edge costs one pass over the child; counts are
+    partial-aggregable."""
+    results = None
+    for name, (child, fk, parent, pk) in facts.items():
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        orphans = child.join(F.broadcast(keys), fk, "left_anti")
+        row = child.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(fk).alias("n_fk_values"),
+        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        results = row if results is None else results.unionByName(row)
+    return results.select("fk", "n_rows", "n_fk_values", "n_orphans")
+
+
+@probe(
+    "dq2_referential_audit",
+    oracle="""
+    SELECT 'orders->customer' AS fk,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT) AS n_fk_values,
+           CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c LEFT JOIN nation n
+                 ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST((SELECT count(*) FROM supplier) AS BIGINT),
+           CAST((SELECT count(DISTINCT s_nationkey) FROM supplier) AS BIGINT),
+           CAST((SELECT count(*) FROM supplier s LEFT JOIN nation n
+                 ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'nation->region',
+           CAST((SELECT count(*) FROM nation) AS BIGINT),
+           CAST((SELECT count(DISTINCT n_regionkey) FROM nation) AS BIGINT),
+           CAST((SELECT count(*) FROM nation n LEFT JOIN region r
+                 ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL) AS BIGINT)
+    """,
+)
+def dq2_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the whole star schema: every
+    FK edge's row count, distinct-key count, and orphan count. On sound
+    data orphans are zero — the probe's value is the accounting columns
+    proving each edge was actually checked (counts differ per edge), and
+    at 100 TB each edge stays one broadcast anti-join pass over its
+    child table."""
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    edges = {
+        "orders->customer": (t("orders"), "o_custkey", t("customer"), "c_custkey"),
+        "lineitem->orders": (t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+        "customer->nation": (t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+        "supplier->nation": (t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+        "nation->region": (t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+    }
+    return referential_audit(edges)

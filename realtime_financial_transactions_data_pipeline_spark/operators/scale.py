@@ -376,3 +376,110 @@ def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("value").cast("long") % 1024).alias("y"),
     )
     return zorder_layout_stats(d, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention + time travel — the Delta/Iceberg "VERSION AS OF"
+# read on the same pointer-generation layout. `compact_table` deletes
+# its source (maintenance mode); `publish_generation` RETAINS prior
+# generations, so any of them can be read back until `vacuum_generations`
+# reclaims them. CURRENT stays the single atomic commit point.
+# ---------------------------------------------------------------------------
+
+
+def publish_generation(df: DataFrame, root: str) -> int:
+    """Write ``df`` as the next generation and flip ``CURRENT``
+    atomically, KEEPING prior generations readable (time travel).
+    Returns the new generation number."""
+    cur = os.path.basename(current_table_path(root))
+    gen = int(cur.split("=")[1]) + 1
+    new = os.path.join(root, f"gen={gen}")
+    df.write.mode("overwrite").parquet(new)
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"gen={gen}\n")
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+    return gen
+
+
+def read_generation(spark: SparkSession, root: str, gen: int | None = None) -> DataFrame:
+    """Read a table AS OF a generation (default: the live one). Raises
+    if that generation was vacuumed — time travel has a retention
+    horizon, exactly like Delta's."""
+    path = (
+        current_table_path(root)
+        if gen is None
+        else os.path.join(root, f"gen={gen}")
+    )
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"generation {os.path.basename(path)} not present under {root} "
+            "(vacuumed or never written)"
+        )
+    return spark.read.parquet(path)
+
+
+def vacuum_generations(root: str, keep_last: int = 2) -> list[str]:
+    """Drop all but the newest ``keep_last`` generations (never the
+    live one). Returns swept directory names."""
+    import shutil
+
+    live = os.path.basename(current_table_path(root))
+    gens = sorted(
+        (n for n in os.listdir(root) if n.startswith("gen=")),
+        key=lambda n: int(n.split("=")[1]),
+    )
+    keep = set(gens[-keep_last:]) | {live}
+    swept = []
+    for name in gens:
+        if name not in keep:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            swept.append(name)
+    return swept
+
+
+@probe(
+    "scale_time_travel",
+    oracle="""
+    SELECT 0 AS gen,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    UNION ALL
+    SELECT 1,
+           CAST(count(*) AS BIGINT),
+           round(sum(CASE WHEN c_custkey % 5 = 0
+                          THEN c_acctbal + 100 ELSE c_acctbal END), 2)
+    FROM customer WHERE c_custkey % 7 <> 3
+    """,
+)
+def scale_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over retained generations: land `customer` as gen 0,
+    publish an updated gen 1 (credit +100 to every 5th key, delete
+    every 7th-mod-3 key), then aggregate BOTH versions via
+    ``read_generation`` — the VERSION-AS-OF read. The oracle recomputes
+    each version's aggregate from the source table, certifying old
+    snapshots stay intact and exact after the pointer moved on."""
+    import tempfile
+
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    root = f"{tempfile.gettempdir()}/spark_graft_scale/customer_tt"
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    init_pointer_table(base, root)
+    v1 = base.filter(F.col("c_custkey") % 7 != 3).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")),
+    )
+    publish_generation(v1, root)
+
+    def snap(gen: int) -> DataFrame:
+        return read_generation(spark, root, gen).agg(
+            F.lit(gen).alias("gen"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        ).select("gen", "n_rows", "total_bal")
+
+    return pin_result(snap(0).unionByName(snap(1)))

@@ -59,3 +59,17 @@ def test_metrics_single_scan(spark):
     e = load_table(spark, "/root/testdata/sf0.001", "events")
     plan = inspect.formatted_plan(expectation_metrics(e, event_rules()))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+
+
+def test_referential_audit_finds_planted_orphans(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        referential_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 999)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(100,)], "pk long")
+    out = referential_audit({"child->parent": (child, "fk", parent, "pk")}).collect()
+    r = out[0]
+    assert (r.fk, r.n_rows, r.n_fk_values, r.n_orphans) == ("child->parent", 3, 2, 1)

@@ -267,3 +267,34 @@ def test_zorder_buckets_are_tiles_on_both_dims(spark, sf_dir):
     for r in zorder_layout_stats(d, "x", "y").collect():
         assert r.x_max - r.x_min <= 127, r
         assert r.y_max - r.y_min <= 127, r
+
+
+def test_time_travel_generations_retained_and_vacuumed(spark, tmp_path):
+    """publish_generation retains old snapshots; read_generation reads
+    any retained one; vacuum drops beyond the horizon and old reads
+    then fail loudly."""
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        init_pointer_table,
+        publish_generation,
+        read_generation,
+        vacuum_generations,
+    )
+
+    root = str(tmp_path / "tt")
+    df0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    init_pointer_table(df0, root)
+    publish_generation(
+        spark.createDataFrame([(1, 11.0)], "k long, v double"), root
+    )
+    publish_generation(
+        spark.createDataFrame([(1, 12.0), (3, 30.0)], "k long, v double"), root
+    )
+    assert read_generation(spark, root, 0).count() == 2
+    assert read_generation(spark, root).collect()[0].v in (12.0, 30.0)
+    swept = vacuum_generations(root, keep_last=2)
+    assert swept == ["gen=0"]
+    with _pytest.raises(FileNotFoundError, match="gen=0"):
+        read_generation(spark, root, 0)
+    assert read_generation(spark, root, 2).count() == 2
