@@ -1153,3 +1153,40 @@ def o6_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+#: ONE SQL string, two engines: this exact text runs through
+#: ``spark.sql`` AND is the DuckDB oracle. Dialect-neutral by
+#: construction — ANSI joins, TIMESTAMP literals, and integer-cents
+#: via floor(x + 0.5) instead of round() (the one function whose
+#: double behavior differs between the engines).
+_Q1_SHARED_SQL = """
+    SELECT r_name, n_name,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_txns
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND o_orderstatus IN ('O', 'F')
+    GROUP BY r_name, n_name
+"""
+
+
+@probe("q1sql_shared_text", oracle=_Q1_SHARED_SQL)
+def q1sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface parity, the strongest form: the flagship star query
+    as ONE dialect-neutral SQL string executed verbatim by BOTH
+    engines — ``spark.sql(_Q1_SHARED_SQL)`` here, the identical text
+    as the DuckDB oracle. A user's ANSI dashboard query ports with
+    zero rewrites; Catalyst still plans the same broadcast-star
+    physical shape as the DataFrame formulation (same tables, same
+    predicates)."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SHARED_SQL)
