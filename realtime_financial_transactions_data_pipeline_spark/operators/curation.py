@@ -96,9 +96,9 @@ def curate(docs: DataFrame, quality_min: float = _QUALITY_MIN) -> DataFrame:
     return drop_near_duplicates(gated)
 
 
-@probe(
-    "x6_corpus_curation",
-    oracle=f"""
+#: Shared CTE chain replaying dedup -> quality gate -> near-dup drop;
+#: the x6 and x18 oracles both build on the curated `final` set.
+_X6_KEPT_CTE = f"""
     WITH dedup AS (
       SELECT * FROM (
         SELECT doc_id, lang, text,
@@ -128,6 +128,12 @@ def curate(docs: DataFrame, quality_min: float = _QUALITY_MIN) -> DataFrame:
             >= {_NEARDUP_T}),
     final AS (
       SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+"""
+
+
+@probe(
+    "x6_corpus_curation",
+    oracle=f"""{_X6_KEPT_CTE}
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS n_tokens,
@@ -580,5 +586,82 @@ def x17_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+_PIPE_SHARD_BUDGET = 2_000
+
+
+@probe(
+    "x18_full_corpus_pipeline",
+    oracle=f"""{_X6_KEPT_CTE},
+    withu AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tok,
+             (('0x' || substr(md5('{_SPLIT_SEED}-' || CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+              / 4294967296.0) AS u
+      FROM final),
+    sp AS (
+      SELECT doc_id, lang, n_tok,
+             CASE WHEN u < 0.90 THEN 'train'
+                  WHEN u < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM withu),
+    cum AS (
+      SELECT split, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY split, lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM sp),
+    sh2 AS (
+      SELECT split, lang, n_tok,
+             CAST(floor((c - n_tok) / {_PIPE_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+      FROM cum)
+    SELECT split, lang, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+    FROM sh2 GROUP BY split, lang, shard_id
+    """,
+)
+def x18_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data run, one declarative plan: curation
+    (exact dedup → quality gate → near-dup drop, the x6 chain) →
+    deterministic 90/5/5 holdout split (x17's md5 uniform) →
+    token-budget sharding per (split, lang) (x9's running-total rule,
+    2k-token shards) → the per-shard accounting a dataset card ships.
+    Every stage is deterministic, so the WHOLE pipeline is one hash —
+    the oracle replays curation, split, and sharding in a single CTE
+    chain. Plan: curation's digest/posting shuffles, then one window
+    shuffle on (split, lang); the corpus text never shuffles after the
+    curation stage because split and shard are pure functions of
+    (doc_id, token count)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = curate(d)
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        hash_uniform,
+    )
+
+    u = hash_uniform(_SPLIT_SEED, "doc_id")
+    split = F.when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+    staged = kept.select(
+        "doc_id", "lang", split.alias("split"), n_tok.alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        staged.withColumn(
+            "shard_id",
+            F.floor((cum - F.col("n_tok")) / float(_PIPE_SHARD_BUDGET)).cast("long"),
+        )
+        .groupBy("split", "lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("shard_tokens"),
         )
     )
