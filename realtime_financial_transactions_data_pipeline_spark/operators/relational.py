@@ -1190,3 +1190,30 @@ def q1sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q1_SHARED_SQL)
+
+
+@probe(
+    "a16_dispersion_correlation",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 4) AS var_value,
+           round(corr(value, CAST(user_id % 97 AS DOUBLE)), 4) AS corr_vu
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a16_dispersion_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event type: sample stddev/variance
+    of value and its correlation with a derived numeric (user bucket) —
+    the dispersion panel of a stats dashboard. All three are
+    partial-aggregable (sum/sum-of-squares/cross-product accumulators),
+    so the plan is one map-side-combined groupBy on ~5 keys at any
+    scale."""
+    e = _t(spark, sf_dir, "events")
+    vu = (F.col("user_id") % 97).cast("double")
+    return e.groupBy("event_type").agg(
+        dround(F.stddev_samp("value"), 4).alias("sd_value"),
+        dround(F.var_samp("value"), 4).alias("var_value"),
+        dround(F.corr(F.col("value"), vu), 4).alias("corr_vu"),
+    )
