@@ -772,7 +772,14 @@ def x16_crossdoc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the gram explode dominates; hash the grams to 8-byte
     xxhash64 before the shuffle (as x2a does) to cut exchange bytes."""
     grams = _corpus_grams(spark, sf_dir)
-    eg = grams.select("doc_id", F.explode("grams").alias("gram"))
+    # Hash each gram to 8 bytes BEFORE the exchanges: the df groupBy and
+    # the join back then shuffle longs, not 20-byte strings (the scale
+    # rule the x2a pipeline already follows). The oracle still works on
+    # raw strings — a collision would fail the hash check; at 2^64 the
+    # expected collision count is ~1e-7 for a trillion-gram corpus.
+    eg = grams.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("gram"))
     dfreq = eg.groupBy("gram").agg(F.count("*").alias("n_docs"))
     return (
         eg.join(dfreq, "gram")
