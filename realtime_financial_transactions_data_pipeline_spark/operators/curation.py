@@ -131,6 +131,20 @@ _X6_KEPT_CTE = f"""
 """
 
 
+def _curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized curated snapshot of `documents` — the expensive
+    dedup/gate/near-dup chain both x6 and x18 start from; derived once
+    per (app, sf_dir) and reused across the suite (same policy as the
+    shared shingle pass)."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        return curate(d)
+
+    return memo_persist(spark, ("curated", sf_dir), build)
+
+
 @probe(
     "x6_corpus_curation",
     oracle=f"""{_X6_KEPT_CTE}
@@ -146,8 +160,7 @@ def x6_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate → near-dup removal → per-language dataset-card stats.
     Every stage is deterministic, so the whole chain is hash-verified
     against the DuckDB oracle."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    final = curate(d)
+    final = _curated(spark, sf_dir)
     n_tokens = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
     return final.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -636,8 +649,7 @@ def x18_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on (split, lang); the corpus text never shuffles after the
     curation stage because split and shard are pure functions of
     (doc_id, token count)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    kept = curate(d)
+    kept = _curated(spark, sf_dir)
     from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
         hash_uniform,
     )
