@@ -385,3 +385,119 @@ def a14_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_anomalies(
         load_table(spark, sf_dir, "events"), ts_col="ts", value_col="value"
     )
+
+
+# ---------------------------------------------------------------------------
+# ts1 — time-series similarity search (the EDBT'19 streaming-similarity
+# theme, batch form): z-normalized daily activity profiles per user,
+# top-k closest pairs under Euclidean distance. Z-normalization makes
+# the match about SHAPE (correlation), not volume — the standard
+# pre-step of matrix-profile / UCR-suite pipelines.
+# ---------------------------------------------------------------------------
+
+_TS_DAYS = 30
+_TS_EPOCH = "2024-01-01"
+_TS_TOPK = 5
+
+
+def daily_profile_series(events: DataFrame, n_days: int = _TS_DAYS) -> DataFrame:
+    """(user_id, v): each user's daily value totals as a fixed
+    ``n_days`` array (missing days 0.0). One groupBy shuffle; the
+    gap-fill is a JVM map lookup over a literal day sequence, no spine
+    join."""
+    daily = (
+        events.withColumn(
+            "idx", F.datediff(F.to_date("ts"), F.lit(_TS_EPOCH).cast("date"))
+        )
+        .filter((F.col("idx") >= 0) & (F.col("idx") < n_days))
+        .groupBy("user_id", "idx")
+        .agg(F.sum("value").alias("s"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("idx", "s")))
+    slots = F.transform(
+        F.sequence(F.lit(0), F.lit(n_days - 1)),
+        lambda i: F.coalesce(_elem(m, i), F.lit(0.0)),
+    )
+    return daily.groupBy("user_id").agg(slots.alias("v"))
+
+
+def _elem(m, i):
+    return F.element_at(m, i.cast("int"))
+
+
+def znormalize(series: DataFrame, n: int = _TS_DAYS) -> DataFrame:
+    """Append ``z``: (v - mean) / population-std per series; constant
+    series (zero variance) drop — shape similarity is undefined for
+    them. Pure array lambdas, no shuffle."""
+    mean = F.expr("aggregate(v, 0.0D, (a, x) -> a + x)") / n
+    var = F.expr("aggregate(v, 0.0D, (a, x) -> a + x * x)") / n - mean * mean
+    d = series.withColumn("_m", mean).withColumn("_var", var)
+    return (
+        d.filter(F.col("_var") > 1e-12)
+        .withColumn(
+            "z",
+            F.expr("transform(v, x -> (x - _m) / sqrt(_var))"),
+        )
+        .drop("_m", "_var")
+    )
+
+
+@probe(
+    "ts1_series_similarity",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', DATE '{_TS_EPOCH}', CAST(ts AS DATE)) AS idx,
+             sum(value) AS s
+      FROM events
+      WHERE datediff('day', DATE '{_TS_EPOCH}', CAST(ts AS DATE)) BETWEEN 0 AND {_TS_DAYS - 1}
+      GROUP BY 1, 2),
+    ser AS (
+      SELECT u.user_id, list(coalesce(d2.s, 0.0) ORDER BY r.i) AS v
+      FROM (SELECT DISTINCT user_id FROM daily) u
+      CROSS JOIN (SELECT unnest(range(0, {_TS_DAYS})) AS i) r
+      LEFT JOIN daily d2 ON d2.user_id = u.user_id AND d2.idx = r.i
+      GROUP BY u.user_id),
+    st AS (
+      SELECT user_id, v,
+             list_sum(v) / {_TS_DAYS} AS m,
+             list_sum(list_transform(v, x -> x * x)) / {_TS_DAYS}
+               - (list_sum(v) / {_TS_DAYS}) ^ 2 AS var
+      FROM ser),
+    z AS (
+      SELECT user_id,
+             list_transform(v, x -> (x - m) / sqrt(var)) AS z
+      FROM st WHERE var > 1e-12),
+    p AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             sqrt(list_sum(list_transform(range(1, {_TS_DAYS + 1}),
+               i -> (a.z[CAST(i AS INTEGER)] - b.z[CAST(i AS INTEGER)]) ^ 2))) AS d
+      FROM z a JOIN z b ON a.user_id < b.user_id)
+    SELECT user_a, user_b, round(d, 4) AS zdist
+    FROM p ORDER BY d, user_a, user_b LIMIT {_TS_TOPK}
+    """,
+)
+def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TS_TOPK} most similar user pairs by z-normalized daily
+    activity shape. Exact all-pairs baseline (documented, like x2f):
+    at corpus scale the candidate set comes from an LSH/cluster
+    blocking pass (the x2 family), with this exact distance as the
+    verify step. orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition top-k heap, never a global sort."""
+    e = load_table(spark, sf_dir, "events")
+    z = znormalize(daily_profile_series(e))
+    a = z.select(F.col("user_id").alias("user_a"), F.col("z").alias("za"))
+    b = z.select(F.col("user_id").alias("user_b"), F.col("z").alias("zb"))
+    dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(za, zb, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (s, v) -> s + v)"
+        )
+    )
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", dist.alias("_d"))
+        .orderBy("_d", "user_a", "user_b")
+        .limit(_TS_TOPK)
+        .select("user_a", "user_b", dround(F.col("_d"), 4).alias("zdist"))
+    )

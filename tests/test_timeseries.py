@@ -156,3 +156,47 @@ def test_daily_anomalies_flags_outlier(spark):
     assert out["2024-01-11"].is_anomaly
     assert not out["2024-01-05"].is_anomaly
     assert out["2024-01-11"].z > 2.0
+
+
+def test_znormalized_similarity_is_shape_based(spark):
+    """Two users with IDENTICAL shape at different volume (10x) have
+    z-distance 0; an anti-correlated user is farther than both."""
+    import datetime as dt
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        daily_profile_series,
+        znormalize,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    shape = [1.0, 5.0, 2.0, 8.0, 3.0]
+    for day, v in enumerate(shape):
+        ts = base + dt.timedelta(days=day)
+        rows.append((1, ts, v))          # the shape
+        rows.append((2, ts, v * 10))     # same shape, 10x volume
+        rows.append((3, ts, 10.0 - v))   # anti-correlated
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    z = znormalize(daily_profile_series(df, n_days=5), n=5)
+    zz = {r.user_id: r.z for r in z.collect()}
+    d12 = sum((a - b) ** 2 for a, b in zip(zz[1], zz[2])) ** 0.5
+    d13 = sum((a - b) ** 2 for a, b in zip(zz[1], zz[3])) ** 0.5
+    assert d12 < 1e-9          # volume invariance
+    assert d13 > 1.0           # shape difference dominates
+
+
+def test_constant_series_dropped(spark):
+    import datetime as dt
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        daily_profile_series,
+        znormalize,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(days=d), 5.0) for d in range(3)]
+    rows += [(2, base + dt.timedelta(days=d), float(d)) for d in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    z = znormalize(daily_profile_series(df, n_days=3), n=3)
+    assert [r.user_id for r in z.collect()] == [2]
