@@ -82,6 +82,7 @@ def run_cdc_merge_stream(
     root: str,
     key: str = "user_id",
     order_cols: tuple[str, ...] = ("ts", "event_id"),
+    emit_changes: bool = False,
 ) -> str:
     """Stream JSON CDC records from ``input_dir`` (one file per
     micro-batch) and merge each batch into the pointer-managed snapshot
@@ -110,6 +111,39 @@ def run_cdc_merge_stream(
         )
         merged = merge_latest_wins(cur, tagged, key, list(order_cols))
         gen = int(os.path.basename(cur_path).split("=")[1]) + 1
+        if emit_changes:
+            # Change-data-feed (Delta CDF parity): a key changes in this
+            # batch iff its winning row changed. change_type: a winning
+            # tombstone is 'delete'; a winner where the key was absent
+            # or previously deleted is 'insert'; otherwise 'update'.
+            prev = cur.select(
+                key,
+                *[F.col(c).alias(f"_p_{c}") for c in order_cols],
+                F.col("op").alias("_p_op"),
+            )
+            changed = (
+                merged.join(prev, key, "left")
+                .filter(
+                    F.col(f"_p_{order_cols[0]}").isNull()
+                    | (
+                        F.struct(*[F.col(c) for c in order_cols])
+                        != F.struct(*[F.col(f"_p_{c}") for c in order_cols])
+                    )
+                )
+                .withColumn(
+                    "change",
+                    F.when(F.col("op") == "delete", "delete")
+                    .when(
+                        F.col("_p_op").isNull() | (F.col("_p_op") == "delete"),
+                        "insert",
+                    )
+                    .otherwise("update"),
+                )
+                .drop(*[f"_p_{c}" for c in order_cols], "_p_op")
+            )
+            changed.write.mode("overwrite").parquet(
+                os.path.join(root, "changes", f"gen={gen}")
+            )
         new = os.path.join(snap_root, f"gen={gen}")
         shutil.rmtree(new, ignore_errors=True)
         merged.write.mode("overwrite").parquet(new)
@@ -399,3 +433,72 @@ def compact_bucketed_snapshot(
     finally:
         df.unpersist()
     return n_rows
+
+
+@probe(
+    "k8c_change_feed",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             event_id % 4 AS b,
+             epoch(date_trunc('second', ts)) * 1000000 + event_id AS sk
+      FROM events),
+    pb AS (SELECT user_id, b, max(sk) AS bmax FROM r GROUP BY user_id, b),
+    pf AS (SELECT user_id, b, bmax,
+                  max(bmax) OVER (PARTITION BY user_id ORDER BY b
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS prevmax
+           FROM pb),
+    ch AS (SELECT user_id, b, bmax AS newmax, prevmax
+           FROM pf WHERE prevmax IS NULL OR bmax > prevmax),
+    win AS (SELECT c.user_id, c.b, c.prevmax, r.event_id, r.op
+            FROM ch c JOIN r ON r.user_id = c.user_id AND r.sk = c.newmax),
+    prev AS (SELECT c.user_id, c.b, r2.op AS prev_op
+             FROM ch c JOIN r r2 ON r2.user_id = c.user_id AND r2.sk = c.prevmax)
+    SELECT w.user_id, w.event_id AS winner_event,
+           CASE WHEN w.op = 'delete' THEN 'delete'
+                WHEN p.prev_op IS NULL OR p.prev_op = 'delete' THEN 'insert'
+                ELSE 'update' END AS change
+    FROM win w LEFT JOIN prev p ON w.user_id = p.user_id AND w.b = p.b
+    """,
+)
+def k8c_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed through the streaming merge sink: `events`
+    sliced into FOUR deterministic micro-batches (batch i = event_id
+    % 4, one mtime-pinned file each, the t8 protocol), merged with
+    ``emit_changes=True``; the probe returns every change-log row
+    (key, winning event, change type) across all batches. The oracle
+    replays batch evolution in SQL with a per-key running-winner
+    window — the sort key ``epoch(ts)·10^6 + event_id`` totally orders
+    rows — so the hash certifies WHICH batch changed every key and HOW
+    (insert vs update vs delete), not just the final state."""
+    import glob
+
+    root = f"{_SCRATCH}/k8c"
+    shutil.rmtree(root, ignore_errors=True)
+    flat = f"{root}/incoming"
+    os.makedirs(flat, exist_ok=True)
+    src = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_trunc("second", "ts").alias("ts"),
+    )
+    for i in range(4):
+        part_dir = f"{root}/slice{i}"
+        src.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).json(part_dir)
+        (part,) = glob.glob(f"{part_dir}/part-*.json")
+        dst = f"{flat}/{i}.json"
+        shutil.copy(part, dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+    run_cdc_merge_stream(spark, flat, root, emit_changes=True)
+    changes = spark.read.parquet(f"{root}/changes")
+    return pin_result(
+        changes.select(
+            "user_id", F.col("event_id").alias("winner_event"), "change"
+        )
+    )

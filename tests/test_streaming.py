@@ -428,3 +428,75 @@ def test_bucketed_compaction_folds_deltas_and_sweeps(spark, fresh_root):
     assert after == before and n == len(before)  # tombstone u3 included
     assert not [d for d in os.listdir(snap_root) if d.startswith("delta=")]
     assert len([d for d in os.listdir(snap_root) if d.startswith("compact=")]) == 1
+
+
+def test_change_feed_classifies_insert_update_delete_resurrect(spark, tmp_path):
+    """Four single-row batches for one key: upsert (insert) -> newer
+    upsert (update) -> tombstone (delete) -> newer upsert (insert —
+    resurrection). The change log must record exactly that sequence."""
+    import json
+    import os
+
+    from realtime_financial_transactions_data_pipeline_spark.streaming.merge_sink import (
+        run_cdc_merge_stream,
+    )
+
+    root = str(tmp_path / "cdf")
+    flat = f"{root}/incoming"
+    os.makedirs(flat)
+    rows = [
+        (100, "click", "2024-01-01T10:00:00"),
+        (101, "view", "2024-01-01T11:00:00"),
+        (102, "error", "2024-01-01T12:00:00"),
+        (103, "purchase", "2024-01-01T13:00:00"),
+    ]
+    for i, (eid, etype, ts) in enumerate(rows):
+        with open(f"{flat}/{i}.json", "w") as fh:
+            fh.write(json.dumps({
+                "user_id": 7, "event_id": eid, "event_type": etype,
+                "value": 1.0, "ts": ts,
+            }) + "\n")
+        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+    run_cdc_merge_stream(spark, flat, root, emit_changes=True)
+    got = [
+        (r.event_id, r.change)
+        for r in spark.read.parquet(f"{root}/changes")
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == [
+        (100, "insert"),
+        (101, "update"),
+        (102, "delete"),
+        (103, "insert"),
+    ]
+
+
+def test_change_feed_stale_batch_row_emits_nothing(spark, tmp_path):
+    """A batch whose rows are OLDER than the current winner leaves the
+    key unchanged — no change row."""
+    import json
+    import os
+
+    from realtime_financial_transactions_data_pipeline_spark.streaming.merge_sink import (
+        run_cdc_merge_stream,
+    )
+
+    root = str(tmp_path / "cdf2")
+    flat = f"{root}/incoming"
+    os.makedirs(flat)
+    batches = [
+        ("2024-01-01T12:00:00", 200),  # winner
+        ("2024-01-01T09:00:00", 201),  # stale arrival
+    ]
+    for i, (ts, eid) in enumerate(batches):
+        with open(f"{flat}/{i}.json", "w") as fh:
+            fh.write(json.dumps({
+                "user_id": 9, "event_id": eid, "event_type": "click",
+                "value": 1.0, "ts": ts,
+            }) + "\n")
+        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+    run_cdc_merge_stream(spark, flat, root, emit_changes=True)
+    got = [(r.event_id, r.change)
+           for r in spark.read.parquet(f"{root}/changes").collect()]
+    assert got == [(200, "insert")]
