@@ -502,3 +502,13 @@ def k8c_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("event_id").alias("winner_event"), "change"
         )
     )
+
+
+def read_changes_since(spark: SparkSession, root: str, after_gen: int = 0) -> DataFrame:
+    """Consumer side of the change feed: every change row with
+    generation > ``after_gen`` (the reader's high-water mark), with the
+    generation as a column. Partition pruning on the ``gen=`` directory
+    layout means a caught-up reader opens only the new files —
+    incremental consumption without a broker."""
+    df = spark.read.parquet(os.path.join(root, "changes"))
+    return df.filter(F.col("gen") > after_gen)

@@ -500,3 +500,33 @@ def test_change_feed_stale_batch_row_emits_nothing(spark, tmp_path):
     got = [(r.event_id, r.change)
            for r in spark.read.parquet(f"{root}/changes").collect()]
     assert got == [(200, "insert")]
+
+
+def test_read_changes_since_prunes_consumed_generations(spark, tmp_path):
+    import json
+    import os
+
+    from realtime_financial_transactions_data_pipeline_spark.streaming.merge_sink import (
+        read_changes_since,
+        run_cdc_merge_stream,
+    )
+
+    root = str(tmp_path / "cdf3")
+    flat = f"{root}/incoming"
+    os.makedirs(flat)
+    for i, eid in enumerate((300, 301, 302)):
+        with open(f"{flat}/{i}.json", "w") as fh:
+            fh.write(json.dumps({
+                "user_id": 5, "event_id": eid, "event_type": "click",
+                "value": 1.0, "ts": f"2024-01-01T1{i}:00:00",
+            }) + "\n")
+        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+    run_cdc_merge_stream(spark, flat, root, emit_changes=True)
+    assert read_changes_since(spark, root).count() == 3
+    late = read_changes_since(spark, root, after_gen=2)
+    assert [r.event_id for r in late.collect()] == [302]
+    # the gen= filter must reach the scan as a partition filter
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    plan = inspect.formatted_plan(late)
+    assert "PartitionFilters" in plan and "gen" in plan
