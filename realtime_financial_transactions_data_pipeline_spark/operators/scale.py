@@ -483,3 +483,28 @@ def scale_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("gen", "n_rows", "total_bal")
 
     return pin_result(snap(0).unionByName(snap(1)))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+) -> None:
+    """The z-order WRITE path: compute the Morton key, range-partition
+    on it (one exchange — Spark samples the keys for even cut points),
+    sort within each partition, and write one file per partition. The
+    parquet footers then carry narrow min/max for BOTH dimensions, so
+    any stats-aware reader (Spark, DuckDB, Trino) skips most files for
+    a selective predicate on either column — verified against the
+    actual footers in tests/test_scale.py."""
+    z = zorder_key(F.col(x_col), F.col(y_col))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

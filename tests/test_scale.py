@@ -298,3 +298,60 @@ def test_time_travel_generations_retained_and_vacuumed(spark, tmp_path):
     with _pytest.raises(FileNotFoundError, match="gen=0"):
         read_generation(spark, root, 0)
     assert read_generation(spark, root, 2).count() == 2
+
+
+def test_zordered_files_carry_narrow_footer_stats(spark, tmp_path):
+    """write_zordered leaves parquet FOOTERS whose per-file min/max are
+    narrow on BOTH columns — the physical artifact stats-based file
+    skipping needs. Compared against an unordered write of the same
+    data, whose every file spans ~the full domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        write_zordered,
+    )
+
+    d = spark.range(20_000).select(
+        (F.col("id") % 1024).alias("x"),
+        ((F.col("id") * 7919) % 1024).alias("y"),
+    )
+
+    def file_spans(path):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {c: None for c in ("x", "y")}
+            hi = {c: None for c in ("x", "y")}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        st = col.statistics
+                        lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                        hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+            if lo["x"] is not None:
+                spans.append((hi["x"] - lo["x"], hi["y"] - lo["y"]))
+        return spans
+
+    zpath = str(tmp_path / "zord")
+    write_zordered(d, zpath, "x", "y", n_files=64)
+    plain = str(tmp_path / "plain")
+    d.repartition(64).write.mode("overwrite").parquet(plain)
+
+    z_spans = file_spans(zpath)
+    p_spans = file_spans(plain)
+    assert z_spans and p_spans
+    # Every unordered file spans most of the domain on both dims; the
+    # z-ordered files average far narrower on both.
+    z_avg_x = sum(s[0] for s in z_spans) / len(z_spans)
+    p_avg_x = sum(s[0] for s in p_spans) / len(p_spans)
+    z_avg_y = sum(s[1] for s in z_spans) / len(z_spans)
+    p_avg_y = sum(s[1] for s in p_spans) / len(p_spans)
+    # 64 range cuts fix 6 Morton prefix bits -> ~128-wide tiles on both
+    # dims; unordered files span ~the full 1024 domain.
+    assert z_avg_x < p_avg_x / 4, (z_avg_x, p_avg_x)
+    assert z_avg_y < p_avg_y / 4, (z_avg_y, p_avg_y)
