@@ -1217,3 +1217,69 @@ def a16_dispersion_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.var_samp("value"), 4).alias("var_value"),
         dround(F.corr(F.col("value"), vu), 4).alias("corr_vu"),
     )
+
+
+def merge_agg_state(
+    old: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental view maintenance for a sum/count aggregate: fold a
+    delta's partial state into the existing state by unioning the two
+    state tables and re-aggregating — sums add, counts add, and any
+    derived measure (avg) recomputes from the merged accumulators.
+    The exchange carries only aggregate STATE rows (group cardinality),
+    never the base data; this is exactly Spark's partial-aggregation
+    algebra applied across time instead of across partitions."""
+    return (
+        old.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+def agg_state(df: DataFrame, keys: list[str]) -> DataFrame:
+    """The maintained aggregate's state: additive accumulators only."""
+    return df.groupBy(*keys).agg(
+        F.sum("value").alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@probe(
+    "mv1_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+           round(sum(value), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv1_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily
+    revenue-by-type view is built from history (days < 20), then a
+    late delta (days >= 20) folds in WITHOUT touching the history rows
+    — only the two state tables merge. The oracle computes the view
+    from scratch over everything; the hash certifies
+    incremental == full recompute, the invariant that makes a 100 TB
+    view maintainable by processing only each day's arrivals."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    keys = ["event_type", "day"]
+    base = agg_state(e.filter(F.col("day") < "2024-01-20"), keys)
+    delta = agg_state(e.filter(F.col("day") >= "2024-01-20"), keys)
+    merged = merge_agg_state(base, delta, keys)
+    return merged.select(
+        "event_type",
+        "day",
+        dround(F.col("sum_value"), 2).alias("revenue"),
+        "n",
+        dround(F.col("sum_value") / F.col("n"), 4).alias("avg_value"),
+    )

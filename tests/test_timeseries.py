@@ -200,3 +200,36 @@ def test_constant_series_dropped(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
     z = znormalize(daily_profile_series(df, n_days=3), n=3)
     assert [r.user_id for r in z.collect()] == [2]
+
+
+def test_incremental_agg_equals_full_recompute_any_split(spark):
+    """Fold-in invariance: splitting the stream at ANY boundary and
+    merging states equals the one-shot aggregate."""
+    import datetime as dt
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        agg_state,
+        merge_agg_state,
+    )
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(hours=h), float(h)) for h in range(10)
+    ] + [("b", base + dt.timedelta(hours=h), 2.0 * h) for h in range(7)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    df = df.select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value")
+    keys = ["event_type", "day"]
+    full = {
+        tuple(r[k] for k in keys): (round(r.sum_value, 6), r.n)
+        for r in agg_state(df, keys).collect()
+    }
+    for threshold in (0.0, 3.0, 8.0, 17.0):
+        left = df.filter(F.col("value") < threshold)
+        right = df.filter(F.col("value") >= threshold)
+        merged = merge_agg_state(agg_state(left, keys), agg_state(right, keys), keys)
+        got = {
+            tuple(r[k] for k in keys): (round(r.sum_value, 6), r.n)
+            for r in merged.collect()
+        }
+        assert got == full, threshold
