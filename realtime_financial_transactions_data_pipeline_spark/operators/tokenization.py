@@ -132,3 +132,34 @@ def u1c_fpe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         fpe_token_col(F.col("pan"), key=TEST_KEY, portable=True).alias("card_token"),
     )
+
+
+_K_ANON = 5
+
+
+@probe(
+    "u3_k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n,
+           n < {_K_ANON} AS suppress
+    FROM g
+    """,
+)
+def u3_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (segment, nation):
+    every equivalence class with its size and a suppression flag for
+    classes smaller than k={_K_ANON} — the release gate a privacy
+    review runs before publishing a de-identified extract (completes
+    the reference's privacy story: F1 masks direct identifiers, U1
+    tokenizes them, this audits the QUASI-identifiers that re-identify
+    via linkage). One partial-aggregable groupBy; the suppression flag
+    is a scan-level expression on the aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("suppress", F.col("n") < _K_ANON)
+    )
