@@ -150,6 +150,7 @@ def all_probes() -> dict[str, Probe]:
         timeseries,
     )
     from realtime_financial_transactions_data_pipeline_spark.sources import (  # noqa: F401
+        avro_ocf,
         batch,
         datagen,
     )

@@ -1,0 +1,69 @@
+"""Avro OCF codec tests: primitive encoding edges, container framing,
+codec negotiation, corruption detection, Spark roundtrip."""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_financial_transactions_data_pipeline_spark.sources.avro_ocf import (
+    EVENT_AVRO_SCHEMA,
+    _zigzag_decode,
+    _zigzag_encode,
+    decode_ocf,
+    encode_ocf,
+    from_ocf_blobs,
+    to_ocf_blobs,
+)
+
+_RECS = [
+    {"user_id": 1, "event_id": 10, "event_type": "click", "value": 1.5},
+    {"user_id": -3, "event_id": 2**40, "event_type": "héllo", "value": -0.25},
+    {"user_id": 0, "event_id": 0, "event_type": "", "value": 0.0},
+]
+
+
+def test_zigzag_edges():
+    for n in (0, -1, 1, 63, -64, 64, 2**62, -(2**62)):
+        b = _zigzag_encode(n)
+        v, p = _zigzag_decode(memoryview(b), 0)
+        assert (v, p) == (n, len(b)), n
+
+
+def test_roundtrip_deflate_and_null():
+    for codec in ("deflate", "null"):
+        blob = encode_ocf(_RECS, EVENT_AVRO_SCHEMA, codec=codec)
+        out, schema = decode_ocf(blob)
+        assert out == _RECS
+        assert schema["name"] == "event"
+    assert not encode_ocf(_RECS, EVENT_AVRO_SCHEMA).startswith(
+        encode_ocf([], EVENT_AVRO_SCHEMA)
+    )
+
+
+def test_magic_and_sync_validation():
+    blob = bytearray(encode_ocf(_RECS, EVENT_AVRO_SCHEMA))
+    with pytest.raises(ValueError, match="not an Avro"):
+        decode_ocf(b"NOPE" + bytes(blob[4:]))
+    blob[-1] ^= 0xFF  # trailing sync marker corrupted
+    with pytest.raises(ValueError, match="sync marker"):
+        decode_ocf(bytes(blob))
+
+
+def test_unsupported_type_raises():
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "bytes"}]}
+    with pytest.raises(NotImplementedError, match="bytes"):
+        encode_ocf([{"x": b""}], schema)
+
+
+def test_spark_blob_roundtrip_preserves_rows(spark):
+    rows = [(i % 3, 100 + i, "t" + str(i % 2), float(i)) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double"
+    ).withColumn("grp", __import__("pyspark").sql.functions.col("user_id") % 2)
+    blobs = to_ocf_blobs(df)
+    assert blobs.count() == 2
+    back = from_ocf_blobs(blobs)
+    assert sorted(
+        (r.user_id, r.event_id, r.event_type, r.value) for r in back.collect()
+    ) == sorted(rows)
