@@ -1377,3 +1377,43 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@probe(
+    "q1b_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1b_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical TPC-H Q1 pricing summary: one wide
+    partial-aggregable groupBy over lineitem with the shipdate
+    predicate pushed into the scan — at any scale the exchange carries
+    four (returnflag, linestatus) groups of accumulators per map task,
+    nothing else."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        dround(F.sum(disc), 2).alias("sum_disc_price"),
+        dround(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+        dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        dround(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
