@@ -1417,3 +1417,53 @@ def q1b_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+@probe(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150)
+    SELECT c_name, o_orderkey,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM orders
+    JOIN big      ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON o_orderkey = lineitem.l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: a HAVING aggregate
+    distills the qualifying order keys first (the exchange carries
+    only (orderkey, partial qty)), that SMALL key set broadcasts back
+    as a semi-filter, and only then do the wide joins run — the
+    aggregate-then-rejoin pattern that keeps the big join's input
+    pruned at any scale."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(l.alias("li"), o.o_orderkey == F.col("li.l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("li.l_quantity").cast("long").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            dround(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
