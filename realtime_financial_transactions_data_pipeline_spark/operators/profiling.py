@@ -137,3 +137,65 @@ def prof1_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_cols=[c for c, k in _PROFILE_COLS if k == "str"],
         date_cols=[c for c, k in _PROFILE_COLS if k == "date"],
     )
+
+
+def skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Key-distribution skew diagnostics for one join/agg key: distinct
+    key count, max single-key share of all rows, and the frequency at
+    selected quantiles — the numbers that decide between a plain
+    shuffle join, AQE skew splitting, and explicit salting. Two small
+    aggregates over the per-key count table; the per-key table itself
+    is the only real shuffle."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.lit(key).alias("key_col"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("percentile(n, 0.5)").cast("double").alias("p50_key_rows"),
+        F.expr("percentile(n, 0.99)").cast("double").alias("p99_key_rows"),
+    ).select(
+        "key_col",
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        (F.col("max_key_rows") / F.col("n_rows")).alias("max_share"),
+        "p50_key_rows",
+        "p99_key_rows",
+    )
+
+
+@probe(
+    "prof2_skew_profile",
+    oracle="""
+    WITH ec AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    lc AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+    SELECT 'user_id' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           max(n) / CAST(sum(n) AS DOUBLE) AS max_share,
+           quantile_cont(n, 0.5) AS p50_key_rows,
+           quantile_cont(n, 0.99) AS p99_key_rows
+    FROM ec
+    UNION ALL
+    SELECT 'l_orderkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(n) AS BIGINT),
+           CAST(max(n) AS BIGINT),
+           max(n) / CAST(sum(n) AS DOUBLE),
+           quantile_cont(n, 0.5),
+           quantile_cont(n, 0.99)
+    FROM lc
+    """,
+)
+def prof2_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for the two hottest shuffle keys in the
+    workload (events.user_id, lineitem.l_orderkey): distinct keys, max
+    single-key share, median/p99 per-key frequency. exact percentile
+    here; `percentile_approx` at 100 TB (same plan shape)."""
+    e = load_table(spark, sf_dir, "events")
+    l = load_table(spark, sf_dir, "lineitem")
+    return skew_profile(e, "user_id").unionByName(
+        skew_profile(l, "l_orderkey")
+    )
