@@ -56,8 +56,15 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     probes = all_probes()
+    # default: the driver's 50-probe window; `--all` rehearses EVERY
+    # registered probe (catches scratch races / nondeterminism in
+    # side-effecting probes outside the window); names select a subset.
+    names = list(_DRIVER_ORDER)
+    if "--all" in only:
+        only.discard("--all")
+        names = list(probes)
     n_bad = n_ok = 0
-    for name in _DRIVER_ORDER:
+    for name in names:
         if only and name not in only:
             continue
         p = probes.get(name)
