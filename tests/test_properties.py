@@ -215,3 +215,37 @@ def test_chunking_covers_every_token_in_order(spark, docs, wh):
             # Non-overlapping chunks concatenate back to the original
             # (modulo empty-token bookkeeping for the empty document).
             assert rebuilt == " ".join(t for t in toks if t != "") or toks == [""]
+
+
+@given(
+    recs=st.lists(
+        st.fixed_dictionaries(
+            {
+                "user_id": st.integers(-(2**62), 2**62),
+                "event_id": st.integers(0, 2**62),
+                "event_type": st.text(max_size=12),
+                "value": st.floats(
+                    allow_nan=False, allow_infinity=False, width=64
+                ),
+            }
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    codec=st.sampled_from(["deflate", "null"]),
+)
+@settings(**_SETTINGS)
+def test_avro_ocf_roundtrip_any_records(recs, codec):
+    """encode_ocf -> decode_ocf is the identity for any record list
+    (unicode strings, negative/huge longs, subnormal doubles, empty
+    file) under both codecs."""
+    from realtime_financial_transactions_data_pipeline_spark.sources.avro_ocf import (
+        EVENT_AVRO_SCHEMA,
+        decode_ocf,
+        encode_ocf,
+    )
+
+    blob = encode_ocf(recs, EVENT_AVRO_SCHEMA, codec=codec)
+    out, schema = decode_ocf(blob)
+    assert schema == EVENT_AVRO_SCHEMA
+    assert out == recs
