@@ -1467,3 +1467,59 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@probe(
+    "k9_scd2_build",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id,
+             date_trunc('second', ts) AS valid_from,
+             row_number() OVER (PARTITION BY user_id, date_trunc('second', ts)
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE user_id % 25 = 3),
+    d AS (SELECT user_id, event_id, valid_from FROM ch WHERE rn = 1)
+    SELECT user_id, event_id,
+           CAST(strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS valid_from,
+           CAST(strftime(coalesce(
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+             TIMESTAMP '9999-12-31 00:00:00'), '%Y-%m-%d %H:%M:%S') AS VARCHAR)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM d
+    """,
+)
+def k9_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a changelog: each user's change
+    events become validity intervals — valid_from = change time,
+    valid_to = next change (open current row = far-future sentinel),
+    is_current flag. ONE window shuffle on the business key: dedupe
+    same-instant changes (latest event wins) and the lead() interval
+    close ride the same partitioning. The j6 as-of join is the read
+    side of this table; this is the write side the reference's
+    truncate-reload dims (`main.py:67-76`) would evolve into."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 3)
+    d = e.select(
+        "user_id", "event_id", F.date_trunc("second", "ts").alias("valid_from")
+    )
+    w_dedupe = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.col("event_id").desc()
+    )
+    d = (
+        d.withColumn("_rn", F.row_number().over(w_dedupe))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return d.select(
+        "user_id",
+        "event_id",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(
+            F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -163,3 +163,61 @@ def u3_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("suppress", F.col("n") < _K_ANON)
     )
+
+
+@probe(
+    "u4_gdpr_erasure",
+    oracle="""
+    WITH req AS (SELECT DISTINCT user_id FROM events WHERE user_id % 101 = 7)
+    SELECT 'events' AS table_name,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM req r
+                                   WHERE r.user_id = e.user_id)) AS BIGINT)
+             AS rows_after,
+           CAST((SELECT count(*) FROM events e
+                 WHERE EXISTS (SELECT 1 FROM req r
+                               WHERE r.user_id = e.user_id)) AS BIGINT)
+             AS rows_erased
+    UNION ALL
+    SELECT 'customer',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM req r
+                                   WHERE r.user_id = c.c_custkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE EXISTS (SELECT 1 FROM req r
+                               WHERE r.user_id = c.c_custkey)) AS BIGINT)
+    """,
+)
+def u4_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure sweep (the GDPR/CCPA workload a financial
+    pipeline must run): a deletion-request key set anti-joins every
+    table that carries the subject's rows; the probe returns the
+    per-table erasure accounting a compliance log records. The request
+    set broadcasts (it is human-scale), so each table is erased in one
+    scan; on the generation-pointer layout the erased copy publishes
+    via `publish_generation` and old snapshots age out with
+    `vacuum_generations` — erasure becomes durable at the retention
+    horizon."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    req = e.filter(F.col("user_id") % 101 == 7).select("user_id").distinct()
+
+    def account(df: DataFrame, name: str, key: str) -> DataFrame:
+        keyed = df.withColumnRenamed(key, "user_id") if key != "user_id" else df
+        kept = keyed.join(F.broadcast(req), "user_id", "left_anti")
+        return (
+            df.agg(F.count(F.lit(1)).alias("rows_before"))
+            .crossJoin(kept.agg(F.count(F.lit(1)).alias("rows_after")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_after",
+                (F.col("rows_before") - F.col("rows_after")).alias("rows_erased"),
+            )
+        )
+
+    return account(e, "events", "user_id").unionByName(
+        account(c, "customer", "c_custkey")
+    )
