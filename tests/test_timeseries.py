@@ -233,3 +233,24 @@ def test_incremental_agg_equals_full_recompute_any_split(spark):
             for r in merged.collect()
         }
         assert got == full, threshold
+
+
+def test_scd2_intervals_abut_and_single_current(spark):
+    """SCD2 invariants on real data: per user, intervals sort by
+    valid_from, each valid_to equals the next valid_from, and exactly
+    one open (is_current) row exists."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        k9_scd2_build,
+    )
+
+    rows = k9_scd2_build(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in rs) == 1, user
+        assert rs[-1].is_current and rs[-1].valid_to == "9999-12-31 00:00:00"
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
