@@ -584,6 +584,24 @@ FROM a2 GROUP BY list_id
 """
 
 
+def _corpus_kmeans_assign(spark, sf_dir: str):
+    """Memoized 2-iteration k-means assignment over `embeddings` —
+    shared by x2j (cluster stats) and x2l (SemDeDup pruning), computed
+    once per (app, sf_dir)."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
+
+    def build():
+        emb = with_double_embedding(
+            load_table(spark, sf_dir, "embeddings")
+        ).select("vec_id", "emb", "nrm")
+        assign, _ = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
+        return assign.select("vec_id", "list_id", "sim").join(
+            emb.select("vec_id", "emb", "nrm"), "vec_id"
+        )
+
+    return memo_persist(spark, ("kmeans_assign", sf_dir), build)
+
+
 @probe("x2j_kmeans", oracle=_X2J_ORACLE)
 def x2j_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2j: embedding clustering — 2 Lloyd iterations of cosine k-means
@@ -592,10 +610,7 @@ def x2j_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH iterations (seed → assign → mean-update → assign) in plain
     SQL, so the hash certifies the full iterative computation, not just
     one step."""
-    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "emb", "nrm"
-    )
-    assign, _ = kmeans_lloyd(emb, k=_KMEANS_K, iters=2)
+    assign = _corpus_kmeans_assign(spark, sf_dir)
     return assign.groupBy(F.col("list_id").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
         dround(F.avg("sim"), 4).alias("mean_cosine"),
@@ -726,30 +741,45 @@ def semdedup(
     m = assign.select("vec_id", "list_id").join(
         emb.select("vec_id", "emb", "nrm"), "vec_id"
     )
-    a = m.select(
-        F.col("list_id"),
-        F.col("vec_id").alias("id_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
+    return semdedup_prune(m, threshold=threshold)
+
+
+def semdedup_prune(m: DataFrame, threshold: float = _SEMDEDUP_T) -> DataFrame:
+    """The pruning stage on an assignment frame (vec_id, list_id, emb,
+    nrm): one BLAS matmul per cluster in applyInPandas."""
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    out_schema = _T.StructType(
+        [
+            _T.StructField("vec_id", _T.LongType()),
+            _T.StructField("cluster_id", _T.LongType()),
+        ]
     )
-    b = m.select(
-        F.col("list_id"),
-        F.col("vec_id").alias("id_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
-    )
-    pairs = (
-        a.join(b, ["list_id"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", dot / (F.col("nrm_a") * F.col("nrm_b")))
-        .filter(F.col("sim") >= threshold)
-    )
-    return pairs.select(
-        F.col("id_b").alias("vec_id"), F.col("list_id").alias("cluster_id")
-    ).distinct()
+
+    def prune(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        # One BLAS matmul per cluster (the x2f tile pattern): rows
+        # sorted by id so any upper-triangle pair has id_i < id_j and
+        # the higher id (column index) is the drop.
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        V = np.stack(pdf["emb"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        S = (V @ V.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(pdf), 1)
+        hit = S[iu] >= threshold
+        dropped = np.unique(pdf["vec_id"].to_numpy()[iu[1][hit]])
+        return _pd.DataFrame(
+            {
+                "vec_id": dropped,
+                "cluster_id": np.full(
+                    len(dropped), int(pdf["list_id"].iloc[0]), dtype="int64"
+                ),
+            }
+        )
+
+    return m.groupBy("list_id").applyInPandas(prune, out_schema)
 
 
 @probe("x2l_semdedup", oracle=_X2L_ORACLE)
@@ -760,7 +790,5 @@ def x2l_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin extends the x2j CTE chain with the same within-cluster
     pair query, so the hash certifies clustering AND pruning
     end-to-end."""
-    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "emb", "nrm"
-    )
-    return semdedup(emb)
+    m = _corpus_kmeans_assign(spark, sf_dir)
+    return semdedup_prune(m)
