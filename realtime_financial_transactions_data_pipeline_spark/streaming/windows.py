@@ -135,3 +135,97 @@ def t2b_event_time_windows(spark, sf_dir: str) -> DataFrame:
         F.col("ts").alias("event_time"), "value"
     )
     return windowed_revenue(e, streaming=False)
+
+
+@probe(
+    "t9_stream_sessionization",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('second', ts) AS ts, value
+      FROM events WHERE user_id % 10 = 6),
+    ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def t9_stream_sessionization(spark, sf_dir: str) -> DataFrame:
+    """END-TO-END STREAMING sessionization, hash-checked: a user
+    subset of `events` replays through `readStream` →
+    `session_window` → append sink; watermark-driven session closure
+    is made complete by the t8 watermark-pusher protocol (file 0 =
+    data + far-future pusher, file 1 = second pusher whose batch runs
+    the eviction pass), so every real session emits inside one
+    availableNow run. Unlike t8's outer join, session VALUES are
+    batch-composition-invariant (state merges are associative), so the
+    streamed output hashes directly against the gaps-and-islands
+    oracle — no batch re-derivation needed."""
+    import glob
+    import os
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+    from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
+        await_or_raise,
+    )
+
+    root = "/tmp/spark_graft_streaming/t9"
+    shutil.rmtree(root, ignore_errors=True)
+    flat = f"{root}/incoming"
+    os.makedirs(flat, exist_ok=True)
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 6)
+        .select("user_id", F.date_trunc("second", "ts").alias("event_time"), "value")
+    )
+    src.coalesce(1).write.mode("overwrite").json(f"{root}/b0")
+    (part,) = glob.glob(f"{root}/b0/part-*.json")
+    shutil.copy(part, f"{flat}/0.json")
+    with open(f"{flat}/0.json", "a") as fh:
+        fh.write('{"user_id": -1, "event_time": "2030-01-01T00:00:00", "value": 0.0}\n')
+    with open(f"{flat}/1.json", "w") as fh:
+        fh.write('{"user_id": -1, "event_time": "2030-01-02T00:00:00", "value": 0.0}\n')
+    for i in (0, 1):
+        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema("user_id LONG, event_time TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(flat)
+    )
+    sessions = sessionize(stream, ts_col="event_time", streaming=True,
+                          watermark="30 minutes")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 120)
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) < 2:
+            raise RuntimeError(
+                "watermark-pusher protocol violated: expected >= 2 data "
+                f"micro-batches, got {len(data_batches)}"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.read.parquet(f"{root}/out").filter(F.col("user_id") >= 0)
+    return pin_result(out)
