@@ -883,3 +883,106 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand_key") == F.col("true_key")).alias("correct"),
         )
     )
+
+
+@probe(
+    "x1e_stream_dedup_ingest",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id % 7 = 0),
+    r AS (SELECT doc_id, lang, md5(text) AS h, doc_id % 4 AS b FROM corpus),
+    w AS (
+      SELECT doc_id, lang, h,
+             row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+      FROM r)
+    SELECT doc_id, lang FROM w WHERE rn = 1
+    """,
+)
+def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus ingestion with online exact-dedup — the
+    realtime twin of x1c's weekly-crawl workflow: documents (plus
+    planted duplicates) arrive as four deterministic micro-batches;
+    each batch anti-joins its content digests against the
+    accepted-digest snapshot, appends only first-seen docs, and
+    publishes the updated snapshot (foreachBatch, generation-pointer
+    layout). Keep-first-ARRIVAL: the oracle ranks by (batch, doc_id),
+    so the hash certifies the cross-batch dedup order, not just the
+    final set. At scale the digest snapshot is the only state — 16
+    bytes per accepted doc, broadcast or digest-shuffled; payloads
+    stream straight to the accepted sink."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        current_table_path,
+        init_pointer_table,
+        publish_generation,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+    from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
+        await_or_raise,
+    )
+
+    root = "/tmp/spark_graft_streaming/x1e"
+    shutil.rmtree(root, ignore_errors=True)
+    flat = f"{root}/incoming"
+    os.makedirs(flat, exist_ok=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "lang", "text"
+        )
+    )
+    for i in range(4):
+        sl = f"{root}/slice{i}"
+        corpus.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).json(sl)
+        (part,) = glob.glob(f"{sl}/part-*.json")
+        shutil.copy(part, f"{flat}/{i}.json")
+        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+
+    digests_root = f"{root}/digests"
+    accepted_dir = f"{root}/accepted"
+    empty = spark.createDataFrame([], T.StructType([T.StructField("h", T.StringType())]))
+    init_pointer_table(empty, digests_root)
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        seen = s.read.parquet(current_table_path(digests_root))
+        hashed = batch.withColumn("h", F.md5("text"))
+        # dedup WITHIN the batch (keep lowest doc_id) then against the
+        # snapshot
+        w = Window.partitionBy("h").orderBy("doc_id")
+        fresh = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .join(seen, "h", "left_anti")
+        )
+        fresh.select("doc_id", "lang").write.mode("append").parquet(accepted_dir)
+        publish_generation(seen.unionByName(fresh.select("h")), digests_root)
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(flat)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return pin_result(spark.read.parquet(accepted_dir))
