@@ -229,3 +229,95 @@ def t9_stream_sessionization(spark, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.read.parquet(f"{root}/out").filter(F.col("user_id") >= 0)
     return pin_result(out)
+
+
+@probe(
+    "t10_stream_tumbling_windows",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('second', ts) AS ts, value
+      FROM events WHERE user_id % 10 = 2)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY 1
+    """,
+)
+def t10_stream_tumbling_windows(spark, sf_dir: str) -> DataFrame:
+    """END-TO-END STREAMING tumbling event-time windows (readStream →
+    window(1 hour) → watermarked append sink): the t2b batch twin
+    upgraded to the real streaming path, with the watermark-pusher
+    protocol closing every window inside one availableNow run. Window
+    aggregates are batch-composition-invariant, so the streamed output
+    hashes directly against DuckDB's time_bucket."""
+    import glob
+    import os
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+    from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
+        await_or_raise,
+    )
+
+    root = "/tmp/spark_graft_streaming/t10"
+    shutil.rmtree(root, ignore_errors=True)
+    flat = f"{root}/incoming"
+    os.makedirs(flat, exist_ok=True)
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 2)
+        .select(F.date_trunc("second", "ts").alias("event_time"), "value")
+    )
+    src.coalesce(1).write.mode("overwrite").json(f"{root}/b0")
+    (part,) = glob.glob(f"{root}/b0/part-*.json")
+    shutil.copy(part, f"{flat}/0.json")
+    with open(f"{flat}/0.json", "a") as fh:
+        fh.write('{"event_time": "2030-01-01T00:00:00", "value": 0.0}\n')
+    with open(f"{flat}/1.json", "w") as fh:
+        fh.write('{"event_time": "2030-01-02T00:00:00", "value": 0.0}\n')
+    for i in (0, 1):
+        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema("event_time TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(flat)
+        .withWatermark("event_time", "30 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("event_time", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 120)
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) < 2:
+            raise RuntimeError(
+                "watermark-pusher protocol violated: expected >= 2 data "
+                f"micro-batches, got {len(data_batches)}"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # Drop the pusher windows (2030): keep windows that saw real data.
+    out = spark.read.parquet(f"{root}/out").filter(
+        F.col("window_start") < F.lit("2029-01-01").cast("timestamp")
+    )
+    return pin_result(out)
