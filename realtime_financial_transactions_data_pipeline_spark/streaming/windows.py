@@ -321,3 +321,49 @@ def t10_stream_tumbling_windows(spark, sf_dir: str) -> DataFrame:
         F.col("window_start") < F.lit("2029-01-01").cast("timestamp")
     )
     return pin_result(out)
+
+
+@probe(
+    "t2c_hopping_windows",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('second', ts) AS ts, value
+      FROM events WHERE user_id % 10 = 1),
+    hops AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w_start, ts, value FROM e
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, ts, value
+      FROM e)
+    SELECT w_start AS window_start,
+           w_start + INTERVAL 1 HOUR AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM hops GROUP BY w_start
+    """,
+)
+def t2c_hopping_windows(spark, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — 1-hour windows every 30
+    minutes, so each event lands in exactly TWO overlapping windows.
+    Same streaming expression as t10 with a slide duration; batch twin
+    hash-checked against the hop-explosion rewrite (each event unioned
+    into both its windows). At scale the fan-out factor is
+    window/slide — the documented cost of overlap; the aggregate stays
+    partial-aggregable per (window) key."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 1)
+        .select(F.date_trunc("second", "ts").alias("event_time"), "value")
+    )
+    return (
+        e.groupBy(F.window("event_time", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
