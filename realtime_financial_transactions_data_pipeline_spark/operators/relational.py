@@ -1703,3 +1703,43 @@ def q7_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume")
         )
     )
+
+
+@probe(
+    "o7_rank_distributions",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             percent_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS pr,
+             cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS cd
+      FROM customer)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(pr), 6) AS mean_pr,
+           round(max(cd), 6) AS max_cd,
+           CAST(sum(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_decile
+    FROM r GROUP BY c_mktsegment
+    """,
+)
+def o7_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (percent_rank, cume_dist) per
+    segment — the remaining O5-family analytics: where each customer's
+    balance sits within its segment, summarized per segment. The
+    c_custkey tiebreak keeps rank assignment engine-deterministic; one
+    window shuffle on the segment key."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.avg("pr"), 6).alias("mean_pr"),
+        dround(F.max("cd"), 6).alias("max_cd"),
+        F.sum((F.col("pr") >= 0.9).cast("long")).alias("n_top_decile"),
+    )
