@@ -73,3 +73,33 @@ def test_referential_audit_finds_planted_orphans(spark):
     out = referential_audit({"child->parent": (child, "fk", parent, "pk")}).collect()
     r = out[0]
     assert (r.fk, r.n_rows, r.n_fk_values, r.n_orphans) == ("child->parent", 3, 2, 1)
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.tokenization import (
+        _K_ANON,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("A", 1)] * 6 + [("B", 2)] * 2  # class B is under k=5
+    df = spark.createDataFrame(rows, "c_mktsegment string, c_nationkey long")
+    out = {
+        (r.c_mktsegment, r.c_nationkey): (r.n, r.suppress)
+        for r in df.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("suppress", F.col("n") < _K_ANON)
+        .collect()
+    }
+    assert out[("A", 1)] == (6, False)
+    assert out[("B", 2)] == (2, True)
+
+
+def test_gdpr_erasure_accounting_balances(spark, sf_dir):
+    from realtime_financial_transactions_data_pipeline_spark.operators.tokenization import (
+        u4_gdpr_erasure,
+    )
+
+    rows = {r.table_name: r for r in u4_gdpr_erasure(spark, sf_dir).collect()}
+    for name, r in rows.items():
+        assert r.rows_before == r.rows_after + r.rows_erased, name
+    assert rows["events"].rows_erased > 0  # the request set is non-empty
