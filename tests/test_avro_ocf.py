@@ -67,3 +67,27 @@ def test_spark_blob_roundtrip_preserves_rows(spark):
     assert sorted(
         (r.user_id, r.event_id, r.event_type, r.value) for r in back.collect()
     ) == sorted(rows)
+
+
+def test_multi_block_files_decode():
+    """decode_ocf's block loop: splice a second data block (same sync
+    marker, deterministic writer) onto a one-block file."""
+    import struct
+
+    from realtime_financial_transactions_data_pipeline_spark.sources.avro_ocf import (
+        _MAGIC,
+    )
+
+    blob1 = encode_ocf(_RECS[:2], EVENT_AVRO_SCHEMA)
+    blob2 = encode_ocf(_RECS[2:], EVENT_AVRO_SCHEMA)
+    # blob2's block section starts right after its header: find it by
+    # locating the first sync marker (16 bytes after the metadata map).
+    assert blob2.startswith(_MAGIC)
+    from realtime_financial_transactions_data_pipeline_spark.sources.avro_ocf import (
+        _SYNC,
+    )
+
+    hdr_end = blob2.index(_SYNC) + 16
+    spliced = blob1 + blob2[hdr_end:]
+    out, _ = decode_ocf(spliced)
+    assert out == _RECS

@@ -217,3 +217,31 @@ def test_png_unsupported_color_type_raises(spark):
     df = spark.createDataFrame([(1, b)], "media_id long, content binary")
     with _pytest.raises(Exception, match="NotImplementedError|only 8-bit truecolor|PythonException"):
         decode_png(df).collect()
+
+
+def test_png_truncated_stream_raises(spark):
+    """A PNG whose IDAT inflates to fewer bytes than h scanlines must
+    raise, not mis-decode."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # Header claims 4x4 RGB but the stream holds one scanline.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + b"\x01" * 12)
+    b = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    df = spark.createDataFrame([(1, b)], "media_id long, content binary")
+    with _pytest.raises(Exception, match="truncated|PythonException"):
+        decode_png(df).collect()
