@@ -39,6 +39,17 @@ _REGISTRY: dict[str, Probe] = {}
 #: Probes past the window are fine-grained twins/extras — still run by
 #: bench.py and scripts/check_oracle.py, just outside the driver sample.
 DRIVER_WINDOW = 50
+#: Round-7 rotation (VERDICT_r06 item #1): the window had been frozen
+#: since round 3, so none of the 58 round-6 probes ever hit the
+#: driver's independent harness. Collapsed the over-represented
+#: families (x2 held SEVEN similarity twins -> keep x2a/x2d/x2h; both
+#: x3 merged twins -> keep x3ade; O held 5 -> keep o1_o2/o5/pivot; F
+#: held 7 -> keep 5) and promoted one probe per round-6 family:
+#: k8b (streaming merge-on-write), k9 (SCD2), j6 (as-of), q7 (TPC-H
+#: suite), er1 (entity resolution), x18 (full corpus pipeline), t9
+#: (streaming sessionization), s11 (Avro OCF codec), u3 (k-anonymity),
+#: dq1 (expectations). Every rotated-out probe is still oracle-checked
+#: by bench.py / scripts/check_oracle.py each round.
 _DRIVER_ORDER = [
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "p1_projection",                 # S7/P1
@@ -50,46 +61,46 @@ _DRIVER_ORDER = [
     "f7_timestamp_format",           # F7
     "f9_f11_f12_datetime_money",     # F9+F11/F12 merged (one lineitem scan)
     "f10_calendar_extraction",       # F10
-    "f14_surrogate_ids",             # F14
-    "f15_risk_threshold",            # F15
     "u1b_mask_and_bin",              # U1 (SQL-expressible half)
+    "u3_k_anonymity_audit",          # U3 (round-6 promotion)
     "j2_stream_static_lookup",       # J2
     "j3_stream_lookup_refresh",      # J3 (streaming)
     "j4_anti_semi",                  # J4 merged (anti + semi, tagged)
     "j5_range_predicate_join",       # J5
+    "j6_asof_join",                  # J6 as-of join (round-6 promotion)
     "a1_a6_stat_cards",              # A1-A6 (+ A10 count-distinct)
     "a7_daily_timeseries",           # A7
     "a8_a9_group_by_dim",            # A8/A9
-    "a10_distinct_slicer_values",    # A10
     "l1_l3_slicer_stack",            # L1-L3
     "o1_o2_topk",                    # O1/O2
-    "o3_union",                      # O3
-    "o4_intersect_except",           # O4
     "o5_window_rank",                # O5
     "pivot_status_by_segment",       # O5 family: pivot
+    "q7_bilateral_trade",            # TPC-H suite rep (round-6 promotion)
     "s3_json_parse",                 # S3
     "s5_k4_csv_overwrite_load",      # S5+K4
     "s6_json_read",                  # S6
     "s8_schema_translation",         # S8
+    "s11_avro_ocf_roundtrip",        # S11 Avro OCF codec (round-6 promotion)
     "k3_passthrough_stream",         # K3 (streaming)
     "k5_create_table_ddl",           # K5
+    "k8b_bucketed_merge_sink",       # K8b merge-on-write (round-6 promotion)
+    "k9_scd2_build",                 # K9 SCD2 (round-6 promotion)
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
     "t2b_event_time_windows",        # T2 event-time + watermark
     "t4_stateful_stream_dedupe",     # T4
     "t8_stream_outer_attribution",   # LEFT-OUTER stream-stream join, e2e streaming
+    "t9_stream_sessionization",      # T9 streaming sessions (round-6 promotion)
     "x1_dedup_exact",                # X1
     "x2a_minhash_lsh_neardup",       # X2 minhash LSH
-    "x2b_ngram_jaccard",             # X2 exact inverted-index
     "x2d_simhash",                   # X2 simhash
-    "x2e_cosine_topk",               # X2 exact cosine baseline
-    "x2f_cosine_threshold_pairs",    # X2 threshold pairs
-    "x2g_ann_lsh_bucketed",          # X2 ANN LSH
     "x2h_ann_ivf",                   # X2 ANN IVF
     "x3ade_doc_profile",             # X3 merged: tokens+fingerprint+BPE
-    "x3bcf_doc_quality",             # X3 merged: langid+quality+xentropy
     "x4_multimodal_decode",          # X4 merged: binary cols + stub decode
     "x5b_exact_percentiles",         # X5 (hash-checked twin)
     "x6_corpus_curation",            # X6 flagship curation chain
+    "x18_full_corpus_pipeline",      # X18 end-to-end corpus (round-6 promotion)
+    "er1_entity_resolution",         # ER1 SymSpell index (round-6 promotion)
+    "dq1_expectation_metrics",       # DQ1 expectations (round-6 promotion)
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
     # Not assert: these invariants must hold under ``python -O`` too,

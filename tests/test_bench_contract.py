@@ -63,6 +63,31 @@ def test_driver_window_contract():
     )
 
 
+def test_driver_window_family_coverage():
+    """Window-rotation regression guard (VERDICT r06 #6): every SURVEY
+    §2 top-level family — S/K/P/F/U/J/A/L/O/T, the TPC-H Q suite, and
+    each X sub-family (x1 dedup, x2 similarity, x3 text, x4 multimodal,
+    x5 sketches, x6+ curation) plus ER/DQ — must keep at least one
+    representative inside the 50-probe driver window, so a future
+    rotation can't silently orphan a family from the driver's hard
+    signal. Probe names encode their family as the leading prefix."""
+    import re
+
+    from realtime_financial_transactions_data_pipeline_spark import registry
+
+    def family(name: str) -> str:
+        m = re.match(r"^(x\d|er|dq|prof|mv|ts|q|[a-z])", name)
+        assert m, f"unclassifiable probe name {name!r}"
+        return m.group(1)
+
+    required = {
+        "s", "k", "p", "f", "u", "j", "a", "l", "o", "t", "q",
+        "x1", "x2", "x3", "x4", "x5", "x6", "er", "dq",
+    }
+    missing = required - {family(n) for n in registry._DRIVER_ORDER}
+    assert not missing, f"driver window lost family coverage for: {sorted(missing)}"
+
+
 def test_entry_module_exports_match_registry():
     """__spark_entry__ is the driver's actual import surface — its
     queries()/oracle_sql() must be the registry's, same order."""

@@ -32,6 +32,11 @@ SIDE_EFFECTING = [
     "t8_stream_outer_attribution",
     "l1b_partition_pruned_slice",
     "s9_schema_evolution_merge",
+    # Round-7 window promotions (VERDICT r06 #1): the two side-effecting
+    # probes newly inside the driver's 50-entry sample get the hostile
+    # schema-pass/value-pass interleaving here too.
+    "k8b_bucketed_merge_sink",
+    "t9_stream_sessionization",
 ]
 
 
