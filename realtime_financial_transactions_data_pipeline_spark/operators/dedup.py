@@ -965,7 +965,20 @@ def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .join(seen, "h", "left_anti")
         )
-        fresh.select("doc_id", "lang").write.mode("append").parquet(accepted_dir)
+        # Exactly-once under micro-batch RETRY (the Delta-foreachBatch
+        # batch_id pattern): each batch OVERWRITES its own
+        # batch_id-keyed subdirectory instead of appending, so a
+        # replayed batch rewrites the same rows rather than doubling
+        # them. One crash window remains — digest publish committed but
+        # the retry recomputes `fresh` as empty against the NEW
+        # snapshot — detected by (subdir exists AND fresh empty), in
+        # which case the committed rows are left untouched.
+        part_dir = f"{accepted_dir}/batch={batch_id}"
+        already_applied = (
+            os.path.isdir(part_dir) and fresh.limit(1).count() == 0
+        )
+        if not already_applied:
+            fresh.select("doc_id", "lang").write.mode("overwrite").parquet(part_dir)
         publish_generation(seen.unionByName(fresh.select("h")), digests_root)
 
     stream = (
@@ -985,4 +998,6 @@ def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         await_or_raise(q, 120)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return pin_result(spark.read.parquet(accepted_dir))
+    # batch=N subdirs surface as a discovered partition column; project
+    # it away so the result schema is unchanged by the idempotent layout.
+    return pin_result(spark.read.parquet(accepted_dir).select("doc_id", "lang"))

@@ -797,6 +797,56 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_png(b: bytes, mid: object = None):
+    """Shared PNG parse used by BOTH decode paths (ADVICE r06: the
+    resize path had duplicated the chunk walk minus every validation):
+    verify signature + per-chunk CRC, require IHDR, reject unsupported
+    depth/color/interlace with NotImplementedError, inflate IDAT,
+    reverse the scanline filters. Returns an (h, w, 3) uint8 array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError(f"media {mid}: not a PNG")
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos < len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+            raise ValueError(f"media {mid}: CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError(f"media {mid}: missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color != 2 or interlace != 0:
+        raise NotImplementedError(
+            f"media {mid}: only 8-bit truecolor non-interlaced "
+            f"supported (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * 3 + 1  # +1 filter byte per scanline
+    if stream.size != stride * h:
+        raise ValueError(f"media {mid}: truncated pixel stream")
+    rows = stream.reshape(h, stride)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev)
+        px[y] = prev.reshape(w, 3)
+    return px
+
+
 def decode_png(media: DataFrame) -> DataFrame:
     """REAL compressed-image decode, stdlib only: verify the signature
     and every chunk CRC, parse IHDR, inflate the IDAT stream with zlib,
@@ -806,51 +856,13 @@ def decode_png(media: DataFrame) -> DataFrame:
     honest-stub discipline for the unimplemented corners."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
         import numpy as np
 
         for pdf in batches:
             out = {f.name: [] for f in BMP_SCHEMA.fields}
             for mid, raw in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(raw)
-                if b[: len(_PNG_SIG)] != _PNG_SIG:
-                    raise ValueError(f"media {mid}: not a PNG")
-                pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
-                while pos < len(b):
-                    (length,) = struct.unpack_from(">I", b, pos)
-                    tag = b[pos + 4 : pos + 8]
-                    data = b[pos + 8 : pos + 8 + length]
-                    (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
-                    if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
-                        raise ValueError(f"media {mid}: CRC mismatch in {tag!r}")
-                    if tag == b"IHDR":
-                        ihdr = struct.unpack(">IIBBBBB", data)
-                    elif tag == b"IDAT":
-                        idat += data
-                    elif tag == b"IEND":
-                        break
-                    pos += 12 + length
-                if ihdr is None:
-                    raise ValueError(f"media {mid}: missing IHDR")
-                w, h, depth, color, _comp, _filt, interlace = ihdr
-                if depth != 8 or color != 2 or interlace != 0:
-                    raise NotImplementedError(
-                        f"media {mid}: only 8-bit truecolor non-interlaced "
-                        f"supported (depth={depth}, color={color}, "
-                        f"interlace={interlace})"
-                    )
-                stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-                stride = w * 3 + 1  # +1 filter byte per scanline
-                if stream.size != stride * h:
-                    raise ValueError(f"media {mid}: truncated pixel stream")
-                rows = stream.reshape(h, stride)
-                prev = np.zeros(w * 3, dtype=np.uint8)
-                px = np.empty((h, w, 3), dtype=np.uint8)
-                for y in range(h):
-                    prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev)
-                    px[y] = prev.reshape(w, 3)
+                px = _parse_png(bytes(raw), mid)
+                h, w = px.shape[0], px.shape[1]
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -912,39 +924,13 @@ def decode_and_resize_png(media: DataFrame, out_size: int = 8) -> DataFrame:
     pixels."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
         import numpy as np
 
         for pdf in batches:
             out = {f.name: [] for f in RESIZE_SCHEMA.fields}
             for mid, raw in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(raw)
-                if b[: len(_PNG_SIG)] != _PNG_SIG:
-                    raise ValueError(f"media {mid}: not a PNG")
-                pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
-                while pos < len(b):
-                    (length,) = struct.unpack_from(">I", b, pos)
-                    tag = b[pos + 4 : pos + 8]
-                    data = b[pos + 8 : pos + 8 + length]
-                    if tag == b"IHDR":
-                        ihdr = struct.unpack(">IIBBBBB", data)
-                    elif tag == b"IDAT":
-                        idat += data
-                    elif tag == b"IEND":
-                        break
-                    pos += 12 + length
-                w, h = ihdr[0], ihdr[1]
-                stream = np.frombuffer(
-                    zlib.decompress(bytes(idat)), dtype=np.uint8
-                )
-                rows = stream.reshape(h, w * 3 + 1)
-                prev = np.zeros(w * 3, dtype=np.uint8)
-                px = np.empty((h, w, 3), dtype=np.uint8)
-                for y in range(h):
-                    prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev)
-                    px[y] = prev.reshape(w, 3)
+                px = _parse_png(bytes(raw), mid)
+                h, w = px.shape[0], px.shape[1]
                 # nearest-neighbor resample
                 ys = (np.arange(out_size) * h) // out_size
                 xs = (np.arange(out_size) * w) // out_size

@@ -125,18 +125,25 @@ def dq1_expectation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def referential_audit(
-    facts: dict[str, tuple[DataFrame, str, DataFrame, str]]
+    facts: dict[str, tuple[DataFrame, str, DataFrame, str]],
+    broadcast_parents: frozenset[str] | set[str] = frozenset(),
 ) -> DataFrame:
     """Star-schema referential-integrity audit: for each named FK edge
     (child_df, fk_col, parent_df, pk_col), report child row count,
     distinct FK values, and orphan rows (FKs with no parent). Orphans
-    come from a left_anti join — broadcast when the parent is a dim —
-    so each edge costs one pass over the child; counts are
+    come from a left_anti join; the broadcast hint is applied ONLY for
+    edges named in ``broadcast_parents`` (known-small dimension
+    parents) — a fact-sized parent key set (e.g. every distinct
+    o_orderkey under lineitem->orders) must shuffle-anti-join instead,
+    or it OOMs the executors at scale; unhinted edges are left to AQE.
+    Each edge costs one pass over the child; counts are
     partial-aggregable."""
     results = None
     for name, (child, fk, parent, pk) in facts.items():
         keys = parent.select(F.col(pk).alias(fk)).distinct()
-        orphans = child.join(F.broadcast(keys), fk, "left_anti")
+        if name in broadcast_parents:
+            keys = F.broadcast(keys)
+        orphans = child.join(keys, fk, "left_anti")
         row = child.agg(
             F.lit(name).alias("fk"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -196,4 +203,9 @@ def dq2_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supplier->nation": (t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
         "nation->region": (t("nation"), "n_regionkey", t("region"), "r_regionkey"),
     }
-    return referential_audit(edges)
+    # lineitem->orders is deliberately NOT hinted: orders' key set is
+    # fact-sized, so that edge shuffle-anti-joins (AQE may still pick
+    # broadcast at tiny SF, but never by our forced hint).
+    dims = {"orders->customer", "customer->nation",
+            "supplier->nation", "nation->region"}
+    return referential_audit(edges, broadcast_parents=dims)

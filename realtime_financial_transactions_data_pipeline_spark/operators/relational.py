@@ -1665,9 +1665,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — bilateral trade volume: the nation dim joins in
     TWO ROLES (supplier's and customer's), the country-pair disjunction
-    rides the broadcast joins, and the grouping adds a derived year.
-    The fact table still never shuffles before the tiny final groupBy —
-    role-aliased broadcast dims cost nothing extra at any scale."""
+    rides the joins, and the grouping adds a derived year. The
+    supplier/nation role dims broadcast at any scale; lineitem⋈orders
+    (and ⋈customer once customer outgrows the broadcast threshold) are
+    intrinsic shuffle joins — that key shuffle IS Q7's cost at 100×,
+    and no plan avoids it. The final groupBy is tiny (nation-pair ×
+    year)."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))

@@ -286,8 +286,11 @@ def l1b_partition_pruned_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _spread_bits(col: F.Column) -> F.Column:
     """Spread the low 16 bits of ``col`` so bit i lands at position 2i
-    (the classic Morton magic-number ladder)."""
-    c = col.cast("long")
+    (the classic Morton magic-number ladder). The input is masked to
+    its low 16 bits first, so values >= 2^16 (or negative twos-
+    complement longs) use exactly those bits instead of corrupting the
+    interleave via the ladder's unmasked first shift."""
+    c = col.cast("long").bitwiseAND(F.lit(0xFFFF))
     c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
     c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
     c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from realtime_financial_transactions_data_pipeline_spark import schemas as sch
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 from realtime_financial_transactions_data_pipeline_spark.registry import pin_result, probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
@@ -277,7 +278,7 @@ def s9_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_clicks,
-           sum(value) AS total_value
+           round(sum(value), 2) AS total_value
     FROM events
     WHERE user_id % 20 = 7 AND event_type = 'click'
     GROUP BY user_id
@@ -304,6 +305,10 @@ def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pin_result(
         back.groupBy("user_id").agg(
             F.count("*").alias("n_clicks"),
-            F.sum("value").alias("total_value"),
+            # dround, not a raw double sum: accumulation order differs
+            # between engines, so at larger SF an unrounded sum drifts
+            # past the canonicalizer's 6-decimal format (suite-wide
+            # convention — ADVICE r06).
+            dround(F.sum("value"), 2).alias("total_value"),
         )
     )

@@ -198,3 +198,23 @@ def test_crossdoc_dup_fraction_counts_shared_grams(spark):
     assert out[1] == (2, 1)
     assert out[2] == (2, 1)
     assert out[3] == (2, 0)
+
+
+def test_x1e_ingest_layout_is_batch_keyed(spark, sf_dir):
+    """Exactly-once guard (ADVICE r06): the streaming ingest writes
+    each micro-batch's accepted rows to its own batch_id-keyed
+    subdirectory in OVERWRITE mode, so a retried batch rewrites rather
+    than double-appends. Pin the layout (one batch=N dir per
+    micro-batch) and that the final result is duplicate-free."""
+    import os
+
+    from realtime_financial_transactions_data_pipeline_spark.registry import all_probes
+
+    out = all_probes()["x1e_stream_dedup_ingest"].fn(spark, sf_dir)
+    accepted = "/tmp/spark_graft_streaming/x1e/accepted"
+    batch_dirs = sorted(
+        d for d in os.listdir(accepted) if d.startswith("batch=")
+    )
+    assert batch_dirs == [f"batch={i}" for i in range(4)]
+    rows = out.collect()
+    assert len(rows) == len({r.doc_id for r in rows})  # no double-append

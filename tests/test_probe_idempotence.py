@@ -37,6 +37,7 @@ SIDE_EFFECTING = [
     # schema-pass/value-pass interleaving here too.
     "k8b_bucketed_merge_sink",
     "t9_stream_sessionization",
+    "x1e_stream_dedup_ingest",
 ]
 
 
