@@ -479,24 +479,102 @@ def znormalize(series: DataFrame, n: int = _TS_DAYS) -> DataFrame:
 )
 def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_TS_TOPK} most similar user pairs by z-normalized daily
-    activity shape. Exact all-pairs baseline (documented, like x2f):
-    at corpus scale the candidate set comes from an LSH/cluster
-    blocking pass (the x2 family), with this exact distance as the
-    verify step. orderBy+limit compiles to TakeOrderedAndProject — a
-    per-partition top-k heap, never a global sort."""
+    activity shape — EXACT, via the tiled pairwise scan (the x2f
+    pattern; VERDICT r06 #2 replaced the BroadcastNestedLoopJoin
+    ``user_a < user_b`` theta join that exploded 10,000× at 100×
+    users):
+
+    - series hash into even ⌈N/tile⌉ blocks (no key skew by
+      construction);
+    - the unordered block-pair space is a DRIVER-BUILT local relation
+      equi-joined to each side, so the plan holds two shuffle-hash
+      joins on block ids and NO nested-loop node anywhere (pinned in
+      test_plans.py);
+    - each tile computes its squared-diff distance matrix vectorized
+      in one Arrow batch and emits only its LOCAL lexicographic
+      top-{_TS_TOPK} (tie-break (d, user_a, user_b), matching the
+      global sort), so the shuffle after the scan carries
+      ≤ {_TS_TOPK}·n_tiles rows instead of the N² pair space;
+    - the global orderBy+limit over those survivors compiles to
+      TakeOrderedAndProject.
+
+    Per-task memory is two tile blocks regardless of N, and the result
+    is bit-for-bit the exact all-pairs answer — the DuckDB oracle
+    still runs the plain quadratic join."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     e = load_table(spark, sf_dir, "events")
-    z = znormalize(daily_profile_series(e))
-    a = z.select(F.col("user_id").alias("user_a"), F.col("z").alias("za"))
-    b = z.select(F.col("user_id").alias("user_b"), F.col("z").alias("zb"))
-    dist = F.sqrt(
-        F.expr(
-            "aggregate(zip_with(za, zb, (x, y) -> (x - y) * (x - y)),"
-            " 0.0D, (s, v) -> s + v)"
-        )
+    # Eager localCheckpoint: the series table is consumed twice (the
+    # block-count sizing action and the tile scan) — without it the
+    # events aggregation runs twice end-to-end.
+    z = znormalize(daily_profile_series(e)).localCheckpoint(eager=True)
+    n = z.count()
+    tile = 512
+    n_blocks = max(1, math.ceil(n / tile))
+    packed = (
+        z.withColumn("_blk", F.pmod(F.xxhash64("user_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("user_id", "z")).alias("items"))
     )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a int, blk_b int",
+    )
+    lhs = packed.select(F.col("_blk").alias("blk_a"), F.col("items").alias("items_a"))
+    rhs = packed.select(F.col("_blk").alias("blk_b"), F.col("items").alias("items_b"))
+    tiles = block_pairs.join(lhs, "blk_a").join(rhs, "blk_b")
+    out_schema = T.StructType(
+        [
+            T.StructField("user_a", T.LongType()),
+            T.StructField("user_b", T.LongType()),
+            T.StructField("_d", T.DoubleType()),
+        ]
+    )
+
+    def tile_topk(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ia, ib = row["items_a"], row["items_b"]
+                ids_a = np.array([r["user_id"] for r in ia], dtype=np.int64)
+                ids_b = np.array([r["user_id"] for r in ib], dtype=np.int64)
+                A = np.array([r["z"] for r in ia], dtype=np.float64)
+                B = np.array([r["z"] for r in ib], dtype=np.float64)
+                # squared-diff form (not 2n - 2·A@Bᵀ): Σz² only
+                # approximates n in floats, and the oracle sums the
+                # squared differences — accumulating day-by-day keeps
+                # BOTH the fold order of the oracle's list_sum AND
+                # small cache-resident temporaries (a full
+                # tile×tile×days broadcast temp is ~60 MB per task).
+                D2 = np.zeros((len(ids_a), len(ids_b)))
+                for k in range(A.shape[1]):
+                    diff = A[:, k][:, None] - B[:, k][None, :]
+                    D2 += diff * diff
+                D = np.sqrt(D2)
+                ua = np.broadcast_to(ids_a[:, None], D.shape)
+                ub = np.broadcast_to(ids_b[None, :], D.shape)
+                lo, hi = np.minimum(ua, ub), np.maximum(ua, ub)
+                if row["blk_a"] == row["blk_b"]:
+                    # Diagonal tile: each unordered pair once. Cross
+                    # tiles already ship once via blk_a < blk_b (ids
+                    # there may sort either way; lo/hi normalizes).
+                    keep = ua < ub
+                else:
+                    keep = np.ones(D.shape, dtype=bool)
+                d, lo, hi = D[keep], lo[keep], hi[keep]
+                # Local top-k under the GLOBAL tie-break (d, user_a,
+                # user_b): a plain value partition could drop the
+                # pair a full-precision tie would rank first.
+                order = np.lexsort((hi, lo, d))[:_TS_TOPK]
+                yield pd.DataFrame(
+                    {"user_a": lo[order], "user_b": hi[order], "_d": d[order]}
+                )
+
     return (
-        a.join(b, F.col("user_a") < F.col("user_b"))
-        .select("user_a", "user_b", dist.alias("_d"))
+        tiles.mapInPandas(tile_topk, out_schema)
         .orderBy("_d", "user_a", "user_b")
         .limit(_TS_TOPK)
         .select("user_a", "user_b", dround(F.col("_d"), 4).alias("zdist"))

@@ -85,3 +85,17 @@ def test_heavy_hitters_prunes_before_recount(spark, sf_dir):
     plan = inspect.formatted_plan(x5c_heavy_hitters(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "MapInPandas" in plan
+
+
+def test_ts1_has_no_nested_loop_join(spark, sf_dir):
+    """VERDICT r06 #2 regression pin: ts1's pair space must come from
+    the equi-joined tile scan, never a theta/cartesian join — a
+    BroadcastNestedLoopJoin here is the 100×-scale killer the round-6
+    verdict flagged (pair space grows 10,000× at 100× users)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        ts1_series_similarity,
+    )
+
+    plan = inspect.formatted_plan(ts1_series_similarity(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
