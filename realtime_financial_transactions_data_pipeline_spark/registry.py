@@ -39,68 +39,69 @@ _REGISTRY: dict[str, Probe] = {}
 #: Probes past the window are fine-grained twins/extras — still run by
 #: bench.py and scripts/check_oracle.py, just outside the driver sample.
 DRIVER_WINDOW = 50
-#: Round-7 rotation (VERDICT_r06 item #1): the window had been frozen
-#: since round 3, so none of the 58 round-6 probes ever hit the
-#: driver's independent harness. Collapsed the over-represented
-#: families (x2 held SEVEN similarity twins -> keep x2a/x2d/x2h; both
-#: x3 merged twins -> keep x3ade; O held 5 -> keep o1_o2/o5/pivot; F
-#: held 7 -> keep 5) and promoted one probe per round-6 family:
-#: k8b (streaming merge-on-write), k9 (SCD2), j6 (as-of), q7 (TPC-H
-#: suite), er1 (entity resolution), x18 (full corpus pipeline), t9
-#: (streaming sessionization), s11 (Avro OCF codec), u3 (k-anonymity),
-#: dq1 (expectations). Every rotated-out probe is still oracle-checked
-#: by bench.py / scripts/check_oracle.py each round.
+#: Round-8 rotation (VERDICT_r07 item #1, cohort 3): ten probes that
+#: the driver had verified green in two or more prior rounds rotate
+#: OUT (p3, p4, f7, f10, s6, s8, j5, o5_window_rank, k5, a7 — each
+#: family keeps >=2 representatives) and ten never-driver-verified
+#: probes rotate IN: k7 (MERGE upsert), k8c (change-data-feed), j7
+#: (interval overlap), mv1 (incremental agg), x2j (k-means), t10
+#: (streaming tumbling windows), u4 (GDPR erasure), dq2 (referential
+#: audit), scale_zorder_layout (Z-order clustering), x15 (chunk dedup
+#: rebuild). Every rotated-out probe is still oracle-checked by
+#: bench.py / scripts/check_oracle.py each round. Round-7 rotation
+#: history: promoted k8b, k9, j6, q7, er1, x18, t9, s11, u3, dq1 —
+#: all green on first driver exposure (CORRECTNESS_r07 50/50).
 _DRIVER_ORDER = [
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "p1_projection",                 # S7/P1
     "p2_p5_shape_defaults",          # P2+P5 merged (drop + null-default)
-    "p3_filter_eq",                  # P3
-    "p4_validation_routing",         # P4
     "f1_mask_pan",                   # F1
     "f2_f6_string_funcs",            # F2-F6
-    "f7_timestamp_format",           # F7
     "f9_f11_f12_datetime_money",     # F9+F11/F12 merged (one lineitem scan)
-    "f10_calendar_extraction",       # F10
     "u1b_mask_and_bin",              # U1 (SQL-expressible half)
-    "u3_k_anonymity_audit",          # U3 (round-6 promotion)
+    "u3_k_anonymity_audit",          # U3
+    "u4_gdpr_erasure",               # U4 GDPR erasure (round-7 promotion)
     "j2_stream_static_lookup",       # J2
     "j3_stream_lookup_refresh",      # J3 (streaming)
     "j4_anti_semi",                  # J4 merged (anti + semi, tagged)
-    "j5_range_predicate_join",       # J5
-    "j6_asof_join",                  # J6 as-of join (round-6 promotion)
+    "j6_asof_join",                  # J6 as-of join
+    "j7_interval_overlap",           # J7 interval overlap (round-7 promotion)
     "a1_a6_stat_cards",              # A1-A6 (+ A10 count-distinct)
-    "a7_daily_timeseries",           # A7
     "a8_a9_group_by_dim",            # A8/A9
+    "mv1_incremental_agg",           # MV1 incremental agg (round-7 promotion)
     "l1_l3_slicer_stack",            # L1-L3
     "o1_o2_topk",                    # O1/O2
-    "o5_window_rank",                # O5
     "pivot_status_by_segment",       # O5 family: pivot
-    "q7_bilateral_trade",            # TPC-H suite rep (round-6 promotion)
+    "q7_bilateral_trade",            # TPC-H suite rep
     "s3_json_parse",                 # S3
     "s5_k4_csv_overwrite_load",      # S5+K4
-    "s6_json_read",                  # S6
-    "s8_schema_translation",         # S8
-    "s11_avro_ocf_roundtrip",        # S11 Avro OCF codec (round-6 promotion)
+    "s11_avro_ocf_roundtrip",        # S11 Avro OCF codec
+    "scale_zorder_layout",           # Z-order clustering (round-7 promotion)
     "k3_passthrough_stream",         # K3 (streaming)
-    "k5_create_table_ddl",           # K5
-    "k8b_bucketed_merge_sink",       # K8b merge-on-write (round-6 promotion)
-    "k9_scd2_build",                 # K9 SCD2 (round-6 promotion)
+    "k7_merge_upsert",               # K7 MERGE upsert (round-7 promotion)
+    "k8b_bucketed_merge_sink",       # K8b merge-on-write
+    "k8c_change_feed",               # K8c change-data-feed (round-7 promotion)
+    "k9_scd2_build",                 # K9 SCD2
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
     "t2b_event_time_windows",        # T2 event-time + watermark
     "t4_stateful_stream_dedupe",     # T4
     "t8_stream_outer_attribution",   # LEFT-OUTER stream-stream join, e2e streaming
-    "t9_stream_sessionization",      # T9 streaming sessions (round-6 promotion)
+    "t9_stream_sessionization",      # T9 streaming sessions
+    "t10_stream_tumbling_windows",   # T10 tumbling windows (round-7 promotion)
     "x1_dedup_exact",                # X1
     "x2a_minhash_lsh_neardup",       # X2 minhash LSH
     "x2d_simhash",                   # X2 simhash
     "x2h_ann_ivf",                   # X2 ANN IVF
+    "x2j_kmeans",                    # X2 k-means (round-7 promotion)
     "x3ade_doc_profile",             # X3 merged: tokens+fingerprint+BPE
     "x4_multimodal_decode",          # X4 merged: binary cols + stub decode
     "x5b_exact_percentiles",         # X5 (hash-checked twin)
     "x6_corpus_curation",            # X6 flagship curation chain
-    "x18_full_corpus_pipeline",      # X18 end-to-end corpus (round-6 promotion)
-    "er1_entity_resolution",         # ER1 SymSpell index (round-6 promotion)
-    "dq1_expectation_metrics",       # DQ1 expectations (round-6 promotion)
+    "x15_chunk_dedup_rebuild",       # X15 chunk dedup rebuild (round-7 promotion)
+    "x18_full_corpus_pipeline",      # X18 end-to-end corpus
+    "er1_entity_resolution",         # ER1 SymSpell index
+    "dq1_expectation_metrics",       # DQ1 expectations
+    "dq2_referential_audit",         # DQ2 referential audit (round-7 promotion)
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
     # Not assert: these invariants must hold under ``python -O`` too,

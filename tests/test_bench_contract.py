@@ -70,13 +70,30 @@ def test_driver_window_family_coverage():
     x5 sketches, x6+ curation) plus ER/DQ — must keep at least one
     representative inside the 50-probe driver window, so a future
     rotation can't silently orphan a family from the driver's hard
-    signal. Probe names encode their family as the leading prefix."""
+    signal. Probe names encode their family as the leading prefix.
+
+    Classification is an explicit longest-prefix map (ADVICE r07 #1):
+    the old first-match regex let 'x18_full_corpus_pipeline' satisfy the
+    x1-dedup family and 'pivot_status_by_segment' satisfy P-projection,
+    so dropping every real x1 or p probe would still have passed."""
     import re
 
     from realtime_financial_transactions_data_pipeline_spark import registry
 
     def family(name: str) -> str:
-        m = re.match(r"^(x\d|er|dq|prof|mv|ts|q|[a-z])", name)
+        # O-family window/pivot shapes whose names don't start with 'o'.
+        if name.startswith(("pivot", "rollup", "cube")):
+            return "o"
+        # Scale-ops (salting/zorder/bucketing) are their own family, NOT
+        # the S source family their leading 's' would suggest.
+        if name.startswith("scale_"):
+            return "scale"
+        m = re.match(r"^x(\d+)", name)
+        if m:
+            n = int(m.group(1))
+            # x6..x18 are all curation-chain probes (SURVEY §2.11).
+            return f"x{n}" if n <= 5 else "x6"
+        m = re.match(r"^(er|dq|prof|mv|ts|q|[a-z])", name)
         assert m, f"unclassifiable probe name {name!r}"
         return m.group(1)
 
