@@ -974,9 +974,14 @@ def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # snapshot — detected by (subdir exists AND fresh empty), in
         # which case the committed rows are left untouched.
         part_dir = f"{accepted_dir}/batch={batch_id}"
-        already_applied = (
-            os.path.isdir(part_dir) and fresh.limit(1).count() == 0
-        )
+        # Existence via the Hadoop FileSystem API, not os.path.isdir:
+        # foreachBatch runs on the driver either way, but the Hadoop FS
+        # resolves s3a:// / gs:// object stores (which have no
+        # directories) exactly like local paths (VERDICT r07 #7).
+        jvm = s._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(part_dir)
+        hfs = hpath.getFileSystem(s._jsc.hadoopConfiguration())
+        already_applied = hfs.exists(hpath) and fresh.limit(1).count() == 0
         if not already_applied:
             fresh.select("doc_id", "lang").write.mode("overwrite").parquet(part_dir)
         publish_generation(seen.unionByName(fresh.select("h")), digests_root)

@@ -812,7 +812,14 @@ def _parse_png(b: bytes, mid: object = None):
         raise ValueError(f"media {mid}: not a PNG")
     pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
     while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError(f"media {mid}: truncated chunk header")
         (length,) = struct.unpack_from(">I", b, pos)
+        # A corrupt length field would otherwise run struct.unpack_from
+        # past the buffer and surface as a bare struct.error, bypassing
+        # the ValueError contract (ADVICE r07 #2).
+        if pos + 12 + length > len(b):
+            raise ValueError(f"media {mid}: truncated chunk")
         tag = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", b, pos + 8 + length)

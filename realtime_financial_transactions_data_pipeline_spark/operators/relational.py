@@ -1665,12 +1665,14 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — bilateral trade volume: the nation dim joins in
     TWO ROLES (supplier's and customer's), the country-pair disjunction
-    rides the joins, and the grouping adds a derived year. The
-    supplier/nation role dims broadcast at any scale; lineitem⋈orders
-    (and ⋈customer once customer outgrows the broadcast threshold) are
-    intrinsic shuffle joins — that key shuffle IS Q7's cost at 100×,
-    and no plan avoids it. The final groupBy is tiny (nation-pair ×
-    year)."""
+    rides the joins, and the grouping adds a derived year. Only the
+    nation role dims carry a broadcast hint — nation is a fixed 25-row
+    table at every SF. Supplier and customer GROW linearly with SF, so
+    they are left unhinted for AQE to pick broadcast-vs-shuffle at
+    runtime (ADVICE r07 #3 — same rule as dq2's gated parents).
+    lineitem⋈orders is an intrinsic shuffle join — that key shuffle IS
+    Q7's cost at 100×, and no plan avoids it. The final groupBy is
+    tiny (nation-pair × year)."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1690,7 +1692,7 @@ def q7_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))

@@ -674,6 +674,12 @@ def bm25_scores(
             for i, term in enumerate(terms)
         ],
     )
+    # toked feeds BOTH the stats aggregate and the scored projection;
+    # without pinning it, the expensive regexp tokenize pass runs twice
+    # end-to-end (VERDICT r07 #5). What materializes is only the
+    # projected (ids, dl, tf_*) frame — a handful of numeric columns,
+    # never the token arrays or the corpus text.
+    toked = toked.localCheckpoint(eager=False)
     stats = toked.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

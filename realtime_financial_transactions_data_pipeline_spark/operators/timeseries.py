@@ -484,12 +484,17 @@ def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``user_a < user_b`` theta join that exploded 10,000× at 100×
     users):
 
-    - series hash into even ⌈N/tile⌉ blocks (no key skew by
-      construction);
-    - the unordered block-pair space is a DRIVER-BUILT local relation
-      equi-joined to each side, so the plan holds two shuffle-hash
-      joins on block ids and NO nested-loop node anywhere (pinned in
-      test_plans.py);
+    - series hash into approximately even ⌈N/tile⌉ blocks —
+      pmod(xxhash64) spreads keys statistically, so a block can exceed
+      ``tile`` rows and the two-tile memory bound below holds in
+      expectation, not worst case (an exactly-even row_number()/tile
+      assignment would cost one extra shuffle; ADVICE r07 #4);
+    - the unordered block-pair space is generated DISTRIBUTED
+      (spark.range(n_blocks) self-join on blk_a <= blk_b — at ~10 M
+      series the pair relation is ~200 M rows, too big to build as a
+      driver-side Python list; VERDICT r07 note #1) and equi-joined to
+      each side, so the plan holds two shuffle-hash joins on block ids
+      and NO nested-loop node anywhere (pinned in test_plans.py);
     - each tile computes its squared-diff distance matrix vectorized
       in one Arrow batch and emits only its LOCAL lexicographic
       top-{_TS_TOPK} (tie-break (d, user_a, user_b), matching the
@@ -520,9 +525,14 @@ def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_blk")
         .agg(F.collect_list(F.struct("user_id", "z")).alias("items"))
     )
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "blk_a int, blk_b int",
+    # Distributed pair generation: sequence+explode is map-side (no
+    # join node, nothing driver-materialized) and emits each unordered
+    # block pair exactly once (blk_a <= blk_b).
+    block_pairs = spark.range(n_blocks).select(
+        F.col("id").cast("int").alias("blk_a"),
+        F.explode(
+            F.sequence(F.col("id").cast("int"), F.lit(n_blocks - 1))
+        ).alias("blk_b"),
     )
     lhs = packed.select(F.col("_blk").alias("blk_a"), F.col("items").alias("items_a"))
     rhs = packed.select(F.col("_blk").alias("blk_b"), F.col("items").alias("items_b"))
