@@ -12,18 +12,20 @@ Design for 100 TB of media:
   Arrow ships the binary batches to Python once, the UDF is free to use
   numpy/codec libs, and the operation parallelizes per partition with
   no shuffle.
-- Decoding: REAL parsers ship for the formats stdlib can handle —
-  PCM-WAV (:func:`decode_wav`, RIFF/fmt/data chunk parsing + numpy
-  sample views), binary PPM (:func:`decode_ppm`), 24-bit BMP
-  (:func:`decode_bmp`), and — because stdlib zlib covers DEFLATE —
-  truecolor PNG (:func:`decode_png`, chunk walk + CRC verify +
-  inflate + all five scanline unfilters), each hash-checked
-  end-to-end. Only codecs needing external libraries (jpeg/mp3/h264:
-  PIL/soundfile/ffmpeg, absent in this container, re-probed each
-  round — rounds 5 and 6 both found none of PIL/soundfile/cv2/
-  librosa) remain stubbed behind ``decode_media(stub=False)``'s
-  NotImplementedError. Schema, batching, and partitioning are
-  identical across the real and stubbed paths.
+- Decoding: REAL parsers ship for the formats stdlib + numpy can
+  handle — PCM-WAV (:func:`decode_wav`, RIFF/fmt/data chunk parsing +
+  numpy sample views), binary PPM (:func:`decode_ppm`), 24-bit BMP
+  (:func:`decode_bmp`), truecolor PNG (:func:`decode_png`, chunk walk
+  + CRC verify + zlib inflate + all five scanline unfilters), and
+  baseline JPEG (:func:`decode_jpeg`, from-spec Huffman entropy
+  decode + dequantize + IDCT + 4:2:0 upsample + JFIF YCbCr->RGB),
+  each hash-checked end-to-end. Only codecs needing external
+  libraries (mp3/h264: soundfile/ffmpeg, absent in this container —
+  ``tests/test_multimodal.py::test_codec_lib_appeared_requires_wiring``
+  re-probes availability every run and fails with wiring instructions
+  if one appears) plus JPEG's progressive/arithmetic modes remain
+  stubbed behind NotImplementedError. Schema, batching, and
+  partitioning are identical across the real and stubbed paths.
 """
 
 from __future__ import annotations
@@ -126,10 +128,11 @@ def decode_media(df: DataFrame, stub: bool = True) -> DataFrame:
 
         if not stub:
             raise NotImplementedError(
-                "jpeg/mp3/h264 decode requires PIL/soundfile/ffmpeg (absent "
-                "in this container); REAL parsers exist in this module for "
-                "PCM-WAV, PPM, BMP, and zlib-compressed PNG "
-                "(decode_wav / decode_ppm / decode_bmp / decode_png)"
+                "mp3/h264 decode requires soundfile/ffmpeg (absent in this "
+                "container); REAL parsers exist in this module for PCM-WAV, "
+                "PPM, BMP, zlib-compressed PNG, and baseline JPEG "
+                "(decode_wav / decode_ppm / decode_bmp / decode_png / "
+                "decode_jpeg)"
             )
         for pdf in batches:
             payloads = [np.frombuffer(b, dtype=np.uint8) if b is not None else
@@ -980,3 +983,585 @@ def x4f_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the resampling index arithmetic, not just the decode."""
     d = load_table(spark, sf_dir, "documents")
     return decode_and_resize_png(synth_png_media(d))
+
+
+# ---------------------------------------------------------------------------
+# X4g — baseline JPEG (ITU-T T.81 / JFIF), stdlib + numpy only.
+#
+# The fifth real codec and the first ENTROPY-CODED one: PNG exercised
+# DEFLATE via zlib, but JPEG's Huffman layer has no stdlib shortcut, so
+# both the encoder and decoder below implement it from the spec —
+# canonical Huffman tables read from DHT, DC prediction, (run, size)
+# AC run-length coding, ZRL/EOB, byte stuffing, restart markers,
+# dequantization, 8x8 IDCT, 4:2:0 chroma upsampling, and JFIF
+# YCbCr->RGB. Progressive (SOF2) / arithmetic (SOF9+) / 12-bit stay
+# behind NotImplementedError — the honest-stub discipline.
+#
+# Oracle strategy (JPEG is lossy, so exactness needs construction):
+# quantization tables are all-ones and every synthesized block is
+# DCT-sparse-exact — a constant level (DC only) plus one AC basis
+# coefficient at (u, v) = (4, 4), whose IDCT contribution is
+# F/8 * (+-1) per pixel because cos((2x+1)pi/4) = +-sqrt(2)/2 and the
+# basis product squares to exactly 1/8. Both terms reconstruct to
+# integers (float error ~1e-13 << rounding slack), so DuckDB re-derives
+# the decoded pixel sums from the synthesis law without touching bytes.
+# Extension beyond the reference surface (the reference pipeline carries
+# no media; demo_images/ there is documentation).
+# ---------------------------------------------------------------------------
+
+#: zigzag position k -> (u, v): even diagonals run bottom-left to
+#: top-right (u descending), odd ones the reverse (T.81 figure 5).
+_JPEG_ZZ = sorted(
+    ((u, v) for u in range(8) for v in range(8)),
+    key=lambda t: (t[0] + t[1], -t[0] if (t[0] + t[1]) % 2 == 0 else t[0]),
+)
+_JPEG_ZZ_INDEX = {uv: k for k, uv in enumerate(_JPEG_ZZ)}
+
+#: Minimal spec-valid Huffman tables (BITS[1..16], HUFFVAL), written to
+#: DHT and read back by the decoder — the decoder never assumes them.
+#: DC: all 12 categories at 4 bits (12 codes of 16; all-ones unused).
+#: AC luma: EOB, ZRL, and the (run=6, size=6) symbol the synthesized
+#: AC(4,4)=40 coefficient needs after two ZRLs (zigzag index 39 ->
+#: 38 leading zeros = 16+16+6). AC chroma: EOB only.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_LUMA_BITS = [0, 3] + [0] * 14
+_JPEG_AC_LUMA_VALS = [0x00, 0xF0, 0x66]
+_JPEG_AC_CHROMA_BITS = [0, 1] + [0] * 14
+_JPEG_AC_CHROMA_VALS = [0x00]
+
+
+def _jpeg_huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman assignment (T.81 annex C): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman assignment for decode: (length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (0xFF -> 0xFF00)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (spec: fill bits are 1s)."""
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+def _jpeg_enc_block(w: _JpegBitWriter, zz: list[int], pred: int,
+                    dc_tab: dict, ac_tab: dict) -> int:
+    """Entropy-encode one block given its zigzag coefficient vector;
+    returns the new DC predictor. Generic (run, size) RLE — the table
+    lookup raises KeyError if the data needs a symbol the fixed tables
+    don't carry, which is an encoder-side assertion, not a decode path."""
+    diff = zz[0] - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_tab[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_tab[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        s2 = abs(v).bit_length()
+        ac, al = ac_tab[(run << 4) | s2]
+        w.write(ac, al)
+        w.write(v if v > 0 else v + (1 << s2) - 1, s2)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_tab[0x00]
+        w.write(ec, el)
+    return zz[0]
+
+
+def _jpeg_bytes(y_vals, cb_off: int, amp: int = 5,
+                restart_interval: int = 2) -> bytes:
+    """Serialize a baseline 4:2:0 JFIF JPEG. ``y_vals`` is an (hb, wb)
+    array of per-8x8-block luma levels (hb, wb even); every Y block is
+    that constant plus an AC(4,4) checkerboard of amplitude ``amp``;
+    chroma is Cb = 128 + cb_off, Cr = 128 image-wide. All-ones quant
+    tables keep the file losslessly round-trippable (see section
+    comment). Emits DQT/SOF0/DHT/DRI/SOS with restart markers every
+    ``restart_interval`` MCUs."""
+    import struct
+
+    import numpy as np
+
+    y_vals = np.asarray(y_vals, dtype=np.int64)
+    hb, wb = y_vals.shape
+    if hb % 2 or wb % 2:
+        raise ValueError("4:2:0 synthesis needs even block counts")
+    h, w = hb * 8, wb * 8
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64) + bytes([1]) + bytes([1] * 64))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])   # Y: 2x2 sampling, qtable 0
+        + bytes([2, 0x11, 1])   # Cb: 1x1, qtable 1
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    dht = bytearray()
+    for cls, tid, bits, vals in (
+        (0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0, 1, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, 0, _JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS),
+        (1, 1, _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS),
+    ):
+        dht += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += seg(0xC4, bytes(dht))
+    out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    dc_tab = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_luma = _jpeg_huff_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+    ac_chroma = _jpeg_huff_encode_table(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+    k44 = _JPEG_ZZ_INDEX[(4, 4)]
+
+    writer = _JpegBitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    n_mcus = (hb // 2) * (wb // 2)
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.align()
+            writer.buf += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0, 0, 0]
+        my, mx = divmod(m, wb // 2)
+        for r in range(2):
+            for c in range(2):
+                zz = [0] * 64
+                zz[0] = 8 * (int(y_vals[2 * my + r, 2 * mx + c]) - 128)
+                zz[k44] = 8 * amp
+                preds[0] = _jpeg_enc_block(writer, zz, preds[0], dc_tab, ac_luma)
+        for comp, level in ((1, cb_off), (2, 0)):
+            zz = [0] * 64
+            zz[0] = 8 * level
+            preds[comp] = _jpeg_enc_block(
+                writer, zz, preds[comp], dc_tab, ac_chroma
+            )
+    writer.align()
+    return bytes(out) + bytes(writer.buf) + b"\xff\xd9"  # EOI
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (stuffing
+    already stripped). Running past the end raises ValueError — a
+    truncated scan, not an index error."""
+
+    def __init__(self, data: bytes, mid: object = None):
+        import numpy as np
+
+        self._bits = np.unpackbits(np.frombuffer(bytes(data), dtype=np.uint8))
+        self._pos = 0
+        self._mid = mid
+
+    def read_bit(self) -> int:
+        if self._pos >= self._bits.size:
+            raise ValueError(f"media {self._mid}: truncated JPEG scan")
+        b = int(self._bits[self._pos])
+        self._pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_read(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_idct_mat():
+    import numpy as np
+
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m
+
+
+def _parse_jpeg(b: bytes, mid: object = None):
+    """Baseline sequential JPEG decoder, stdlib + numpy: marker walk,
+    DQT/DHT/SOF0/DRI/SOS parse, Huffman + DC-prediction entropy decode
+    with byte-unstuffing and restart handling, dequantize, de-zigzag,
+    8x8 IDCT, per-component clip, chroma upsample to the luma grid, and
+    JFIF YCbCr->RGB. Returns an (h, w, 3) uint8 array. Progressive /
+    arithmetic / hierarchical frames and 12-bit precision raise
+    NotImplementedError; malformed or truncated streams raise
+    ValueError tagged with the media id."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError(f"media {mid}: not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    pos = 2
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"media {mid}: expected marker at byte {pos}")
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= len(b):
+            raise ValueError(f"media {mid}: truncated marker stream")
+        marker = b[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RST outside a scan
+            continue
+        if pos + 2 > len(b):
+            raise ValueError(f"media {mid}: truncated segment header")
+        (length,) = struct.unpack_from(">H", b, pos)
+        if pos + length > len(b):
+            raise ValueError(f"media {mid}: truncated segment")
+        payload = b[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 15
+                i += 1
+                if pq:
+                    vals = np.frombuffer(payload[i : i + 128], dtype=">u2")
+                    i += 128
+                else:
+                    vals = np.frombuffer(payload[i : i + 64], dtype=np.uint8)
+                    i += 64
+                qt[tq] = vals.astype(np.int64)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(payload):
+                cls, tid = payload[i] >> 4, payload[i] & 15
+                bits = list(payload[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _jpeg_huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / ext. sequential
+            precision, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if precision != 8:
+                raise NotImplementedError(
+                    f"media {mid}: {precision}-bit JPEG unsupported"
+                )
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"media {mid}: only baseline sequential JPEG supported "
+                f"(SOF marker 0x{marker:02X} is progressive/arithmetic/"
+                f"hierarchical)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = payload[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tabs = payload[1 + 2 * ci], payload[2 + 2 * ci]
+                scan_comps.append((cs, tabs >> 4, tabs & 15))
+            scan = (scan_comps, pos)
+            break
+        # else: APPn / COM / unknown — skipped via the length field
+    if frame is None or scan is None:
+        raise ValueError(f"media {mid}: missing SOF or SOS")
+    fh, fw, comps = frame
+    scan_comps, data_pos = scan
+
+    # Split the entropy-coded data into restart segments, stripping
+    # byte stuffing; stop at the first non-RST marker.
+    segments, cur = [], bytearray()
+    i = data_pos
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _ in comps
+    }
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    idct = _jpeg_idct_mat()
+    zz_u = np.array([uv[0] for uv in _JPEG_ZZ])
+    zz_v = np.array([uv[1] for uv in _JPEG_ZZ])
+
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0], mid)
+    preds = {cid: 0 for cid, *_ in comps}
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError(f"media {mid}: missing restart segment")
+            reader = _JpegBitReader(segments[seg_idx], mid)
+            preds = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcus_x)
+        for cs, td, ta in scan_comps:
+            hi, vi, tq = comp_by_id[cs]
+            dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+            for r in range(vi):
+                for c in range(hi):
+                    s = _jpeg_huff_read(reader, dc_tab)
+                    diff = _jpeg_extend(reader.receive(s), s)
+                    preds[cs] += diff
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[0] = preds[cs]
+                    k = 1
+                    while k < 64:
+                        sym = _jpeg_huff_read(reader, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError(
+                                f"media {mid}: AC run past block end"
+                            )
+                        zz[k] = _jpeg_extend(
+                            reader.receive(sym & 15), sym & 15
+                        )
+                        k += 1
+                    coef = np.zeros((8, 8), dtype=np.float64)
+                    coef[zz_u, zz_v] = zz * qt[tq]
+                    block = idct.T @ coef @ idct + 128.0
+                    y0 = (my * vi + r) * 8
+                    x0 = (mx * hi + c) * 8
+                    planes[cs][y0 : y0 + 8, x0 : x0 + 8] = block
+    # Per-component sample clip (T.81 output precision), then upsample
+    # chroma to the luma grid and convert per JFIF.
+    up = {}
+    for cid, hi, vi, _ in comps:
+        p = np.clip(np.floor(planes[cid] + 0.5), 0, 255)
+        if vmax // vi > 1:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hmax // hi > 1:
+            p = np.repeat(p, hmax // hi, axis=1)
+        up[cid] = p[:fh, :fw]
+    ids = [c[0] for c in comps]
+    if len(ids) == 1:
+        y = up[ids[0]]
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = up[ids[0]], up[ids[1]], up[ids[2]]
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("corner_red", T.IntegerType()),
+        T.StructField("sum_red", T.LongType()),
+        T.StructField("sum_blue", T.LongType()),
+        T.StructField("sum_green", T.LongType()),
+    ]
+)
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Valid baseline 4:2:0 JFIF payloads per document: width =
+    16·(doc_id % 2 + 1), height = 16·(len(text) % 2 + 1); per-8x8-block
+    luma level (doc_id·7 + by·16 + bx·5) % 224 + 16 (kept inside
+    [16, 239] so the +-5 AC checkerboard and the chroma shift never
+    clip); Cb = 128 + (doc_id % 7 - 3), Cr = 128. The varying per-block
+    DC walks the Huffman categories and signs; the fixed AC(4,4)
+    coefficient exercises ZRL runs; DRI=2 plants restart markers."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                wb = 2 * (i % 2 + 1)
+                hb = 2 * (len(t) % 2 + 1)
+                y = (
+                    i * 7
+                    + 16 * np.arange(hb, dtype=np.int64)[:, None]
+                    + 5 * np.arange(wb, dtype=np.int64)[None, :]
+                ) % 224 + 16
+                payloads.append(_jpeg_bytes(y, i % 7 - 3))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_jpeg(media: DataFrame) -> DataFrame:
+    """REAL entropy-coded image decode, stdlib + numpy only: Huffman
+    tables read from DHT, DC prediction, run-length AC, restart
+    markers, dequantize, IDCT, 4:2:0 upsample, JFIF YCbCr->RGB — then
+    per-channel stats of the reconstructed RGB image. Progressive and
+    arithmetic-coded files raise NotImplementedError (honest stub for
+    the unimplemented corners, as with PNG's palette/interlace)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in JPEG_SCHEMA.fields}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                px = _parse_jpeg(bytes(raw), mid)
+                h, w = px.shape[0], px.shape[1]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["corner_red"].append(int(px[0, 0, 0]))
+                out["sum_red"].append(int(px[:, :, 0].astype(np.int64).sum()))
+                out["sum_blue"].append(int(px[:, :, 2].astype(np.int64).sum()))
+                out["sum_green"].append(int(px[:, :, 1].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, JPEG_SCHEMA)
+
+
+@probe(
+    "x4g_jpeg_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             2 * (doc_id % 2 + 1) AS wb,
+             2 * (length(text) % 2 + 1) AS hb,
+             doc_id % 7 - 3 AS cb
+      FROM documents),
+    s AS (
+      SELECT doc_id, wb, hb, cb,
+             list_sum(list_transform(range(0, wb * hb),
+               i -> (doc_id * 7 + (i // wb) * 16 + (i % wb) * 5) % 224 + 16
+             )) AS vsum
+      FROM m)
+    SELECT doc_id AS media_id,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           CAST(64 * wb * hb AS BIGINT) AS n_pixels,
+           CAST((doc_id * 7) % 224 + 16 + 5 AS INTEGER) AS corner_red,
+           CAST(64 * vsum AS BIGINT) AS sum_red,
+           CAST(64 * vsum + 64 * wb * hb * FLOOR(1.772 * cb + 0.5) AS BIGINT)
+             AS sum_blue,
+           CAST(64 * vsum + 64 * wb * hb * FLOOR(-0.344136 * cb + 0.5) AS BIGINT)
+             AS sum_green
+    FROM s
+    """,
+)
+def x4g_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 fifth real codec, first ENTROPY-CODED one (VERDICT r07 #2):
+    every doc becomes a valid baseline 4:2:0 JFIF (per-block DC walk,
+    AC(4,4) checkerboard, two DHT table pairs, restart interval 2) and
+    is decoded back by the from-spec Huffman+IDCT parser. The all-ones
+    quant tables and DCT-sparse-exact synthesis make the lossy codec
+    lossless on these files, so DuckDB re-derives per-channel pixel
+    sums from the synthesis law: sum_red certifies luma DC+AC across
+    every block, corner_red the checkerboard sign, sum_blue/sum_green
+    the chroma DC path and the JFIF conversion rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_jpeg(synth_jpeg_media(d))
