@@ -80,3 +80,86 @@ def memo_persist(
     df = builder().persist()
     _MEMO[full_key] = df
     return df
+
+
+# ---------------------------------------------------------------------------
+# Shared on-disk input fixtures (VERDICT r07 #3): every streaming probe
+# used to rebuild its JSON-lines input slice — a Spark write job plus
+# file shuffling — on EVERY invocation (and the driver invokes each
+# probe twice). The inputs are deterministic functions of the source
+# parquet tables, so they are safe to build once per (content
+# fingerprint) and reuse across invocations, probes, sessions, and
+# harness runs. Only the INPUT is shared; checkpoints and sinks stay
+# per-probe, wiped each run.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_ROOT = "/tmp/spark_graft_fixtures"
+
+
+def source_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Cheap content fingerprint of the source parquet files (path,
+    size, mtime) — the driver regenerates testdata between rounds, and
+    a stale fixture must never survive that."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for t in tables:
+        p = os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
+def disk_fixture(name: str, fingerprint: str, build) -> str:
+    """Return the path of the shared fixture ``name`` for source state
+    ``fingerprint``, building it with ``build(tmp_dir)`` on first use.
+    The build lands in a ``.building`` staging dir and is renamed into
+    place only after the ``_FIXTURE_OK`` marker is written, so a
+    crashed build is restarted, never half-read. The marker's leading
+    underscore keeps Spark's file listing (batch and streaming) from
+    treating it as data. Probes run sequentially in one process, so no
+    cross-process locking is needed."""
+    import os
+    import shutil
+
+    path = os.path.join(_FIXTURE_ROOT, f"{name}-{fingerprint}")
+    if os.path.exists(os.path.join(path, "_FIXTURE_OK")):
+        return path
+    tmp = path + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    build(tmp)
+    with open(os.path.join(tmp, "_FIXTURE_OK"), "w"):
+        pass
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+def spark_json_slices(df, tmp: str, n_slices: int, slice_col=None,
+                      extra_lines=None, start_mtime: int = 1700000000) -> None:
+    """Common fixture-build body: write ``df`` (or its ``slice_col % n``
+    slices) as one JSON-lines file per slice with ascending pinned
+    mtimes — the order the maxFilesPerTrigger=1 streaming source will
+    follow. ``extra_lines[i]`` appends raw lines to slice i (watermark
+    pushers); an index >= n_slices creates a pusher-only file."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stage = f"{tmp}/_spark"
+    for i in range(n_slices):
+        part_df = df if slice_col is None else df.filter(slice_col % n_slices == i)
+        part_df.coalesce(1).write.mode("overwrite").json(stage)
+        (part,) = glob.glob(f"{stage}/part-*.json")
+        shutil.move(part, f"{tmp}/{i}.json")
+    shutil.rmtree(stage, ignore_errors=True)
+    for i, lines in (extra_lines or {}).items():
+        with open(f"{tmp}/{i}.json", "a") as fh:
+            for ln in lines:
+                fh.write(ln if ln.endswith("\n") else ln + "\n")
+    for i in sorted(set(range(n_slices)) | set(extra_lines or {})):
+        os.utime(f"{tmp}/{i}.json", (start_mtime + i, start_mtime + i))

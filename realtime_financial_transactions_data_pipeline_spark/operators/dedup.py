@@ -912,13 +912,16 @@ def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     final set. At scale the digest snapshot is the only state — 16
     bytes per accepted doc, broadcast or digest-shuffled; payloads
     stream straight to the accepted sink."""
-    import glob
-    import json
     import os
     import shutil
 
     from pyspark.sql import types as T
 
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
     from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
         current_table_path,
         init_pointer_table,
@@ -931,22 +934,17 @@ def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = "/tmp/spark_graft_streaming/x1e"
     shutil.rmtree(root, ignore_errors=True)
-    flat = f"{root}/incoming"
-    os.makedirs(flat, exist_ok=True)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     corpus = d.unionByName(
         d.filter(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 10000).alias("doc_id"), "lang", "text"
         )
     )
-    for i in range(4):
-        sl = f"{root}/slice{i}"
-        corpus.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).json(sl)
-        (part,) = glob.glob(f"{sl}/part-*.json")
-        shutil.copy(part, f"{flat}/{i}.json")
-        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+    flat = disk_fixture(
+        "x1e-corpus-4slice",
+        source_fingerprint(sf_dir, "documents"),
+        lambda tmp: spark_json_slices(corpus, tmp, 4, slice_col=F.col("doc_id")),
+    )
 
     digests_root = f"{root}/digests"
     accepted_dir = f"{root}/accepted"

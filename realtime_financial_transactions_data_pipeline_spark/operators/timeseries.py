@@ -508,10 +508,6 @@ def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     still runs the plain quadratic join."""
     import math
 
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     e = load_table(spark, sf_dir, "events")
     # Eager localCheckpoint: the series table is consumed twice (the
     # block-count sizing action and the tile scan) — without it the
@@ -536,7 +532,24 @@ def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lhs = packed.select(F.col("_blk").alias("blk_a"), F.col("items").alias("items_a"))
     rhs = packed.select(F.col("_blk").alias("blk_b"), F.col("items").alias("items_b"))
-    tiles = block_pairs.join(lhs, "blk_a").join(rhs, "blk_b")
+    tiles = (
+        block_pairs.join(lhs, "blk_a")
+        .join(rhs, "blk_b")
+        .withColumn("is_diag", F.col("blk_a") == F.col("blk_b"))
+    )
+    return _tile_scan_topk(tiles, _TS_TOPK)
+
+
+def _tile_scan_topk(tiles: DataFrame, topk: int) -> DataFrame:
+    """Shared exact tile scan: each row of ``tiles`` carries two packed
+    blocks (``items_a``/``items_b`` of (user_id, z) structs) plus an
+    ``is_diag`` flag for same-block tiles; compute the pairwise
+    z-distances vectorized, emit each tile's local top-``topk`` under
+    the global tie-break, and rank globally (TakeOrderedAndProject)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     out_schema = T.StructType(
         [
             T.StructField("user_a", T.LongType()),
@@ -567,7 +580,7 @@ def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ua = np.broadcast_to(ids_a[:, None], D.shape)
                 ub = np.broadcast_to(ids_b[None, :], D.shape)
                 lo, hi = np.minimum(ua, ub), np.maximum(ua, ub)
-                if row["blk_a"] == row["blk_b"]:
+                if row["is_diag"]:
                     # Diagonal tile: each unordered pair once. Cross
                     # tiles already ship once via blk_a < blk_b (ids
                     # there may sort either way; lo/hi normalizes).
@@ -578,7 +591,7 @@ def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Local top-k under the GLOBAL tie-break (d, user_a,
                 # user_b): a plain value partition could drop the
                 # pair a full-precision tie would rank first.
-                order = np.lexsort((hi, lo, d))[:_TS_TOPK]
+                order = np.lexsort((hi, lo, d))[:topk]
                 yield pd.DataFrame(
                     {"user_a": lo[order], "user_b": hi[order], "_d": d[order]}
                 )
@@ -586,6 +599,147 @@ def ts1_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tiles.mapInPandas(tile_topk, out_schema)
         .orderBy("_d", "user_a", "user_b")
-        .limit(_TS_TOPK)
+        .limit(topk)
         .select("user_a", "user_b", dround(F.col("_d"), 4).alias("zdist"))
     )
+
+
+_TS1B_K = 4  # candidate-generation clusters (probe scale)
+
+
+@probe(
+    "ts1b_series_similarity_blocked",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', DATE '{_TS_EPOCH}', CAST(ts AS DATE)) AS idx,
+             sum(value) AS s
+      FROM events
+      WHERE datediff('day', DATE '{_TS_EPOCH}', CAST(ts AS DATE)) BETWEEN 0 AND {_TS_DAYS - 1}
+      GROUP BY 1, 2),
+    ser AS (
+      SELECT u.user_id, list(coalesce(d2.s, 0.0) ORDER BY r.i) AS v
+      FROM (SELECT DISTINCT user_id FROM daily) u
+      CROSS JOIN (SELECT unnest(range(0, {_TS_DAYS})) AS i) r
+      LEFT JOIN daily d2 ON d2.user_id = u.user_id AND d2.idx = r.i
+      GROUP BY u.user_id),
+    st AS (
+      SELECT user_id, v,
+             list_sum(v) / {_TS_DAYS} AS m,
+             list_sum(list_transform(v, x -> x * x)) / {_TS_DAYS}
+               - (list_sum(v) / {_TS_DAYS}) ^ 2 AS var
+      FROM ser),
+    z AS (
+      SELECT user_id,
+             list_transform(v, x -> (x - m) / sqrt(var)) AS z
+      FROM st WHERE var > 1e-12),
+    seeds AS (
+      SELECT user_id AS cl, z AS centroid FROM z
+      ORDER BY md5(CAST(user_id AS VARCHAR)) LIMIT {_TS1B_K}),
+    s1 AS (
+      SELECT z.user_id, seeds.cl,
+             list_inner_product(z.z, seeds.centroid)
+             / (sqrt(list_inner_product(z.z, z.z))
+                * sqrt(list_inner_product(seeds.centroid, seeds.centroid))) AS sim
+      FROM z CROSS JOIN seeds),
+    a1 AS (
+      SELECT user_id, cl FROM (
+        SELECT user_id, cl,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY sim DESC, cl) AS rnk
+        FROM s1) WHERE rnk = 1),
+    za AS (SELECT z.user_id, z.z, a1.cl FROM z JOIN a1 USING (user_id)),
+    p AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             sqrt(list_sum(list_transform(range(1, {_TS_DAYS + 1}),
+               i -> (a.z[CAST(i AS INTEGER)] - b.z[CAST(i AS INTEGER)]) ^ 2))) AS d
+      FROM za a JOIN za b ON a.user_id < b.user_id AND a.cl = b.cl)
+    SELECT user_a, user_b, round(d, 4) AS zdist
+    FROM p ORDER BY d, user_a, user_b LIMIT {_TS_TOPK}
+    """,
+)
+def ts1b_series_similarity_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts1's CORPUS-SCALE candidate step (VERDICT r07 #4): the SemDeDup
+    shape applied to series. ts1's exact scan is intrinsically N²/2 in
+    distance work; this variant first CLUSTERS the z-vectors (one
+    seeded assignment pass of the x2j k-means machinery — cosine argmax
+    is the euclidean argmin for z-normalized series, since |z|² is the
+    constant n_days) and generates candidate pairs only WITHIN each
+    cluster, then verifies candidates with the SAME exact tiled
+    distance scan (`_tile_scan_topk`, is_diag keyed on
+    (cluster, block)). Distance work drops from N²/2 to Σ_c N_c²/2 —
+    k× less under balanced clusters — at the documented cost of
+    missing pairs split across clusters (the candidate-generation
+    recall tradeoff every blocked scheme makes; the DuckDB oracle
+    replays seed -> assign -> within-cluster pairs, so the hash
+    certifies exactly that semantics). Per-task memory stays two tile
+    blocks: blocks hash WITHIN clusters, so a big cluster tiles into
+    bounded tasks instead of one collect_list giant."""
+    import math
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        _norm,
+        ivf_assign,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    z = znormalize(daily_profile_series(e)).localCheckpoint(eager=True)
+    n = z.count()
+    tile = 512
+    n_blocks = max(1, math.ceil(n / (_TS1B_K * tile)))
+    emb = z.select(F.col("user_id").alias("vec_id"), F.col("z").alias("emb"))
+    seeds = (
+        emb.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(_TS1B_K)
+    )
+    cents = seeds.select(
+        F.col("vec_id").alias("list_id"), F.col("emb").alias("centroid")
+    ).withColumn("c_nrm2", _norm("centroid"))
+    assign = ivf_assign(emb, cents, nprobe=1).select(
+        F.col("vec_id").alias("user_id"),
+        F.col("emb").alias("z"),
+        F.col("list_id").alias("cl"),
+    )
+    # Eager localCheckpoint: packed feeds THREE consumers (the distinct
+    # cluster set, lhs, rhs) — without it the whole assignment pass
+    # (including its corpus x centroids crossJoin) recomputes per
+    # consumer. The checkpoint also keeps that bounded-broadcast
+    # nested-loop out of the final tile plan entirely.
+    packed = (
+        assign.withColumn(
+            "_blk", F.pmod(F.xxhash64("user_id"), F.lit(n_blocks)).cast("int")
+        )
+        .groupBy("cl", "_blk")
+        .agg(F.collect_list(F.struct("user_id", "z")).alias("items"))
+        .localCheckpoint(eager=True)
+    )
+    # Per-cluster unordered block pairs, generated map-side (the ts1
+    # sequence+explode pattern) from the tiny distinct-cluster set.
+    block_pairs = (
+        packed.select("cl")
+        .distinct()
+        .select(
+            "cl",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk_a"),
+        )
+        .select(
+            "cl",
+            "blk_a",
+            F.explode(F.sequence(F.col("blk_a"), F.lit(n_blocks - 1))).alias(
+                "blk_b"
+            ),
+        )
+    )
+    lhs = packed.select(
+        F.col("cl"), F.col("_blk").alias("blk_a"), F.col("items").alias("items_a")
+    )
+    rhs = packed.select(
+        F.col("cl"), F.col("_blk").alias("blk_b"), F.col("items").alias("items_b")
+    )
+    tiles = (
+        block_pairs.join(lhs, ["cl", "blk_a"])
+        .join(rhs, ["cl", "blk_b"])
+        .withColumn("is_diag", F.col("blk_a") == F.col("blk_b"))
+    )
+    return _tile_scan_topk(tiles, _TS_TOPK)

@@ -220,9 +220,13 @@ def t8_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched click ids, so the hash cannot depend on eviction timing.
     The streamed null-side output is still asserted non-empty — the
     outer-join eviction path must have fired end-to-end."""
-    import glob
-    import os
     import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
 
     root = "/tmp/spark_graft_streaming/t8"
     shutil.rmtree(root, ignore_errors=True)
@@ -237,27 +241,29 @@ def t8_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two micro-batches per side: file 0 = data + first pusher (one
     # batch ingests everything and advances the watermark), file 1 =
     # second pusher (its batch runs the eviction that emits unmatched
-    # rows). Pusher lines are written with plain file IO — one JSON
-    # line each. mtimes pin the file order the source will follow.
+    # rows). mtimes pin the file order the source will follow. Both
+    # sides are shared fixtures keyed on the events table state.
     def pusher_line(name: str, ts: str) -> str:
-        return f'{{"user_id": -1, "event_id": "{name}", "ts": "{ts}"}}\n'
+        return f'{{"user_id": -1, "event_id": "{name}", "ts": "{ts}"}}'
 
+    fp = source_fingerprint(sf_dir, "events")
+    flats = {}
     for side, etype in (("clicks", "click"), ("purchases", "purchase")):
-        rows = base.filter(F.col("event_type") == etype).drop("event_type")
-        rows.coalesce(1).write.mode("overwrite").json(f"{root}/{side}/b0")
-        flat = f"{root}/{side}_flat"
-        os.makedirs(flat, exist_ok=True)
-        (part,) = glob.glob(f"{root}/{side}/b0/part-*.json")
-        shutil.copy(part, f"{flat}/0.json")
-        with open(f"{flat}/0.json", "a") as fh:
-            fh.write(pusher_line("push1", "2030-01-01T00:00:00"))
-        with open(f"{flat}/1.json", "w") as fh:
-            fh.write(pusher_line("push2", "2030-01-02T00:00:00"))
-        for i in (0, 1):
-            os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
+        flats[side] = disk_fixture(
+            f"t8-{side}",
+            fp,
+            lambda tmp, etype=etype: spark_json_slices(
+                base.filter(F.col("event_type") == etype).drop("event_type"),
+                tmp,
+                1,
+                extra_lines={
+                    0: [pusher_line("push1", "2030-01-01T00:00:00")],
+                    1: [pusher_line("push2", "2030-01-02T00:00:00")],
+                },
+            ),
+        )
     run_attribution_outer_stream(
-        spark, f"{root}/clicks_flat", f"{root}/purchases_flat",
-        f"{root}/out", f"{root}/_cp",
+        spark, flats["clicks"], flats["purchases"], f"{root}/out", f"{root}/_cp"
     )
     out = spark.read.parquet(f"{root}/out").filter(
         F.col("c_key") >= 0  # drop the watermark pushers

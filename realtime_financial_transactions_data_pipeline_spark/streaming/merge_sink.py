@@ -180,11 +180,17 @@ def k8_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-wins per user computed directly in SQL — certifying the
     merge reduction, tombstone retention, AND the pointer protocol in
     one hash check (any batch-split leakage would change the result)."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+
     root = f"{_SCRATCH}/k8"
     shutil.rmtree(root, ignore_errors=True)
-    input_dir = f"{root}/incoming"
-    (
-        load_table(spark, sf_dir, "events")
+    input_dir = disk_fixture(
+        "k8-events",
+        source_fingerprint(sf_dir, "events"),
+        lambda tmp: load_table(spark, sf_dir, "events")
         .select(
             "user_id",
             "event_id",
@@ -194,7 +200,7 @@ def k8_stream_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(4)
         .write.mode("overwrite")
-        .json(input_dir)
+        .json(tmp),
     )
     final_path = run_cdc_merge_stream(spark, input_dir, root)
     snap = spark.read.parquet(final_path)
@@ -346,11 +352,19 @@ def k8b_bucketed_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-buckets whose generations advance independently and publish
     through one atomic manifest per batch. The identical hash proves
     bucket routing loses nothing."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+
     root = f"{_SCRATCH}/k8b"
     shutil.rmtree(root, ignore_errors=True)
-    input_dir = f"{root}/incoming"
-    (
-        load_table(spark, sf_dir, "events")
+    # Same fixture name as k8: the two probes stream the IDENTICAL
+    # input, so the shared build runs once for both.
+    input_dir = disk_fixture(
+        "k8-events",
+        source_fingerprint(sf_dir, "events"),
+        lambda tmp: load_table(spark, sf_dir, "events")
         .select(
             "user_id",
             "event_id",
@@ -360,7 +374,7 @@ def k8b_bucketed_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(4)
         .write.mode("overwrite")
-        .json(input_dir)
+        .json(tmp),
     )
     snap_root = run_cdc_merge_stream_bucketed(spark, input_dir, root)
     snap = read_bucketed_snapshot(spark, snap_root)
@@ -473,12 +487,14 @@ def k8c_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — the sort key ``epoch(ts)·10^6 + event_id`` totally orders
     rows — so the hash certifies WHICH batch changed every key and HOW
     (insert vs update vs delete), not just the final state."""
-    import glob
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
 
     root = f"{_SCRATCH}/k8c"
     shutil.rmtree(root, ignore_errors=True)
-    flat = f"{root}/incoming"
-    os.makedirs(flat, exist_ok=True)
     src = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -486,15 +502,11 @@ def k8c_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.date_trunc("second", "ts").alias("ts"),
     )
-    for i in range(4):
-        part_dir = f"{root}/slice{i}"
-        src.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).json(part_dir)
-        (part,) = glob.glob(f"{part_dir}/part-*.json")
-        dst = f"{flat}/{i}.json"
-        shutil.copy(part, dst)
-        os.utime(dst, (1700000000 + i, 1700000000 + i))
+    flat = disk_fixture(
+        "k8c-events-4slice",
+        source_fingerprint(sf_dir, "events"),
+        lambda tmp: spark_json_slices(src, tmp, 4, slice_col=F.col("event_id")),
+    )
     run_cdc_merge_stream(spark, flat, root, emit_changes=True)
     changes = spark.read.parquet(f"{root}/changes")
     return pin_result(

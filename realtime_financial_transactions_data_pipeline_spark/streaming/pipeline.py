@@ -452,13 +452,28 @@ def _run_synthetic_pipeline(
     """Synthesize wire messages from `customer`, stream them through the
     full pipeline, return (valid, errors) DataFrames read back from the
     sinks."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
     from realtime_financial_transactions_data_pipeline_spark.functions.fpe import TEST_KEY
 
     _fresh(root)
-    input_dir = f"{root}/incoming"
-    synth_wire_messages(
-        spark, sf_dir, copies=copies, max_custkey=max_custkey
-    ).repartition(4).write.mode("overwrite").text(input_dir)
+
+    def build(tmp: str) -> None:
+        synth_wire_messages(
+            spark, sf_dir, copies=copies, max_custkey=max_custkey
+        ).repartition(4).write.mode("overwrite").text(tmp)
+
+    # The wire-message input is a pure function of `customer`, so it is
+    # a shared fixture (caching.disk_fixture): built once, reused across
+    # invocations/probes/harness runs. Checkpoints and sinks stay under
+    # the per-probe wiped root.
+    input_dir = disk_fixture(
+        f"wire-c{copies}-m{max_custkey}",
+        source_fingerprint(sf_dir, "customer"),
+        build,
+    )
     valid_dir, errors_dir = run_pipeline(
         spark, input_dir, f"{root}/out", lookup_dir=lookup_dir, key=TEST_KEY
     )
@@ -509,14 +524,25 @@ def j3_stream_lookup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute. A 1000-customer slice exercises the refresh mechanics
     identically at a fraction of t1_t6's message volume (the oracle
     filters on the same bound)."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
     from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
     root = f"{_SCRATCH}/j3"
     _fresh(root)
-    lookup_dir = f"{root}/dim_lookup"
-    load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000).select(
-        F.col("c_custkey").alias("customer_id"), "c_mktsegment"
-    ).write.mode("overwrite").parquet(lookup_dir)
+    # The lookup WRITE is a shared fixture; the per-micro-batch RE-READ
+    # below is J3's semantics and is never cached (SURVEY §7).
+    lookup_dir = disk_fixture(
+        "j3-dim-lookup",
+        source_fingerprint(sf_dir, "customer"),
+        lambda tmp: load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select(F.col("c_custkey").alias("customer_id"), "c_mktsegment")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     valid, _ = _run_synthetic_pipeline(
         spark, sf_dir, root + "/run", lookup_dir=lookup_dir, max_custkey=1000
     )
@@ -540,9 +566,21 @@ def k3_passthrough_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_regionkey", T.LongType()),
         ]
     )
-    src = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    src.coalesce(1).write.mode("overwrite").json(f"{root}/incoming")
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+
+    incoming = disk_fixture(
+        "k3-nation",
+        source_fingerprint(sf_dir, "nation"),
+        lambda tmp: load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(tmp),
+    )
     run_passthrough_stream(
-        spark, f"{root}/incoming", f"{root}/out", f"{root}/_checkpoint", schema
+        spark, incoming, f"{root}/out", f"{root}/_checkpoint", schema
     )
     return pin_result(spark.read.schema(schema).parquet(f"{root}/out"))

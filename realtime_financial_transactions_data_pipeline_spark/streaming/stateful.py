@@ -235,19 +235,30 @@ def t4_stateful_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count must equal the distinct-key count."""
     import shutil
 
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
     from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
     root = "/tmp/spark_graft_streaming/t4"
     shutil.rmtree(root, ignore_errors=True)
     c = load_table(spark, sf_dir, "customer")
     n_input = c.count()
-    c.select(
-        (F.col("c_custkey") % 500).alias("dedupe_key"),
-        F.col("c_custkey").alias("customer_id"),
-        F.col("c_acctbal").alias("amount"),
-    ).coalesce(2).write.mode("overwrite").json(f"{root}/in")
+    in_dir = disk_fixture(
+        "t4-customer",
+        source_fingerprint(sf_dir, "customer"),
+        lambda tmp: c.select(
+            (F.col("c_custkey") % 500).alias("dedupe_key"),
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_acctbal").alias("amount"),
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .json(tmp),
+    )
     streaming_dedupe(
-        spark, f"{root}/in", f"{root}/out", f"{root}/_cp", _TXN_PROBE_SCHEMA, ["dedupe_key"]
+        spark, in_dir, f"{root}/out", f"{root}/_cp", _TXN_PROBE_SCHEMA, ["dedupe_key"]
     )
     out = spark.read.schema(_TXN_PROBE_SCHEMA).parquet(f"{root}/out")
     # count(*) of the sink, NOT countDistinct: if duplicates leaked

@@ -174,10 +174,13 @@ def t9_stream_sessionization(spark, sf_dir: str) -> DataFrame:
     batch-composition-invariant (state merges are associative), so the
     streamed output hashes directly against the gaps-and-islands
     oracle — no batch re-derivation needed."""
-    import glob
-    import os
     import shutil
 
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
     from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
     from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
         await_or_raise,
@@ -185,22 +188,23 @@ def t9_stream_sessionization(spark, sf_dir: str) -> DataFrame:
 
     root = "/tmp/spark_graft_streaming/t9"
     shutil.rmtree(root, ignore_errors=True)
-    flat = f"{root}/incoming"
-    os.makedirs(flat, exist_ok=True)
-    src = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 10 == 6)
-        .select("user_id", F.date_trunc("second", "ts").alias("event_time"), "value")
+    flat = disk_fixture(
+        "t9-events",
+        source_fingerprint(sf_dir, "events"),
+        lambda tmp: spark_json_slices(
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") % 10 == 6)
+            .select(
+                "user_id", F.date_trunc("second", "ts").alias("event_time"), "value"
+            ),
+            tmp,
+            1,
+            extra_lines={
+                0: ['{"user_id": -1, "event_time": "2030-01-01T00:00:00", "value": 0.0}'],
+                1: ['{"user_id": -1, "event_time": "2030-01-02T00:00:00", "value": 0.0}'],
+            },
+        ),
     )
-    src.coalesce(1).write.mode("overwrite").json(f"{root}/b0")
-    (part,) = glob.glob(f"{root}/b0/part-*.json")
-    shutil.copy(part, f"{flat}/0.json")
-    with open(f"{flat}/0.json", "a") as fh:
-        fh.write('{"user_id": -1, "event_time": "2030-01-01T00:00:00", "value": 0.0}\n')
-    with open(f"{flat}/1.json", "w") as fh:
-        fh.write('{"user_id": -1, "event_time": "2030-01-02T00:00:00", "value": 0.0}\n')
-    for i in (0, 1):
-        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
     stream = (
         spark.readStream.schema("user_id LONG, event_time TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -251,10 +255,13 @@ def t10_stream_tumbling_windows(spark, sf_dir: str) -> DataFrame:
     protocol closing every window inside one availableNow run. Window
     aggregates are batch-composition-invariant, so the streamed output
     hashes directly against DuckDB's time_bucket."""
-    import glob
-    import os
     import shutil
 
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
     from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
     from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
         await_or_raise,
@@ -262,22 +269,21 @@ def t10_stream_tumbling_windows(spark, sf_dir: str) -> DataFrame:
 
     root = "/tmp/spark_graft_streaming/t10"
     shutil.rmtree(root, ignore_errors=True)
-    flat = f"{root}/incoming"
-    os.makedirs(flat, exist_ok=True)
-    src = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 10 == 2)
-        .select(F.date_trunc("second", "ts").alias("event_time"), "value")
+    flat = disk_fixture(
+        "t10-events",
+        source_fingerprint(sf_dir, "events"),
+        lambda tmp: spark_json_slices(
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") % 10 == 2)
+            .select(F.date_trunc("second", "ts").alias("event_time"), "value"),
+            tmp,
+            1,
+            extra_lines={
+                0: ['{"event_time": "2030-01-01T00:00:00", "value": 0.0}'],
+                1: ['{"event_time": "2030-01-02T00:00:00", "value": 0.0}'],
+            },
+        ),
     )
-    src.coalesce(1).write.mode("overwrite").json(f"{root}/b0")
-    (part,) = glob.glob(f"{root}/b0/part-*.json")
-    shutil.copy(part, f"{flat}/0.json")
-    with open(f"{flat}/0.json", "a") as fh:
-        fh.write('{"event_time": "2030-01-01T00:00:00", "value": 0.0}\n')
-    with open(f"{flat}/1.json", "w") as fh:
-        fh.write('{"event_time": "2030-01-02T00:00:00", "value": 0.0}\n')
-    for i in (0, 1):
-        os.utime(f"{flat}/{i}.json", (1700000000 + i, 1700000000 + i))
     stream = (
         spark.readStream.schema("event_time TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1)

