@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 from realtime_financial_transactions_data_pipeline_spark.registry import probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
@@ -322,63 +323,69 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_wav(b: bytes, mid: object = None):
+    """Shared RIFF/WAVE parse (decode_wav and the x4h feature
+    extractor): walk the chunk list (tag + little-endian size) instead
+    of assuming the canonical 44-byte layout — encoders commonly emit
+    an 18-byte fmt chunk (cbSize extension) or LIST/INFO chunks before
+    data. Returns (sample_rate, n_channels, bits, samples int16
+    array). Truncation/garbage raise ValueError tagged with the media
+    id; non-16-bit-PCM raises too (the honest boundary)."""
+    import struct
+
+    import numpy as np
+
+    if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"media {mid}: not a RIFF/WAVE payload")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        # A declared size past the buffer end means a truncated
+        # payload — refuse rather than silently parsing a short body.
+        if pos + 8 + size > len(b):
+            raise ValueError(
+                f"media {mid}: truncated chunk {tag!r} "
+                f"(declares {size} bytes, {len(b) - pos - 8} remain)"
+            )
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_chunk = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError(f"media {mid}: missing fmt/data chunk")
+    if len(fmt_chunk) < 16:
+        raise ValueError(f"media {mid}: truncated fmt chunk")
+    fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
+    if fmt != 1 or bits != 16:
+        raise ValueError(
+            f"media {mid}: only 16-bit PCM is parseable here (fmt={fmt})"
+        )
+    if rate == 0:
+        raise ValueError(f"media {mid}: zero sample rate")
+    if len(data) % 2:
+        raise ValueError(
+            f"media {mid}: truncated data chunk "
+            f"({len(data)} bytes is not whole 16-bit samples)"
+        )
+    return rate, n_ch, bits, np.frombuffer(data, dtype="<i2")
+
+
 def decode_wav(media: DataFrame) -> DataFrame:
     """REAL audio decode: parse the RIFF header and fmt/data chunks,
     validate magic numbers, and read the PCM samples (numpy view) —
     stdlib-only, so 'no codec libs in the container' does not apply.
     Arrow-batched mapInPandas, one pass, no shuffle."""
-    import struct
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             out = {k: [] for k in
                    ("media_id", "sample_rate", "n_channels", "bits_per_sample",
                     "n_samples", "duration_ms", "amplitude")}
             for mid, raw in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(raw)
-                if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
-                    raise ValueError(f"media {mid}: not a RIFF/WAVE payload")
-                # Walk the chunk list (tag + little-endian size) instead
-                # of assuming the canonical 44-byte layout: encoders
-                # commonly emit an 18-byte fmt chunk (cbSize extension)
-                # or LIST/INFO chunks before data.
-                pos, fmt_chunk, data = 12, None, None
-                while pos + 8 <= len(b):
-                    tag = b[pos : pos + 4]
-                    size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
-                    # A declared size past the buffer end means a
-                    # truncated payload — refuse rather than silently
-                    # parsing a short body.
-                    if pos + 8 + size > len(b):
-                        raise ValueError(
-                            f"media {mid}: truncated chunk {tag!r} "
-                            f"(declares {size} bytes, {len(b) - pos - 8} remain)"
-                        )
-                    body = b[pos + 8 : pos + 8 + size]
-                    if tag == b"fmt ":
-                        fmt_chunk = body
-                    elif tag == b"data":
-                        data = body
-                    pos += 8 + size + (size & 1)  # chunks are word-aligned
-                if fmt_chunk is None or data is None:
-                    raise ValueError(f"media {mid}: missing fmt/data chunk")
-                if len(fmt_chunk) < 16:
-                    raise ValueError(f"media {mid}: truncated fmt chunk")
-                fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
-                if fmt != 1 or bits != 16:
-                    raise ValueError(
-                        f"media {mid}: only 16-bit PCM is parseable here (fmt={fmt})"
-                    )
-                if rate == 0:
-                    raise ValueError(f"media {mid}: zero sample rate")
-                if len(data) % 2:
-                    raise ValueError(
-                        f"media {mid}: truncated data chunk "
-                        f"({len(data)} bytes is not whole 16-bit samples)"
-                    )
-                samples = np.frombuffer(data, dtype="<i2")
+                rate, n_ch, bits, samples = _parse_wav(bytes(raw), mid)
                 n_frames = len(samples) // max(n_ch, 1)
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
@@ -1565,3 +1572,158 @@ def x4g_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chroma DC path and the JFIF conversion rounding."""
     d = load_table(spark, sf_dir, "documents")
     return decode_jpeg(synth_jpeg_media(d))
+
+
+# ---------------------------------------------------------------------------
+# X4h — audio feature extraction (the audio-preprocessing step of a
+# multimodal training pipeline): RMS energy, zero-crossing count, and
+# FFT dominant frequency over decoded PCM. All numpy (rfft included) —
+# no codec libs needed because the container format is PCM-WAV.
+#
+# Oracle strategy: tones are synthesized with an INTEGER number of
+# cycles per window (freq = k·sr/N for integer bin k), so the rfft
+# peak lands exactly on bin k with no spectral leakage — DuckDB never
+# runs an FFT, it re-derives k from the synthesis law. RMS and
+# zero-crossings are integer-exact: sum of squared int16 samples stays
+# far below 2^53, so Spark's numpy sum and DuckDB's list_sum compute
+# the same exact integer before the one final sqrt.
+# ---------------------------------------------------------------------------
+
+_TONE_N = 1024  # samples per clip (power of two for the rfft)
+_TONE_AMP = 16384
+
+
+def synth_tone_media(docs: DataFrame) -> DataFrame:
+    """Valid PCM-WAV payloads, each a pure sine tone at FFT bin
+    k = doc_id % 300 + 20 (an exact integer number of cycles in the
+    {_TONE_N}-sample window): sample[n] = floor(16384·sin(2π·k·n/N)
+    + 0.5) at {_WAV_RATE} Hz. floor(x+0.5) instead of round() keeps
+    the quantization engine-portable (banker's rounding differs)."""
+    import struct
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = np.arange(_TONE_N, dtype=np.float64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                k = int(doc_id) % 300 + 20
+                x = np.floor(
+                    _TONE_AMP * np.sin(2 * np.pi * k * n / _TONE_N) + 0.5
+                ).astype("<i2")
+                samples = x.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(samples))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(samples))
+                )
+                payloads.append(hdr + samples)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_zero_crossings", T.LongType()),
+        T.StructField("dominant_bin", T.LongType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over decoded PCM: RMS energy
+    (from the exact integer sum of squares), zero-crossing count
+    (strict sign changes, x[n-1]·x[n] < 0), and the dominant frequency
+    via numpy rfft argmax over bins 1..N/2 (DC excluded). Arrow-batched
+    mapInPandas — at 100 TB this is a map-only pass, one FFT per clip,
+    no shuffle."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in AUDIO_FEATURES_SCHEMA.fields}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                rate, n_ch, _bits, samples = _parse_wav(bytes(raw), mid)
+                if n_ch != 1:
+                    raise ValueError(f"media {mid}: feature pass expects mono")
+                x = samples.astype(np.float64)
+                n = x.size
+                sum_sq = int((samples.astype(np.int64) ** 2).sum())
+                zc = int(((x[:-1] * x[1:]) < 0).sum())
+                mag = np.abs(np.fft.rfft(x))
+                dom = int(np.argmax(mag[1:]) + 1)  # skip DC
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["sum_sq"].append(sum_sq)
+                out["rms"].append(float(np.sqrt(sum_sq / n)))
+                out["n_zero_crossings"].append(zc)
+                out["dominant_bin"].append(dom)
+                out["dominant_hz"].append(dom * rate / n)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+@probe(
+    "x4h_audio_features",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, doc_id % 300 + 20 AS k FROM documents),
+    s AS (
+      SELECT doc_id, k,
+             list_transform(range(0, {_TONE_N}),
+               n -> CAST(floor({_TONE_AMP} * sin(2 * pi() * k * n / {_TONE_N})
+                         + 0.5) AS BIGINT)) AS x
+      FROM m)
+    SELECT doc_id AS media_id,
+           CAST({_TONE_N} AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(x, v -> v * v)) AS BIGINT) AS sum_sq,
+           round(sqrt(list_sum(list_transform(x, v -> v * v)) / {_TONE_N}.0), 6)
+             AS rms,
+           CAST(len(list_filter(range(1, {_TONE_N}),
+                                n -> x[n] * x[n + 1] < 0)) AS BIGINT)
+             AS n_zero_crossings,
+           CAST(k AS BIGINT) AS dominant_bin,
+           k * {_WAV_RATE} / {_TONE_N}.0 AS dominant_hz
+    FROM s
+    """,
+)
+def x4h_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4h — audio preprocessing, REAL end-to-end: synth pure tones as
+    PCM-WAV, parse the container, and extract RMS / zero-crossings /
+    FFT dominant frequency. The integer-cycle synthesis law puts the
+    spectral peak exactly on bin k = doc_id % 300 + 20, so the DuckDB
+    oracle re-derives the FFT's answer analytically and replays RMS
+    and zero-crossings integer-exactly from the same quantized sine —
+    the hash certifies the whole decode→window→FFT→argmax path without
+    DuckDB running an FFT. rms is rounded to 6 dp on both sides (the
+    sum of squares is exact; only the final sqrt is floating)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = audio_features(synth_tone_media(d))
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "sum_sq",
+        dround(F.col("rms"), 6).alias("rms"),
+        "n_zero_crossings",
+        "dominant_bin",
+        "dominant_hz",
+    )
