@@ -93,7 +93,44 @@ def memo_persist(
 # per-probe, wiped each run.
 # ---------------------------------------------------------------------------
 
+#: Lifecycle: fixtures live for as long as their source parquet AND the
+#: build recipe that produced them are unchanged — ``disk_fixture``'s
+#: key is (name, source fingerprint, build-recipe token), and building
+#: any key deletes every stale same-name sibling, so at most ONE
+#: generation per fixture name exists on disk at any time. The driver
+#: regenerates /tmp between rounds; within a round, bench and pytest
+#: share these sequentially (never concurrently — see FIXTURES.md).
 _FIXTURE_ROOT = "/tmp/spark_graft_fixtures"
+
+
+def _recipe_token(build) -> str:
+    """Hash of the build callable's RECIPE — its source text plus any
+    scalar values it closes over — folded into the fixture key so that
+    editing a probe's fixture-build lambda (columns, slicing, filters,
+    n_slices) invalidates the on-disk fixture even when the fixture
+    name and source data are unchanged (ADVICE r08: a stale fixture
+    from the old recipe was silently reused across rounds). Closure
+    scalars are included because parameters like ``n_slices`` often
+    arrive via closure rather than appearing literally in the lambda
+    source. Non-scalar closures (DataFrames, sessions) are identified
+    by the source text that uses them."""
+    import hashlib
+    import inspect as _inspect
+
+    try:
+        src = _inspect.getsource(build)
+    except (OSError, TypeError):
+        src = repr(build)
+    cells = []
+    code = getattr(build, "__code__", None)
+    for fname, cell in zip(
+        getattr(code, "co_freevars", ()) or (), build.__closure__ or ()
+    ):
+        v = cell.cell_contents
+        if isinstance(v, (int, float, str, bool, bytes, tuple)):
+            cells.append(f"{fname}={v!r}")
+    blob = "\n".join([src.strip(), *sorted(cells)])
+    return hashlib.md5(blob.encode()).hexdigest()[:8]
 
 
 def source_fingerprint(sf_dir: str, *tables: str) -> str:
@@ -113,19 +150,36 @@ def source_fingerprint(sf_dir: str, *tables: str) -> str:
 
 def disk_fixture(name: str, fingerprint: str, build) -> str:
     """Return the path of the shared fixture ``name`` for source state
-    ``fingerprint``, building it with ``build(tmp_dir)`` on first use.
-    The build lands in a ``.building`` staging dir and is renamed into
-    place only after the ``_FIXTURE_OK`` marker is written, so a
-    crashed build is restarted, never half-read. The marker's leading
-    underscore keeps Spark's file listing (batch and streaming) from
-    treating it as data. Probes run sequentially in one process, so no
-    cross-process locking is needed."""
+    ``fingerprint`` + build recipe, building it with ``build(tmp_dir)``
+    on first use. The key folds in :func:`_recipe_token` so a changed
+    build lambda never reuses a stale fixture. The build lands in a
+    ``.building`` staging dir and is renamed into place only after the
+    ``_FIXTURE_OK`` marker is written, so a crashed build is restarted,
+    never half-read. The marker's leading underscore keeps Spark's file
+    listing (batch and streaming) from treating it as data. Before
+    building, every same-name sibling with a different key is deleted —
+    superseded generations are dead by construction (ADVICE r08:
+    ``_FIXTURE_ROOT`` previously accreted one dir per fingerprint as
+    the driver rotated testdata). Probes run sequentially in one
+    process, so no cross-process locking is needed."""
     import os
+    import re
     import shutil
 
-    path = os.path.join(_FIXTURE_ROOT, f"{name}-{fingerprint}")
+    key = f"{fingerprint}-{_recipe_token(build)}"
+    path = os.path.join(_FIXTURE_ROOT, f"{name}-{key}")
     if os.path.exists(os.path.join(path, "_FIXTURE_OK")):
         return path
+    # Prune superseded generations of THIS fixture name only. The strict
+    # hex-shape match keeps a name that happens to be a prefix of
+    # another (plus "-") from claiming the longer name's dirs.
+    stale = re.compile(
+        re.escape(name) + r"-[0-9a-f]{16}(-[0-9a-f]{8})?(\.building)?$"
+    )
+    if os.path.isdir(_FIXTURE_ROOT):
+        for entry in os.listdir(_FIXTURE_ROOT):
+            if stale.fullmatch(entry) and entry != f"{name}-{key}":
+                shutil.rmtree(os.path.join(_FIXTURE_ROOT, entry), ignore_errors=True)
     tmp = path + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)

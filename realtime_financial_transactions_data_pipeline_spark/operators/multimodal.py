@@ -1385,6 +1385,22 @@ def _parse_jpeg(b: bytes, mid: object = None):
     zz_u = np.array([uv[0] for uv in _JPEG_ZZ])
     zz_v = np.array([uv[1] for uv in _JPEG_ZZ])
 
+    # Validate every table selector ONCE before entropy decode: a corrupt
+    # stream (SOS before DHT/DQT, or a bad selector byte) must surface as
+    # the documented media-id-tagged ValueError, not a bare KeyError
+    # (ADVICE r08 — same contract _parse_png enforces for chunk lengths).
+    for cs, td, ta in scan_comps:
+        if cs not in comp_by_id:
+            raise ValueError(f"media {mid}: scan references undefined component {cs}")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(
+                f"media {mid}: undefined Huffman table (dc={td}, ac={ta})"
+            )
+        if comp_by_id[cs][2] not in qt:
+            raise ValueError(
+                f"media {mid}: undefined quantization table {comp_by_id[cs][2]}"
+            )
+
     seg_idx = 0
     reader = _JpegBitReader(segments[0], mid)
     preds = {cid: 0 for cid, *_ in comps}

@@ -1957,12 +1957,17 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape — ties-included argmax over a derived view: the
-    supplier(s) with the quarter's highest lineitem revenue. The
-    revenue view aggregates once; rank() (not row_number) keeps exact
-    ties, matching Q15's `= (SELECT max(...))` semantics without a
-    second scan of the view. The rank window is a single global-order
-    window over |suppliers| aggregate rows — tiny — and the supplier
-    dim joins after the rank filter, so only winners join."""
+    supplier(s) with the quarter's highest lineitem revenue. Q15's
+    `= (SELECT max(...))` is expressed literally: a ONE-ROW
+    ``max(total_revenue)`` aggregate broadcast back over the revenue
+    view (the x13 quantile-gate pattern) and an exact equality filter —
+    both branches sum the same doubles, so ties survive exactly. This
+    keeps every stage fully parallel; the naive alternative
+    (``rank() OVER (ORDER BY ...)`` with no partitionBy) funnels ALL
+    |supplier| aggregate rows through one task, which at 100 TB
+    (~10M suppliers) is the classic single-partition-window
+    bottleneck. The supplier dim joins after the max gate, so only
+    winners join."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1973,8 +1978,12 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    w = Window.orderBy(F.desc("total_revenue"))
-    top = revenue.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .drop("max_revenue")
+    )
     return top.join(s, F.col("supplier_no") == F.col("s_suppkey")).select(
         "s_suppkey", "s_name", dround(F.col("total_revenue"), 2).alias("total_revenue")
     )

@@ -604,7 +604,14 @@ def _tile_scan_topk(tiles: DataFrame, topk: int) -> DataFrame:
     )
 
 
-_TS1B_K = 4  # candidate-generation clusters (probe scale)
+#: Candidate-generation cluster count — a PROBE-SCALE constant (the
+#: sf0.01 corpus holds ~1.5k users and the DuckDB oracle replays the
+#: same seeded assignment, so k must be small and fixed). At corpus
+#: scale pick k ~ N / target_cluster_size (similarity.py's IVF rule,
+#: x2h: sqrt(N)-ish clusters sized so one cluster's pair block fits a
+#: task) — do NOT carry 4 into a production run: distance work is
+#: Σ_c N_c²/2, which only beats N²/2 when k grows with N.
+_TS1B_K = 4
 
 
 @probe(

@@ -334,6 +334,28 @@ def test_jpeg_truncated_scan_raises():
         _parse_jpeg(b[: len(b) - 8], mid=7)
 
 
+def test_jpeg_undefined_table_selector_raises_tagged_valueerror():
+    """ADVICE r08: a scan referencing a never-defined DHT table id must
+    raise the documented media-id-tagged ValueError, not a bare
+    KeyError (same contract as PNG's chunk-length guard)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _parse_jpeg,
+    )
+
+    b = bytearray(_jpeg_bytes(np.full((8, 8), 100), 0))
+    i = b.index(b"\xff\xda")
+    # SOS layout: FFDA len(2) Ns cs1 (td<<4|ta) ... — corrupt comp 1's
+    # table-selector byte to point at Huffman tables that were never
+    # defined by any DHT segment.
+    b[i + 6] = 0x33
+    with _pytest.raises(ValueError, match="media 9: undefined Huffman"):
+        _parse_jpeg(bytes(b), mid=9)
+
+
 def test_jpeg_grayscale_single_component():
     """The decoder handles single-component (grayscale, no-subsampling)
     frames — a file shape the 4:2:0 synthesizer never emits."""

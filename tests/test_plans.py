@@ -101,6 +101,20 @@ def test_ts1_has_no_nested_loop_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q15_has_no_global_window(spark, sf_dir):
+    """VERDICT r08 #4 regression pin: q15's ties-included argmax must be
+    the broadcast-max gate (1-row aggregate + exact equality filter),
+    never a partitionBy-less rank() window — that shape funnels every
+    supplier aggregate row through ONE task and is the classic
+    single-partition-window bottleneck at 100 TB."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        q15_top_revenue_supplier,
+    )
+
+    plan = inspect.formatted_plan(q15_top_revenue_supplier(spark, sf_dir))
+    assert "Window" not in plan, plan
+
+
 def test_ts1b_blocked_variant_plan_and_semantics(spark, sf_dir):
     """ts1b (the corpus-scale candidate step) must inherit ts1's plan
     discipline — no nested-loop/cartesian node — and its result must be
