@@ -39,69 +39,72 @@ _REGISTRY: dict[str, Probe] = {}
 #: Probes past the window are fine-grained twins/extras — still run by
 #: bench.py and scripts/check_oracle.py, just outside the driver sample.
 DRIVER_WINDOW = 50
-#: Round-8 rotation (VERDICT_r07 item #1, cohort 3): ten probes that
-#: the driver had verified green in two or more prior rounds rotate
-#: OUT (p3, p4, f7, f10, s6, s8, j5, o5_window_rank, k5, a7 — each
-#: family keeps >=2 representatives) and ten never-driver-verified
-#: probes rotate IN: k7 (MERGE upsert), k8c (change-data-feed), j7
-#: (interval overlap), mv1 (incremental agg), x2j (k-means), t10
-#: (streaming tumbling windows), u4 (GDPR erasure), dq2 (referential
-#: audit), scale_zorder_layout (Z-order clustering), x15 (chunk dedup
-#: rebuild). Every rotated-out probe is still oracle-checked by
-#: bench.py / scripts/check_oracle.py each round. Round-7 rotation
-#: history: promoted k8b, k9, j6, q7, er1, x18, t9, s11, u3, dq1 —
-#: all green on first driver exposure (CORRECTNESS_r07 50/50).
+#: Round-9 rotation (VERDICT_r08 item #1, cohort 4): ten probes the
+#: driver has verified green in two or more rounds rotate OUT (f1,
+#: f2_f6, s3, j2, j4, a1_a6, pivot, x2a, u1b, t2b — every §2 family
+#: keeps at least one representative, most keep two; x5b stays because
+#: it is the x5 family's only window member) and ten never-driver-
+#: verified probes rotate IN: x4g (from-spec JPEG decode), x4h (audio
+#: features), ts1b (blocked series similarity), q13/q15/q17/q19 (the
+#: round-8 TPC-H shapes: filtered-outer two-level agg, broadcast-max
+#: argmax, decorrelated scalar agg, OR-of-ANDs pushdown), k6 (CDC
+#: latest-wins), k8 (streaming CDC merge sink), x16 (cross-doc dup
+#: fraction). Every rotated-out probe is still oracle-checked by
+#: bench.py / scripts/check_oracle.py each round. Rotation history:
+#: cohort 2 (r07): k8b, k9, j6, q7, er1, x18, t9, s11, u3, dq1;
+#: cohort 3 (r08): k7, k8c, j7, mv1, x2j, t10, u4, dq2,
+#: scale_zorder_layout, x15 — 20/20 green on first driver exposure.
 _DRIVER_ORDER = [
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "p1_projection",                 # S7/P1
     "p2_p5_shape_defaults",          # P2+P5 merged (drop + null-default)
-    "f1_mask_pan",                   # F1
-    "f2_f6_string_funcs",            # F2-F6
     "f9_f11_f12_datetime_money",     # F9+F11/F12 merged (one lineitem scan)
-    "u1b_mask_and_bin",              # U1 (SQL-expressible half)
     "u3_k_anonymity_audit",          # U3
-    "u4_gdpr_erasure",               # U4 GDPR erasure (round-7 promotion)
-    "j2_stream_static_lookup",       # J2
+    "u4_gdpr_erasure",               # U4 GDPR erasure (cohort 3)
     "j3_stream_lookup_refresh",      # J3 (streaming)
-    "j4_anti_semi",                  # J4 merged (anti + semi, tagged)
     "j6_asof_join",                  # J6 as-of join
-    "j7_interval_overlap",           # J7 interval overlap (round-7 promotion)
-    "a1_a6_stat_cards",              # A1-A6 (+ A10 count-distinct)
+    "j7_interval_overlap",           # J7 interval overlap (cohort 3)
     "a8_a9_group_by_dim",            # A8/A9
-    "mv1_incremental_agg",           # MV1 incremental agg (round-7 promotion)
+    "mv1_incremental_agg",           # MV1 incremental agg (cohort 3)
     "l1_l3_slicer_stack",            # L1-L3
     "o1_o2_topk",                    # O1/O2
-    "pivot_status_by_segment",       # O5 family: pivot
     "q7_bilateral_trade",            # TPC-H suite rep
-    "s3_json_parse",                 # S3
+    "q13_order_count_distribution",  # TPC-H Q13 (cohort 4)
+    "q15_top_revenue_supplier",      # TPC-H Q15 broadcast-max argmax (cohort 4)
+    "q17_small_quantity_revenue",    # TPC-H Q17 decorrelated scalar agg (cohort 4)
+    "q19_disjunctive_predicates",    # TPC-H Q19 OR-of-ANDs pushdown (cohort 4)
     "s5_k4_csv_overwrite_load",      # S5+K4
     "s11_avro_ocf_roundtrip",        # S11 Avro OCF codec
-    "scale_zorder_layout",           # Z-order clustering (round-7 promotion)
+    "scale_zorder_layout",           # Z-order clustering (cohort 3)
     "k3_passthrough_stream",         # K3 (streaming)
-    "k7_merge_upsert",               # K7 MERGE upsert (round-7 promotion)
+    "k6_cdc_latest_wins",            # K6 CDC compaction (cohort 4)
+    "k7_merge_upsert",               # K7 MERGE upsert (cohort 3)
+    "k8_stream_merge_sink",          # K8 streaming CDC merge (cohort 4)
     "k8b_bucketed_merge_sink",       # K8b merge-on-write
-    "k8c_change_feed",               # K8c change-data-feed (round-7 promotion)
+    "k8c_change_feed",               # K8c change-data-feed (cohort 3)
     "k9_scd2_build",                 # K9 SCD2
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
-    "t2b_event_time_windows",        # T2 event-time + watermark
     "t4_stateful_stream_dedupe",     # T4
     "t8_stream_outer_attribution",   # LEFT-OUTER stream-stream join, e2e streaming
     "t9_stream_sessionization",      # T9 streaming sessions
-    "t10_stream_tumbling_windows",   # T10 tumbling windows (round-7 promotion)
+    "t10_stream_tumbling_windows",   # T10 tumbling windows (cohort 3)
+    "ts1b_series_similarity_blocked",  # TS1b blocked candidate step (cohort 4)
     "x1_dedup_exact",                # X1
-    "x2a_minhash_lsh_neardup",       # X2 minhash LSH
     "x2d_simhash",                   # X2 simhash
     "x2h_ann_ivf",                   # X2 ANN IVF
-    "x2j_kmeans",                    # X2 k-means (round-7 promotion)
+    "x2j_kmeans",                    # X2 k-means (cohort 3)
     "x3ade_doc_profile",             # X3 merged: tokens+fingerprint+BPE
     "x4_multimodal_decode",          # X4 merged: binary cols + stub decode
+    "x4g_jpeg_decode",               # X4g from-spec JPEG decode (cohort 4)
+    "x4h_audio_features",            # X4h audio features (cohort 4)
     "x5b_exact_percentiles",         # X5 (hash-checked twin)
     "x6_corpus_curation",            # X6 flagship curation chain
-    "x15_chunk_dedup_rebuild",       # X15 chunk dedup rebuild (round-7 promotion)
+    "x15_chunk_dedup_rebuild",       # X15 chunk dedup rebuild (cohort 3)
+    "x16_crossdoc_dup_fraction",     # X16 cross-doc dup fraction (cohort 4)
     "x18_full_corpus_pipeline",      # X18 end-to-end corpus
     "er1_entity_resolution",         # ER1 SymSpell index
     "dq1_expectation_metrics",       # DQ1 expectations
-    "dq2_referential_audit",         # DQ2 referential audit (round-7 promotion)
+    "dq2_referential_audit",         # DQ2 referential audit (cohort 3)
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
     # Not assert: these invariants must hold under ``python -O`` too,
