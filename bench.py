@@ -14,6 +14,19 @@ stdout line carries only the headline probes.
 Each probe is timed to a full materialization (count of the result) —
 the same work the driver's harness does, minus the pandas conversion.
 Failures are recorded as -1 for that query and never abort the suite.
+
+Host-variance hardening (VERDICT r08 #2): probes whose first timing is
+>= _RERUN_THRESHOLD are invoked a SECOND time (mirroring the driver's
+double invocation) and BENCH_DETAIL records both timings plus the
+min-of-2; the stdout headline uses the min. Two calibration anchors are
+reported: ``calib_sec`` (pure-CPU JVM workload — normalizes CPU-bound
+probes across hosts) and ``sched_calib`` (a 4-micro-batch availableNow
+no-op stream — normalizes streaming/iterative probes, whose cost is
+micro-batch scheduling latency that the CPU anchor cannot see; rounds
+7-8 burned adjudication time on 2-2.5x whipsaws of exactly those
+probes). ``value`` stays the PASS-1 wall so round-over-round suite
+comparisons remain apples-to-apples; the second pass is reported
+separately as ``rerun_sec``.
 """
 
 from __future__ import annotations
@@ -28,6 +41,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from realtime_financial_transactions_data_pipeline_spark.registry import all_probes
 from realtime_financial_transactions_data_pipeline_spark.session import get_spark
+
+#: Probes at or above this first-pass time (sec) get a second timed
+#: invocation. Sub-threshold probes whipsaw by well under the ~0.5 s
+#: adjudication floor, and bounding the rerun set keeps the suite
+#: comfortably inside the driver's bench budget (r08: the >=1.5 s tail
+#: was ~20 probes / ~70 s worst case on top of a 146 s pass 1).
+_RERUN_THRESHOLD = 1.5
+
+
+def _sched_calib(spark) -> float:
+    """Scheduler-latency anchor: time a 4-micro-batch availableNow
+    no-op file stream (maxFilesPerTrigger=1 over four one-row JSON
+    files). This isolates Structured Streaming's per-batch scheduling +
+    checkpoint cost — the dominant term for the streaming and iterative
+    probe families — which varies with host load independently of the
+    pure-CPU calib (r08: t8/x2i whipsawed 1.8-2.5x while calib_sec
+    REPORTED a faster host)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bench_sched_calib_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    for i in range(4):
+        with open(os.path.join(src, f"{i}.json"), "w") as fh:
+            fh.write('{"v": %d}\n' % i)
+    t0 = time.time()
+    q = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sec = round(time.time() - t0, 3)
+    shutil.rmtree(root, ignore_errors=True)
+    return sec
 
 
 def main() -> None:
@@ -54,9 +107,10 @@ def main() -> None:
         "sum(id * 2654435761 % 1000003)"
     ).collect()
     calib_sec = round(time.time() - t_cal, 3)
-    for name, p in sorted(all_probes().items()):
-        if only and name not in only:
-            continue
+    sched_calib = _sched_calib(spark)
+    probes = {n: p for n, p in sorted(all_probes().items())
+              if not only or n in only}
+    for name, p in probes.items():
         t0 = time.time()
         try:
             p.fn(spark, sf_dir).count()
@@ -72,6 +126,26 @@ def main() -> None:
             stream_window_s = _pl.LAST_STREAM_SECONDS
     total = round(time.time() - t_suite, 3)
 
+    # Second pass over the expensive tail only: min-of-2 de-noises the
+    # probes big enough to trigger cross-round adjudication, without
+    # doubling the suite wall. Runs AFTER pass 1 completes so pass-1
+    # wall stays comparable with every prior round's `value`.
+    t_rerun = time.time()
+    timings2: dict[str, float] = {}
+    for name in [n for n, t in timings.items() if t >= _RERUN_THRESHOLD]:
+        t0 = time.time()
+        try:
+            probes[name].fn(spark, sf_dir).count()
+            timings2[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} rerun failed: {exc}", file=sys.stderr)
+            timings2[name] = -1.0
+    rerun_sec = round(time.time() - t_rerun, 3)
+    min2 = {
+        n: (min(t, timings2[n]) if timings2.get(n, -1.0) > 0 else t)
+        for n, t in timings.items()
+    }
+
     # Full per-query timings go to a sidecar file; the stdout line keeps
     # only a headline subset so it stays under the driver's tail capture.
     # Subset runs (explicit probe args, e.g. the contract smoke test)
@@ -83,15 +157,19 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({"metric": "probe_suite_wall", "value": total,
                    "unit": "sec", "sf": sf, "calib_sec": calib_sec,
-                   "queries": timings}, fh,
+                   "sched_calib": sched_calib,
+                   "rerun_threshold": _RERUN_THRESHOLD,
+                   "rerun_sec": rerun_sec,
+                   "queries": timings, "queries_rerun": timings2,
+                   "queries_min": min2}, fh,
                   indent=1, sort_keys=True)
 
     headline = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+        sorted(min2.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
     headline.setdefault(
         "q1_star_revenue_by_nation",
-        timings.get("q1_star_revenue_by_nation", -1.0),
+        min2.get("q1_star_revenue_by_nation", -1.0),
     )
     out = {
         "metric": "probe_suite_wall",
@@ -101,6 +179,8 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "calib_sec": calib_sec,
+        "sched_calib": sched_calib,
+        "rerun_sec": rerun_sec,
         "queries": headline,
         "detail": detail_name,
     }

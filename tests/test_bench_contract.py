@@ -41,6 +41,16 @@ def test_bench_emits_one_json_line_with_timings():
     assert set(detail["queries"]) == {"q1_star_revenue_by_nation",
                                       "p1_projection"}
     assert all(t >= 0 for t in detail["queries"].values())
+    # Host-variance hardening contract (VERDICT r08 #2): both calib
+    # anchors plus the min-of-2 map must be present. queries_min covers
+    # every probe (== pass-1 time when under the rerun threshold).
+    assert payload["sched_calib"] > 0
+    assert detail["sched_calib"] == payload["sched_calib"]
+    assert detail["calib_sec"] > 0
+    assert set(detail["queries_min"]) == set(detail["queries"])
+    assert set(detail["queries_rerun"]) <= set(detail["queries"])
+    for n, t in detail["queries_min"].items():
+        assert 0 <= t <= max(detail["queries"][n], 0)
 
 
 def test_driver_window_contract():
