@@ -108,6 +108,30 @@ def main() -> None:
     ).collect()
     calib_sec = round(time.time() - t_cal, 3)
     sched_calib = _sched_calib(spark)
+    # Streaming-plan JIT warm-up: the alphabetically-first streaming
+    # probe (j3) used to absorb ~4-5 s of one-shot whole-stage-codegen
+    # compilation for the parse→validate→tokenize plan — its raw timing
+    # whipsawed for exactly that reason while its warm cost is ~1.6 s.
+    # Run the flagship plan once over a 50-customer slice so per-probe
+    # timings measure the probe, not global JIT (same rationale as the
+    # JVM warm-up above; counted in the suite total, not per-query).
+    try:
+        import shutil
+        import tempfile
+
+        from realtime_financial_transactions_data_pipeline_spark.functions.fpe import TEST_KEY
+        from realtime_financial_transactions_data_pipeline_spark.streaming import pipeline as _plw
+
+        wroot = tempfile.mkdtemp(prefix="bench_stream_warm_")
+        _plw.synth_wire_messages(spark, sf_dir, copies=1, max_custkey=50)\
+            .coalesce(1).write.mode("overwrite").text(f"{wroot}/in")
+        # lookup_dir compiles the per-batch broadcast-join shape too
+        # (j3's plan); the customer parquet doubles as the dimension.
+        _plw.run_pipeline(spark, f"{wroot}/in", f"{wroot}/out", key=TEST_KEY,
+                          lookup_dir=f"{sf_dir}/customer.parquet")
+        shutil.rmtree(wroot, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001 — warm-up must never fail the suite
+        print(f"bench: stream warm-up failed: {exc}", file=sys.stderr)
     probes = {n: p for n, p in sorted(all_probes().items())
               if not only or n in only}
     for name, p in probes.items():

@@ -112,41 +112,55 @@ def run_cdc_merge_stream(
         merged = merge_latest_wins(cur, tagged, key, list(order_cols))
         gen = int(os.path.basename(cur_path).split("=")[1]) + 1
         if emit_changes:
-            # Change-data-feed (Delta CDF parity): a key changes in this
-            # batch iff its winning row changed. change_type: a winning
-            # tombstone is 'delete'; a winner where the key was absent
-            # or previously deleted is 'insert'; otherwise 'update'.
-            prev = cur.select(
-                key,
-                *[F.col(c).alias(f"_p_{c}") for c in order_cols],
-                F.col("op").alias("_p_op"),
-            )
-            changed = (
-                merged.join(prev, key, "left")
-                .filter(
-                    F.col(f"_p_{order_cols[0]}").isNull()
-                    | (
-                        F.struct(*[F.col(c) for c in order_cols])
-                        != F.struct(*[F.col(f"_p_{c}") for c in order_cols])
-                    )
+            # Two sinks consume `merged` (the change feed and the
+            # snapshot write) — persist it so the union+window shuffle
+            # runs ONCE per batch, not once per sink. Unlike the
+            # pipeline's parse (where re-running codegen'd JSON parse
+            # beat caching), this plan holds a shuffle: caching the
+            # merged keyset is strictly cheaper than re-shuffling
+            # snapshot+batch. Unpersisted in this batch's finally.
+            merged = merged.persist()
+        try:
+            if emit_changes:
+                # Change-data-feed (Delta CDF parity): a key changes in
+                # this batch iff its winning row changed. change_type: a
+                # winning tombstone is 'delete'; a winner where the key
+                # was absent or previously deleted is 'insert';
+                # otherwise 'update'.
+                prev = cur.select(
+                    key,
+                    *[F.col(c).alias(f"_p_{c}") for c in order_cols],
+                    F.col("op").alias("_p_op"),
                 )
-                .withColumn(
-                    "change",
-                    F.when(F.col("op") == "delete", "delete")
-                    .when(
-                        F.col("_p_op").isNull() | (F.col("_p_op") == "delete"),
-                        "insert",
+                changed = (
+                    merged.join(prev, key, "left")
+                    .filter(
+                        F.col(f"_p_{order_cols[0]}").isNull()
+                        | (
+                            F.struct(*[F.col(c) for c in order_cols])
+                            != F.struct(*[F.col(f"_p_{c}") for c in order_cols])
+                        )
                     )
-                    .otherwise("update"),
+                    .withColumn(
+                        "change",
+                        F.when(F.col("op") == "delete", "delete")
+                        .when(
+                            F.col("_p_op").isNull() | (F.col("_p_op") == "delete"),
+                            "insert",
+                        )
+                        .otherwise("update"),
+                    )
+                    .drop(*[f"_p_{c}" for c in order_cols], "_p_op")
                 )
-                .drop(*[f"_p_{c}" for c in order_cols], "_p_op")
-            )
-            changed.write.mode("overwrite").parquet(
-                os.path.join(root, "changes", f"gen={gen}")
-            )
-        new = os.path.join(snap_root, f"gen={gen}")
-        shutil.rmtree(new, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(new)
+                changed.write.mode("overwrite").parquet(
+                    os.path.join(root, "changes", f"gen={gen}")
+                )
+            new = os.path.join(snap_root, f"gen={gen}")
+            shutil.rmtree(new, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(new)
+        finally:
+            if emit_changes:
+                merged.unpersist(blocking=False)
         tmp = os.path.join(snap_root, "CURRENT.tmp")
         with open(tmp, "w") as fh:
             fh.write(f"gen={gen}\n")
