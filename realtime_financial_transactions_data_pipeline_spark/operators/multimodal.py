@@ -19,7 +19,9 @@ Design for 100 TB of media:
   + CRC verify + zlib inflate + all five scanline unfilters), and
   baseline JPEG (:func:`decode_jpeg`, from-spec Huffman entropy
   decode + dequantize + IDCT + 4:2:0 upsample + JFIF YCbCr->RGB),
-  each hash-checked end-to-end. Only codecs needing external
+  and GIF (:func:`decode_gif`, block walk + a full variable-width LZW
+  codec + palette lookup), each hash-checked end-to-end. Only codecs
+  needing external
   libraries (mp3/h264: soundfile/ffmpeg, absent in this container —
   ``tests/test_multimodal.py::test_codec_lib_appeared_requires_wiring``
   re-probes availability every run and fails with wiring instructions
@@ -131,9 +133,9 @@ def decode_media(df: DataFrame, stub: bool = True) -> DataFrame:
             raise NotImplementedError(
                 "mp3/h264 decode requires soundfile/ffmpeg (absent in this "
                 "container); REAL parsers exist in this module for PCM-WAV, "
-                "PPM, BMP, zlib-compressed PNG, and baseline JPEG "
-                "(decode_wav / decode_ppm / decode_bmp / decode_png / "
-                "decode_jpeg)"
+                "PPM, BMP, zlib-compressed PNG, baseline JPEG, and "
+                "LZW-compressed GIF (decode_wav / decode_ppm / decode_bmp / "
+                "decode_png / decode_jpeg / decode_gif)"
             )
         for pdf in batches:
             payloads = [np.frombuffer(b, dtype=np.uint8) if b is not None else
@@ -1743,3 +1745,332 @@ def x4h_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dominant_bin",
         "dominant_hz",
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF — the last common image container within from-spec stdlib reach
+# (VERDICT r08 #5): an 87a/89a chunk walk + a full LZW codec (variable
+# code width, early-change growth, KwKwK, 4096-entry freeze) built the
+# same way as the PNG/JPEG pair — synthesizer and parser are mirrored
+# from the GIF89a spec, and the probe hash-checks per-pixel sums
+# against a synthesis-law oracle. Animated / interlaced / local-color-
+# table images stay behind honest NotImplementedError stubs.
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit ceiling; both sides freeze the table here
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """GIF-variant LZW encoder (LSB-first bit packing, clear/EOI codes,
+    code width mcs+1..12). Width grows when the next free code no
+    longer fits the current width — the encoder bumps at
+    ``next == 2**width + 1`` because the decoder's table lags the
+    encoder's by exactly one entry (it can only reconstruct an entry
+    after reading the FOLLOWING code), so its mirrored bump at
+    ``next == 2**width`` lands on the same code boundary. At 4096 the
+    table freezes (deferred clear) on both sides."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    emit(clear, width)
+    cur: tuple = ()
+    for sym in indices:
+        cand = cur + (int(sym),)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        if nxt < _GIF_MAX_CODE:
+            table[cand] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = (int(sym),)
+    if cur:
+        emit(table[cur], width)
+    # End-of-stream width sync: the decoder's add-count catches up to
+    # the encoder's exactly here (the encoder never adds after its
+    # final code; the decoder never adds after its first), so the
+    # usual one-entry lag vanishes for the EOI read. If the table size
+    # lands exactly on 2**width, the decoder's early-change rule bumps
+    # BEFORE reading EOI — mirror it or the EOI code desyncs (found by
+    # the exhaustive-shape test: 10x14 = 127 data codes hits 256
+    # exactly at mcs=7).
+    if nxt == (1 << width) and width < 12:
+        width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, mid: object = None) -> list[int]:
+    """Mirror of :func:`_gif_lzw_encode`: LSB-first variable-width code
+    stream -> index list. Handles mid-stream clear codes, the KwKwK
+    case (``code == next``), early-change width growth at
+    ``next == 2**width``, and the 4096-entry freeze."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[int, tuple] = {i: (i,) for i in range(clear)}
+    nxt = eoi + 1
+    out: list[int] = []
+    prev: int | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError(f"media {mid}: LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            nxt = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"media {mid}: first LZW code {code} not a literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:
+            entry = table[prev] + (table[prev][0],)  # KwKwK
+        else:
+            raise ValueError(f"media {mid}: LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and nxt < _GIF_MAX_CODE:
+            table[nxt] = table[prev] + (entry[0],)
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = code
+
+
+_GIF_PALETTE_N = 128  # 2**7 entries; every synthesized index < 117 fits
+
+
+def _gif_bytes(w: int, h: int, blue: int) -> bytes:
+    """Serialize a GIF89a: 128-entry global palette (entry i = (i, 77,
+    ``blue``)), one non-interlaced image whose pixel index at (x, y) is
+    ``7*y + x`` (max 7*14 + 18 = 116 < 128), real LZW-compressed data
+    sub-blocks. The red law matches the PNG synthesizer's row ramp plus
+    a column ramp, so decoded channel sums have a closed form."""
+    import struct
+
+    import numpy as np
+
+    mcs = 7  # log2(palette size); LZW codes start at 8 bits
+    palette = bytearray()
+    for i in range(_GIF_PALETTE_N):
+        palette += bytes((i, 77, blue))
+    y_idx, x_idx = np.mgrid[0:h, 0:w]
+    indices = (7 * y_idx + x_idx).reshape(-1)
+    lzw = _gif_lzw_encode(indices, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # sub-block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF0 | (mcs - 1), 0, 0)  # GCT, 128 entries
+        + bytes(palette)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no local table, sequential
+        + bytes((mcs,))
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """Valid GIF payloads per document, same dimension law as the PNG
+    synthesizer: width = len(text) % 16 + 4, height = doc_id % 12 + 4,
+    palette blue = doc_id % 256."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _gif_bytes(len(t) % 16 + 4, int(i) % 12 + 4, int(i) % 256)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def _parse_gif(b: bytes, mid: object = None):
+    """GIF parse: signature, logical screen descriptor, global color
+    table, extension-block skipping, image descriptor, LZW decode,
+    palette lookup. Returns an (h, w, 3) uint8 RGB array. Honest
+    stubs: interlaced images, local color tables, and a second image
+    (animation) raise NotImplementedError; structural corruption
+    raises the media-id-tagged ValueError (the PNG/JPEG contract)."""
+    import struct
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"media {mid}: not a GIF")
+    if len(b) < 13:
+        raise ValueError(f"media {mid}: truncated screen descriptor")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError(f"media {mid}: missing global color table")
+    n_pal = 2 << (packed & 0x07)
+    if pos + 3 * n_pal > len(b):
+        raise ValueError(f"media {mid}: truncated global color table")
+    palette = np.frombuffer(b, dtype=np.uint8, count=3 * n_pal, offset=pos).reshape(
+        n_pal, 3
+    )
+    pos += 3 * n_pal
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(b):
+                raise ValueError(f"media {mid}: truncated sub-blocks")
+            n = b[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    px = None
+    while True:
+        if pos >= len(b):
+            raise ValueError(f"media {mid}: missing trailer")
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            if pos >= len(b):
+                raise ValueError(f"media {mid}: truncated extension")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"media {mid}: unknown block 0x{block:02x}")
+        if px is not None:
+            raise NotImplementedError(
+                f"media {mid}: animated GIF (multiple image blocks) not supported"
+            )
+        if pos + 9 > len(b):
+            raise ValueError(f"media {mid}: truncated image descriptor")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError(f"media {mid}: interlaced GIF not supported")
+        if ipacked & 0x80:
+            raise NotImplementedError(f"media {mid}: local color table not supported")
+        if pos >= len(b):
+            raise ValueError(f"media {mid}: missing LZW minimum code size")
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"media {mid}: bad LZW minimum code size {mcs}")
+        lzw = bytearray()
+        while True:
+            if pos >= len(b):
+                raise ValueError(f"media {mid}: truncated image data")
+            n = b[pos]
+            pos += 1
+            if n == 0:
+                break
+            lzw += b[pos : pos + n]
+            pos += n
+        indices = np.array(_gif_lzw_decode(bytes(lzw), mcs, mid), dtype=np.int64)
+        if indices.size != w * h:
+            raise ValueError(
+                f"media {mid}: LZW decoded {indices.size} pixels, expected {w * h}"
+            )
+        if indices.size and int(indices.max()) >= n_pal:
+            raise ValueError(f"media {mid}: pixel index past palette end")
+        px = palette[indices].reshape(h, w, 3)
+    if px is None:
+        raise ValueError(f"media {mid}: no image block before trailer")
+    return px
+
+
+def decode_gif(media: DataFrame) -> DataFrame:
+    """REAL GIF decode, stdlib + numpy only: container walk, full LZW
+    decompression, palette lookup, channel stats — the same output
+    contract as :func:`decode_bmp` / :func:`decode_png`."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in BMP_SCHEMA.fields}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                px = _parse_gif(bytes(raw), mid)
+                h, w = px.shape[0], px.shape[1]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["corner_red"].append(int(px[0, 0, 0]))
+                out["sum_red"].append(int(px[:, :, 0].astype(np.int64).sum()))
+                out["mean_blue"].append(int(round(float(px[:, :, 2].mean()))))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, BMP_SCHEMA)
+
+
+@probe(
+    "x4i_gif_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) % 16 + 4 AS INTEGER) AS width,
+           CAST(doc_id % 12 + 4 AS INTEGER) AS height,
+           CAST((length(text) % 16 + 4) * (doc_id % 12 + 4) AS BIGINT) AS n_pixels,
+           0 AS corner_red,
+           CAST((length(text) % 16 + 4) * 7 * (doc_id % 12 + 4) * (doc_id % 12 + 3) // 2
+                + (doc_id % 12 + 4) * (length(text) % 16 + 4) * (length(text) % 16 + 3) // 2
+                AS BIGINT) AS sum_red,
+           CAST(doc_id % 256 AS INTEGER) AS mean_blue
+    FROM documents
+    """,
+)
+def x4i_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4i — sixth real codec, second COMPRESSED one: every doc becomes
+    a valid GIF89a (128-entry palette, real LZW data stream) and is
+    decoded back by the from-spec LZW decoder. The pixel-index law
+    7*y + x makes sum_red a closed form — w*7*h*(h-1)/2 (row ramp)
+    + h*w*(w-1)/2 (column ramp) — so DuckDB re-derives the decode
+    output without seeing the binary; a wrong code-width bump, a
+    mangled KwKwK entry, or a palette misread all shift sum_red and
+    break the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_gif(synth_gif_media(d))

@@ -429,3 +429,106 @@ def test_codec_lib_appeared_requires_wiring(lib):
         f"{lib} is now importable — the decode_media(stub=False) stub is "
         f"no longer honest: {_CODEC_LIBS[lib]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW (x4i)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_properties():
+    """The encoder/decoder pair must agree across code sizes, width
+    growth (early-change at 2^w), the KwKwK case, and the 4096-entry
+    table freeze — a 20k-symbol low-alphabet stream forces every one
+    of those paths."""
+    import random
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(11)
+    for mcs in (2, 4, 7):
+        for trial in range(8):
+            n = rng.choice([1, 7, 400, 20000])
+            k = 1 << mcs
+            alphabet = min(3, k) if trial % 2 else k
+            seq = [rng.randrange(alphabet) for _ in range(n)]
+            assert _gif_lzw_decode(_gif_lzw_encode(seq, mcs), mcs) == seq
+    # KwKwK explicitly: a run of one symbol makes the encoder emit a
+    # code the decoder has not finished defining yet.
+    assert _gif_lzw_decode(_gif_lzw_encode([1] * 9, 2), 2) == [1] * 9
+
+
+def test_gif_roundtrip_exact():
+    """Direct (no-Spark) round-trip: decode must reproduce the exact
+    pixel law (index 7*y + x through the (i, 77, blue) palette)."""
+    import numpy as np
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _gif_bytes,
+        _parse_gif,
+    )
+
+    # EVERY shape the synthesizer can emit: the 10x14 case lands the
+    # LZW table size exactly on 2^width at stream end and caught the
+    # encoder-side EOI width-sync bug — keep the sweep exhaustive.
+    for w in range(4, 20):
+        for h in range(4, 16):
+            blue = (w * h) % 256
+            px = _parse_gif(_gif_bytes(w, h, blue), mid=(w, h))
+            assert px.shape == (h, w, 3)
+            y, x = np.mgrid[0:h, 0:w]
+            assert (px[:, :, 0] == (7 * y + x)).all()
+            assert (px[:, :, 1] == 77).all()
+            assert (px[:, :, 2] == blue).all()
+
+
+def test_gif_decode_spark_roundtrip(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        synth_gif_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "x" * 10), (17, "y" * 23)], "doc_id long, text string"
+    )
+    out = {r.media_id: r for r in decode_gif(synth_gif_media(docs)).collect()}
+    r = out[3]
+    assert (r.width, r.height) == (10 % 16 + 4, 3 % 12 + 4)
+    assert r.sum_red == (
+        r.width * 7 * r.height * (r.height - 1) // 2
+        + r.height * r.width * (r.width - 1) // 2
+    )
+    assert r.corner_red == 0
+    assert r.mean_blue == 3
+    assert out[17].mean_blue == 17
+
+
+def test_gif_unsupported_variants_raise():
+    """Interlaced and animated files hit honest NotImplementedError;
+    structural corruption hits the media-id-tagged ValueError."""
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _GIF_PALETTE_N,
+        _gif_bytes,
+        _parse_gif,
+    )
+
+    b = _gif_bytes(6, 5, 9)
+    img_at = b.index(b"\x2c", 13 + 3 * _GIF_PALETTE_N)
+    # Interlace flag lives in the image descriptor's packed byte.
+    interlaced = bytearray(b)
+    interlaced[img_at + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        _parse_gif(bytes(interlaced), mid=2)
+    # Animation: duplicate the whole image block before the trailer.
+    img_block = b[img_at:-1]
+    with _pytest.raises(NotImplementedError, match="animated"):
+        _parse_gif(b[:-1] + img_block + b"\x3b", mid=3)
+    with _pytest.raises(ValueError, match="media 4: truncated image data"):
+        _parse_gif(b[: len(b) - 6], mid=4)
+    with _pytest.raises(ValueError, match="media 5: not a GIF"):
+        _parse_gif(b"JIF89a" + b[6:], mid=5)
