@@ -1931,13 +1931,16 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _parse_gif(b: bytes, mid: object = None):
-    """GIF parse: signature, logical screen descriptor, global color
-    table, extension-block skipping, image descriptor, LZW decode,
-    palette lookup. Returns an (h, w, 3) uint8 RGB array. Honest
-    stubs: interlaced images, local color tables, and a second image
-    (animation) raise NotImplementedError; structural corruption
-    raises the media-id-tagged ValueError (the PNG/JPEG contract)."""
+def _parse_gif_frames(b: bytes, mid: object = None):
+    """GIF parse shared by the still and animated paths: signature,
+    logical screen descriptor, global color table, extension-block
+    skipping (GCE/comment/application), one-or-more image blocks, LZW
+    decode, palette lookup. Returns a list of (h, w, 3) uint8 RGB
+    arrays, one per frame. Every frame must be full-logical-screen
+    (left=top=0, size == screen size) — partial-frame compositing,
+    interlacing, and local color tables raise NotImplementedError;
+    structural corruption raises the media-id-tagged ValueError (the
+    PNG/JPEG contract)."""
     import struct
 
     import numpy as np
@@ -1967,7 +1970,7 @@ def _parse_gif(b: bytes, mid: object = None):
             if n == 0:
                 return p
 
-    px = None
+    frames = []
     while True:
         if pos >= len(b):
             raise ValueError(f"media {mid}: missing trailer")
@@ -1982,18 +1985,19 @@ def _parse_gif(b: bytes, mid: object = None):
             continue
         if block != 0x2C:
             raise ValueError(f"media {mid}: unknown block 0x{block:02x}")
-        if px is not None:
-            raise NotImplementedError(
-                f"media {mid}: animated GIF (multiple image blocks) not supported"
-            )
         if pos + 9 > len(b):
             raise ValueError(f"media {mid}: truncated image descriptor")
-        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
         pos += 9
         if ipacked & 0x40:
             raise NotImplementedError(f"media {mid}: interlaced GIF not supported")
         if ipacked & 0x80:
             raise NotImplementedError(f"media {mid}: local color table not supported")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise NotImplementedError(
+                f"media {mid}: partial-frame compositing not supported "
+                f"(frame {left},{top} {w}x{h} vs screen {sw}x{sh})"
+            )
         if pos >= len(b):
             raise ValueError(f"media {mid}: missing LZW minimum code size")
         mcs = b[pos]
@@ -2017,10 +2021,24 @@ def _parse_gif(b: bytes, mid: object = None):
             )
         if indices.size and int(indices.max()) >= n_pal:
             raise ValueError(f"media {mid}: pixel index past palette end")
-        px = palette[indices].reshape(h, w, 3)
-    if px is None:
+        frames.append(palette[indices].reshape(h, w, 3))
+    if not frames:
         raise ValueError(f"media {mid}: no image block before trailer")
-    return px
+    return frames
+
+
+def _parse_gif(b: bytes, mid: object = None):
+    """Single-image wrapper over :func:`_parse_gif_frames`: the still
+    decode contract returns one (h, w, 3) array; a multi-frame file is
+    an error here — callers wanting frames use
+    :func:`gif_frame_sample` / ``_parse_gif_frames`` directly."""
+    frames = _parse_gif_frames(b, mid)
+    if len(frames) > 1:
+        raise ValueError(
+            f"media {mid}: {len(frames)} frames in still-image decode "
+            "(use gif_frame_sample for animations)"
+        )
+    return frames[0]
 
 
 def decode_gif(media: DataFrame) -> DataFrame:
@@ -2074,3 +2092,154 @@ def x4i_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     break the hash."""
     d = load_table(spark, sf_dir, "documents")
     return decode_gif(synth_gif_media(d))
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF + frame sampling (x4j) — the video-shaped training-data
+# op (decode container -> sample every k-th frame -> per-frame stats),
+# exercised on the one multi-frame container the stdlib codec family
+# can decode for real. Frames are full-logical-screen (the honest
+# NotImplementedError boundary is partial-frame compositing).
+# ---------------------------------------------------------------------------
+
+
+def _gif_anim_bytes(w: int, h: int, blue: int, n_frames: int) -> bytes:
+    """Serialize an animated GIF89a: one global 128-entry palette, a
+    Netscape looping application extension, and ``n_frames``
+    full-screen frames each preceded by a Graphic Control Extension.
+    Frame f's pixel index at (x, y) is ``7*y + x + f`` (max 116 + f,
+    so f <= 11 stays inside the palette) — each frame's channel sums
+    shift by a closed-form f * w * h."""
+    import struct
+
+    import numpy as np
+
+    mcs = 7
+    palette = bytearray()
+    for i in range(_GIF_PALETTE_N):
+        palette += bytes((i, 77, blue))
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (mcs - 1), 0, 0)
+    out += palette
+    # Netscape 2.0 looping extension — a real-world application block
+    # the parser must skip (sub-block id 1, loop count 0 = forever).
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    y_idx, x_idx = np.mgrid[0:h, 0:w]
+    base = 7 * y_idx + x_idx
+    for f in range(n_frames):
+        # Graphic Control Extension: 4-byte block, 4/100 s delay, no
+        # transparency, disposal 1 (do not dispose).
+        out += b"\x21\xf9\x04" + bytes((0x04, 4, 0, 0)) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes((mcs,))
+        lzw = _gif_lzw_encode((base + f).reshape(-1), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
+    """Animated-GIF payloads per document: the still synthesizer's
+    dimension law plus n_frames = doc_id % 6 + 2 (2..7 frames)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _gif_anim_bytes(
+                    len(t) % 16 + 4, int(i) % 12 + 4, int(i) % 256, int(i) % 6 + 2
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_red", T.LongType()),
+        T.StructField("mean_blue", T.IntegerType()),
+    ]
+)
+
+
+def gif_frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video-style frame sampling over animated GIFs: decode the whole
+    container ONCE per item in Arrow batches, emit one row per sampled
+    frame (frames 0, k, 2k, ...) with per-frame channel stats. The
+    map-only shape scales like every decode op here — no shuffle, rows
+    fan out ~n_frames/k per input item."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                frames = _parse_gif_frames(bytes(raw), mid)
+                for fid in range(0, len(frames), every_k):
+                    px = frames[fid]
+                    out["media_id"].append(mid)
+                    out["frame_id"].append(fid)
+                    out["n_frames"].append(len(frames))
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["sum_red"].append(int(px[:, :, 0].astype(np.int64).sum()))
+                    out["mean_blue"].append(int(round(float(px[:, :, 2].mean()))))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, FRAME_SCHEMA)
+
+
+@probe(
+    "x4j_gif_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) % 16 + 4 AS w,
+             doc_id % 12 + 4 AS h,
+             doc_id % 256 AS blue,
+             doc_id % 6 + 2 AS nf
+      FROM documents),
+    f AS (
+      SELECT doc_id, w, h, blue, nf, unnest(range(0, nf, 2)) AS fid FROM m)
+    SELECT doc_id AS media_id,
+           CAST(fid AS INTEGER) AS frame_id,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * 7 * h * (h - 1) // 2 + h * w * (w - 1) // 2
+                + fid * w * h AS BIGINT) AS sum_red,
+           CAST(blue AS INTEGER) AS mean_blue
+    FROM f
+    """,
+)
+def x4j_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4j — multi-frame (video-shaped) decode + every-2nd-frame
+    sampling: each doc becomes an animated GIF (2..7 full-screen
+    frames, real per-frame LZW streams, GCE + Netscape-loop extension
+    blocks the parser must walk), and the sampler emits per-frame
+    channel stats. Frame f shifts every pixel index by f, so sum_red =
+    still-image closed form + f*w*h and DuckDB replays the whole
+    container->frames->sample->stats path analytically. Fan-out,
+    ordering, and the frame-id arithmetic are all under the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return gif_frame_sample(synth_gif_anim_media(d), every_k=2)

@@ -524,11 +524,65 @@ def test_gif_unsupported_variants_raise():
     interlaced[img_at + 9] |= 0x40
     with _pytest.raises(NotImplementedError, match="interlaced"):
         _parse_gif(bytes(interlaced), mid=2)
-    # Animation: duplicate the whole image block before the trailer.
+    # A multi-frame file through the STILL decode contract: animation
+    # is real now (gif_frame_sample), so this is a contract ValueError,
+    # not a stub.
     img_block = b[img_at:-1]
-    with _pytest.raises(NotImplementedError, match="animated"):
+    with _pytest.raises(ValueError, match="frames in still-image decode"):
         _parse_gif(b[:-1] + img_block + b"\x3b", mid=3)
+    # Partial-frame compositing stays an honest stub.
+    shifted = bytearray(b)
+    shifted[img_at + 1] = 1  # image-descriptor left = 1
+    with _pytest.raises(NotImplementedError, match="partial-frame"):
+        _parse_gif(bytes(shifted), mid=6)
     with _pytest.raises(ValueError, match="media 4: truncated image data"):
         _parse_gif(b[: len(b) - 6], mid=4)
     with _pytest.raises(ValueError, match="media 5: not a GIF"):
         _parse_gif(b"JIF89a" + b[6:], mid=5)
+
+
+def test_gif_animation_frames_exact():
+    """Animated container: every frame decodes to the shifted pixel
+    law, extension blocks (GCE + Netscape loop) are walked, and frame
+    order is preserved."""
+    import numpy as np
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _gif_anim_bytes,
+        _parse_gif_frames,
+    )
+
+    for w, h, blue, nf in [(4, 4, 0, 2), (19, 15, 255, 7), (10, 14, 10, 5)]:
+        frames = _parse_gif_frames(_gif_anim_bytes(w, h, blue, nf), mid=1)
+        assert len(frames) == nf
+        y, x = np.mgrid[0:h, 0:w]
+        for f, px in enumerate(frames):
+            assert (px[:, :, 0] == (7 * y + x + f)).all()
+            assert (px[:, :, 2] == blue).all()
+
+
+def test_gif_frame_sample_spark(spark):
+    """Every-2nd-frame sampling: fan-out count, frame ids, and the
+    per-frame sum_red shift."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        gif_frame_sample,
+        synth_gif_anim_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "x" * 10), (17, "y" * 23)], "doc_id long, text string"
+    )
+    rows = gif_frame_sample(synth_gif_anim_media(docs), every_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, []).append(r)
+    # doc 3: n_frames = 3 % 6 + 2 = 5 -> frames 0, 2, 4
+    assert sorted(r.frame_id for r in by_doc[3]) == [0, 2, 4]
+    # doc 17: n_frames = 17 % 6 + 2 = 7 -> frames 0, 2, 4, 6
+    assert sorted(r.frame_id for r in by_doc[17]) == [0, 2, 4, 6]
+    for r in by_doc[3]:
+        base = r.width * 7 * r.height * (r.height - 1) // 2 + r.height * r.width * (
+            r.width - 1
+        ) // 2
+        assert r.sum_red == base + r.frame_id * r.width * r.height
+        assert r.n_frames == 5 and r.mean_blue == 3
