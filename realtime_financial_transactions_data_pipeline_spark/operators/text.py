@@ -908,3 +908,152 @@ def x3k_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("norm").alias("norm_digest"),
         F.length("norm").cast("long").alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Checksum-validated PII detection (x3l) — the precision layer regex
+# alone cannot give: a 16-digit pattern is only a card number if its
+# Luhn checksum holds, and scrubbing every digit run that LOOKS like a
+# card destroys order ids, ISBNs, and tracking numbers. x3g handles the
+# pattern-only sweep; this operator extracts card-shaped candidates and
+# keeps/masks only those whose mod-10 checksum verifies — entirely with
+# nested higher-order functions (regexp_extract_all -> transform ->
+# aggregate -> filter -> aggregate/replace), JVM-side, codegen'd,
+# map-only. The DuckDB oracle replays the identical candidate walk and
+# checksum arithmetic, so the hash certifies the digit math — not just
+# the regex — across engines.
+# ---------------------------------------------------------------------------
+
+#: Card-shaped candidate: four groups of four digits, uniformly spaced,
+#: dashed, or contiguous. Java-regex ∩ RE2 dialect.
+PII_CARD_CANDIDATE_RE = r"\b(?:\d{4} ){3}\d{4}\b|\b(?:\d{4}-){3}\d{4}\b|\b\d{16}\b"
+
+#: Per-candidate Luhn verdict over a struct ``s`` with field ``d`` (the
+#: candidate's digits): double every second digit from the RIGHT,
+#: subtract 9 when the doubled digit exceeds 9 (2d - 9·[d>4]), sum,
+#: check mod 10. Pure SparkSQL higher-order functions.
+_LUHN_OK = """
+    aggregate(
+      transform(sequence(0, length(s.d) - 1),
+        i -> named_struct(
+          'dig', ascii(substr(s.d, length(s.d) - i, 1)) - 48,
+          'dbl', i % 2 = 1)),
+      0,
+      (acc, t) -> acc + CASE WHEN t.dbl
+                             THEN 2 * t.dig - IF(t.dig > 4, 9, 0)
+                             ELSE t.dig END
+    ) % 10 = 0
+"""
+
+
+def luhn_card_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_card_candidates`` (card-shaped matches), ``n_cards_valid``
+    (candidates whose Luhn checksum verifies), and ``text_clean`` (the
+    text with ONLY the checksum-valid candidates replaced by <CARD> —
+    checksum-failing lookalikes are preserved verbatim). One projection
+    over the corpus scan; no Python, no shuffle, no UDF."""
+    # Spark SQL string literals consume one level of backslash escaping
+    # (unless escapedStringLiterals is on), so the pattern doubles its
+    # backslashes on the way into expr(); DuckDB's standard strings do
+    # not escape, so the oracle uses the pattern verbatim.
+    sql_re = PII_CARD_CANDIDATE_RE.replace("\\", "\\\\")
+    cands = f"regexp_extract_all({text_col}, '{sql_re}', 0)"
+    structs = (
+        f"transform({cands}, x -> named_struct("
+        f"'raw', x, 'd', regexp_replace(x, '[^0-9]', '')))"
+    )
+    valid_raw = f"transform(filter({structs}, s -> {_LUHN_OK}), s -> s.raw)"
+    return df.withColumns(
+        {
+            "n_card_candidates": F.expr(f"size({cands})"),
+            "n_cards_valid": F.expr(f"size({valid_raw})"),
+            "text_clean": F.expr(
+                f"aggregate({valid_raw}, {text_col}, "
+                f"(acc, x) -> replace(acc, x, '<CARD>'))"
+            ),
+        }
+    )
+
+
+#: DuckDB twin of ``_LUHN_OK`` (1-based string indexing, struct_pack).
+_LUHN_OK_DUCK = """
+    list_sum(list_transform(range(0, length(s.d)),
+      i -> CASE WHEN i % 2 = 1
+                THEN 2 * CAST(s.d[length(s.d) - i] AS INTEGER)
+                     - CASE WHEN CAST(s.d[length(s.d) - i] AS INTEGER) > 4
+                            THEN 9 ELSE 0 END
+                ELSE CAST(s.d[length(s.d) - i] AS INTEGER) END)) % 10 = 0
+"""
+
+
+@probe(
+    "x3l_luhn_card_scrub",
+    oracle=rf"""
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' card 4111 1111 1111 1111 ok' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' bad 4111 1111 1111 1112 no' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' alt 5500-0000-0000-0004 x' ELSE '' END
+             AS text
+      FROM documents),
+    c AS (
+      SELECT doc_id, text,
+             list_transform(
+               regexp_extract_all(text,
+                 '\b(?:\d{{4}} ){{3}}\d{{4}}\b|\b(?:\d{{4}}-){{3}}\d{{4}}\b|\b\d{{16}}\b'),
+               x -> struct_pack(raw := x,
+                                d := regexp_replace(x, '[^0-9]', '', 'g')))
+               AS structs
+      FROM inj),
+    v AS (
+      SELECT doc_id, text, structs,
+             list_transform(list_filter(structs, s -> {_LUHN_OK_DUCK}),
+                            s -> s.raw) AS valid
+      FROM c)
+    SELECT doc_id,
+           CAST(len(structs) AS INTEGER) AS n_card_candidates,
+           CAST(len(valid) AS INTEGER) AS n_cards_valid,
+           CAST(length(list_reduce(list_prepend(text, valid),
+                (acc, x) -> replace(acc, x, '<CARD>'))) AS BIGINT) AS clean_len,
+           md5(list_reduce(list_prepend(text, valid),
+                (acc, x) -> replace(acc, x, '<CARD>'))) AS clean_hash
+    FROM v
+    """,
+)
+def x3l_luhn_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3l — checksum-validated card scrubbing end-to-end: docs are
+    injected with a Luhn-VALID spaced card (doc_id % 7), a Luhn-INVALID
+    lookalike differing in one digit (doc_id % 11), and a valid dashed
+    card (doc_id % 13); the operator must count all candidates, keep
+    only the checksum-valid ones, and scrub exactly those. The value
+    hash covers the scrubbed text's md5, so a single mis-doubled digit,
+    a wrong direction (left-to-right instead of right-to-left), or a
+    scrubbed lookalike changes the answer — both engines replay the
+    full candidate walk + mod-10 arithmetic independently."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" card 4111 1111 1111 1111 ok")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" bad 4111 1111 1111 1112 no")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" alt 5500-0000-0000-0004 x")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return luhn_card_scrub(injected).select(
+        "doc_id",
+        "n_card_candidates",
+        "n_cards_valid",
+        F.length("text_clean").alias("clean_len"),
+        F.md5(F.col("text_clean")).alias("clean_hash"),
+    )

@@ -38,6 +38,12 @@ SIDE_EFFECTING = [
     "k8b_bucketed_merge_sink",
     "t9_stream_sessionization",
     "x1e_stream_dedup_ingest",
+    # Cohort-3/4 window promotions with scratch-writing bodies: the CDC
+    # merge sinks (snapshot + change-feed roots) and the tumbling-window
+    # stream join the same hostile interleaving.
+    "k8_stream_merge_sink",
+    "k8c_change_feed",
+    "t10_stream_tumbling_windows",
 ]
 
 

@@ -81,3 +81,29 @@ def test_normalize_text_col_nfc_and_whitespace(spark):
     out = {r.doc_id: r.norm for r in normalize_text_col(docs).collect()}
     assert out[1] == out[2] == "café bar"  # NFC unified + collapsed
     assert out[3] is None
+
+
+def test_luhn_card_scrub_validates_checksum(spark):
+    """Candidates are counted by shape, kept by checksum: a one-digit
+    perturbation of a valid card must survive scrubbing untouched."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        luhn_card_scrub,
+    )
+
+    rows = [
+        (1, "pay 4111 1111 1111 1111 now"),            # valid (spaced)
+        (2, "pay 4111 1111 1111 1112 now"),            # invalid lookalike
+        (3, "a 5500-0000-0000-0004 b 4111111111111111 c"),  # 2 valid formats
+        (4, "order 1234 5678 9012 3456 is not a card"),     # invalid
+        (5, "no digits here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in luhn_card_scrub(df).collect()}
+    assert (got[1].n_card_candidates, got[1].n_cards_valid) == (1, 1)
+    assert got[1].text_clean == "pay <CARD> now"
+    assert (got[2].n_card_candidates, got[2].n_cards_valid) == (1, 0)
+    assert got[2].text_clean == rows[1][1]  # lookalike preserved verbatim
+    assert (got[3].n_card_candidates, got[3].n_cards_valid) == (2, 2)
+    assert got[3].text_clean == "a <CARD> b <CARD> c"
+    assert (got[4].n_card_candidates, got[4].n_cards_valid) == (1, 0)
+    assert (got[5].n_card_candidates, got[5].n_cards_valid) == (0, 0)
