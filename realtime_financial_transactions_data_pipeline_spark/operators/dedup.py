@@ -687,20 +687,34 @@ def connected_components(
         for _ in range(max_iters):
             prop = edges.join(
                 labels, edges.dst == labels.doc_id, "inner"
-            ).select(F.col("src").alias("doc_id"), "canonical_id")
-            new_labels = (
-                labels.unionByName(prop)
+            ).select(
+                F.col("src").alias("doc_id"),
+                "canonical_id",
+                F.lit(False).alias("_is_old"),
+            )
+            # The convergence check rides the SAME aggregation: each
+            # doc's previous label is tagged into the union and carried
+            # out as `_old` by the min-over-tagged aggregate, so
+            # n_changed is a filter-count over the just-materialized
+            # checkpoint — no per-round join-with-previous shuffle (the
+            # old shape ran one extra shuffle join every round purely
+            # for the check).
+            new_full = (
+                labels.withColumn("_is_old", F.lit(True))
+                .unionByName(prop)
                 .groupBy("doc_id")
-                .agg(F.min("canonical_id").alias("canonical_id"))
+                .agg(
+                    F.min("canonical_id").alias("canonical_id"),
+                    F.min(
+                        F.when(F.col("_is_old"), F.col("canonical_id"))
+                    ).alias("_old"),
+                )
                 .localCheckpoint(eager=True)
             )
             n_changed = (
-                new_labels.join(labels.withColumnRenamed("canonical_id", "_old"),
-                                "doc_id")
-                .filter(F.col("canonical_id") != F.col("_old"))
-                .count()
+                new_full.filter(F.col("canonical_id") != F.col("_old")).count()
             )
-            labels = new_labels
+            labels = new_full.select("doc_id", "canonical_id")
             if n_changed == 0:
                 break
         else:
