@@ -304,20 +304,22 @@ def minhash_signature(
         src = grams_col
     # Hash each shingle STRING once; the per-seed family re-hashes the
     # resulting 8-byte long (fixed-width input), so the 48 passes cost
-    # 48 × |grams| long-hashes instead of 48 full string scans.
+    # 48 × |grams| long-hashes instead of 48 full string scans. The
+    # seed loop lives INSIDE one nested lambda (seed = the sequence
+    # element, fed to xxhash64 as its second input — value-identical to
+    # the literal-seed form) rather than as 48 sibling expressions:
+    # per-plan Catalyst analysis cost collapses ~48×, which matters in
+    # foreachBatch consumers (x2n) where every micro-batch re-analyzes
+    # the plan.
     df = df.withColumn("_hg", F.expr(f"transform({src}, s -> xxhash64(s))"))
-    mins = [
-        F.array_min(
-            F.expr(f"transform(_hg, v -> xxhash64(v, {seed}))")
-        ).alias(f"_h{seed}")
-        for seed in range(_N_HASHES)
-    ]
     tmp = ["_hg"] if grams_col is not None else ["_hg", "_shingles"]
-    return (
-        df.select("*", *mins)
-        .withColumn("sig", F.array(*[f"_h{s}" for s in range(_N_HASHES)]))
-        .drop(*tmp, *[f"_h{s}" for s in range(_N_HASHES)])
-    )
+    return df.withColumn(
+        "sig",
+        F.expr(
+            f"transform(sequence(0, {_N_HASHES - 1}),"
+            f" i -> array_min(transform(_hg, v -> xxhash64(v, i))))"
+        ),
+    ).drop(*tmp)
 
 
 def lsh_candidate_pairs(
@@ -1017,4 +1019,285 @@ def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # batch=N subdirs surface as a discovered partition column; project
     # it away so the result schema is unchanged by the idempotent layout.
+    return pin_result(spark.read.parquet(accepted_dir).select("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup ingestion (x2n) — the x1e workflow upgraded from
+# exact digests to MinHash/LSH: continuously-arriving documents are
+# checked against the accepted corpus for near-duplicates before
+# admission, and the accepted set's signatures form an incrementally
+# maintained LSH index. This is the 100 TB shape for dedup-at-ingest:
+# per batch the work is (batch bands) ⋈ (index bands) — bounded
+# candidate fan-out, never batch × corpus — plus an exact verify on
+# the candidates only.
+# ---------------------------------------------------------------------------
+
+
+def sig_bands(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Explode a `sig` column (array<bigint>, _N_HASHES) into the LSH
+    band relation (id, band_id, band_hash) — the join key of the
+    streaming index (the same banding lsh_candidate_pairs applies
+    inside its groupBy)."""
+    n_bands = _N_HASHES // _BAND_ROWS
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(
+                            F.slice("sig", b * _BAND_ROWS + 1, _BAND_ROWS)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def _verified_pairs(
+    cand: DataFrame, left: DataFrame, right: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (id_a, id_b) pairs: join each
+    side's gram set, keep pairs at or above ``threshold``. Runs only on
+    the LSH candidates — the pair space is bounded by banding, so the
+    array_intersect cost is per-candidate, never per-cross-pair."""
+    ga = left.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("_ga"))
+    gb = right.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = (F.size("_ga") + F.size("_gb")).cast("double") - F.size(
+        F.array_intersect("_ga", "_gb")
+    )
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(inter / union >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+@probe(
+    "x2n_stream_neardup_ingest",
+    oracle=f"""
+    WITH sh0 AS ({_ORACLE_SHINGLES}),
+    sh AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 2 = 0),
+    -- ps = the SYMMETRIC closure of the exact-Jaccard pair relation,
+    -- materialized once. Every admission check below is then a single
+    -- equi-correlated NOT EXISTS (decorrelates to a hash anti-join);
+    -- the first draft's OR-of-two-directions EXISTS forced DuckDB into
+    -- per-row nested loops and ran ~70 s.
+    ps AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= {_LSH_VERIFY_T}),
+    d AS (SELECT doc_id, lang, (doc_id // 2) % 3 AS b FROM documents
+          WHERE doc_id % 2 = 0),
+    acc0 AS (
+      SELECT doc_id, lang FROM d y WHERE b = 0 AND NOT EXISTS (
+        SELECT 1 FROM ps JOIN d x ON ps.id_a = x.doc_id
+        WHERE x.b = 0 AND ps.id_a < ps.id_b AND ps.id_b = y.doc_id)),
+    s1 AS (
+      SELECT doc_id, lang FROM d y WHERE b = 1 AND NOT EXISTS (
+        SELECT 1 FROM ps JOIN acc0 a ON ps.id_a = a.doc_id
+        WHERE ps.id_b = y.doc_id)),
+    acc1 AS (
+      SELECT doc_id, lang FROM s1 y WHERE NOT EXISTS (
+        SELECT 1 FROM ps JOIN s1 x ON ps.id_a = x.doc_id
+        WHERE ps.id_a < ps.id_b AND ps.id_b = y.doc_id)),
+    acc01 AS (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
+    s2 AS (
+      SELECT doc_id, lang FROM d y WHERE b = 2 AND NOT EXISTS (
+        SELECT 1 FROM ps JOIN acc01 a ON ps.id_a = a.doc_id
+        WHERE ps.id_b = y.doc_id)),
+    acc2 AS (
+      SELECT doc_id, lang FROM s2 y WHERE NOT EXISTS (
+        SELECT 1 FROM ps JOIN s2 x ON ps.id_a = x.doc_id
+        WHERE ps.id_a < ps.id_b AND ps.id_b = y.doc_id))
+    SELECT * FROM acc01 UNION ALL SELECT * FROM acc2
+    """,
+)
+def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion with online NEAR-dup rejection: documents
+    arrive as three deterministic micro-batches (even doc_ids, batch = (doc_id/2) % 3);
+    each batch minhashes its docs, probes the accepted corpus's LSH
+    band index for candidates, exact-verifies candidates at
+    J >= 0.9 (_LSH_VERIFY_T, x2a's threshold — banding recall there is 1 - 2.7e-6, so
+    the exact-SQL oracle is sound), drops within-batch near-dups by
+    the pairwise smaller-id-wins rule, appends the admitted docs, and
+    APPENDS their (grams, signature) rows to the index — the index is
+    an append-only batch=N layout, never rewritten: a generation-
+    pointer snapshot (x1e's digest pattern) would rewrite the whole
+    accepted corpus's state every batch, which at ingest scale is the
+    difference between O(batch) and O(corpus) I/O per trigger. x1e's
+    replay-after-publish guard carries over (a replayed batch sees its
+    own docs in the index, admits nothing, and must not clobber its
+    committed rows). The oracle unrolls the batch evolution as
+    chained CTEs over the exact-Jaccard pair relation, so the hash
+    certifies the ORDER of admission, the index probe, and both dedup
+    rules — not just the final set. State per accepted doc = grams +
+    48-long signature; at open-web scale store xxhash64(gram) arrays
+    instead of gram strings (identical intersection arithmetic,
+    fixed-width state)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+    from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
+        await_or_raise,
+    )
+
+    root = "/tmp/spark_graft_streaming/x2n"
+    shutil.rmtree(root, ignore_errors=True)
+    # The even-doc_id half of the corpus, batched round-robin by
+    # doc_id/2 — the j3 sizing pattern: the ingest mechanics (index
+    # probe, verify, admission order) are exercised identically at half
+    # of the full corpus volume, and the oracle filters on the same
+    # rule.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang", "text")
+    )
+    flat = disk_fixture(
+        "x2n-docs-4slice",
+        source_fingerprint(sf_dir, "documents"),
+        lambda tmp: spark_json_slices(
+            d, tmp, 3, slice_col=F.expr("CAST(doc_id / 2 AS LONG)")
+        ),
+    )
+
+    state_dir = f"{root}/state"
+    accepted_dir = f"{root}/accepted"
+    state_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("grams", T.ArrayType(T.StringType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        jvm = s._jvm
+        hconf = s._jsc.hadoopConfiguration()
+        spath = jvm.org.apache.hadoop.fs.Path(state_dir)
+        if spath.getFileSystem(hconf).exists(spath):
+            state = s.read.schema(
+                T.StructType(state_schema.fields)
+            ).parquet(state_dir)
+        else:
+            state = s.createDataFrame([], state_schema)
+        # The micro-batch arrives as ONE json file = one partition;
+        # spread it before the shingle+signature pass or the whole
+        # minhash computation runs on a single task.
+        b = minhash_signature(
+            batch.repartition(8).withColumn("grams", word_shingles("text")),
+            grams_col="grams",
+        ).select("doc_id", "lang", "grams", "sig")
+        b.persist()
+        try:
+            # Cross-batch: batch bands ⋈ index bands -> candidates ->
+            # exact verify -> matched batch ids are rejected.
+            # ONE banding pass over index ∪ batch, then classify each
+            # verified pair: a pair with exactly one side in the batch
+            # is a cross-match (reject the batch side); a pair with
+            # both sides in the batch applies the pairwise
+            # smaller-id-wins rule, provided the smaller side was not
+            # itself cross-rejected. Equivalent to the two-pass
+            # (index-probe, then survivors-only LSH) formulation —
+            # index-index pairs cannot exist by induction (one side
+            # would have rejected the other at its own admission) —
+            # but HALF the plan: per micro-batch the driver pays
+            # Catalyst analysis per action, so plan size, not row
+            # count, dominates small-batch latency.
+            uni = state.select("doc_id", "grams", "sig").unionByName(
+                b.select("doc_id", "grams", "sig")
+            )
+            cand = lsh_candidate_pairs(uni.select("doc_id", "sig"), "doc_id")
+            vp = _verified_pairs(cand, uni, uni, _LSH_VERIFY_T)
+            bids = b.select("doc_id")
+            flagged = vp.join(
+                bids.select(F.col("doc_id").alias("id_a"), F.lit(True).alias("_a_in")),
+                "id_a",
+                "left",
+            ).join(
+                bids.select(F.col("doc_id").alias("id_b"), F.lit(True).alias("_b_in")),
+                "id_b",
+                "left",
+            )
+            cross_matched = (
+                flagged.filter(F.col("_a_in").isNull() | F.col("_b_in").isNull())
+                .select(
+                    F.when(F.col("_a_in").isNotNull(), F.col("id_a"))
+                    .otherwise(F.col("id_b"))
+                    .alias("doc_id")
+                )
+                .distinct()
+            )
+            within_rejects = (
+                flagged.filter(F.col("_a_in").isNotNull() & F.col("_b_in").isNotNull())
+                .join(
+                    cross_matched.select(F.col("doc_id").alias("id_a")),
+                    "id_a",
+                    "left_anti",
+                )
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            )
+            admitted = b.join(
+                cross_matched.unionByName(within_rejects), "doc_id", "left_anti"
+            )
+            part_dir = f"{accepted_dir}/batch={batch_id}"
+            hpath = jvm.org.apache.hadoop.fs.Path(part_dir)
+            hfs = hpath.getFileSystem(hconf)
+            # Replay-after-publish: the batch's own docs are already in
+            # the index, match themselves at J=1, and `admitted` comes
+            # back empty — the committed rows must be left untouched.
+            already_applied = hfs.exists(hpath) and admitted.limit(1).count() == 0
+            if not already_applied:
+                admitted.persist()
+                try:
+                    admitted.select("doc_id", "lang").write.mode(
+                        "overwrite"
+                    ).parquet(part_dir)
+                    # Append-only index growth: this batch's state rows
+                    # land in their own batch= subdir; a replay
+                    # overwrites the same subdir idempotently.
+                    admitted.write.mode("overwrite").parquet(
+                        f"{state_dir}/batch={batch_id}"
+                    )
+                finally:
+                    admitted.unpersist()
+        finally:
+            b.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(flat)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return pin_result(spark.read.parquet(accepted_dir).select("doc_id", "lang"))

@@ -44,6 +44,7 @@ SIDE_EFFECTING = [
     "k8_stream_merge_sink",
     "k8c_change_feed",
     "t10_stream_tumbling_windows",
+    "x2n_stream_neardup_ingest",
 ]
 
 
