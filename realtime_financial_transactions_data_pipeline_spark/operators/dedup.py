@@ -136,6 +136,102 @@ def x1c_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 1 << 14  # bits (positions); ~10 bits per prior element here
+_BLOOM_K = 5  # hash functions
+
+
+def _bloom_positions(h_col: str) -> F.Column:
+    """The k Bloom bit positions of a digest, ENGINE-PORTABLE: position
+    s = first-8-hex-chars of md5(digest || ':' || s) mod _BLOOM_M. Both
+    Spark (conv(...,16,10)) and DuckDB (CAST('0x'||... AS BIGINT))
+    compute the identical unsigned 32-bit value, so the oracle replays
+    the exact bit pattern — collisions and all (the u1c portable-PRF
+    pattern applied to membership filtering)."""
+    return F.expr(
+        f"transform(sequence(0, {_BLOOM_K - 1}), s -> "
+        f"pmod(CAST(conv(substr(md5(concat({h_col}, ':', CAST(s AS STRING))), 1, 8),"
+        f" 16, 10) AS BIGINT), {_BLOOM_M}))"
+    )
+
+
+@probe(
+    "x1d_bloom_prefilter",
+    oracle=f"""
+    WITH prior AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
+    seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS s),
+    bits AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(h || ':' || CAST(s AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_BLOOM_M} AS pos
+      FROM prior, seeds),
+    batch AS (
+      SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 4 <> 0),
+    bp AS (
+      SELECT doc_id, lang, h,
+             CAST(('0x' || substr(md5(h || ':' || CAST(s AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_BLOOM_M} AS pos
+      FROM batch, seeds),
+    hits AS (
+      SELECT bp.doc_id, bp.lang, bp.h, count(bits.pos) AS nhit
+      FROM bp LEFT JOIN bits ON bp.pos = bits.pos
+      GROUP BY bp.doc_id, bp.lang, bp.h)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(CASE WHEN nhit = {_BLOOM_K} THEN 1 END) AS BIGINT)
+             AS n_maybe_seen,
+           CAST(count(p.h) AS BIGINT) AS n_truly_seen,
+           CAST(count(CASE WHEN nhit = {_BLOOM_K} AND p.h IS NULL THEN 1 END)
+             AS BIGINT) AS n_false_positive
+    FROM hits LEFT JOIN prior p ON hits.h = p.h
+    GROUP BY lang
+    """,
+)
+def x1d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup prefilter — the approximate early-pruning
+    path x1c's docstring names for 100-TB-prior scale, built portably:
+    the prior snapshot's digests set k = 5 md5-derived bit positions
+    in an m = 16384-bit filter; the incoming batch is classified
+    maybe-seen (all k positions set) vs definitely-new, and the exact
+    digest join over the SAME batch exposes the filter's true/false
+    positives. The filter here is a DISTINCT position relation (tiny,
+    broadcast); a production variant folds the positions into a long[]
+    bitmap with the identical position law — the semantics, including
+    every collision, are what the oracle replays bit-for-bit. Bloom
+    guarantees certified by the hash: zero false NEGATIVES (every truly
+    seen doc is maybe-seen) and a deterministic false-positive count.
+    At 100 TB: the bitmap broadcasts (m bits ~ MBs) while the exact
+    join it prunes would shuffle the full digest set; definitely-new
+    docs (the vast majority of a crawl) skip that shuffle entirely."""
+    d = load_table(spark, sf_dir, "documents")
+    prior = (
+        d.filter(F.col("doc_id") % 4 == 0).select(F.md5("text").alias("h")).distinct()
+    )
+    bits = (
+        prior.select(F.explode(_bloom_positions("h")).alias("pos")).distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    hits = (
+        batch.withColumn("pos", F.explode(_bloom_positions("h")))
+        .join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "lang", "h")
+        .agg(F.count("_hit").alias("nhit"))
+    )
+    return (
+        hits.join(F.broadcast(prior.withColumn("_seen", F.lit(1))), "h", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count(F.when(F.col("nhit") == _BLOOM_K, 1)).alias("n_maybe_seen"),
+            F.count("_seen").alias("n_truly_seen"),
+            F.count(
+                F.when((F.col("nhit") == _BLOOM_K) & F.col("_seen").isNull(), 1)
+            ).alias("n_false_positive"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2 — near-duplicate detection
 # ---------------------------------------------------------------------------

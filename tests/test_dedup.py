@@ -218,3 +218,19 @@ def test_x1e_ingest_layout_is_batch_keyed(spark, sf_dir):
     assert batch_dirs == [f"batch={i}" for i in range(4)]
     rows = out.collect()
     assert len(rows) == len({r.doc_id for r in rows})  # no double-append
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee: every truly-seen doc must be flagged
+    maybe-seen (n_maybe >= n_truly per group, and overall n_maybe =
+    n_truly + n_false_positive); a definitely-new verdict is final."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        x1d_bloom_prefilter,
+    )
+
+    rows = x1d_bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_maybe_seen == r.n_truly_seen + r.n_false_positive
+        assert r.n_maybe_seen >= r.n_truly_seen
+        assert r.n_batch > 0
