@@ -1753,8 +1753,9 @@ def x4h_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # code width, early-change growth, KwKwK, 4096-entry freeze) built the
 # same way as the PNG/JPEG pair — synthesizer and parser are mirrored
 # from the GIF89a spec, and the probe hash-checks per-pixel sums
-# against a synthesis-law oracle. Animated / interlaced / local-color-
-# table images stay behind honest NotImplementedError stubs.
+# against a synthesis-law oracle. Interlaced storage, local color
+# tables, and animation are all decoded for real; the one remaining
+# honest stub is partial-frame compositing.
 # ---------------------------------------------------------------------------
 
 _GIF_MAX_CODE = 4096  # 12-bit ceiling; both sides freeze the table here
@@ -1872,12 +1873,30 @@ def _gif_lzw_decode(data: bytes, mcs: int, mid: object = None) -> list[int]:
 _GIF_PALETTE_N = 128  # 2**7 entries; every synthesized index < 117 fits
 
 
-def _gif_bytes(w: int, h: int, blue: int) -> bytes:
-    """Serialize a GIF89a: 128-entry global palette (entry i = (i, 77,
-    ``blue``)), one non-interlaced image whose pixel index at (x, y) is
-    ``7*y + x`` (max 7*14 + 18 = 116 < 128), real LZW-compressed data
-    sub-blocks. The red law matches the PNG synthesizer's row ramp plus
-    a column ramp, so decoded channel sums have a closed form."""
+def _gif_interlace_order(h: int) -> list:
+    """The four-pass GIF row interleave: rows are STORED pass 1 (every
+    8th from 0), pass 2 (every 8th from 4), pass 3 (every 4th from 2),
+    pass 4 (every 2nd from 1); entry j is the DISPLAY row of the j-th
+    stored row."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _gif_bytes(
+    w: int, h: int, blue: int, interlaced: bool = False, local_palette: bool = False
+) -> bytes:
+    """Serialize a GIF89a: 128-entry palette (entry i = (i, 77,
+    ``blue``)), one image whose pixel index at (x, y) is ``7*y + x``
+    (max 7*14 + 18 = 116 < 128), real LZW-compressed data sub-blocks.
+    ``interlaced`` stores the rows in the four-pass interleave;
+    ``local_palette`` moves the color table into the image descriptor
+    (no global table at all). The red law matches the PNG
+    synthesizer's row ramp plus a column ramp, so decoded channel sums
+    have a closed form regardless of the storage variant."""
     import struct
 
     import numpy as np
@@ -1887,20 +1906,27 @@ def _gif_bytes(w: int, h: int, blue: int) -> bytes:
     for i in range(_GIF_PALETTE_N):
         palette += bytes((i, 77, blue))
     y_idx, x_idx = np.mgrid[0:h, 0:w]
-    indices = (7 * y_idx + x_idx).reshape(-1)
-    lzw = _gif_lzw_encode(indices, mcs)
+    px_rows = 7 * y_idx + x_idx
+    if interlaced:
+        px_rows = px_rows[_gif_interlace_order(h)]
+    lzw = _gif_lzw_encode(px_rows.reshape(-1), mcs)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         blocks.append(len(chunk))
         blocks += chunk
     blocks.append(0)  # sub-block terminator
+    gct_packed = 0x70 if local_palette else 0xF0 | (mcs - 1)
+    img_packed = (0x40 if interlaced else 0) | (
+        0x80 | (mcs - 1) if local_palette else 0
+    )
     return (
         b"GIF89a"
-        + struct.pack("<HHBBB", w, h, 0xF0 | (mcs - 1), 0, 0)  # GCT, 128 entries
-        + bytes(palette)
+        + struct.pack("<HHBBB", w, h, gct_packed, 0, 0)
+        + (b"" if local_palette else bytes(palette))
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no local table, sequential
+        + struct.pack("<HHHHB", 0, 0, w, h, img_packed)
+        + (bytes(palette) if local_palette else b"")
         + bytes((mcs,))
         + bytes(blocks)
         + b"\x3b"
@@ -1935,12 +1961,12 @@ def _parse_gif_frames(b: bytes, mid: object = None):
     """GIF parse shared by the still and animated paths: signature,
     logical screen descriptor, global color table, extension-block
     skipping (GCE/comment/application), one-or-more image blocks, LZW
-    decode, palette lookup. Returns a list of (h, w, 3) uint8 RGB
-    arrays, one per frame. Every frame must be full-logical-screen
-    (left=top=0, size == screen size) — partial-frame compositing,
-    interlacing, and local color tables raise NotImplementedError;
-    structural corruption raises the media-id-tagged ValueError (the
-    PNG/JPEG contract)."""
+    decode, interlace row reordering, local-or-global palette lookup.
+    Returns a list of (h, w, 3) uint8 RGB arrays, one per frame. Every
+    frame must be full-logical-screen (left=top=0, size == screen
+    size) — partial-frame compositing raises NotImplementedError (the
+    one remaining GIF stub); structural corruption raises the
+    media-id-tagged ValueError (the PNG/JPEG contract)."""
     import struct
 
     import numpy as np
@@ -1951,15 +1977,17 @@ def _parse_gif_frames(b: bytes, mid: object = None):
         raise ValueError(f"media {mid}: truncated screen descriptor")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
-    if not packed & 0x80:
-        raise ValueError(f"media {mid}: missing global color table")
-    n_pal = 2 << (packed & 0x07)
-    if pos + 3 * n_pal > len(b):
-        raise ValueError(f"media {mid}: truncated global color table")
-    palette = np.frombuffer(b, dtype=np.uint8, count=3 * n_pal, offset=pos).reshape(
-        n_pal, 3
-    )
-    pos += 3 * n_pal
+
+    def read_palette(p: int, pk: int, kind: str):
+        n = 2 << (pk & 0x07)
+        if p + 3 * n > len(b):
+            raise ValueError(f"media {mid}: truncated {kind} color table")
+        pal = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=p).reshape(n, 3)
+        return pal, p + 3 * n
+
+    gpalette = None
+    if packed & 0x80:
+        gpalette, pos = read_palette(pos, packed, "global")
 
     def skip_subblocks(p: int) -> int:
         while True:
@@ -1989,10 +2017,12 @@ def _parse_gif_frames(b: bytes, mid: object = None):
             raise ValueError(f"media {mid}: truncated image descriptor")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError(f"media {mid}: interlaced GIF not supported")
-        if ipacked & 0x80:
-            raise NotImplementedError(f"media {mid}: local color table not supported")
+        if ipacked & 0x80:  # local color table overrides the global one
+            palette, pos = read_palette(pos, ipacked, "local")
+        elif gpalette is not None:
+            palette = gpalette
+        else:
+            raise ValueError(f"media {mid}: no color table for image")
         if (left, top, w, h) != (0, 0, sw, sh):
             raise NotImplementedError(
                 f"media {mid}: partial-frame compositing not supported "
@@ -2019,9 +2049,14 @@ def _parse_gif_frames(b: bytes, mid: object = None):
             raise ValueError(
                 f"media {mid}: LZW decoded {indices.size} pixels, expected {w * h}"
             )
-        if indices.size and int(indices.max()) >= n_pal:
+        if indices.size and int(indices.max()) >= palette.shape[0]:
             raise ValueError(f"media {mid}: pixel index past palette end")
-        frames.append(palette[indices].reshape(h, w, 3))
+        px = palette[indices].reshape(h, w, 3)
+        if ipacked & 0x40:  # interlaced: stored rows -> display rows
+            disp = np.empty_like(px)
+            disp[_gif_interlace_order(h)] = px
+            px = disp
+        frames.append(px)
     if not frames:
         raise ValueError(f"media {mid}: no image block before trailer")
     return frames
@@ -2043,8 +2078,9 @@ def _parse_gif(b: bytes, mid: object = None):
 
 def decode_gif(media: DataFrame) -> DataFrame:
     """REAL GIF decode, stdlib + numpy only: container walk, full LZW
-    decompression, palette lookup, channel stats — the same output
-    contract as :func:`decode_bmp` / :func:`decode_png`."""
+    decompression, interlace reordering, local/global palette lookup,
+    channel stats — the same output contract as :func:`decode_bmp` /
+    :func:`decode_png`."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

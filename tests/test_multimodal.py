@@ -477,12 +477,18 @@ def test_gif_roundtrip_exact():
     for w in range(4, 20):
         for h in range(4, 16):
             blue = (w * h) % 256
-            px = _parse_gif(_gif_bytes(w, h, blue), mid=(w, h))
-            assert px.shape == (h, w, 3)
-            y, x = np.mgrid[0:h, 0:w]
-            assert (px[:, :, 0] == (7 * y + x)).all()
-            assert (px[:, :, 1] == 77).all()
-            assert (px[:, :, 2] == blue).all()
+            for interlaced in (False, True):
+                for local_palette in (False, True):
+                    px = _parse_gif(
+                        _gif_bytes(w, h, blue, interlaced=interlaced,
+                                   local_palette=local_palette),
+                        mid=(w, h),
+                    )
+                    assert px.shape == (h, w, 3)
+                    y, x = np.mgrid[0:h, 0:w]
+                    assert (px[:, :, 0] == (7 * y + x)).all()
+                    assert (px[:, :, 1] == 77).all()
+                    assert (px[:, :, 2] == blue).all()
 
 
 def test_gif_decode_spark_roundtrip(spark):
@@ -507,7 +513,7 @@ def test_gif_decode_spark_roundtrip(spark):
 
 
 def test_gif_unsupported_variants_raise():
-    """Interlaced and animated files hit honest NotImplementedError;
+    """Partial-frame compositing hits the honest NotImplementedError;
     structural corruption hits the media-id-tagged ValueError."""
     import pytest as _pytest
 
@@ -519,11 +525,6 @@ def test_gif_unsupported_variants_raise():
 
     b = _gif_bytes(6, 5, 9)
     img_at = b.index(b"\x2c", 13 + 3 * _GIF_PALETTE_N)
-    # Interlace flag lives in the image descriptor's packed byte.
-    interlaced = bytearray(b)
-    interlaced[img_at + 9] |= 0x40
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        _parse_gif(bytes(interlaced), mid=2)
     # A multi-frame file through the STILL decode contract: animation
     # is real now (gif_frame_sample), so this is a contract ValueError,
     # not a stub.
