@@ -1754,8 +1754,9 @@ def x4h_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same way as the PNG/JPEG pair — synthesizer and parser are mirrored
 # from the GIF89a spec, and the probe hash-checks per-pixel sums
 # against a synthesis-law oracle. Interlaced storage, local color
-# tables, and animation are all decoded for real; the one remaining
-# honest stub is partial-frame compositing.
+# tables, animation, and partial-frame compositing (do-not-dispose)
+# are all decoded for real; the one remaining honest stub is GCE
+# transparency.
 # ---------------------------------------------------------------------------
 
 _GIF_MAX_CODE = 4096  # 12-bit ceiling; both sides freeze the table here
@@ -1962,11 +1963,16 @@ def _parse_gif_frames(b: bytes, mid: object = None):
     logical screen descriptor, global color table, extension-block
     skipping (GCE/comment/application), one-or-more image blocks, LZW
     decode, interlace row reordering, local-or-global palette lookup.
-    Returns a list of (h, w, 3) uint8 RGB arrays, one per frame. Every
-    frame must be full-logical-screen (left=top=0, size == screen
-    size) — partial-frame compositing raises NotImplementedError (the
-    one remaining GIF stub); structural corruption raises the
-    media-id-tagged ValueError (the PNG/JPEG contract)."""
+    Returns a list of (sh, sw, 3) uint8 RGB arrays, one per frame —
+    each the full logical screen AFTER compositing: a frame smaller
+    than the screen is pasted onto the previous canvas at its
+    (left, top) offset (do-not-dispose semantics; the first frame must
+    cover the screen so the canvas is never undefined). GCE
+    transparency is the one remaining honest stub (a transparent-index
+    flag in a GCE raises NotImplementedError — honoring it needs the
+    per-frame transparent index to mask the paste). Structural
+    corruption raises the media-id-tagged ValueError (the PNG/JPEG
+    contract)."""
     import struct
 
     import numpy as np
@@ -1999,6 +2005,7 @@ def _parse_gif_frames(b: bytes, mid: object = None):
                 return p
 
     frames = []
+    canvas = None
     while True:
         if pos >= len(b):
             raise ValueError(f"media {mid}: missing trailer")
@@ -2009,6 +2016,13 @@ def _parse_gif_frames(b: bytes, mid: object = None):
         if block == 0x21:  # extension: label byte + sub-blocks
             if pos >= len(b):
                 raise ValueError(f"media {mid}: truncated extension")
+            # A Graphic Control Extension with the transparency flag
+            # set changes paste semantics — honest stub until the
+            # transparent-index mask is implemented.
+            if b[pos] == 0xF9 and pos + 2 < len(b) and b[pos + 2] & 0x01:
+                raise NotImplementedError(
+                    f"media {mid}: GCE transparency not supported"
+                )
             pos = skip_subblocks(pos + 1)
             continue
         if block != 0x2C:
@@ -2023,10 +2037,15 @@ def _parse_gif_frames(b: bytes, mid: object = None):
             palette = gpalette
         else:
             raise ValueError(f"media {mid}: no color table for image")
-        if (left, top, w, h) != (0, 0, sw, sh):
-            raise NotImplementedError(
-                f"media {mid}: partial-frame compositing not supported "
-                f"(frame {left},{top} {w}x{h} vs screen {sw}x{sh})"
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"media {mid}: frame {left},{top} {w}x{h} exceeds "
+                f"screen {sw}x{sh}"
+            )
+        if canvas is None and (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError(
+                f"media {mid}: first frame must cover the screen "
+                f"(got {left},{top} {w}x{h} vs {sw}x{sh})"
             )
         if pos >= len(b):
             raise ValueError(f"media {mid}: missing LZW minimum code size")
@@ -2056,7 +2075,14 @@ def _parse_gif_frames(b: bytes, mid: object = None):
             disp = np.empty_like(px)
             disp[_gif_interlace_order(h)] = px
             px = disp
-        frames.append(px)
+        # Composite onto the running canvas (do-not-dispose): each
+        # emitted frame is the full screen after this image's paste.
+        canvas = (
+            np.zeros((sh, sw, 3), dtype=np.uint8) if canvas is None
+            else canvas.copy()
+        )
+        canvas[top : top + h, left : left + w] = px
+        frames.append(canvas)
     if not frames:
         raise ValueError(f"media {mid}: no image block before trailer")
     return frames
@@ -2134,8 +2160,9 @@ def x4i_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Animated GIF + frame sampling (x4j) — the video-shaped training-data
 # op (decode container -> sample every k-th frame -> per-frame stats),
 # exercised on the one multi-frame container the stdlib codec family
-# can decode for real. Frames are full-logical-screen (the honest
-# NotImplementedError boundary is partial-frame compositing).
+# can decode for real. Partial frames composite onto the running
+# canvas (the honest NotImplementedError boundary is GCE
+# transparency).
 # ---------------------------------------------------------------------------
 
 

@@ -513,8 +513,9 @@ def test_gif_decode_spark_roundtrip(spark):
 
 
 def test_gif_unsupported_variants_raise():
-    """Partial-frame compositing hits the honest NotImplementedError;
-    structural corruption hits the media-id-tagged ValueError."""
+    """Structural corruption hits the media-id-tagged ValueError; the
+    remaining honest stub (GCE transparency) is covered in
+    test_gif_partial_frame_compositing."""
     import pytest as _pytest
 
     from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
@@ -531,10 +532,10 @@ def test_gif_unsupported_variants_raise():
     img_block = b[img_at:-1]
     with _pytest.raises(ValueError, match="frames in still-image decode"):
         _parse_gif(b[:-1] + img_block + b"\x3b", mid=3)
-    # Partial-frame compositing stays an honest stub.
+    # A shifted FIRST frame leaves the canvas undefined.
     shifted = bytearray(b)
     shifted[img_at + 1] = 1  # image-descriptor left = 1
-    with _pytest.raises(NotImplementedError, match="partial-frame"):
+    with _pytest.raises(ValueError, match="first frame must cover|exceeds"):
         _parse_gif(bytes(shifted), mid=6)
     with _pytest.raises(ValueError, match="media 4: truncated image data"):
         _parse_gif(b[: len(b) - 6], mid=4)
@@ -587,3 +588,62 @@ def test_gif_frame_sample_spark(spark):
         ) // 2
         assert r.sum_red == base + r.frame_id * r.width * r.height
         assert r.n_frames == 5 and r.mean_blue == 3
+
+
+def test_gif_partial_frame_compositing():
+    """A frame smaller than the screen pastes onto the previous canvas
+    at its (left, top) offset; full-screen follow-up frames fully
+    replace; a partial FIRST frame and a GCE transparency flag are
+    rejected."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _GIF_PALETTE_N,
+        _gif_lzw_encode,
+        _parse_gif_frames,
+    )
+
+    def img_block(left, top, w, h, indices):
+        lzw = _gif_lzw_encode(list(indices), 7)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            blocks.append(len(c))
+            blocks += c
+        blocks.append(0)
+        return (
+            b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+            + bytes((7,)) + bytes(blocks)
+        )
+
+    palette = bytearray()
+    for i in range(_GIF_PALETTE_N):
+        palette += bytes((i, 77, 3))
+    sw, sh = 8, 6
+    head = b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0xF6, 0, 0) + bytes(palette)
+    y, x = np.mgrid[0:sh, 0:sw]
+    base = (7 * y + x).reshape(-1)
+    patch = [5] * (3 * 2)  # 3x2 patch, constant index 5
+    b = head + img_block(0, 0, sw, sh, base) + img_block(2, 1, 3, 2, patch) + b"\x3b"
+    f1, f2 = _parse_gif_frames(b, mid=1)
+    assert (f1[:, :, 0] == 7 * y + x).all()
+    expect = (7 * y + x).copy()
+    expect[1:3, 2:5] = 5
+    assert (f2[:, :, 0] == expect).all()
+    assert f2.shape == (sh, sw, 3)
+    # partial FIRST frame is undefined-canvas -> ValueError
+    bad = head + img_block(2, 1, 3, 2, patch) + b"\x3b"
+    with _pytest.raises(ValueError, match="first frame must cover"):
+        _parse_gif_frames(bad, mid=2)
+    # frame exceeding the screen -> ValueError
+    oob = head + img_block(0, 0, sw, sh, base) + img_block(7, 5, 3, 2, patch) + b"\x3b"
+    with _pytest.raises(ValueError, match="exceeds"):
+        _parse_gif_frames(oob, mid=3)
+    # GCE with transparency flag -> honest stub
+    gce_t = b"\x21\xf9\x04" + bytes((0x05, 4, 0, 0)) + b"\x00"
+    trans = head + gce_t + img_block(0, 0, sw, sh, base) + b"\x3b"
+    with _pytest.raises(NotImplementedError, match="transparency"):
+        _parse_gif_frames(trans, mid=4)
