@@ -142,3 +142,106 @@ def x5c_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(512) * F.col("n_occurrences") >= F.col("_n"))
         .select(F.col("w").alias("token"), "n_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# x5d — portable HyperLogLog (Flajolet et al. 2007). The built-in
+# approx_count_distinct is rows-only by nature (HLL++ internals differ
+# per engine); this from-scratch HLL uses an md5-derived 32-bit hash
+# and string-exact bit lengths (bin()) so BOTH engines compute the
+# identical registers and the identical estimate — an approximate
+# algorithm under an exact-equality oracle. One groupBy(register)
+# max-aggregate per input: single-pass, 64 registers of state,
+# mergeable across partitions by construction (max commutes).
+# ---------------------------------------------------------------------------
+
+_HLL_B = 6  # register-index bits
+_HLL_M = 1 << _HLL_B  # 64 registers
+_HLL_WBITS = 32 - _HLL_B  # 26 rank bits
+_HLL_ALPHA = 0.709  # alpha_64 (m >= 128 uses 0.7213/(1+1.079/m); 64 -> 0.709)
+
+
+def hll_estimate(df: DataFrame, col: str, out: str = "hll_distinct") -> DataFrame:
+    """One-row DataFrame with the portable-HLL distinct estimate of
+    ``col``. Hash law: hv = first-8-hex of md5('u:' || value) as a
+    32-bit uint; register = hv >> 26; rank = leading zeros of the low
+    26 bits + 1 (27 for w = 0), computed as 27 - length(bin(w)) —
+    integer-exact in Spark and DuckDB alike. Estimate: alpha·m²/Σ2^-M
+    with the standard small-range linear-counting correction
+    (m·ln(m/V) when E <= 2.5m and V empty registers remain)."""
+    hv = F.expr(
+        f"CAST(conv(substr(md5(concat('u:', CAST({col} AS STRING))), 1, 8),"
+        f" 16, 10) AS BIGINT)"
+    )
+    d = df.filter(F.col(col).isNotNull()).select(
+        hv.alias("_hv")
+    ).select(
+        (F.col("_hv") / (1 << _HLL_WBITS)).cast("long").alias("reg"),
+        F.pmod("_hv", F.lit(1 << _HLL_WBITS)).alias("w"),
+    ).select(
+        "reg",
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(_HLL_WBITS + 1 - F.length(F.expr("bin(w)")))
+        .alias("rank"),
+    )
+    regs = d.groupBy("reg").agg(F.max("rank").alias("mx"))
+    # 64 one-row values; the 2^-mx terms are exact dyadic doubles, so
+    # the sum is order-insensitive and both engines agree bit-for-bit.
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (
+        F.col("s") + F.lit(float(_HLL_M)) - F.col("nz")  # empty regs add 2^0
+    )
+    v = F.lit(_HLL_M) - F.col("nz")  # empty registers
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 2).alias(out))
+
+
+@probe(
+    "x5d_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (
+      SELECT hv // {1 << _HLL_WBITS} AS reg, hv % {1 << _HLL_WBITS} AS w FROM h),
+    rk AS (
+      SELECT reg,
+             CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(w)) END AS rank
+      FROM r),
+    regs AS (SELECT reg, max(rank) AS mx FROM rk GROUP BY reg),
+    agg AS (SELECT sum(power(2.0, -mx)) AS s, count(*) AS nz FROM regs),
+    est AS (
+      SELECT CASE
+        WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (s + {_HLL_M} - nz)
+               <= 2.5 * {_HLL_M}
+             AND {_HLL_M} - nz > 0
+        THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - nz))
+        ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (s + {_HLL_M} - nz)
+        END AS e
+      FROM agg)
+    SELECT round(e, 2) AS hll_users,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_users
+    FROM est
+    """,
+)
+def x5d_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5d: approximate distinct users with an ENGINE-PORTABLE
+    HyperLogLog — unlike x5's built-in HLL++ (rows-only by nature),
+    every step here (hash, register, rank, harmonic sum, linear-
+    counting correction) is replayed identically by DuckDB, so the
+    value hash certifies an approximate algorithm exactly. The exact
+    distinct rides along so the record shows the estimation error the
+    64-register sketch actually achieves (~13 % standard error)."""
+    e = load_table(spark, sf_dir, "events")
+    est = hll_estimate(e, "user_id", out="hll_users")
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.crossJoin(exact)

@@ -41,3 +41,15 @@ def test_sketches_per_group_shapes(spark, sf_dir):
     assert len(rows) > 0
     assert set(out.columns) == {"event_type", "approx_users", "p50_approx", "p90_approx"}
     assert all(r.approx_users > 0 for r in rows)
+
+
+def test_portable_hll_accuracy(spark, sf_dir):
+    """The 64-register portable HLL must land within a loose 3-sigma
+    band of the exact distinct (sigma ~ 1.04/sqrt(64) ~ 13 %)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.sketches import (
+        x5d_hll_distinct,
+    )
+
+    r = x5d_hll_distinct(spark, sf_dir).collect()[0]
+    assert r.exact_users > 0
+    assert abs(r.hll_users - r.exact_users) / r.exact_users < 0.4
