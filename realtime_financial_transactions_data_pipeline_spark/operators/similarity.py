@@ -810,15 +810,16 @@ _PQ_DSUB = 16  # dims per subspace (64-dim embeddings)
 _PQ_K = 4  # codewords per subspace
 
 
-def pq_train_encode(
+def pq_train(
     emb: DataFrame, m: int = _PQ_M, dsub: int = _PQ_DSUB, k: int = _PQ_K
-) -> DataFrame:
+):
     """Train per-subspace codebooks (seed -> assign -> mean-update ->
-    final assign, deterministic md5-order seeding) and encode every
-    vector. Returns one row per vector: code_0..code_{m-1} (the
-    codeword ids, = seed vec_ids) and ``recon_err`` (L2 of the vector
-    minus its codeword concatenation). Codebooks are m*k tiny arrays —
-    always broadcast; the heavy relations hold only scalars."""
+    final assign, deterministic md5-order seeding). Returns (assign,
+    codebook, sub): the long-form final assignment (vec_id, m, code,
+    sqdist), the trained codebook (m, list_id, centroid), and the
+    subvector relation (vec_id, m, sub). Codebooks are m*k tiny
+    arrays — always broadcast; the heavy relations hold only
+    scalars."""
     sub = emb.select(
         "vec_id",
         F.explode(
@@ -866,6 +867,16 @@ def pq_train_encode(
         .select("m", "list_id", F.expr("transform(pm, p -> p.mv)").alias("centroid"))
     )
     a2 = assign(c1)
+    return a2, c1, sub
+
+
+def pq_train_encode(
+    emb: DataFrame, m: int = _PQ_M, dsub: int = _PQ_DSUB, k: int = _PQ_K
+) -> DataFrame:
+    """Wide encoding over :func:`pq_train`: one row per vector with
+    code_0..code_{m-1} (codeword ids = seed vec_ids) and ``recon_err``
+    (L2 of the vector minus its codeword concatenation)."""
+    a2, _c1, _sub = pq_train(emb, m, dsub, k)
     return a2.groupBy("vec_id").agg(
         *[
             F.min(F.when(F.col("m") == i, F.col("code"))).alias(f"code_{i}")
@@ -875,9 +886,9 @@ def pq_train_encode(
     )
 
 
-@probe(
-    "x2o_product_quantization",
-    oracle=f"""
+#: Shared oracle CTE replaying PQ training (split -> seed -> assign ->
+#: update -> final assign); x2o and x2p both build on `a2` and `c1`.
+_X2O_CTE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     sub AS (
       SELECT vec_id, m,
@@ -912,6 +923,12 @@ def pq_train_encode(
                     row_number() OVER (PARTITION BY vec_id, m
                                        ORDER BY sqdist, list_id) AS rnk
              FROM s2) WHERE rnk = 1)
+"""
+
+
+@probe(
+    "x2o_product_quantization",
+    oracle=f"""{_X2O_CTE}
     SELECT vec_id,
            min(CASE WHEN m = 0 THEN list_id END) AS code_0,
            min(CASE WHEN m = 1 THEN list_id END) AS code_1,
@@ -942,4 +959,89 @@ def x2o_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_2",
         "code_3",
         dround("recon_err", 4).alias("recon_err"),
+    )
+
+
+_PQ_NQ = 3  # ADC query count (probe scale)
+_PQ_TOPK = 5
+
+
+@probe(
+    "x2p_pq_adc_topk",
+    oracle=f"""{_X2O_CTE},
+    qs AS (SELECT vec_id AS q_id FROM e
+           ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)) LIMIT {_PQ_NQ}),
+    qsub AS (SELECT q_id, sub.m, sub.sub FROM qs JOIN sub ON sub.vec_id = q_id),
+    tbl AS (SELECT qsub.q_id, c1.m, c1.list_id,
+                   list_sum(list_transform(list_zip(qsub.sub, c1.centroid),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd
+            FROM qsub JOIN c1 ON qsub.m = c1.m),
+    sc AS (SELECT tbl.q_id, a2.vec_id,
+                  list_sum(list(tbl.qd ORDER BY a2.m)) AS qdist
+           FROM a2 JOIN tbl ON a2.m = tbl.m AND a2.list_id = tbl.list_id
+           GROUP BY tbl.q_id, a2.vec_id),
+    ranked AS (SELECT q_id, vec_id, qdist,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY qdist, vec_id) AS rnk
+               FROM sc)
+    SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(qdist, 4) AS adc_dist
+    FROM ranked WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def x2p_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2p: PQ search via Asymmetric Distance Computation — the reason
+    PQ codes exist. Per query: one tiny table of (subspace, codeword)
+    -> L2² against the TRAINED codebook (m*k = 16 rows, broadcast);
+    each corpus vector's distance is then the sum of M table lookups
+    keyed by its codes — the corpus contributes only its code tuples,
+    never its floats. Per-(query, vector) terms are summed in FIXED
+    subspace order on both engines (sorted-struct aggregate here,
+    list(... ORDER BY m) in the oracle) so the doubles match
+    bit-for-bit and the top-k ranking is deterministic. The final
+    per-query ranking here is one window over corpus-sized rows; at
+    100 TB swap in the two-phase top-k (per-partition heads, then
+    merge) — the ADC scoring itself is already map-only."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb"
+    )
+    a2, c1, sub = pq_train(emb)
+    qs = (
+        emb.select("vec_id")
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("q_id"))
+    )
+    qsub = sub.join(F.broadcast(qs), sub.vec_id == F.col("q_id")).select(
+        "q_id", "m", "sub"
+    )
+    qd = F.expr(
+        "aggregate(zip_with(sub, centroid, (x, c) -> (x - c) * (x - c)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+    tbl = (
+        qsub.join(F.broadcast(c1), "m")
+        .withColumn("qd", qd)
+        .select("q_id", "m", "list_id", "qd")
+    )
+    sc = (
+        a2.select("vec_id", "m", F.col("code").alias("list_id"))
+        .join(F.broadcast(tbl), ["m", "list_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "qd"))).alias("terms"))
+        .withColumn("qdist", F.expr("aggregate(terms, 0.0D, (s, p) -> s + p.qd)"))
+    )
+    w = Window.partitionBy("q_id").orderBy("qdist", "vec_id")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            dround("qdist", 4).alias("adc_dist"),
+        )
     )
