@@ -112,8 +112,15 @@ def _recipe_token(build) -> str:
     from the old recipe was silently reused across rounds). Closure
     scalars are included because parameters like ``n_slices`` often
     arrive via closure rather than appearing literally in the lambda
-    source. Non-scalar closures (DataFrames, sessions) are identified
-    by the source text that uses them."""
+    source.
+
+    KNOWN LIMIT: a NON-scalar closure (a DataFrame built upstream of
+    the lambda) contributes only the source text that USES it — its
+    own definition is invisible to the token (a logical-plan hash
+    would never cache-hit: expression ids differ per session).
+    Convention for callers: put the content-determining derivation
+    INSIDE the build lambda (see x2n), or rename the fixture when
+    changing an upstream frame the lambda closes over."""
     import hashlib
     import inspect as _inspect
 

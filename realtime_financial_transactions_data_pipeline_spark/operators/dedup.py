@@ -1130,30 +1130,6 @@ def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def sig_bands(sigs: DataFrame, id_col: str) -> DataFrame:
-    """Explode a `sig` column (array<bigint>, _N_HASHES) into the LSH
-    band relation (id, band_id, band_hash) — the join key of the
-    streaming index (the same banding lsh_candidate_pairs applies
-    inside its groupBy)."""
-    n_bands = _N_HASHES // _BAND_ROWS
-    return sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.hash(
-                            F.slice("sig", b * _BAND_ROWS + 1, _BAND_ROWS)
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
-
-
 def _verified_pairs(
     cand: DataFrame, left: DataFrame, right: DataFrame, threshold: float
 ) -> DataFrame:
@@ -1259,17 +1235,20 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id/2 — the j3 sizing pattern: the ingest mechanics (index
     # probe, verify, admission order) are exercised identically at half
     # of the full corpus volume, and the oracle filters on the same
-    # rule.
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
-        .select("doc_id", "lang", "text")
-    )
+    # rule. The WHOLE slice recipe lives inside the build lambda so the
+    # fixture's recipe token captures it (caching.py convention: a
+    # build lambda closing over an upstream DataFrame hides that
+    # frame's definition from the cache key).
     flat = disk_fixture(
-        "x2n-docs-4slice",
+        "x2n-docs-3slice",
         source_fingerprint(sf_dir, "documents"),
         lambda tmp: spark_json_slices(
-            d, tmp, 3, slice_col=F.expr("CAST(doc_id / 2 AS LONG)")
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang", "text"),
+            tmp,
+            3,
+            slice_col=F.expr("CAST(doc_id / 2 AS LONG)"),
         ),
     )
 

@@ -1978,6 +1978,14 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
+    # Materialize the revenue view ONCE (lazy localCheckpoint): the max
+    # branch and the filter branch then read the IDENTICAL doubles, so
+    # the exact-equality gate cannot be broken by the two branches
+    # merging partial float sums in different fetch orders (Catalyst
+    # does not reuse this exchange — verified: 0 ReusedExchange nodes —
+    # and sum() over doubles is order-sensitive at the ULP level). At
+    # cluster scale use reliable checkpoint() for executor-loss safety.
+    revenue = revenue.localCheckpoint(eager=False)
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     top = (
         revenue.crossJoin(F.broadcast(mx))

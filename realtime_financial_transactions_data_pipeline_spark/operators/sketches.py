@@ -199,7 +199,7 @@ def hll_estimate(df: DataFrame, col: str, out: str = "hll_distinct") -> DataFram
         (raw <= 2.5 * _HLL_M) & (v > 0),
         F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
     ).otherwise(raw)
-    return agg.select(F.round(est, 2).alias(out))
+    return agg.select(dround(est, 2).alias(out))
 
 
 @probe(
