@@ -1151,6 +1151,62 @@ def _verified_pairs(
     )
 
 
+def neardup_admit(
+    state: DataFrame, b: DataFrame, threshold: float = _LSH_VERIFY_T
+) -> DataFrame:
+    """One ingest step's admission decision, factored out of the stream
+    so the classification semantics are unit-testable with crafted
+    corpora: ONE banding pass over index ∪ batch, then classify each
+    verified pair — a pair with exactly one side in the batch is a
+    cross-match (reject the batch side); a pair with both sides in the
+    batch applies the pairwise smaller-id-wins rule, provided the
+    smaller side was not itself cross-rejected. Equivalent to the
+    two-pass (index-probe, then survivors-only LSH) formulation —
+    index-index pairs cannot exist by induction (one side would have
+    rejected the other at its own admission) — but HALF the plan: per
+    micro-batch the driver pays Catalyst analysis per action, so plan
+    size, not row count, dominates small-batch latency. Both inputs
+    carry (doc_id, grams, sig) plus passenger columns on ``b``;
+    returns the admitted subset of ``b``."""
+    uni = state.select("doc_id", "grams", "sig").unionByName(
+        b.select("doc_id", "grams", "sig")
+    )
+    cand = lsh_candidate_pairs(uni.select("doc_id", "sig"), "doc_id")
+    vp = _verified_pairs(cand, uni, uni, threshold)
+    bids = b.select("doc_id")
+    flagged = vp.join(
+        bids.select(F.col("doc_id").alias("id_a"), F.lit(True).alias("_a_in")),
+        "id_a",
+        "left",
+    ).join(
+        bids.select(F.col("doc_id").alias("id_b"), F.lit(True).alias("_b_in")),
+        "id_b",
+        "left",
+    )
+    cross_matched = (
+        flagged.filter(F.col("_a_in").isNull() | F.col("_b_in").isNull())
+        .select(
+            F.when(F.col("_a_in").isNotNull(), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    within_rejects = (
+        flagged.filter(F.col("_a_in").isNotNull() & F.col("_b_in").isNotNull())
+        .join(
+            cross_matched.select(F.col("doc_id").alias("id_a")),
+            "id_a",
+            "left_anti",
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return b.join(
+        cross_matched.unionByName(within_rejects), "doc_id", "left_anti"
+    )
+
+
 @probe(
     "x2n_stream_neardup_ingest",
     oracle=f"""
@@ -1283,57 +1339,7 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", "lang", "grams", "sig")
         b.persist()
         try:
-            # Cross-batch: batch bands ⋈ index bands -> candidates ->
-            # exact verify -> matched batch ids are rejected.
-            # ONE banding pass over index ∪ batch, then classify each
-            # verified pair: a pair with exactly one side in the batch
-            # is a cross-match (reject the batch side); a pair with
-            # both sides in the batch applies the pairwise
-            # smaller-id-wins rule, provided the smaller side was not
-            # itself cross-rejected. Equivalent to the two-pass
-            # (index-probe, then survivors-only LSH) formulation —
-            # index-index pairs cannot exist by induction (one side
-            # would have rejected the other at its own admission) —
-            # but HALF the plan: per micro-batch the driver pays
-            # Catalyst analysis per action, so plan size, not row
-            # count, dominates small-batch latency.
-            uni = state.select("doc_id", "grams", "sig").unionByName(
-                b.select("doc_id", "grams", "sig")
-            )
-            cand = lsh_candidate_pairs(uni.select("doc_id", "sig"), "doc_id")
-            vp = _verified_pairs(cand, uni, uni, _LSH_VERIFY_T)
-            bids = b.select("doc_id")
-            flagged = vp.join(
-                bids.select(F.col("doc_id").alias("id_a"), F.lit(True).alias("_a_in")),
-                "id_a",
-                "left",
-            ).join(
-                bids.select(F.col("doc_id").alias("id_b"), F.lit(True).alias("_b_in")),
-                "id_b",
-                "left",
-            )
-            cross_matched = (
-                flagged.filter(F.col("_a_in").isNull() | F.col("_b_in").isNull())
-                .select(
-                    F.when(F.col("_a_in").isNotNull(), F.col("id_a"))
-                    .otherwise(F.col("id_b"))
-                    .alias("doc_id")
-                )
-                .distinct()
-            )
-            within_rejects = (
-                flagged.filter(F.col("_a_in").isNotNull() & F.col("_b_in").isNotNull())
-                .join(
-                    cross_matched.select(F.col("doc_id").alias("id_a")),
-                    "id_a",
-                    "left_anti",
-                )
-                .select(F.col("id_b").alias("doc_id"))
-                .distinct()
-            )
-            admitted = b.join(
-                cross_matched.unionByName(within_rejects), "doc_id", "left_anti"
-            )
+            admitted = neardup_admit(state, b)
             part_dir = f"{accepted_dir}/batch={batch_id}"
             hpath = jvm.org.apache.hadoop.fs.Path(part_dir)
             hfs = hpath.getFileSystem(hconf)

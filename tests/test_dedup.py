@@ -234,3 +234,64 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
         assert r.n_maybe_seen == r.n_truly_seen + r.n_false_positive
         assert r.n_maybe_seen >= r.n_truly_seen
         assert r.n_batch > 0
+
+
+def test_neardup_admit_classification_edges(spark):
+    """Pin the x2n admission semantics the synthetic corpus cannot
+    force: (1) a batch doc near-dup of an INDEX doc is cross-rejected;
+    (2) within-batch smaller-id-wins; (3) the chain edge — a
+    within-batch pair whose smaller side was itself cross-rejected
+    does NOT reject the larger side."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        minhash_signature,
+        neardup_admit,
+        word_shingles,
+    )
+
+    base = ["w%02d" % i for i in range(120)]
+
+    def text(changed):
+        words = list(base)
+        for pos, repl in changed:
+            words[pos] = repl
+        return " ".join(words)
+
+    # s (index) ~ x (J≈0.95); y ~ x (J≈0.9) but y !~ s (disjoint edits
+    # push J(y, s) lower while staying near x); z !~ anything.
+    rows_state = [(100, text([]))]
+    rows_batch = [
+        (201, text([(5, "AA")])),                       # ~ s -> cross-reject
+        (202, text([(5, "AA"), (40, "BB"), (41, "BC")])),  # ~ 201, farther from s
+        (203, "completely different words " + " ".join("q%d" % i for i in range(80))),
+        (204, text([(5, "AA"), (40, "BB"), (41, "BC")])),  # duplicate of 202
+    ]
+
+    def prep(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return minhash_signature(
+            df.withColumn("grams", word_shingles("text")), grams_col="grams"
+        ).select("doc_id", F.lit("en").alias("lang"), "grams", "sig")
+
+    state, batch = prep(rows_state), prep(rows_batch)
+
+    # sanity: the crafted Jaccards actually realize the intended edges
+    import itertools
+
+    grams = {r.doc_id: set(r.grams) for r in
+             state.unionByName(batch).select("doc_id", "grams").collect()}
+    jac = {
+        (a, b): len(grams[a] & grams[b]) / len(grams[a] | grams[b])
+        for a, b in itertools.combinations(sorted(grams), 2)
+    }
+    assert jac[(100, 201)] >= 0.9          # cross edge exists
+    assert jac[(201, 202)] >= 0.9          # within chain edge exists
+    assert jac[(100, 202)] < 0.9           # 202 is NOT near the index doc
+    assert jac[(202, 204)] == 1.0          # exact within-batch duplicate
+
+    admitted = sorted(r.doc_id for r in neardup_admit(state, batch).collect())
+    # 201 cross-rejected; 202 SURVIVES (its only smaller near-dup, 201,
+    # was cross-rejected); 203 clean; 204 rejected by 202 (202 is not
+    # cross-rejected, so smaller-id-wins applies).
+    assert admitted == [202, 203]
