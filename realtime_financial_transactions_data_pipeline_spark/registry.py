@@ -54,6 +54,14 @@ DRIVER_WINDOW = 50
 #: cohort 2 (r07): k8b, k9, j6, q7, er1, x18, t9, s11, u3, dq1;
 #: cohort 3 (r08): k7, k8c, j7, mv1, x2j, t10, u4, dq2,
 #: scale_zorder_layout, x15 — 20/20 green on first driver exposure.
+#: Cohort-5 candidates (round 10): promote the round-9 newcomers —
+#: x4i_gif_decode, x4j_gif_frame_sample, x3l_luhn_card_scrub,
+#: x1d_bloom_prefilter, x2n_stream_neardup_ingest,
+#: x2o_product_quantization, x2p_pq_adc_topk, x5d_hll_distinct — plus
+#: long-waiting twins (j6b, t7, x2l, x5c, a11-a16 reps, s6, s8).
+#: Retirement pool: probes green since round 1-2 with 2+ driver-green
+#: rounds (p1, p2_p5, f9_f11_f12, u3, j6, a8_a9, l1_l3, o1_o2, q7,
+#: s5_k4 — keep q1 flagship and >=1 per family; rehearse first).
 _DRIVER_ORDER = [
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "p1_projection",                 # S7/P1
