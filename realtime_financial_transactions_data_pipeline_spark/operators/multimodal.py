@@ -1787,9 +1787,9 @@ def x4h_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same way as the PNG/JPEG pair — synthesizer and parser are mirrored
 # from the GIF89a spec, and the probe hash-checks per-pixel sums
 # against a synthesis-law oracle. Interlaced storage, local color
-# tables, animation, and partial-frame compositing (do-not-dispose)
-# are all decoded for real; the one remaining honest stub is GCE
-# transparency.
+# tables, animation, partial-frame compositing (do-not-dispose), and
+# GCE transparency masking are all decoded for real — the GIF89a
+# feature set is complete.
 # ---------------------------------------------------------------------------
 
 _GIF_MAX_CODE = 4096  # 12-bit ceiling; both sides freeze the table here
@@ -2000,12 +2000,11 @@ def _parse_gif_frames(b: bytes, mid: object = None):
     each the full logical screen AFTER compositing: a frame smaller
     than the screen is pasted onto the previous canvas at its
     (left, top) offset (do-not-dispose semantics; the first frame must
-    cover the screen so the canvas is never undefined). GCE
-    transparency is the one remaining honest stub (a transparent-index
-    flag in a GCE raises NotImplementedError — honoring it needs the
-    per-frame transparent index to mask the paste). Structural
-    corruption raises the media-id-tagged ValueError (the PNG/JPEG
-    contract)."""
+    cover the screen so the canvas is never undefined), and a Graphic
+    Control Extension's transparent index masks the paste — transparent
+    pixels keep the canvas value (background-initialized from the
+    LSD's color index). Structural corruption raises the
+    media-id-tagged ValueError (the PNG/JPEG contract)."""
     import struct
 
     import numpy as np
@@ -2039,6 +2038,7 @@ def _parse_gif_frames(b: bytes, mid: object = None):
 
     frames = []
     canvas = None
+    trans_idx = None  # set by a GCE, consumed by the next image block
     while True:
         if pos >= len(b):
             raise ValueError(f"media {mid}: missing trailer")
@@ -2049,13 +2049,11 @@ def _parse_gif_frames(b: bytes, mid: object = None):
         if block == 0x21:  # extension: label byte + sub-blocks
             if pos >= len(b):
                 raise ValueError(f"media {mid}: truncated extension")
-            # A Graphic Control Extension with the transparency flag
-            # set changes paste semantics — honest stub until the
-            # transparent-index mask is implemented.
-            if b[pos] == 0xF9 and pos + 2 < len(b) and b[pos + 2] & 0x01:
-                raise NotImplementedError(
-                    f"media {mid}: GCE transparency not supported"
-                )
+            # A Graphic Control Extension applies to the NEXT image:
+            # record its transparent index so the paste keeps the
+            # canvas value wherever the frame carries that index.
+            if b[pos] == 0xF9 and pos + 5 < len(b) and b[pos + 2] & 0x01:
+                trans_idx = b[pos + 5]
             pos = skip_subblocks(pos + 1)
             continue
         if block != 0x2C:
@@ -2103,18 +2101,29 @@ def _parse_gif_frames(b: bytes, mid: object = None):
             )
         if indices.size and int(indices.max()) >= palette.shape[0]:
             raise ValueError(f"media {mid}: pixel index past palette end")
-        px = palette[indices].reshape(h, w, 3)
+        idx2 = indices.reshape(h, w)
         if ipacked & 0x40:  # interlaced: stored rows -> display rows
-            disp = np.empty_like(px)
-            disp[_gif_interlace_order(h)] = px
-            px = disp
+            disp = np.empty_like(idx2)
+            disp[_gif_interlace_order(h)] = idx2
+            idx2 = disp
+        px = palette[idx2]
         # Composite onto the running canvas (do-not-dispose): each
         # emitted frame is the full screen after this image's paste.
-        canvas = (
-            np.zeros((sh, sw, 3), dtype=np.uint8) if canvas is None
-            else canvas.copy()
-        )
-        canvas[top : top + h, left : left + w] = px
+        # The initial canvas is the LSD background color (through the
+        # global palette) so a transparent region in an early frame
+        # shows the spec'd background, not garbage.
+        if canvas is None:
+            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+            if gpalette is not None and _bg < gpalette.shape[0]:
+                canvas[:, :] = gpalette[_bg]
+        else:
+            canvas = canvas.copy()
+        if trans_idx is None:
+            canvas[top : top + h, left : left + w] = px
+        else:
+            opaque = idx2 != trans_idx
+            canvas[top : top + h, left : left + w][opaque] = px[opaque]
+        trans_idx = None  # a GCE governs exactly one rendering block
         frames.append(canvas)
     if not frames:
         raise ValueError(f"media {mid}: no image block before trailer")
@@ -2194,8 +2203,7 @@ def x4i_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op (decode container -> sample every k-th frame -> per-frame stats),
 # exercised on the one multi-frame container the stdlib codec family
 # can decode for real. Partial frames composite onto the running
-# canvas (the honest NotImplementedError boundary is GCE
-# transparency).
+# canvas and GCE transparency masks the paste — full GIF89a.
 # ---------------------------------------------------------------------------
 
 

@@ -642,8 +642,26 @@ def test_gif_partial_frame_compositing():
     oob = head + img_block(0, 0, sw, sh, base) + img_block(7, 5, 3, 2, patch) + b"\x3b"
     with _pytest.raises(ValueError, match="exceeds"):
         _parse_gif_frames(oob, mid=3)
-    # GCE with transparency flag -> honest stub
-    gce_t = b"\x21\xf9\x04" + bytes((0x05, 4, 0, 0)) + b"\x00"
-    trans = head + gce_t + img_block(0, 0, sw, sh, base) + b"\x3b"
-    with _pytest.raises(NotImplementedError, match="transparency"):
-        _parse_gif_frames(trans, mid=4)
+    # GCE transparency: frame 2 is full-screen but pixels carrying the
+    # transparent index (9) keep frame 1's canvas values.
+    gce_t = b"\x21\xf9\x04" + bytes((0x05, 4, 0, 9)) + b"\x00"
+    overlay = np.full(sh * sw, 9, dtype=np.int64)
+    overlay[:4] = [60, 61, 62, 63]  # only the first four pixels opaque
+    trans = (
+        head + img_block(0, 0, sw, sh, base)
+        + gce_t + img_block(0, 0, sw, sh, overlay) + b"\x3b"
+    )
+    t1, t2 = _parse_gif_frames(trans, mid=4)
+    expect_t = (7 * y + x).copy()
+    expect_t.reshape(-1)[:4] = [60, 61, 62, 63]
+    assert (t2[:, :, 0] == expect_t).all()
+    assert (t1[:, :, 0] == 7 * y + x).all()  # frame 1 untouched
+    # the GCE governs exactly ONE image: a third frame after it pastes
+    # opaquely again.
+    trans3 = (
+        head + img_block(0, 0, sw, sh, base)
+        + gce_t + img_block(0, 0, sw, sh, overlay)
+        + img_block(0, 0, sw, sh, base) + b"\x3b"
+    )
+    f3 = _parse_gif_frames(trans3, mid=5)[2]
+    assert (f3[:, :, 0] == 7 * y + x).all()
