@@ -2347,3 +2347,173 @@ def x4j_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering, and the frame-id arithmetic are all under the hash."""
     media = _media_fixture(spark, sf_dir, "x4j-gif-anim-media", synth_gif_anim_media)
     return gif_frame_sample(media, every_k=2)
+
+
+# ---------------------------------------------------------------------------
+# x4k — header-only media sniffing: the cheap metadata pass every media
+# pipeline runs BEFORE expensive decode (route by container, partition
+# by dimensions, triage corrupt files) — magic-byte detection + the
+# minimal header walk per format, never touching pixel/sample payloads.
+# ---------------------------------------------------------------------------
+
+SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("dim1", T.LongType()),  # images: width; wav: n_samples
+        T.StructField("dim2", T.LongType()),  # images: height; wav: sample_rate
+    ]
+)
+
+
+def _sniff_one(b: bytes):
+    """(format, dim1, dim2) from headers alone. Corrupt/truncated
+    headers and unknown magics classify as ('unknown', 0, 0) — a
+    sniffer triages, it never throws."""
+    import struct
+
+    try:
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos, rate, n = 12, 0, 0
+            while pos + 8 <= len(b):
+                tag = b[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", b, pos + 4)
+                if tag == b"fmt ":
+                    rate = struct.unpack_from("<I", b, pos + 12)[0]
+                    block = struct.unpack_from("<H", b, pos + 20)[0]
+                elif tag == b"data":
+                    n = size // max(block, 1)
+                pos += 8 + size + (size & 1)
+            return "wav", n, rate
+        if b[:2] == b"P6":
+            head = b[:64].split()
+            return "ppm", int(head[1]), int(head[2])
+        if b[:2] == b"BM":
+            w, h = struct.unpack_from("<ii", b, 18)
+            return "bmp", w, abs(h)
+        if b[: len(_PNG_SIG)] == _PNG_SIG:
+            w, h = struct.unpack_from(">II", b, 16)
+            return "png", w, h
+        if b[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    break
+                marker = b[pos + 1]
+                (size,) = struct.unpack_from(">H", b, pos + 2)
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    h, w = struct.unpack_from(">HH", b, pos + 5)
+                    return "jpeg", w, h
+                pos += 2 + size
+            return "unknown", 0, 0
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", b, 6)
+            return "gif", w, h
+    except Exception:  # noqa: BLE001 — triage, never throw
+        return "unknown", 0, 0
+    return "unknown", 0, 0
+
+
+def sniff_media(media: DataFrame) -> DataFrame:
+    """Map-only Arrow-batched sniff over (media_id, content)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in SNIFF_SCHEMA.fields}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                fmt, d1, d2 = _sniff_one(bytes(raw) if raw is not None else b"")
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["dim1"].append(int(d1))
+                out["dim2"].append(int(d2))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, SNIFF_SCHEMA)
+
+
+@probe(
+    "x4k_media_sniff",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 6 WHEN 0 THEN 'wav' WHEN 1 THEN 'ppm'
+                WHEN 2 THEN 'bmp' WHEN 3 THEN 'png'
+                WHEN 4 THEN 'jpeg' ELSE 'gif' END AS format,
+           CAST(CASE doc_id % 6
+             WHEN 0 THEN length(text) % 400 + 10
+             WHEN 1 THEN length(text) % 32 + 4
+             WHEN 2 THEN length(text) % 16 + 4
+             WHEN 3 THEN length(text) % 16 + 4
+             WHEN 4 THEN 16 * (doc_id % 2 + 1)
+             ELSE length(text) % 16 + 4 END AS BIGINT) AS dim1,
+           CAST(CASE doc_id % 6
+             WHEN 0 THEN {_WAV_RATE}
+             WHEN 1 THEN doc_id % 24 + 4
+             WHEN 2 THEN doc_id % 12 + 4
+             WHEN 3 THEN doc_id % 12 + 4
+             WHEN 4 THEN 16 * (length(text) % 2 + 1)
+             ELSE doc_id % 12 + 4 END AS BIGINT) AS dim2
+    FROM documents
+    """,
+)
+def x4k_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4k — mixed-container metadata pass: each doc becomes ONE of the
+    six real containers (doc_id % 6 routes wav/ppm/bmp/png/jpeg/gif,
+    full valid payloads from the codec synthesizers) and the sniffer
+    must identify every format and read its dimensions from the header
+    alone — no LZW/Huffman/inflate work. The oracle re-derives format
+    and dims from each codec's synthesis law, so the hash certifies
+    magic-byte routing plus six header parsers in one pass. This is
+    the triage shape for 100 TB of crawled media: route-by-format and
+    dimension partitioning cost one header read per object."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import struct as _st
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i, t = int(doc_id), text
+                kind = i % 6
+                if kind == 0:
+                    n = len(t) % 400 + 10
+                    samples = np.full(n, i % 2000, dtype="<i2").tobytes()
+                    payloads.append(
+                        b"RIFF" + _st.pack("<I", 36 + len(samples)) + b"WAVEfmt "
+                        + _st.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE,
+                                   _WAV_RATE * 2, 2, 16)
+                        + b"data" + _st.pack("<I", len(samples)) + samples
+                    )
+                elif kind == 1:
+                    w, h = len(t) % 32 + 4, i % 24 + 4
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    payloads.append(
+                        f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                    )
+                elif kind == 2:
+                    payloads.append(_bmp_bytes(len(t) % 16 + 4, i % 12 + 4, i % 256))
+                elif kind == 3:
+                    payloads.append(_png_bytes(len(t) % 16 + 4, i % 12 + 4, i % 256))
+                elif kind == 4:
+                    # (hb, wb) per-8x8-block grid -> image 8*hb x 8*wb
+                    # = 16*(len%2+1) x 16*(i%2+1), the synth_jpeg law
+                    wb, hb = 2 * (i % 2 + 1), 2 * (len(t) % 2 + 1)
+                    y = np.full((hb, wb), 16 + (i * 7) % 224, dtype=np.int64)
+                    payloads.append(_jpeg_bytes(y, i % 7 - 3))
+                else:
+                    payloads.append(_gif_bytes(len(t) % 16 + 4, i % 12 + 4, i % 256))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    def synth_mixed(docs: DataFrame) -> DataFrame:
+        return docs.select("doc_id", "text").mapInPandas(
+            build,
+            T.StructType(
+                [
+                    T.StructField("media_id", T.LongType()),
+                    T.StructField("content", T.BinaryType()),
+                ]
+            ),
+        )
+
+    media = _media_fixture(spark, sf_dir, "x4k-mixed-media", synth_mixed)
+    return sniff_media(media)

@@ -665,3 +665,33 @@ def test_gif_partial_frame_compositing():
     )
     f3 = _parse_gif_frames(trans3, mid=5)[2]
     assert (f3[:, :, 0] == 7 * y + x).all()
+
+
+def test_media_sniff_triage_never_throws(spark):
+    """The sniffer classifies; it never raises: corrupt headers,
+    truncated payloads, unknown magics, and NULL content all land in
+    ('unknown', 0, 0) — and real headers of every container parse."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _bmp_bytes,
+        _gif_bytes,
+        _png_bytes,
+        _sniff_one,
+        sniff_media,
+    )
+
+    assert _sniff_one(b"") == ("unknown", 0, 0)
+    assert _sniff_one(b"GARBAGE BYTES") == ("unknown", 0, 0)
+    assert _sniff_one(b"RIFF\x04\x00\x00\x00WAVE") == ("wav", 0, 0)
+    assert _sniff_one(b"P6\nnot numbers") == ("unknown", 0, 0)
+    assert _sniff_one(b"\xff\xd8\xff\xee\x00\x04ab") == ("unknown", 0, 0)
+    assert _sniff_one(_bmp_bytes(5, 4, 1)) == ("bmp", 5, 4)
+    assert _sniff_one(_bmp_bytes(5, 4, 1, top_down=True)) == ("bmp", 5, 4)
+    assert _sniff_one(_png_bytes(6, 7, 1)) == ("png", 6, 7)
+    assert _sniff_one(_gif_bytes(8, 9, 1)) == ("gif", 8, 9)
+    rows = spark.createDataFrame(
+        [(1, _png_bytes(6, 7, 1)), (2, None), (3, b"junk")],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in sniff_media(rows).collect()}
+    assert (got[1].format, got[1].dim1, got[1].dim2) == ("png", 6, 7)
+    assert got[2].format == "unknown" and got[3].format == "unknown"
