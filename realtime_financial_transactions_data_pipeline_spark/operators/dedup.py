@@ -1167,7 +1167,14 @@ def neardup_admit(
     micro-batch the driver pays Catalyst analysis per action, so plan
     size, not row count, dominates small-batch latency. Both inputs
     carry (doc_id, grams, sig) plus passenger columns on ``b``;
-    returns the admitted subset of ``b``."""
+    returns the admitted subset of ``b``.
+
+    ``threshold`` only TIGHTENS the exact verification — candidate
+    generation is the fixed 12-band/4-row banding, whose recall is
+    tuned for the _LSH_VERIFY_T = 0.9 operating point (~81 % per pair
+    at J = 0.6). Passing a materially lower threshold silently misses
+    pairs; re-derive the banding from the threshold (more bands, fewer
+    rows) before operating there."""
     uni = state.select("doc_id", "grams", "sig").unionByName(
         b.select("doc_id", "grams", "sig")
     )

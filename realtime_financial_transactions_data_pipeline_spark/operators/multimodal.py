@@ -287,12 +287,36 @@ PPM_SCHEMA = T.StructType(
 _WAV_RATE = 8000
 
 
+def _wav_bytes(samples: bytes) -> bytes:
+    """Wrap raw 16-bit mono little-endian PCM in the RIFF/fmt/data
+    container at _WAV_RATE — the ONE place the WAV header law lives
+    (synth_wav_media, synth_tone_media, and x4k's mixed corpus all
+    serialize through it)."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(samples))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+
+
+def _ppm_bytes(px) -> bytes:
+    """Binary P6 serialization of an (h, w, 3) uint8 array — the one
+    place the PPM header law lives."""
+    h, w = px.shape[0], px.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
 def synth_wav_media(docs: DataFrame) -> DataFrame:
     """Build VALID 16-bit PCM mono WAV payloads (RIFF/fmt/data chunks)
     per document: n_samples = len(text) % 400 + 10, constant amplitude
     doc_id % 2000. Runs in mapInPandas (binary assembly is byte work,
     not expression work); fully deterministic."""
-    import struct
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -302,16 +326,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n = len(text) % 400 + 10
                 amp = int(doc_id) % 2000
-                samples = np.full(n, amp, dtype="<i2").tobytes()
-                hdr = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(samples))
-                    + b"WAVEfmt "
-                    + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
-                    + b"data"
-                    + struct.pack("<I", len(samples))
-                )
-                payloads.append(hdr + samples)
+                payloads.append(_wav_bytes(np.full(n, amp, dtype="<i2").tobytes()))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -417,7 +432,7 @@ def synth_ppm_media(docs: DataFrame) -> DataFrame:
                 px[:, :, 0] = int(doc_id) % 256
                 px[:, :, 1] = 0
                 px[:, :, 2] = 255
-                payloads.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+                payloads.append(_ppm_bytes(px))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -1663,16 +1678,7 @@ def synth_tone_media(docs: DataFrame) -> DataFrame:
                 x = np.floor(
                     _TONE_AMP * np.sin(2 * np.pi * k * n / _TONE_N) + 0.5
                 ).astype("<i2")
-                samples = x.tobytes()
-                hdr = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(samples))
-                    + b"WAVEfmt "
-                    + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
-                    + b"data"
-                    + struct.pack("<I", len(samples))
-                )
-                payloads.append(hdr + samples)
+                payloads.append(_wav_bytes(x.tobytes()))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
 
     return docs.select("doc_id").mapInPandas(
@@ -2049,11 +2055,11 @@ def _parse_gif_frames(b: bytes, mid: object = None):
         if block == 0x21:  # extension: label byte + sub-blocks
             if pos >= len(b):
                 raise ValueError(f"media {mid}: truncated extension")
-            # A Graphic Control Extension applies to the NEXT image:
-            # record its transparent index so the paste keeps the
-            # canvas value wherever the frame carries that index.
-            if b[pos] == 0xF9 and pos + 5 < len(b) and b[pos + 2] & 0x01:
-                trans_idx = b[pos + 5]
+            # A Graphic Control Extension applies to the NEXT image —
+            # and a new GCE REPLACES any pending one, so a GCE without
+            # the transparency flag clears a previously recorded index.
+            if b[pos] == 0xF9 and pos + 5 < len(b):
+                trans_idx = b[pos + 5] if b[pos + 2] & 0x01 else None
             pos = skip_subblocks(pos + 1)
             continue
         if block != 0x2C:
@@ -2374,7 +2380,9 @@ def _sniff_one(b: bytes):
 
     try:
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-            pos, rate, n = 12, 0, 0
+            # RIFF does not mandate chunk order — collect fmt and data
+            # independently, derive n_samples at the end.
+            pos, rate, block, data_size = 12, 0, 0, 0
             while pos + 8 <= len(b):
                 tag = b[pos : pos + 4]
                 (size,) = struct.unpack_from("<I", b, pos + 4)
@@ -2382,9 +2390,9 @@ def _sniff_one(b: bytes):
                     rate = struct.unpack_from("<I", b, pos + 12)[0]
                     block = struct.unpack_from("<H", b, pos + 20)[0]
                 elif tag == b"data":
-                    n = size // max(block, 1)
+                    data_size = size
                 pos += 8 + size + (size & 1)
-            return "wav", n, rate
+            return "wav", data_size // max(block, 1), rate
         if b[:2] == b"P6":
             head = b[:64].split()
             return "ppm", int(head[1]), int(head[2])
@@ -2396,10 +2404,18 @@ def _sniff_one(b: bytes):
             return "png", w, h
         if b[:2] == b"\xff\xd8":
             pos = 2
-            while pos + 4 <= len(b):
+            while pos + 2 <= len(b):
                 if b[pos] != 0xFF:
                     break
+                # legal 0xFF fill bytes may pad before any marker
+                while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                    pos += 1
                 marker = b[pos + 1]
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    pos += 2  # standalone marker, no length field
+                    continue
+                if pos + 4 > len(b):
+                    break
                 (size,) = struct.unpack_from(">H", b, pos + 2)
                 if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                     h, w = struct.unpack_from(">HH", b, pos + 5)
@@ -2468,7 +2484,6 @@ def x4k_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        import struct as _st
 
         for pdf in batches:
             payloads = []
@@ -2477,19 +2492,12 @@ def x4k_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 kind = i % 6
                 if kind == 0:
                     n = len(t) % 400 + 10
-                    samples = np.full(n, i % 2000, dtype="<i2").tobytes()
                     payloads.append(
-                        b"RIFF" + _st.pack("<I", 36 + len(samples)) + b"WAVEfmt "
-                        + _st.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE,
-                                   _WAV_RATE * 2, 2, 16)
-                        + b"data" + _st.pack("<I", len(samples)) + samples
+                        _wav_bytes(np.full(n, i % 2000, dtype="<i2").tobytes())
                     )
                 elif kind == 1:
                     w, h = len(t) % 32 + 4, i % 24 + 4
-                    px = np.zeros((h, w, 3), dtype=np.uint8)
-                    payloads.append(
-                        f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
-                    )
+                    payloads.append(_ppm_bytes(np.zeros((h, w, 3), dtype=np.uint8)))
                 elif kind == 2:
                     payloads.append(_bmp_bytes(len(t) % 16 + 4, i % 12 + 4, i % 256))
                 elif kind == 3:
