@@ -695,3 +695,82 @@ def test_media_sniff_triage_never_throws(spark):
     got = {r.media_id: r for r in sniff_media(rows).collect()}
     assert (got[1].format, got[1].dim1, got[1].dim2) == ("png", 6, 7)
     assert got[2].format == "unknown" and got[3].format == "unknown"
+
+
+def test_media_sniff_tolerates_real_world_layouts():
+    """Chunk order and fill bytes the synthesizers never emit: RIFF
+    data-before-fmt still sniffs as wav with correct counts; JPEG 0xFF
+    fill bytes before a marker still reach the SOF."""
+    import struct
+
+    import numpy as np
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _sniff_one,
+    )
+
+    samples = b"\x00\x00" * 7
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"data" + struct.pack("<I", len(samples)) + samples
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)[4:]
+    )
+    # fmt chunk body must be the 16-byte block; rebuild precisely:
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 28 + len(samples) + len(fmt_body)) + b"WAVE"
+        + b"data" + struct.pack("<I", len(samples)) + samples
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    )
+    assert _sniff_one(wav) == ("wav", 7, 8000)
+    b = bytearray(_jpeg_bytes(np.full((2, 2), 100, dtype=np.int64), 0))
+    b[2:2] = b"\xff\xff"  # legal fill bytes straight after SOI
+    fmt, w, h = _sniff_one(bytes(b))
+    assert fmt == "jpeg" and (w, h) == (16, 16)
+
+
+def test_gif_gce_replacement_clears_transparency():
+    """A GCE without the transparency flag REPLACES a pending
+    transparent index — the following image pastes opaquely."""
+    import struct
+
+    import numpy as np
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _GIF_PALETTE_N,
+        _gif_lzw_encode,
+        _parse_gif_frames,
+    )
+
+    def img_block(w, h, indices):
+        lzw = _gif_lzw_encode(list(indices), 7)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            blocks.append(len(c))
+            blocks += c
+        blocks.append(0)
+        return (
+            b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes((7,)) + bytes(blocks)
+        )
+
+    palette = bytearray()
+    for i in range(_GIF_PALETTE_N):
+        palette += bytes((i, 77, 3))
+    sw, sh = 4, 3
+    head = b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0xF6, 0, 0) + bytes(palette)
+    base = list(range(sw * sh))
+    overlay = [9] * (sw * sh)
+    gce_t = b"\x21\xf9\x04" + bytes((0x05, 4, 0, 9)) + b"\x00"   # trans idx 9
+    gce_o = b"\x21\xf9\x04" + bytes((0x04, 4, 0, 0)) + b"\x00"   # no transparency
+    b = (
+        head + img_block(sw, sh, base)
+        + gce_t + gce_o + img_block(sw, sh, overlay) + b"\x3b"
+    )
+    f1, f2 = _parse_gif_frames(b, mid=1)
+    # gce_o replaced gce_t: index-9 pixels paste OPAQUELY (red 9 everywhere)
+    assert (f2[:, :, 0] == 9).all()
+    assert (np.asarray(f1[:, :, 0]).reshape(-1) == np.arange(sw * sh)).all()
