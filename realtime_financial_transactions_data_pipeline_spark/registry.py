@@ -54,34 +54,46 @@ DRIVER_WINDOW = 50
 #: cohort 2 (r07): k8b, k9, j6, q7, er1, x18, t9, s11, u3, dq1;
 #: cohort 3 (r08): k7, k8c, j7, mv1, x2j, t10, u4, dq2,
 #: scale_zorder_layout, x15 — 20/20 green on first driver exposure.
-#: Cohort-5 candidates (round 10): promote the round-9 newcomers —
-#: x4i_gif_decode, x4j_gif_frame_sample, x3l_luhn_card_scrub,
-#: x1d_bloom_prefilter, x2n_stream_neardup_ingest,
-#: x2o_product_quantization, x2p_pq_adc_topk, x5d_hll_distinct — plus
-#: long-waiting twins (j6b, t7, x2l, x5c, a11-a16 reps, s6, s8).
-#: Retirement pool: probes green since round 1-2 with 2+ driver-green
-#: rounds (p1, p2_p5, f9_f11_f12, u3, j6, a8_a9, l1_l3, o1_o2, q7,
-#: s5_k4 — keep q1 flagship and >=1 per family; rehearse first).
+#: Cohort-5 rotation (round 11, VERDICT_r10 item #1): NINETEEN probes
+#: with 2-4 driver-green rounds rotate OUT — the annotated retirement
+#: pool (p1, p2_p5, f9_f11_f12, u3, j6, a8_a9, l1_l3, o1_o2, q7,
+#: s5_k4) plus k9, t9, x2j, x18, dq1 (4 greens each, cohorts 2-3),
+#: x4_multimodal_decode (its family now holds five finer-grained
+#: members), and j3, t4, x2d (driver-green since round 1, families
+#: still multiply covered) — and NINETEEN never-driver-verified probes
+#: rotate IN: the round-9 newcomers (x4i GIF decode, x4j GIF frame
+#: sample, x4k media sniffer, x2n streaming near-dup ingest, x2o/x2p
+#: product quantization + ADC, x5d portable HLL, x1d Bloom prefilter,
+#: x3l Luhn scrub) plus long-waiting twins j6b (as-of w/ tolerance),
+#: t7 (stream-stream inner), x2l (SemDeDup), x5c (heavy hitters), a11
+#: (gap-fill + moving average), prof2 (skew profile), and
+#: family-preserving swaps l1b (partition-pruned slicer, for l1_l3),
+#: p4 (validation routing, for p1/p2_p5), f10b (date-dim build, for
+#: f9_f11_f12), o5 (window rank, for o1_o2). Every §2 family keeps
+#: >=1 window representative (test_driver_window_family_coverage
+#: enforces this). Every rotated-out probe is still oracle-checked by
+#: bench.py / scripts/check_oracle.py each round. Rotation history:
+#: cohort 2 (r07): k8b, k9, j6, q7, er1, x18, t9, s11, u3, dq1;
+#: cohort 3 (r08): k7, k8c, j7, mv1, x2j, t10, u4, dq2,
+#: scale_zorder_layout, x15; cohort 4 (r09): x4g, x4h, ts1b,
+#: q13/q15/q17/q19, k6, k8, x16 — 30/30 green on first driver
+#: exposure. Cohort-6 candidates: s6, s8, s9, s10, a12-a16 reps, o7,
+#: x2i, x3i, x4e, x10, x14, ts1, u1c, q5/q8/q9 (rehearse first).
 _DRIVER_ORDER = [
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
-    "p1_projection",                 # S7/P1
-    "p2_p5_shape_defaults",          # P2+P5 merged (drop + null-default)
-    "f9_f11_f12_datetime_money",     # F9+F11/F12 merged (one lineitem scan)
-    "u3_k_anonymity_audit",          # U3
     "u4_gdpr_erasure",               # U4 GDPR erasure (cohort 3)
-    "j3_stream_lookup_refresh",      # J3 (streaming)
-    "j6_asof_join",                  # J6 as-of join
+    "p4_validation_routing",         # P4 validation routing (cohort 5)
+    "f10b_date_dim_build",           # F10 calendar/date-dim build (cohort 5)
+    "j6b_asof_tolerance",            # J6b as-of join w/ tolerance (cohort 5)
     "j7_interval_overlap",           # J7 interval overlap (cohort 3)
-    "a8_a9_group_by_dim",            # A8/A9
+    "a11_gapfill_moving_avg",        # A11 gap-fill + moving average (cohort 5)
     "mv1_incremental_agg",           # MV1 incremental agg (cohort 3)
-    "l1_l3_slicer_stack",            # L1-L3
-    "o1_o2_topk",                    # O1/O2
-    "q7_bilateral_trade",            # TPC-H suite rep
+    "l1b_partition_pruned_slice",    # L1b partition-pruned slicer (cohort 5)
+    "o5_window_rank",                # O5 window rank (cohort 5)
     "q13_order_count_distribution",  # TPC-H Q13 (cohort 4)
     "q15_top_revenue_supplier",      # TPC-H Q15 broadcast-max argmax (cohort 4)
     "q17_small_quantity_revenue",    # TPC-H Q17 decorrelated scalar agg (cohort 4)
     "q19_disjunctive_predicates",    # TPC-H Q19 OR-of-ANDs pushdown (cohort 4)
-    "s5_k4_csv_overwrite_load",      # S5+K4
     "s11_avro_ocf_roundtrip",        # S11 Avro OCF codec
     "scale_zorder_layout",           # Z-order clustering (cohort 3)
     "k3_passthrough_stream",         # K3 (streaming)
@@ -90,28 +102,33 @@ _DRIVER_ORDER = [
     "k8_stream_merge_sink",          # K8 streaming CDC merge (cohort 4)
     "k8b_bucketed_merge_sink",       # K8b merge-on-write
     "k8c_change_feed",               # K8c change-data-feed (cohort 3)
-    "k9_scd2_build",                 # K9 SCD2
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
-    "t4_stateful_stream_dedupe",     # T4
+    "t7_stream_stream_join",         # T7 stream-stream inner join (cohort 5)
     "t8_stream_outer_attribution",   # LEFT-OUTER stream-stream join, e2e streaming
-    "t9_stream_sessionization",      # T9 streaming sessions
     "t10_stream_tumbling_windows",   # T10 tumbling windows (cohort 3)
     "ts1b_series_similarity_blocked",  # TS1b blocked candidate step (cohort 4)
     "x1_dedup_exact",                # X1
-    "x2d_simhash",                   # X2 simhash
+    "x1d_bloom_prefilter",           # X1d Bloom prefilter (cohort 5)
     "x2h_ann_ivf",                   # X2 ANN IVF
-    "x2j_kmeans",                    # X2 k-means (cohort 3)
+    "x2l_semdedup",                  # X2l SemDeDup (cohort 5)
+    "x2n_stream_neardup_ingest",     # X2n streaming near-dup ingest (cohort 5)
+    "x2o_product_quantization",      # X2o PQ codebook encode (cohort 5)
+    "x2p_pq_adc_topk",               # X2p PQ ADC top-k (cohort 5)
     "x3ade_doc_profile",             # X3 merged: tokens+fingerprint+BPE
-    "x4_multimodal_decode",          # X4 merged: binary cols + stub decode
+    "x3l_luhn_card_scrub",           # X3l Luhn card scrub (cohort 5)
     "x4g_jpeg_decode",               # X4g from-spec JPEG decode (cohort 4)
     "x4h_audio_features",            # X4h audio features (cohort 4)
+    "x4i_gif_decode",                # X4i GIF decode (cohort 5)
+    "x4j_gif_frame_sample",          # X4j animated-GIF frame sampling (cohort 5)
+    "x4k_media_sniff",               # X4k header-only media sniffer (cohort 5)
     "x5b_exact_percentiles",         # X5 (hash-checked twin)
+    "x5c_heavy_hitters",             # X5c Misra-Gries heavy hitters (cohort 5)
+    "x5d_hll_distinct",              # X5d portable HLL distinct (cohort 5)
     "x6_corpus_curation",            # X6 flagship curation chain
     "x15_chunk_dedup_rebuild",       # X15 chunk dedup rebuild (cohort 3)
     "x16_crossdoc_dup_fraction",     # X16 cross-doc dup fraction (cohort 4)
-    "x18_full_corpus_pipeline",      # X18 end-to-end corpus
     "er1_entity_resolution",         # ER1 SymSpell index
-    "dq1_expectation_metrics",       # DQ1 expectations
+    "prof2_skew_profile",            # PROF2 skew profile (cohort 5)
     "dq2_referential_audit",         # DQ2 referential audit (cohort 3)
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
