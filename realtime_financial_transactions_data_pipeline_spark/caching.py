@@ -177,16 +177,6 @@ def disk_fixture(name: str, fingerprint: str, build) -> str:
     path = os.path.join(_FIXTURE_ROOT, f"{name}-{key}")
     if os.path.exists(os.path.join(path, "_FIXTURE_OK")):
         return path
-    # Prune superseded generations of THIS fixture name only. The strict
-    # hex-shape match keeps a name that happens to be a prefix of
-    # another (plus "-") from claiming the longer name's dirs.
-    stale = re.compile(
-        re.escape(name) + r"-[0-9a-f]{16}(-[0-9a-f]{8})?(\.building)?$"
-    )
-    if os.path.isdir(_FIXTURE_ROOT):
-        for entry in os.listdir(_FIXTURE_ROOT):
-            if stale.fullmatch(entry) and entry != f"{name}-{key}":
-                shutil.rmtree(os.path.join(_FIXTURE_ROOT, entry), ignore_errors=True)
     tmp = path + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
@@ -195,6 +185,17 @@ def disk_fixture(name: str, fingerprint: str, build) -> str:
         pass
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
+    # Prune superseded generations of THIS fixture name only — AFTER
+    # the new build is committed, so a build() exception cannot orphan
+    # a still-valid older generation (ADVICE r09). The strict hex-shape
+    # match keeps a name that happens to be a prefix of another (plus
+    # "-") from claiming the longer name's dirs.
+    stale = re.compile(
+        re.escape(name) + r"-[0-9a-f]{16}(-[0-9a-f]{8})?(\.building)?$"
+    )
+    for entry in os.listdir(_FIXTURE_ROOT):
+        if stale.fullmatch(entry) and entry != f"{name}-{key}":
+            shutil.rmtree(os.path.join(_FIXTURE_ROOT, entry), ignore_errors=True)
     return path
 
 

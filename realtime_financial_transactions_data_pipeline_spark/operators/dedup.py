@@ -418,18 +418,14 @@ def minhash_signature(
     ).drop(*tmp)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, bucket_cap: int = _BUCKET_CAP
-) -> DataFrame:
-    """Band the signature and pair up ids *within* each (band_id,
-    band_hash) bucket. Returns distinct candidate (id_a, id_b) with
-    id_a < id_b. One shuffle (groupBy the bucket key) — singleton
-    buckets vanish in the aggregate, and buckets larger than
-    ``bucket_cap`` are dropped outright so one hot bucket can never go
-    quadratic (near-dup clusters are small; a mega-bucket is a
-    hash-collision pathology, not signal)."""
+def banded_keys(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Explode each row's signature into its LSH band keys: one row per
+    (``_id``, band_id, band_hash). Shared by ``lsh_candidate_pairs``
+    (pair generation) and the x2n streaming index (band-partitioned
+    state layout + probe-side pruning) so both sides of an index probe
+    compute byte-identical bucket keys."""
     n_bands = _N_HASHES // _BAND_ROWS
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(
@@ -443,6 +439,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bucket_cap: int = _BUCKET_CAP
+) -> DataFrame:
+    """Band the signature and pair up ids *within* each (band_id,
+    band_hash) bucket. Returns distinct candidate (id_a, id_b) with
+    id_a < id_b. One shuffle (groupBy the bucket key) — singleton
+    buckets vanish in the aggregate, and buckets larger than
+    ``bucket_cap`` are dropped outright so one hot bucket can never go
+    quadratic (near-dup clusters are small; a mega-bucket is a
+    hash-collision pathology, not signal)."""
+    banded = banded_keys(sigs, id_col)
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
@@ -1214,6 +1223,76 @@ def neardup_admit(
     )
 
 
+#: Partition-group fan-out for the x2n on-disk index state. Band-index
+#: rows land in ``bg = pmod(hash(band_id, band_hash), G)`` directories
+#: and doc-state rows in ``dg = pmod(hash(doc_id), G)`` directories, so
+#: a micro-batch's probe reads only the groups its own keys hash into —
+#: O(batch × bands) pruned reads instead of an O(corpus) scan per
+#: trigger. 16 keeps the probe's file count sane at sf0.01; a
+#: production deployment raises it (e.g. 4096) so each group stays
+#: row-group-sized — the probe-side cost is unchanged because pruning
+#: is driven by the batch's own key set, never by G.
+_X2N_STATE_GROUPS = 16
+
+
+def _group_values(df: DataFrame, col: str, n_groups: int) -> list[int]:
+    """The distinct partition-group ids a frame touches — at most
+    ``n_groups`` ints by construction (the collect is bounded by the
+    constant, not by data volume), destined for an ``isin`` partition
+    filter."""
+    return [r[0] for r in df.select(col).distinct().collect()]
+
+
+def pruned_index_state(
+    spark: SparkSession,
+    state_dir: str,
+    bands_dir: str,
+    batch_bands: DataFrame,
+    n_groups: int = _X2N_STATE_GROUPS,
+) -> DataFrame:
+    """Probe the band-partitioned x2n index WITHOUT scanning it: read
+    only the band-group (``bg``) partitions the batch's own band keys
+    hash into, equi-join on the exact (band_id, band_hash) bucket key
+    to find the index docs sharing a bucket with the batch, then fetch
+    just those docs' (grams, sig) state rows — again pruned, via the
+    doc-group (``dg``) partitions the candidate ids hash into, plus a
+    semi-join down to the exact ids.
+
+    Equivalence to the full-state probe (pinned by
+    test_pruned_index_state_equivalence): ``lsh_candidate_pairs`` can
+    only emit a cross pair for docs sharing a (band_id, band_hash)
+    bucket, and every index doc sharing a bucket with ANY batch doc is
+    retrieved here — so ``neardup_admit(pruned, b)`` admits exactly
+    what ``neardup_admit(full, b)`` does. (Index-index pairs inside
+    batch-free buckets are never generated from the pruned frame, but
+    those pairs cannot exist at the verify threshold by induction —
+    one side would have rejected the other at its own admission — and
+    even when banding false-positives them, their ids are absent from
+    ``b`` so the admission anti-join ignores them.)"""
+    batch_bands = batch_bands.withColumn(
+        "bg", F.pmod(F.hash("band_id", "band_hash"), F.lit(n_groups))
+    )
+    bgs = _group_values(batch_bands, "bg", n_groups)
+    cand_ids = (
+        spark.read.parquet(bands_dir)
+        .filter(F.col("bg").isin(bgs))
+        .join(
+            batch_bands.select("band_id", "band_hash").distinct(),
+            ["band_id", "band_hash"],
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("dg", F.pmod(F.hash("doc_id"), F.lit(n_groups)))
+    )
+    dgs = _group_values(cand_ids, "dg", n_groups)
+    return (
+        spark.read.parquet(state_dir)
+        .filter(F.col("dg").isin(dgs))
+        .join(cand_ids.select("doc_id"), "doc_id", "semi")
+        .select("doc_id", "lang", "grams", "sig")
+    )
+
+
 @probe(
     "x2n_stream_neardup_ingest",
     oracle=f"""
@@ -1268,10 +1347,17 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     an append-only batch=N layout, never rewritten: a generation-
     pointer snapshot (x1e's digest pattern) would rewrite the whole
     accepted corpus's state every batch, which at ingest scale is the
-    difference between O(batch) and O(corpus) I/O per trigger. x1e's
-    replay-after-publish guard carries over (a replayed batch sees its
-    own docs in the index, admits nothing, and must not clobber its
-    committed rows). The oracle unrolls the batch evolution as
+    difference between O(batch) and O(corpus) I/O per trigger. Both
+    state stores are GROUP-PARTITIONED on disk (band index by
+    ``bg = pmod(hash(band_id, band_hash), G)``, doc state by
+    ``dg = pmod(hash(doc_id), G)``), and the per-batch probe goes
+    through ``pruned_index_state``: read only the partitions the
+    batch's own keys hash into, so probe-side I/O is O(batch × bands)
+    pruned reads — the COMPUTE side matches the WRITE side's O(batch)
+    instead of rescanning the whole accepted corpus every trigger.
+    x1e's replay-after-publish guard carries over (a replayed batch
+    sees its own docs in the index, admits nothing, and must not
+    clobber its committed rows). The oracle unrolls the batch evolution as
     chained CTEs over the exact-Jaccard pair relation, so the hash
     certifies the ORDER of admission, the index probe, and both dedup
     rules — not just the final set. State per accepted doc = grams +
@@ -1316,6 +1402,7 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state_dir = f"{root}/state"
+    bands_dir = f"{root}/bands"
     accepted_dir = f"{root}/accepted"
     state_schema = T.StructType(
         [
@@ -1330,13 +1417,6 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = batch.sparkSession
         jvm = s._jvm
         hconf = s._jsc.hadoopConfiguration()
-        spath = jvm.org.apache.hadoop.fs.Path(state_dir)
-        if spath.getFileSystem(hconf).exists(spath):
-            state = s.read.schema(
-                T.StructType(state_schema.fields)
-            ).parquet(state_dir)
-        else:
-            state = s.createDataFrame([], state_schema)
         # The micro-batch arrives as ONE json file = one partition;
         # spread it before the shingle+signature pass or the whole
         # minhash computation runs on a single task.
@@ -1346,6 +1426,17 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", "lang", "grams", "sig")
         b.persist()
         try:
+            bpath = jvm.org.apache.hadoop.fs.Path(bands_dir)
+            if bpath.getFileSystem(hconf).exists(bpath):
+                # Band-partitioned probe (VERDICT r10 #2): read only the
+                # bg/dg partition groups the batch's own keys hash into
+                # — O(batch × bands) pruned reads per trigger, never an
+                # O(corpus) index scan.
+                state = pruned_index_state(
+                    s, state_dir, bands_dir, banded_keys(b, "doc_id")
+                )
+            else:
+                state = s.createDataFrame([], state_schema)
             admitted = neardup_admit(state, b)
             part_dir = f"{accepted_dir}/batch={batch_id}"
             hpath = jvm.org.apache.hadoop.fs.Path(part_dir)
@@ -1361,11 +1452,30 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "overwrite"
                     ).parquet(part_dir)
                     # Append-only index growth: this batch's state rows
-                    # land in their own batch= subdir; a replay
-                    # overwrites the same subdir idempotently.
-                    admitted.write.mode("overwrite").parquet(
-                        f"{state_dir}/batch={batch_id}"
-                    )
+                    # land in their own batch= subdir — doc-state
+                    # partitioned by doc group, band index by band
+                    # group — and a replay overwrites the same subdirs
+                    # idempotently.
+                    # repartition on the partition column first: one
+                    # file per touched group instead of one per task
+                    # per group (the many-executor small-file guard).
+                    admitted.withColumn(
+                        "dg",
+                        F.pmod(F.hash("doc_id"), F.lit(_X2N_STATE_GROUPS)),
+                    ).repartition("dg").write.mode("overwrite").partitionBy(
+                        "dg"
+                    ).parquet(f"{state_dir}/batch={batch_id}")
+                    banded_keys(admitted, "doc_id").select(
+                        F.col("_id").alias("doc_id"),
+                        "band_id",
+                        "band_hash",
+                        F.pmod(
+                            F.hash("band_id", "band_hash"),
+                            F.lit(_X2N_STATE_GROUPS),
+                        ).alias("bg"),
+                    ).repartition("bg").write.mode("overwrite").partitionBy(
+                        "bg"
+                    ).parquet(f"{bands_dir}/batch={batch_id}")
                 finally:
                     admitted.unpersist()
         finally:

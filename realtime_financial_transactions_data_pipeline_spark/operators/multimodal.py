@@ -1793,9 +1793,12 @@ def x4h_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same way as the PNG/JPEG pair — synthesizer and parser are mirrored
 # from the GIF89a spec, and the probe hash-checks per-pixel sums
 # against a synthesis-law oracle. Interlaced storage, local color
-# tables, animation, partial-frame compositing (do-not-dispose), and
+# tables, animation, partial-frame compositing with all three
+# disposal methods (do-not-dispose, restore-to-background,
+# restore-to-previous; reserved methods rejected at GCE parse), and
 # GCE transparency masking are all decoded for real — the GIF89a
-# feature set is complete.
+# rendering feature set is complete (plain-text extensions are walked
+# and skipped, not rendered).
 # ---------------------------------------------------------------------------
 
 _GIF_MAX_CODE = 4096  # 12-bit ceiling; both sides freeze the table here
@@ -2043,8 +2046,9 @@ def _parse_gif_frames(b: bytes, mid: object = None):
                 return p
 
     frames = []
-    canvas = None
+    canvas = None  # the base the NEXT image block composites onto
     trans_idx = None  # set by a GCE, consumed by the next image block
+    disposal = 0  # ditto: how the NEXT frame's region is disposed
     while True:
         if pos >= len(b):
             raise ValueError(f"media {mid}: missing trailer")
@@ -2058,8 +2062,22 @@ def _parse_gif_frames(b: bytes, mid: object = None):
             # A Graphic Control Extension applies to the NEXT image —
             # and a new GCE REPLACES any pending one, so a GCE without
             # the transparency flag clears a previously recorded index.
-            if b[pos] == 0xF9 and pos + 5 < len(b):
-                trans_idx = b[pos + 5] if b[pos + 2] & 0x01 else None
+            if b[pos] == 0xF9:
+                # The GCE data block is spec-fixed at 4 bytes; verify
+                # the size byte instead of assuming the field offsets.
+                if pos + 5 >= len(b):
+                    raise ValueError(f"media {mid}: truncated GCE")
+                if b[pos + 1] != 4:
+                    raise ValueError(
+                        f"media {mid}: GCE block size {b[pos + 1]}, expected 4"
+                    )
+                gpacked = b[pos + 2]
+                trans_idx = b[pos + 5] if gpacked & 0x01 else None
+                disposal = (gpacked >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"media {mid}: reserved GIF disposal method {disposal}"
+                    )
             pos = skip_subblocks(pos + 1)
             continue
         if block != 0x2C:
@@ -2113,24 +2131,41 @@ def _parse_gif_frames(b: bytes, mid: object = None):
             disp[_gif_interlace_order(h)] = idx2
             idx2 = disp
         px = palette[idx2]
-        # Composite onto the running canvas (do-not-dispose): each
-        # emitted frame is the full screen after this image's paste.
-        # The initial canvas is the LSD background color (through the
-        # global palette) so a transparent region in an early frame
-        # shows the spec'd background, not garbage.
+        # Composite onto the running canvas: each emitted frame is the
+        # full screen after this image's paste. The initial canvas is
+        # the LSD background color (through the global palette) so a
+        # transparent region in an early frame shows the spec'd
+        # background, not garbage.
         if canvas is None:
             canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
             if gpalette is not None and _bg < gpalette.shape[0]:
                 canvas[:, :] = gpalette[_bg]
-        else:
-            canvas = canvas.copy()
+        base = canvas
+        composed = base.copy()
         if trans_idx is None:
-            canvas[top : top + h, left : left + w] = px
+            composed[top : top + h, left : left + w] = px
         else:
             opaque = idx2 != trans_idx
-            canvas[top : top + h, left : left + w][opaque] = px[opaque]
+            composed[top : top + h, left : left + w][opaque] = px[opaque]
+        frames.append(composed)
+        # The GCE's disposal method decides what the NEXT frame
+        # composites onto: 0/1 keep this frame, 2 restores the frame's
+        # region to the background color, 3 restores the pre-paste
+        # canvas (reserved methods already rejected at GCE parse).
+        if disposal == 2:
+            canvas = composed.copy()
+            bgcolor = (
+                gpalette[_bg]
+                if gpalette is not None and _bg < gpalette.shape[0]
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas[top : top + h, left : left + w] = bgcolor
+        elif disposal == 3:
+            canvas = base
+        else:
+            canvas = composed
         trans_idx = None  # a GCE governs exactly one rendering block
-        frames.append(canvas)
+        disposal = 0
     if not frames:
         raise ValueError(f"media {mid}: no image block before trailer")
     return frames

@@ -84,6 +84,24 @@ def test_unchanged_recipe_reuses_fixture(fixture_root):
     assert os.stat(marker).st_mtime_ns == before  # not rebuilt
 
 
+def test_failed_build_keeps_previous_generation(fixture_root):
+    """Prune runs AFTER the new generation commits (ADVICE r09): a
+    build() that raises must leave the prior valid fixture on disk and
+    reusable, not already deleted."""
+    fp_old, fp_new = "1" * 16, "2" * 16
+    p1 = caching.disk_fixture("crashy_probe", fp_old, touch_build("v1"))
+
+    def exploding(tmp: str) -> None:
+        raise RuntimeError("build blew up")
+
+    with pytest.raises(RuntimeError, match="build blew up"):
+        caching.disk_fixture("crashy_probe", fp_new, exploding)
+    # The old generation survives the failed build...
+    assert os.path.exists(os.path.join(p1, "_FIXTURE_OK"))
+    # ...and is still served for its own key without rebuilding.
+    assert caching.disk_fixture("crashy_probe", fp_old, touch_build("v1")) == p1
+
+
 def test_prune_is_scoped_to_the_exact_name(fixture_root):
     """A fixture name that is a prefix of another must not claim the
     longer name's dirs."""

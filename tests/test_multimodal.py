@@ -667,6 +667,104 @@ def test_gif_partial_frame_compositing():
     assert (f3[:, :, 0] == 7 * y + x).all()
 
 
+def test_gif_disposal_methods():
+    """GCE disposal semantics (VERDICT r10 #3): method 2 restores the
+    frame's region to the LSD background color before the next paste,
+    method 3 restores the pre-paste canvas; the GCE's size byte is
+    validated and reserved methods are rejected at parse."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _GIF_PALETTE_N,
+        _gif_lzw_encode,
+        _parse_gif_frames,
+    )
+
+    def img_block(left, top, w, h, indices):
+        lzw = _gif_lzw_encode(list(indices), 7)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            blocks.append(len(c))
+            blocks += c
+        blocks.append(0)
+        return (
+            b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+            + bytes((7,)) + bytes(blocks)
+        )
+
+    def gce(packed):
+        return b"\x21\xf9\x04" + bytes((packed, 0, 0, 0)) + b"\x00"
+
+    palette = bytearray()
+    for i in range(_GIF_PALETTE_N):
+        palette += bytes((i, 77, 3))
+    sw, sh = 8, 6
+    # LSD background index 0 -> palette[0] = (0, 77, 3)
+    head = b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0xF6, 0, 0) + bytes(palette)
+    y, x = np.mgrid[0:sh, 0:sw]
+    base = (7 * y + x).reshape(-1)
+    patch = [5] * (3 * 2)  # 3x2 patch, constant index 5
+
+    # Disposal 2 on frame 1: frame 2 composites onto the background
+    # color, not onto frame 1's pixels.
+    d2 = (
+        head + gce(0x08) + img_block(0, 0, sw, sh, base)
+        + img_block(2, 1, 3, 2, patch) + b"\x3b"
+    )
+    f1, f2 = _parse_gif_frames(d2, mid=1)
+    assert (f1[:, :, 0] == 7 * y + x).all()  # emitted frame 1 intact
+    expect2 = np.zeros((sh, sw), dtype=np.int64)  # bg color idx 0
+    expect2[1:3, 2:5] = 5
+    assert (f2[:, :, 0] == expect2).all()
+    assert (f2[:, :, 1] == 77).all()  # bg color green channel
+
+    # Disposal 3 on frame 2: frame 3 composites onto the PRE-frame-2
+    # canvas — frame 2's patch must not leak into frame 3.
+    d3 = (
+        head + img_block(0, 0, sw, sh, base)
+        + gce(0x0C) + img_block(2, 1, 3, 2, patch)
+        + img_block(5, 3, 2, 2, [9] * 4) + b"\x3b"
+    )
+    g1, g2, g3 = _parse_gif_frames(d3, mid=2)
+    exp_g2 = (7 * y + x).copy()
+    exp_g2[1:3, 2:5] = 5
+    assert (g2[:, :, 0] == exp_g2).all()  # frame 2 shows its own paste
+    exp_g3 = (7 * y + x).copy()  # frame 2's patch restored away...
+    exp_g3[3:5, 5:7] = 9         # ...only frame 3's paste remains
+    assert (g3[:, :, 0] == exp_g3).all()
+    assert (g1[:, :, 0] == 7 * y + x).all()
+
+    # Default disposal (0/1) still accumulates: same stream without the
+    # disposal-3 GCE keeps frame 2's patch in frame 3.
+    d0 = (
+        head + img_block(0, 0, sw, sh, base)
+        + img_block(2, 1, 3, 2, patch)
+        + img_block(5, 3, 2, 2, [9] * 4) + b"\x3b"
+    )
+    h3 = _parse_gif_frames(d0, mid=3)[2]
+    exp_h3 = exp_g2.copy()
+    exp_h3[3:5, 5:7] = 9
+    assert (h3[:, :, 0] == exp_h3).all()
+
+    # Malformed GCE size byte -> tagged error, not a fixed-offset read.
+    bad_size = (
+        head + b"\x21\xf9\x05" + bytes((0x04, 0, 0, 0, 0)) + b"\x00"
+        + img_block(0, 0, sw, sh, base) + b"\x3b"
+    )
+    with _pytest.raises(ValueError, match="GCE block size"):
+        _parse_gif_frames(bad_size, mid=4)
+
+    # Reserved disposal method (4-7) -> rejected at parse.
+    with _pytest.raises(ValueError, match="reserved GIF disposal"):
+        _parse_gif_frames(
+            head + gce(0x10) + img_block(0, 0, sw, sh, base) + b"\x3b", mid=5
+        )
+
+
 def test_media_sniff_triage_never_throws(spark):
     """The sniffer classifies; it never raises: corrupt headers,
     truncated payloads, unknown magics, and NULL content all land in
