@@ -765,6 +765,54 @@ def test_gif_disposal_methods():
         )
 
 
+def test_av_container_sniff_edges():
+    """x4l header-walk edges: ID3v2 skip, mid-stream corruption
+    truncating the frame count, MP4 64-bit box sizes, an MP4 with no
+    video sample entry, and triage (never-throw) on garbage."""
+    import struct
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _mp3_bytes,
+        _mp4_box,
+        _mp4_bytes,
+        _sniff_one,
+    )
+
+    # Plain stream: count + rate from the walk.
+    assert _sniff_one(_mp3_bytes(7, 1, 9)) == ("mp3", 7, 48000)
+    # ID3v2-prefixed: the tag is skipped via its syncsafe size.
+    assert _sniff_one(_mp3_bytes(5, 0, 5, id3_pad=37)) == ("mp3", 5, 44100)
+    # Mid-stream corruption: the count stops at the last whole frame.
+    b = bytearray(_mp3_bytes(6, 2, 7))
+    flen = 144 * 96 * 1000 // 32000  # bitrate index 7 -> 96 kbps
+    b[3 * flen] = 0x00  # clobber the 4th frame's sync byte
+    assert _sniff_one(bytes(b)) == ("mp3", 3, 32000)
+    # A lone ID3 tag with no audio behind it is not an mp3.
+    assert _sniff_one(_mp3_bytes(0, 0, 5, id3_pad=10)) == ("unknown", 0, 0)
+
+    assert _sniff_one(_mp4_bytes(320, 128)) == ("mp4", 320, 128)
+    # 64-bit box size on the moov chain still walks.
+    w, h = 64, 48
+    inner = _mp4_bytes(w, h)
+    # splice: rebuild moov with size=1 + largesize
+    (ftyp_size,) = struct.unpack_from(">I", inner, 0)
+    (moov_size,) = struct.unpack_from(">I", inner, ftyp_size)
+    moov = inner[ftyp_size : ftyp_size + moov_size]
+    big_moov = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", moov_size + 8)
+        + moov[8:]
+    )
+    assert _sniff_one(inner[:ftyp_size] + big_moov) == ("mp4", w, h)
+    # No video entry: routes as mp4 with zero dims (container triage).
+    no_vid = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512)) + _mp4_box(
+        b"moov", _mp4_box(b"trak", b"")
+    )
+    assert _sniff_one(no_vid) == ("mp4", 0, 0)
+    # Garbage after a valid ftyp magic: triage, never throw.
+    assert _sniff_one(b"\x00\x00\x00\x20ftyp" + b"\xff" * 3)[0] == "mp4"
+    assert _sniff_one(b"\xff\xe0\x00") == ("unknown", 0, 0)
+
+
 def test_media_sniff_triage_never_throws(spark):
     """The sniffer classifies; it never raises: corrupt headers,
     truncated payloads, unknown magics, and NULL content all land in
