@@ -140,6 +140,17 @@ _BLOOM_M = 1 << 14  # bits (positions); ~10 bits per prior element here
 _BLOOM_K = 5  # hash functions
 
 
+def _bloom_positions_sql(h_col: str) -> str:
+    """SQL text of the k Bloom bit positions of a digest (see
+    :func:`_bloom_positions`) — exposed so :func:`bloom_maybe_seen`
+    can embed the identical law inside a larger expression."""
+    return (
+        f"transform(sequence(0, {_BLOOM_K - 1}), s -> "
+        f"pmod(CAST(conv(substr(md5(concat({h_col}, ':', CAST(s AS STRING))), 1, 8),"
+        f" 16, 10) AS BIGINT), {_BLOOM_M}))"
+    )
+
+
 def _bloom_positions(h_col: str) -> F.Column:
     """The k Bloom bit positions of a digest, ENGINE-PORTABLE: position
     s = first-8-hex-chars of md5(digest || ':' || s) mod _BLOOM_M. Both
@@ -147,16 +158,13 @@ def _bloom_positions(h_col: str) -> F.Column:
     compute the identical unsigned 32-bit value, so the oracle replays
     the exact bit pattern — collisions and all (the u1c portable-PRF
     pattern applied to membership filtering)."""
-    return F.expr(
-        f"transform(sequence(0, {_BLOOM_K - 1}), s -> "
-        f"pmod(CAST(conv(substr(md5(concat({h_col}, ':', CAST(s AS STRING))), 1, 8),"
-        f" 16, 10) AS BIGINT), {_BLOOM_M}))"
-    )
+    return F.expr(_bloom_positions_sql(h_col))
 
 
-@probe(
-    "x1d_bloom_prefilter",
-    oracle=f"""
+#: Shared by x1d (position-relation filter) and x1db (packed long[]
+#: bitmap): the two variants are semantically identical BY CONSTRUCTION
+#: — same position law, same collisions — so one oracle certifies both.
+_X1D_ORACLE = f"""
     WITH prior AS (
       SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
     seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS s),
@@ -184,8 +192,10 @@ def _bloom_positions(h_col: str) -> F.Column:
              AS BIGINT) AS n_false_positive
     FROM hits LEFT JOIN prior p ON hits.h = p.h
     GROUP BY lang
-    """,
-)
+    """
+
+
+@probe("x1d_bloom_prefilter", oracle=_X1D_ORACLE)
 def x1d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup prefilter — the approximate early-pruning
     path x1c's docstring names for 100-TB-prior scale, built portably:
@@ -194,9 +204,10 @@ def x1d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     maybe-seen (all k positions set) vs definitely-new, and the exact
     digest join over the SAME batch exposes the filter's true/false
     positives. The filter here is a DISTINCT position relation (tiny,
-    broadcast); a production variant folds the positions into a long[]
-    bitmap with the identical position law — the semantics, including
-    every collision, are what the oracle replays bit-for-bit. Bloom
+    broadcast); the production variant folding the positions into a
+    long[] bitmap with the identical position law is ``x1db`` below —
+    the semantics, including every collision, are what the shared
+    oracle replays bit-for-bit against BOTH representations. Bloom
     guarantees certified by the hash: zero false NEGATIVES (every truly
     seen doc is maybe-seen) and a deterministic false-positive count.
     At 100 TB: the bitmap broadcasts (m bits ~ MBs) while the exact
@@ -227,6 +238,82 @@ def x1d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_seen").alias("n_truly_seen"),
             F.count(
                 F.when((F.col("nhit") == _BLOOM_K) & F.col("_seen").isNull(), 1)
+            ).alias("n_false_positive"),
+        )
+    )
+
+
+def bloom_bitmap_longs(prior: DataFrame, h_col: str = "h") -> list[int]:
+    """The production packing x1d's docstring promises: fold the prior
+    digests' Bloom positions into an m-bit bitmap stored as m/64
+    longs. The bit law is ``word = pos >> 6, bit = pos & 63`` over the
+    SAME portable position law as the relation variant, so membership
+    — including every collision-induced false positive — is
+    bit-identical (pinned by test_bloom_bitmap_equivalence and the
+    x1db probe's shared oracle). The pack is a groupBy(word) bit_or —
+    map-side-combined, 256 result rows for m = 16384 — and the
+    collect is bounded by m/64, a constant, never by prior volume.
+    At 100 TB the same plan holds: the position explode and bit_or
+    shrink the prior to m/64 rows executor-side; only the packed
+    words reach the driver for broadcast."""
+    words = (
+        prior.select(F.explode(_bloom_positions(h_col)).alias("pos"))
+        .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)))"
+            ).alias("bits")
+        )
+    )
+    bmp = [0] * (_BLOOM_M // 64)
+    for r in words.collect():
+        bmp[int(r.w)] = int(r.bits)
+    return bmp
+
+
+def bloom_maybe_seen(bitmap: list[int], h_col: str) -> F.Column:
+    """Boolean column: all k of the digest's Bloom bits are set in the
+    packed bitmap. The bitmap rides the plan as a 256-long array
+    literal (2 KiB — shipped with the task closure, no join at all),
+    and the test is pure codegen'd long arithmetic: element_at + `&` +
+    shiftleft per position."""
+    arr = "array(" + ",".join(f"{v}L" for v in bitmap) + ")"
+    return F.expr(
+        f"forall({_bloom_positions_sql(h_col)}, p -> "
+        f"(element_at({arr}, CAST(p DIV 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))) != 0)"
+    )
+
+
+@probe("x1db_bloom_bitmap", oracle=_X1D_ORACLE)
+def x1db_bloom_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1db — x1d's classification through the PRODUCTION filter
+    representation: the prior's positions pack into a 256-long bitmap
+    (``bloom_bitmap_longs``) and the batch classifies via pure long
+    arithmetic (``bloom_maybe_seen``) instead of a position-relation
+    join. Shares x1d's oracle verbatim: the bitmap is a re-encoding of
+    the identical bit set, so every count — including the
+    collision-driven false positives — must hash-match the relation
+    variant. The shape 100 TB wants: the filter is 2 KiB of literals
+    in the task closure; definitely-new docs never touch a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    prior = (
+        d.filter(F.col("doc_id") % 4 == 0).select(F.md5("text").alias("h")).distinct()
+    )
+    bmp = bloom_bitmap_longs(prior)
+    batch = d.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    flagged = batch.withColumn("maybe", bloom_maybe_seen(bmp, "h"))
+    return (
+        flagged.join(F.broadcast(prior.withColumn("_seen", F.lit(1))), "h", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count(F.when(F.col("maybe"), 1)).alias("n_maybe_seen"),
+            F.count("_seen").alias("n_truly_seen"),
+            F.count(
+                F.when(F.col("maybe") & F.col("_seen").isNull(), 1)
             ).alias("n_false_positive"),
         )
     )

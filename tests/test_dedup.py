@@ -236,6 +236,59 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
         assert r.n_batch > 0
 
 
+def test_bloom_bitmap_equivalence(spark, sf_dir):
+    """The packed long[] bitmap (x1db) must flag EXACTLY the docs the
+    position-relation filter (x1d) flags — same bit law, same
+    collisions, same false-positive set — checked per document, not
+    just in aggregate."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _bloom_positions,
+        bloom_bitmap_longs,
+        bloom_maybe_seen,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    prior = (
+        d.filter(F.col("doc_id") % 4 == 0).select(F.md5("text").alias("h")).distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+
+    bmp = bloom_bitmap_longs(prior)
+    assert len(bmp) == _BLOOM_M // 64
+    via_bitmap = {
+        r.doc_id
+        for r in batch.filter(bloom_maybe_seen(bmp, "h")).collect()
+    }
+
+    bits = prior.select(F.explode(_bloom_positions("h")).alias("pos")).distinct()
+    via_relation = {
+        r.doc_id
+        for r in (
+            batch.withColumn("pos", F.explode(_bloom_positions("h")))
+            .join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left")
+            .groupBy("doc_id")
+            .agg(F.count("_hit").alias("nhit"))
+            .filter(F.col("nhit") == _BLOOM_K)
+        ).collect()
+    }
+    assert via_bitmap == via_relation
+    # Zero false negatives: every PRIOR digest re-probed against the
+    # bitmap must flag (the Bloom guarantee, and a non-trivial firing
+    # check even when the sf0.001 batch happens to contain no dups).
+    prior_probe = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    assert prior_probe.filter(~bloom_maybe_seen(bmp, "h")).count() == 0
+    assert prior_probe.count() > 0
+
+
 def test_neardup_admit_classification_edges(spark):
     """Pin the x2n admission semantics the synthetic corpus cannot
     force: (1) a batch doc near-dup of an INDEX doc is cross-rejected;
