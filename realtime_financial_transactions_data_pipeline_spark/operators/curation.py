@@ -677,3 +677,90 @@ def x18_full_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("shard_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X19 — temperature-scaled domain-mixture rebalancing. x8/x12 apply
+# FIXED per-domain rates/quotas; production mixture tuning (Pile-style
+# flattening, DoReMi-ish reweighting) derives the rates FROM the
+# corpus itself: kept_d ∝ count_d^T, so T=1 keeps the natural mix and
+# T→0 flattens toward uniform. Two passes, both shuffle-light: a
+# domain-count aggregate (|domains| rows, broadcast back), then the
+# one-pass deterministic acceptance filter.
+# ---------------------------------------------------------------------------
+
+_X19_SEED = 83
+_X19_T = 0.5  # exactly sqrt — correctly-rounded in both engines
+
+
+@probe(
+    "x19_mixture_rebalance",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+      FROM documents GROUP BY lang),
+    m AS (SELECT min(n_total) AS cmin FROM c),
+    p AS (
+      SELECT lang, n_total,
+             power(CAST(cmin AS DOUBLE) / n_total, 1 - {_X19_T}) AS pk
+      FROM c, m),
+    k AS (
+      SELECT d.lang, p.n_total, p.pk
+      FROM documents d JOIN p USING (lang)
+      WHERE (('0x' || substr(md5('{_X19_SEED}-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UINTEGER
+             / 4294967296.0) < p.pk)
+    SELECT lang, n_total,
+           round(pk * 1000000) / 1000000 AS p_keep,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM k GROUP BY lang, n_total, pk
+    """,
+)
+def x19_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 — data-dependent mixture weighting: per-domain acceptance
+    probability p_d = (c_min / c_d)^(1-T) (T = {_X19_T}: the kept
+    distribution is ∝ c_d^T — the rarest domain keeps everything,
+    dominant domains are subsampled toward balance), applied with the
+    x8 counter-based md5 uniform so the sample is partitioning- and
+    rerun-stable. Plan shape: domain-count aggregate (|domains| rows)
+    → 1-row broadcast min gate → broadcast join of the probability
+    table onto the corpus → one-pass filter; the corpus itself never
+    shuffles. T = 1/2 makes the power an exact sqrt (correctly rounded
+    in both engines), and p_keep is emitted dround-ed so the hash
+    certifies the derived rates, not just the kept counts. At 100 TB
+    the count pass is a map-side-combined aggregate and everything
+    after is map-only."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        hash_uniform,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    probs = (
+        counts.crossJoin(
+            F.broadcast(counts.agg(F.min("n_total").alias("_cmin")))
+        )
+        .withColumn(
+            "pk",
+            F.pow(F.col("_cmin").cast("double") / F.col("n_total"), 1 - _X19_T),
+        )
+        .drop("_cmin")
+    )
+    kept = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(probs), "lang")
+        .withColumn("_u", hash_uniform(_X19_SEED, "doc_id"))
+        .filter(F.col("_u") < F.col("pk"))
+    )
+    return (
+        kept.groupBy("lang", "n_total", "pk")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            "lang",
+            "n_total",
+            dround("pk", 6).alias("p_keep"),
+            "n_kept",
+        )
+    )

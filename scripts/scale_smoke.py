@@ -1,0 +1,182 @@
+"""10x scale smoke (VERDICT r10 #7): synthesize sf0.1-SHAPED tables at
+1x, 10x (and 60x events = 6 M rows for the merge sink), run the
+heaviest probes once per scale through their REAL code paths (the
+probe functions themselves, pointed at the synthetic sf_dir), and
+record wall time + shuffle bytes from the Spark REST API. The output
+is a markdown table for PLANS.md; the check is that observed scaling
+is ~linear for the linear-by-design operators (x2a banding, x2i label
+propagation, x2n pruned-probe ingest, k8b touched-bucket merges) and
+quadratic ONLY where the operator is exact-all-pairs by contract
+(ts1b's tile scan: pair space grows as users^2 while per-task memory
+stays two tiles).
+
+Generation laws (deterministic, hash-derived — no RNG):
+  documents: word j of doc i = md5(base_id ':' j)[:8], n_words =
+    40 + xxhash64(base_id) % 60; every 13th doc is a near-dup of its
+    predecessor (its first two words differ) so dedup probes see
+    planted structure at every scale.
+  events: ts = 2024-01-01 + (xxhash64(id,1) % 90 days), user_id =
+    xxhash64(id,2) % (n/50)  (~50 events/user), event_type from five
+    values incl. 'error' (k8b's tombstones), value = hash-uniform.
+
+Run it alone (it shares /tmp probe scratch with bench/pytest):
+
+    python scripts/scale_smoke.py            # full matrix, ~15-30 min
+    python scripts/scale_smoke.py x2a 1 10   # one probe, chosen scales
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+from realtime_financial_transactions_data_pipeline_spark import caching
+from realtime_financial_transactions_data_pipeline_spark.registry import all_probes
+
+ROOT = "/tmp/spark_graft_scale"
+BASE_DOCS = 5_000     # sf0.1 documents row count
+BASE_EVENTS = 100_000  # sf0.1 events row count
+
+#: probe -> (table it scales with, scales to run)
+MATRIX = {
+    "x2a_minhash_lsh_neardup": ("documents", (1, 10)),
+    "x2i_neardup_components": ("documents", (1, 10)),
+    "x2n_stream_neardup_ingest": ("documents", (1, 10)),
+    "k8b_bucketed_merge_sink": ("events", (1, 10, 60)),
+    "ts1b_series_similarity_blocked": ("events", (1, 10)),
+}
+
+
+def gen_documents(spark: SparkSession, n: int, path: str) -> None:
+    base = (
+        "CASE WHEN id > 0 AND id % 13 = 0 THEN id - 1 ELSE id END"
+    )
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(0, 39 + CAST(pmod(xxhash64({base}), 60) AS INT)),"
+            f" j -> substr(md5(concat(CAST(CASE WHEN j < 2 THEN id ELSE {base} END AS STRING), ':', CAST(j AS STRING))), 1, 8)))"
+        ).alias("text"),
+        F.expr(
+            "element_at(array('en','de','fr','es'), CAST(pmod(id, 4) AS INT) + 1)"
+        ).alias("lang"),
+        F.lit("synthetic").alias("source"),
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(path)
+
+
+def gen_events(spark: SparkSession, n: int, path: str) -> None:
+    n_users = max(1, n // 50)
+    spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, CAST(pmod(xxhash64(id, 1), 7776000) AS DOUBLE))"
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_users)).alias("user_id"),
+        F.expr(
+            "element_at(array('click','view','purchase','error','signup'),"
+            " CAST(pmod(xxhash64(id, 3), 5) AS INT) + 1)"
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(100000)) / 1000.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def shuffle_totals(app_id: str) -> tuple[int, int]:
+    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    with urllib.request.urlopen(url, timeout=10) as fh:
+        stages = json.load(fh)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    only = {a for a in args if not a.isdigit()}
+    scales = {int(a) for a in args if a.isdigit()}
+    spark = (
+        SparkSession.builder.appName("scale_smoke")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "true")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+    # Isolate fixture builds: the probes' disk fixtures are keyed by
+    # source fingerprint, and letting the scale runs share the bench
+    # fixture root would prune the bench-keyed generations.
+    caching._FIXTURE_ROOT = f"{ROOT}/fixtures"
+
+    probes = all_probes()
+    needed: dict[tuple[str, int], str] = {}
+    for name, (table, ss) in MATRIX.items():
+        if only and not any(name.startswith(o) for o in only):
+            continue
+        for s in ss:
+            if scales and s not in scales:
+                continue
+            needed[(table, s)] = f"{ROOT}/sf{s}x"
+    for (table, s), d in sorted(needed.items()):
+        path = f"{d}/{table}.parquet"
+        import os
+
+        if os.path.exists(f"{path}/_SUCCESS"):
+            continue
+        t0 = time.time()
+        if table == "documents":
+            gen_documents(spark, BASE_DOCS * s, path)
+        else:
+            gen_events(spark, BASE_EVENTS * s, path)
+        print(f"gen   {table} x{s}: {time.time() - t0:.1f}s", flush=True)
+
+    rows = []
+    for name, (table, ss) in MATRIX.items():
+        if only and not any(name.startswith(o) for o in only):
+            continue
+        base_wall = base_w = None
+        for s in ss:
+            if scales and s not in scales:
+                continue
+            sf_dir = f"{ROOT}/sf{s}x"
+            w0, r0 = shuffle_totals(app_id)
+            t0 = time.time()
+            n_rows = probes[name].fn(spark, sf_dir).count()
+            wall = time.time() - t0
+            w1, r1 = shuffle_totals(app_id)
+            dw = (w1 - w0) / 1e6
+            if base_wall is None:
+                base_wall, base_w = wall, max(dw, 1e-9)
+                factor = ""
+            else:
+                factor = f"{wall / base_wall:.1f}x wall / {dw / base_w:.1f}x shuffle"
+            rows.append(
+                (name, s, BASE_DOCS * s if table == "documents" else BASE_EVENTS * s,
+                 wall, dw, (r1 - r0) / 1e6, n_rows, factor)
+            )
+            print(
+                f"run   {name} x{s}: {wall:.1f}s wall, {dw:.1f} MB shuffle-write,"
+                f" {n_rows} rows {('[' + factor + ']') if factor else ''}",
+                flush=True,
+            )
+
+    print("\n| probe | scale | input rows | wall s | shuffle-write MB | shuffle-read MB | result rows | vs 1x |")
+    print("|---|---|---|---|---|---|---|---|")
+    for name, s, n_in, wall, dw, dr, n_rows, factor in rows:
+        print(
+            f"| {name} | {s}x | {n_in:,} | {wall:.1f} | {dw:.1f} | {dr:.1f} |"
+            f" {n_rows} | {factor} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
