@@ -1518,10 +1518,13 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Band-partitioned probe (VERDICT r10 #2): read only the
                 # bg/dg partition groups the batch's own keys hash into
                 # — O(batch × bands) pruned reads per trigger, never an
-                # O(corpus) index scan.
+                # O(corpus) index scan. Persisted because the admission
+                # result is evaluated several times per batch (replay
+                # check + the three sink writes) and the candidate set
+                # is batch-bounded by construction.
                 state = pruned_index_state(
                     s, state_dir, bands_dir, banded_keys(b, "doc_id")
-                )
+                ).persist()
             else:
                 state = s.createDataFrame([], state_schema)
             admitted = neardup_admit(state, b)
@@ -1567,6 +1570,10 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     admitted.unpersist()
         finally:
             b.unpersist()
+            try:
+                state.unpersist()
+            except NameError:  # pruned-read failed before `state` bound
+                pass
 
     stream = (
         spark.readStream.schema("doc_id LONG, lang STRING, text STRING")
