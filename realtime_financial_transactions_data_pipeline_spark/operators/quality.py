@@ -209,3 +209,113 @@ def dq2_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = {"orders->customer", "customer->nation",
             "supplier->nation", "nation->region"}
     return referential_audit(edges, broadcast_parents=dims)
+
+
+# ---------------------------------------------------------------------------
+# DQ3 — distribution-drift audit (population stability index). The
+# production check that catches silent upstream changes the row-level
+# expectations (dq1) can't: every row individually valid, but the
+# DISTRIBUTION shifted. PSI per bin = (share_b - share_a) ·
+# ln(share_b / share_a); the industry rule of thumb flags a column at
+# Σ PSI > 0.1 (monitor) / > 0.25 (act).
+# ---------------------------------------------------------------------------
+
+
+def psi_drift(
+    old: DataFrame, new: DataFrame, bin_col: Column, n_rows_hint: str = "bin"
+) -> DataFrame:
+    """Per-bin PSI between two snapshots over a shared binning
+    expression: one aggregate per side (map-side combined), a 1-row
+    broadcast total per side, and a full-outer bin join — bins are
+    bounded by the binning law, so everything after the two scans is
+    metadata-sized. Laplace-style +1 smoothing keeps empty bins finite
+    (and is replayed identically by the oracle)."""
+    a = old.groupBy(bin_col.alias(n_rows_hint)).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    b = new.groupBy(bin_col.alias(n_rows_hint)).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    joined = (
+        a.join(b, n_rows_hint, "full_outer")
+        .na.fill({"n_old": 0, "n_new": 0})
+        .crossJoin(
+            F.broadcast(
+                a.agg(F.sum("n_old").alias("_ta")).crossJoin(
+                    b.agg(F.sum("n_new").alias("_tb"))
+                )
+            )
+        )
+    )
+    # +1 smoothing on counts (not shares): deterministic, engine-portable.
+    sa = (F.col("n_old") + 1).cast("double") / (F.col("_ta") + 1)
+    sb = (F.col("n_new") + 1).cast("double") / (F.col("_tb") + 1)
+    return joined.select(
+        n_rows_hint,
+        "n_old",
+        "n_new",
+        sa.alias("_sa"),
+        sb.alias("_sb"),
+        ((sb - sa) * F.log(sb / sa)).alias("_psi"),
+    )
+
+
+_DQ3_BINS = 10  # value in [0, 100): decile-width fixed bins
+
+
+@probe(
+    "dq3_psi_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(value / {_DQ3_BINS}) AS BIGINT) AS bin,
+             event_id % 2 = 0 AS is_old
+      FROM events WHERE value >= 0 AND value < 100),
+    a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_old FROM e WHERE is_old GROUP BY bin),
+    b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_new FROM e WHERE NOT is_old GROUP BY bin),
+    t AS (SELECT (SELECT sum(n_old) FROM a) AS ta, (SELECT sum(n_new) FROM b) AS tb),
+    j AS (
+      SELECT COALESCE(a.bin, b.bin) AS bin,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+    s AS (
+      SELECT bin, n_old, n_new,
+             CAST(n_old + 1 AS DOUBLE) / (ta + 1) AS sa,
+             CAST(n_new + 1 AS DOUBLE) / (tb + 1) AS sb
+      FROM j, t)
+    SELECT bin, n_old, n_new,
+           round(sa * 1000000) / 1000000 AS share_old,
+           round(sb * 1000000) / 1000000 AS share_new,
+           round((sb - sa) * ln(sb / sa) * 1000000) / 1000000 AS psi_term
+    FROM s
+    """,
+)
+def dq3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3 — PSI drift between the even-event_id half of `events`
+    (snapshot A) and the odd half (snapshot B), binned by fixed
+    decile-width value buckets (fixed bins, not data-derived
+    quantiles, so the binning law is engine-portable). Emits per-bin
+    counts, smoothed shares, and the PSI term, all dround-ed so the
+    hash certifies the drift arithmetic — ln is IEEE libm in both
+    engines and the 1e-6 rounding absorbs any last-ulp disagreement.
+    At 100 TB: two map-side-combined aggregates + a bins-sized join —
+    the corpus is scanned once per side and never shuffled."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") < 100)
+    )
+    old = e.filter(F.col("event_id") % 2 == 0)
+    new = e.filter(F.col("event_id") % 2 != 0)
+    drift = psi_drift(
+        old, new, F.floor(F.col("value") / _DQ3_BINS).cast("long"), "bin"
+    )
+    return drift.select(
+        "bin",
+        "n_old",
+        "n_new",
+        dround("_sa", 6).alias("share_old"),
+        dround("_sb", 6).alias("share_new"),
+        dround("_psi", 6).alias("psi_term"),
+    )

@@ -103,3 +103,38 @@ def test_gdpr_erasure_accounting_balances(spark, sf_dir):
     for name, r in rows.items():
         assert r.rows_before == r.rows_after + r.rows_erased, name
     assert rows["events"].rows_erased > 0  # the request set is non-empty
+
+
+def test_psi_drift_smoothing_and_empty_bins(spark):
+    """psi_drift edges: a bin present on only one side survives the
+    full-outer join with a zero count, +1 smoothing keeps its PSI term
+    finite, and an identical distribution yields PSI ~ 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        psi_drift,
+    )
+
+    old = spark.createDataFrame([(b,) for b in [0] * 6 + [1] * 4], "v long")
+    new = spark.createDataFrame([(b,) for b in [0] * 5 + [2] * 5], "v long")
+    rows = {
+        r.bin: r
+        for r in psi_drift(old, new, F.col("v"), "bin").collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert (rows[1].n_old, rows[1].n_new) == (4, 0)   # one-sided bins kept
+    assert (rows[2].n_old, rows[2].n_new) == (0, 5)
+    for r in rows.values():
+        assert math.isfinite(r._psi)                   # smoothing: no inf/nan
+    # shares: (n + 1) / (total + 1)
+    assert abs(rows[0]._sa - 7 / 11) < 1e-12
+    assert abs(rows[0]._sb - 6 / 11) < 1e-12
+    # drifted-away bin contributes positive PSI
+    assert rows[1]._psi > 0 and rows[2]._psi > 0
+
+    same = psi_drift(old, old, F.col("v"), "bin").agg(
+        F.sum("_psi").alias("s")
+    ).first().s
+    assert abs(same) < 1e-12
