@@ -1045,3 +1045,92 @@ def x2p_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("qdist", 4).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2q — binary (sign) quantization + Hamming top-k: the third point on
+# the compression spectrum next to int8 (x2k) and PQ/ADC (x2o/x2p).
+# A 64-dim float32 embedding packs into ONE 64-bit word (32x smaller);
+# distance is bit_count(xor) — a single popcount per comparison, the
+# representation FAISS's IndexBinaryFlat and every binary-embedding
+# retrieval stack scan at billions-of-vectors scale. The corpus-side
+# scan reads 8 bytes/vector, and reranking survivors with exact cosine
+# (x2e) restores precision where it matters.
+# ---------------------------------------------------------------------------
+
+_BINARY_DIM = 64  # embeddings.embedding is exactly 64-dim -> one long
+
+
+def sign_bits_packed(emb_col: str = "embedding") -> F.Column:
+    """Pack the sign bits of a 64-dim embedding into one BIGINT: bit d
+    is set iff v[d] > 0. Pure comparisons + shifts — no float
+    arithmetic, so the packing is bit-identical in any engine (the
+    oracle replays it at the unpacked level). Bit 63 makes the word
+    negative; the word is an opaque bitset, never a number."""
+    return F.expr(
+        f"aggregate(zip_with({emb_col}, sequence(0, {_BINARY_DIM - 1}),"
+        " (v, d) -> IF(v > CAST(0 AS FLOAT),"
+        " shiftleft(CAST(1 AS BIGINT), CAST(d AS INT)), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact Hamming top-k over the packed words: queries broadcast,
+    corpus streams through one scan, distance = bit_count(xor). Ties
+    broken on neighbor_id. At 100 TB the packed corpus column is what
+    scans — 8 bytes a vector — and the per-row work is one xor+popcount
+    (whole-stage codegen'd long ops, no arrays in the hot loop)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        sign_bits_packed().alias("q_w"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sign_bits_packed().alias("c_w"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", F.expr("bit_count(q_w ^ c_w)"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "hamming")
+    )
+
+
+@probe(
+    "x2q_binary_hamming_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS e
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS e
+               FROM embeddings),
+         p AS (
+           SELECT query_id, neighbor_id,
+                  CAST(list_sum(list_transform(range(1, {_BINARY_DIM + 1}),
+                    d -> CASE WHEN (q.e[d] > 0) <> (c.e[d] > 0)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+           FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, hamming,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS rnk
+           FROM p)
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, hamming
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x2q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2q — sign-quantize every embedding to one 64-bit word and take
+    exact Hamming top-5 for the first 20 queries. The Spark side runs
+    on the PACKED representation (xor + bit_count on longs); the
+    oracle replays the identical semantics at the unpacked level
+    (count of sign-disagreeing dims), so the hash certifies that the
+    pack/xor/popcount pipeline equals the definitional distance —
+    collisions, ties, and all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)

@@ -253,3 +253,41 @@ def test_pq_codes_and_lloyd_descent(spark, sf_dir):
         assert r.recon_err >= 0
         for c in (r.code_0, r.code_1, r.code_2, r.code_3):
             assert c in seeds
+
+
+def test_sign_bits_packed_matches_python_reference(spark):
+    """The packed word's bits are exactly [v_d > 0] at bit d — checked
+    against a pure-Python pack over crafted vectors including the
+    bit-63 (sign bit) and all-zero edges."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        _BINARY_DIM,
+        sign_bits_packed,
+    )
+
+    vecs = [
+        [0.0] * _BINARY_DIM,                                  # no bit set (0 is not > 0)
+        [1.0] * _BINARY_DIM,                                  # all 64 bits -> -1 as i64
+        [(1.0 if d == 63 else -1.0) for d in range(_BINARY_DIM)],  # only the sign bit
+        [((d % 3) - 1.0) for d in range(_BINARY_DIM)],        # mixed pattern
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.w
+        for r in df.select("vec_id", sign_bits_packed().alias("w")).collect()
+    }
+
+    def ref(v):
+        w = 0
+        for d, x in enumerate(v):
+            if x > 0:
+                w |= 1 << d
+        return w - (1 << 64) if w >= (1 << 63) else w  # to signed i64
+
+    for i, v in enumerate(vecs):
+        assert got[i] == ref(v), i
+    assert got[0] == 0 and got[1] == -1 and got[2] == -(1 << 63)
