@@ -2460,6 +2460,9 @@ def _sniff_one(b: bytes):
         if b[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack_from("<HH", b, 6)
             return "gif", w, h
+        if b[:4] == b"qoif":
+            w, h = struct.unpack_from(">II", b, 4)
+            return "qoi", w, h
         if b[:3] == b"ID3" or (
             len(b) >= 2 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0
         ):
@@ -2829,3 +2832,236 @@ def x4l_av_container_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_fixture(spark, sf_dir, "x4l-av-media", synth_av)
     return sniff_media(media)
+
+
+# ---------------------------------------------------------------------------
+# QOI (x4m) — seventh real codec, third COMPRESSED one: the Quite OK
+# Image format (qoiformat.org, public spec). One byte-stream of six op
+# types (RUN / INDEX / DIFF / LUMA / RGB / RGBA) over a 64-entry
+# running color index — small enough to implement from the spec
+# completely, rich enough that a decoder bug in any op or in the index
+# hash shifts the channel sums and breaks the oracle hash. Mirrored
+# encoder + decoder, like the PNG/JPEG/GIF pairs.
+# ---------------------------------------------------------------------------
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def _qoi_bytes(px, channels: int = 3) -> bytes:
+    """Spec-complete QOI encoder over an (h, w, 3|4) uint8 array:
+    longest-run first, then index hit, then DIFF, then LUMA, else
+    RGB/RGBA. The header declares ``channels``; alpha is 255
+    throughout for RGB input."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    has_a = px.shape[2] == 4
+    out = bytearray()
+    out += b"qoif" + struct.pack(">IIBB", w, h, channels, 0)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = px.reshape(-1, px.shape[2])
+    for i in range(flat.shape[0]):
+        p = flat[i]
+        cur = (int(p[0]), int(p[1]), int(p[2]), int(p[3]) if has_a else 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hpos = _qoi_hash(*cur)
+        if index[hpos] == cur:
+            out.append(hpos)
+        else:
+            index[hpos] = cur
+            r, g, b, a = cur
+            pr, pg, pb, pa = prev
+            if a == pa:
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            else:
+                out += bytes((0xFF, r, g, b, a))
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += bytes(7) + b"\x01"
+    return bytes(out)
+
+
+def _parse_qoi(b: bytes, mid: object = None):
+    """From-spec QOI decoder → (h, w, 3) uint8 RGB array (alpha
+    tracked for the index hash and RGBA op, dropped on output).
+    Truncation, a pixel overrun, and a missing/garbled end marker are
+    errors — a decoder that silently pads corrupt streams poisons a
+    training corpus."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 14 or b[:4] != b"qoif":
+        raise ValueError(f"media {mid}: not a QOI stream")
+    w, h, channels, colorspace = struct.unpack_from(">IIBB", b, 4)
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError(
+            f"media {mid}: bad QOI header channels={channels} cs={colorspace}"
+        )
+    if w == 0 or h == 0 or w * h > 1 << 24:
+        raise ValueError(f"media {mid}: unreasonable dims {w}x{h}")
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, bl, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    while i < n:
+        if pos >= len(b):
+            raise ValueError(f"media {mid}: truncated QOI stream at pixel {i}")
+        op = b[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            if pos + 3 > len(b):
+                raise ValueError(f"media {mid}: truncated RGB op")
+            r, g, bl = b[pos], b[pos + 1], b[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            if pos + 4 > len(b):
+                raise ValueError(f"media {mid}: truncated RGBA op")
+            r, g, bl, a = b[pos], b[pos + 1], b[pos + 2], b[pos + 3]
+            pos += 4
+        elif op >> 6 == 0:  # INDEX
+            r, g, bl, a = index[op]
+        elif op >> 6 == 1:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            bl = (bl + (op & 3) - 2) % 256
+        elif op >> 6 == 2:  # LUMA
+            if pos >= len(b):
+                raise ValueError(f"media {mid}: truncated LUMA op")
+            dg = (op & 0x3F) - 32
+            b2 = b[pos]
+            pos += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            bl = (bl + dg + (b2 & 0xF) - 8) % 256
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            if i + run > n:
+                raise ValueError(f"media {mid}: run past image end")
+            out[i : i + run] = (r, g, bl, a)
+            i += run
+            continue
+        index[_qoi_hash(r, g, bl, a)] = (r, g, bl, a)
+        out[i] = (r, g, bl, a)
+        i += 1
+    if b[pos : pos + 8] != bytes(7) + b"\x01":
+        raise ValueError(f"media {mid}: missing QOI end marker")
+    return out[:, :3].reshape(h, w, 3)
+
+
+def decode_qoi(media: DataFrame) -> DataFrame:
+    """REAL QOI decode — same output contract as decode_bmp/png/gif."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in BMP_SCHEMA.fields}
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                px = _parse_qoi(bytes(raw), mid)
+                h, w = px.shape[0], px.shape[1]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["corner_red"].append(int(px[0, 0, 0]))
+                out["sum_red"].append(int(px[:, :, 0].astype(np.int64).sum()))
+                out["mean_blue"].append(int(round(float(px[:, :, 2].mean()))))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, BMP_SCHEMA)
+
+
+def synth_qoi_media(docs: DataFrame) -> DataFrame:
+    """Each doc becomes a QOI image with the x4i pixel law — red =
+    7*y + x (dims keep it under 256), green 77, blue doc_id % 256 —
+    so the channel sums keep their closed form. The +1 red ramp along
+    a row makes the encoder emit DIFF ops; row wraps emit LUMA or RGB;
+    later rows revisit earlier red values and hit the 64-entry index
+    (INDEX ops) — four of the six op types from real data, the other
+    two (RUN, RGBA) pinned by unit tests."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i, t = int(doc_id), text
+                w, h = len(t) % 16 + 4, i % 12 + 4
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (7 * y + x).astype(np.uint8),
+                        np.full((h, w), 77, dtype=np.uint8),
+                        np.full((h, w), i % 256, dtype=np.uint8),
+                    ],
+                    axis=2,
+                )
+                payloads.append(_qoi_bytes(px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+@probe(
+    "x4m_qoi_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(length(text) % 16 + 4 AS INTEGER) AS width,
+           CAST(doc_id % 12 + 4 AS INTEGER) AS height,
+           CAST((length(text) % 16 + 4) * (doc_id % 12 + 4) AS BIGINT) AS n_pixels,
+           0 AS corner_red,
+           CAST((length(text) % 16 + 4) * 7 * (doc_id % 12 + 4) * (doc_id % 12 + 3) // 2
+                + (doc_id % 12 + 4) * (length(text) % 16 + 4) * (length(text) % 16 + 3) // 2
+                AS BIGINT) AS sum_red,
+           CAST(doc_id % 256 AS INTEGER) AS mean_blue
+    FROM documents
+    """,
+)
+def x4m_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4m — from-spec QOI round-trip: every doc becomes a real QOI
+    stream (RUN/INDEX/DIFF/LUMA/RGB op soup over the 64-entry running
+    index) and is decoded back; the x4i pixel law keeps sum_red in
+    closed form so DuckDB re-derives the decode output without seeing
+    a byte. A wrong DIFF bias, a mis-hashed index slot, or a LUMA
+    half-delta error shifts sum_red and breaks the hash."""
+    media = _media_fixture(spark, sf_dir, "x4m-qoi-media", synth_qoi_media)
+    return decode_qoi(media)

@@ -920,3 +920,66 @@ def test_gif_gce_replacement_clears_transparency():
     # gce_o replaced gce_t: index-9 pixels paste OPAQUELY (red 9 everywhere)
     assert (f2[:, :, 0] == 9).all()
     assert (np.asarray(f1[:, :, 0]).reshape(-1) == np.arange(sw * sh)).all()
+
+
+def test_qoi_roundtrip_all_ops():
+    """QOI codec edges the probe law doesn't reach: RUN (incl. the
+    62-pixel chunk split), RGBA alpha changes, INDEX hits after alpha
+    changes, and the error paths (truncation, run past end, missing
+    end marker, bad header)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _parse_qoi,
+        _qoi_bytes,
+    )
+
+    rng_free = []
+    # 200-pixel constant run (crosses the 62-run chunk limit twice) then
+    # a ramp, as one 8 x 50 image.
+    w, h = 50, 8
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:4] = (10, 20, 30)                      # 200-px run
+    ramp = np.arange(4 * w, dtype=np.uint8).reshape(4, w)
+    px[4:, :, 0] = ramp
+    px[4:, :, 1] = 77
+    px[4:, :, 2] = 200
+    got = _parse_qoi(_qoi_bytes(px), mid=1)
+    assert (got == px).all()
+
+    # RGBA stream: alpha varies -> RGBA ops + alpha-sensitive index.
+    pxa = np.zeros((3, 5, 4), dtype=np.uint8)
+    pxa[..., :3] = 9
+    pxa[..., 3] = 255
+    pxa[1, :, 3] = 128                          # alpha change mid-image
+    pxa[2] = pxa[0]                             # returns to an indexed color
+    got_a = _parse_qoi(_qoi_bytes(pxa, channels=4), mid=2)
+    assert (got_a == pxa[..., :3]).all()        # RGB recovered; alpha tracked
+
+    enc = bytearray(_qoi_bytes(px))
+    with _pytest.raises(ValueError, match="truncated QOI stream|truncated"):
+        _parse_qoi(bytes(enc[: len(enc) // 2]), mid=3)
+    with _pytest.raises(ValueError, match="end marker"):
+        _parse_qoi(bytes(enc[:-1]) + b"\x02", mid=4)
+    with _pytest.raises(ValueError, match="not a QOI"):
+        _parse_qoi(b"qoix" + bytes(20), mid=5)
+    with _pytest.raises(ValueError, match="bad QOI header"):
+        _parse_qoi(b"qoif" + b"\x00\x00\x00\x02\x00\x00\x00\x02\x05\x00" + bytes(8), mid=6)
+    # run past image end: craft 2x2 image whose stream runs 62 pixels
+    import struct as _struct
+
+    bad = (
+        b"qoif" + _struct.pack(">IIBB", 2, 2, 3, 0)
+        + bytes((0xFE, 1, 2, 3)) + bytes((0xC0 | 61,))
+        + bytes(7) + b"\x01"
+    )
+    with _pytest.raises(ValueError, match="run past image end"):
+        _parse_qoi(bad, mid=7)
+
+    # sniffer routes QOI headers
+    from realtime_financial_transactions_data_pipeline_spark.operators.multimodal import (
+        _sniff_one,
+    )
+
+    assert _sniff_one(_qoi_bytes(px)) == ("qoi", w, h)
