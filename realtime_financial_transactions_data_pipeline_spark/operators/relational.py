@@ -2119,3 +2119,40 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@probe(
+    "o8_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(GROUPING(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                            (c_mktsegment), (o_orderstatus))
+    """,
+)
+def o8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 — explicit GROUPING SETS (the general lattice ROLLUP/CUBE are
+    sugar for) with grouping_id disambiguation: (seg, status), (seg),
+    (status) — NOT the full cube, so the optimizer expands exactly
+    three grouping sets in one Expand + aggregate pass, and gid tells
+    a NULL group value apart from a NULL data value. Both engines
+    compute the same grouping bitmask over the same column order, so
+    the hash certifies the lattice expansion itself."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    joined.createOrReplaceTempView("o8_joined")
+    return joined.sparkSession.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus,
+               CAST(grouping_id(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               round(sum(o_totalprice) * 100) / 100 AS revenue
+        FROM o8_joined
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                (c_mktsegment), (o_orderstatus))
+        """
+    )

@@ -221,3 +221,86 @@ def u4_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return account(e, "events", "user_id").unionByName(
         account(c, "customer", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# U5 — differential-privacy noisy counts (the Laplace mechanism). The
+# aggregate-release counterpart to U3's k-anonymity: counts leave the
+# engine with calibrated Laplace noise (sensitivity 1 / epsilon) added
+# via the inverse CDF over a COUNTER-BASED uniform — reproducible
+# across engines, partitionings, and reruns, which is what a release
+# pipeline needs for auditability (the draw is keyed by release seed +
+# group, so re-running the release yields the identical noise, and the
+# oracle replays it bit-for-bit). A production deployment would swap
+# the PRF for a keyed one and drop the true counts from the output;
+# the probe emits both precisely so the hash certifies the mechanism.
+# ---------------------------------------------------------------------------
+
+_U5_SEED = 91
+_U5_EPSILON = 1.0  # sensitivity-1 counts -> Laplace scale b = 1/epsilon
+
+
+@probe(
+    "u5_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+      FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, n_true,
+             ((('0x' || substr(md5('{_U5_SEED}-' || event_type), 1, 8))::UINTEGER + 1)
+              / 4294967298.0) AS u
+      FROM g),
+    n AS (
+      SELECT event_type, n_true,
+             -(1.0 / {_U5_EPSILON}) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))
+               AS noise
+      FROM u)
+    SELECT event_type, n_true,
+           round(noise * 1000000) / 1000000 AS noise,
+           round((n_true + noise) * 1000000) / 1000000 AS n_released
+    FROM n
+    """,
+)
+def u5_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 — epsilon = {_U5_EPSILON} Laplace mechanism over per-type
+    event counts: u = (first-32-bits-of-md5(seed-group) + 1) /
+    (2^32 + 2) lies strictly inside (0, 1) (no ln(0) pole), noise =
+    -b * sign(u - 1/2) * ln(1 - 2|u - 1/2|) is the exact Laplace
+    inverse CDF, and everything is dround-ed so the hash certifies
+    the draw law and the release arithmetic across engines. One
+    map-side-combined aggregate; the noise is a scalar expression on
+    the groups-sized result."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{_U5_SEED}-"), F.col("event_type"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        )
+        / F.lit(4294967298.0)
+    )
+    b = 1.0 / _U5_EPSILON
+    noise = (
+        F.lit(-b)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        "n_true",
+        dround(noise, 6).alias("noise"),
+        dround(F.col("n_true") + noise, 6).alias("n_released"),
+    )
