@@ -77,8 +77,11 @@ DRIVER_WINDOW = 50
 #: cohort 3 (r08): k7, k8c, j7, mv1, x2j, t10, u4, dq2,
 #: scale_zorder_layout, x15; cohort 4 (r09): x4g, x4h, ts1b,
 #: q13/q15/q17/q19, k6, k8, x16 — 30/30 green on first driver
-#: exposure. Cohort-6 candidates: s6, s8, s9, s10, a12-a16 reps, o7,
-#: x2i, x3i, x4e, x10, x14, ts1, u1c, q5/q8/q9 (rehearse first).
+#: exposure. Cohort-6 candidates: the round-11 newcomers (x4l av
+#: sniff, x4m QOI, x1db Bloom bitmap, x19 mixture rebalance, dq3 PSI
+#: drift, x2q binary Hamming, u5 DP counts, o8 grouping sets) plus
+#: long-waiting twins s6, s8, s9, s10, a12-a16 reps, o7, x2i, x3i,
+#: x4e, x10, x14, ts1, u1c, q5/q8/q9 (rehearse first).
 _DRIVER_ORDER = [
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "u4_gdpr_erasure",               # U4 GDPR erasure (cohort 3)
