@@ -2156,3 +2156,113 @@ def o8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (c_mktsegment), (o_orderstatus))
         """
     )
+
+
+@probe(
+    "mv2_cdc_view_maintenance",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value
+      FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1 AND event_type <> 'error')
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) * 100) / 100 AS revenue
+    FROM latest GROUP BY event_type
+    """,
+)
+def mv2_cdc_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV2 — materialized-view maintenance under RETRACTIONS, the
+    complement of mv1's append-only deltas: the view is an aggregate
+    over the LATEST-WINS live state of a CDC log ('error' rows are
+    delete tombstones), so a late change does not just add — it must
+    retract the key's previous contribution (possibly from a different
+    group) before adding the new one. The view is built from the
+    pre-cutover snapshot, then maintained from signed (+new, -old)
+    delta rows derived per changed key; the oracle aggregates the
+    final live state directly, so the hash certifies
+    maintained == recomputed, the invariant that lets a 100 TB view
+    absorb updates/deletes by touching only changed keys. Plan shape:
+    two latest-wins windows (one shuffle each on user_id), a per-key
+    full-outer change join, and a groups-sized delta fold — the fact
+    log is never re-aggregated."""
+    from pyspark.sql import Window
+
+    cutover = "2024-01-15"
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def winners(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "value")
+        )
+
+    old_w = winners(e.filter(F.col("ts") < cutover))
+    new_w = winners(e)
+    old_live = old_w.filter(F.col("event_type") != "error")
+
+    # The view's base state, from the pre-cutover snapshot only.
+    base = old_live.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+
+    # Signed deltas for keys whose winning row changed: retract the old
+    # live contribution, add the new live one. Keys with an unchanged
+    # winner emit nothing — the maintenance cost is O(changed keys).
+    o = old_w.select(
+        "user_id",
+        F.col("event_id").alias("o_id"),
+        F.col("event_type").alias("o_type"),
+        F.col("value").alias("o_value"),
+    )
+    nw = new_w.select(
+        "user_id",
+        F.col("event_id").alias("n_id"),
+        F.col("event_type").alias("n_type"),
+        F.col("value").alias("n_value"),
+    )
+    changed = o.join(nw, "user_id", "full_outer").filter(
+        ~F.col("o_id").eqNullSafe(F.col("n_id"))
+    )
+    retract = changed.filter(
+        F.col("o_type").isNotNull() & (F.col("o_type") != "error")
+    ).select(
+        F.col("o_type").alias("event_type"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("o_value")).alias("dv"),
+    )
+    add = changed.filter(
+        F.col("n_type").isNotNull() & (F.col("n_type") != "error")
+    ).select(
+        F.col("n_type").alias("event_type"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("n_value").alias("dv"),
+    )
+    deltas = retract.unionByName(add).groupBy("event_type").agg(
+        F.sum("dn").alias("dn"), F.sum("dv").alias("dv")
+    )
+
+    maintained = (
+        base.join(deltas, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce("sum_value", F.lit(0.0))
+                + F.coalesce("dv", F.lit(0.0))
+            ).alias("sum_value"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return maintained.select(
+        "event_type", "n", dround("sum_value", 2).alias("revenue")
+    )

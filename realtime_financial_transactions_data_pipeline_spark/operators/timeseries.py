@@ -750,3 +750,76 @@ def ts1b_series_similarity_blocked(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("is_diag", F.col("blk_a") == F.col("blk_b"))
     )
     return _tile_scan_topk(tiles, _TS_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# TS2 — exponentially weighted moving average (EWMA) smoothing: the
+# recursive smoother behind monitoring baselines and drift detectors
+# (ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded with x_1). Recursion over
+# an ordered series is not a windowed SUM, but per key the series is
+# bounded by the calendar — so the scalable shape is a prefix
+# collect_list window + an in-row fold: state per row is the prefix
+# array (≤ days), the fold is codegen'd, and keys parallelize freely.
+# Both engines run the IDENTICAL fold (Spark `aggregate` seeded with
+# the first element == DuckDB `list_reduce`), and the series values
+# are integer daily counts, so the folds are bit-identical.
+# ---------------------------------------------------------------------------
+
+_TS2_ALPHA = 0.25
+
+
+@probe(
+    "ts2_ewma_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    pref AS (
+      SELECT event_type, d, n,
+             list(CAST(n AS DOUBLE))
+               OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      FROM daily)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS d, n,
+           round(list_reduce(xs, (acc, x) -> {_TS2_ALPHA} * x
+                 + {1 - _TS2_ALPHA} * acc) * 1000000) / 1000000 AS ewma
+    FROM pref
+    """,
+)
+def ts2_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS2 — EWMA (α = {_TS2_ALPHA}) over each event type's daily
+    event-count series. The fold is seeded with the first element and
+    applies α·x + (1-α)·acc left-to-right — exactly DuckDB's
+    ``list_reduce`` contract — over integer daily counts, so the two
+    engines' recursions are bit-identical and the 1e-6 rounding is
+    belt-and-braces, not a crutch."""
+    from pyspark.sql import Window
+
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = daily.withColumn(
+        "xs", F.collect_list(F.col("n").cast("double")).over(w)
+    )
+    fold = F.expr(
+        f"aggregate(slice(xs, 2, size(xs) - 1), xs[0],"
+        f" (acc, x) -> CAST({_TS2_ALPHA} AS DOUBLE) * x"
+        f" + CAST({1 - _TS2_ALPHA} AS DOUBLE) * acc)"
+    )
+    return pref.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n",
+        dround(fold, 6).alias("ewma"),
+    )
