@@ -764,3 +764,77 @@ def x19_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X20 — corpus version diff: the dataset-versioning primitive (what
+# changed between corpus v1 and v2, by content digest) that gates
+# retraining decisions and incremental re-processing. Digest-level
+# compare means payloads never move: the diff shuffles 16-byte
+# digests + ids, never text.
+# ---------------------------------------------------------------------------
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str, digest) -> DataFrame:
+    """Per-document change classification between two corpus versions:
+    'added' (id only in new), 'removed' (only in old), 'changed' (both,
+    digest differs), 'unchanged'. One full-outer join on the id over
+    (id, digest) projections — O(|old| + |new|) and payload-free."""
+    o = old.select(F.col(id_col), digest.alias("_od"))
+    n = new.select(F.col(id_col), digest.alias("_nd"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .withColumn(
+            "change",
+            F.when(F.col("_od").isNull(), F.lit("added"))
+            .when(F.col("_nd").isNull(), F.lit("removed"))
+            .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+            .otherwise(F.lit("changed")),
+        )
+        .select(id_col, "change")
+    )
+
+
+@probe(
+    "x20_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 5 <> 0),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS d
+      FROM documents WHERE doc_id % 7 <> 0),
+    j AS (
+      SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+             CASE WHEN old.d IS NULL THEN 'added'
+                  WHEN new.d IS NULL THEN 'removed'
+                  WHEN old.d = new.d THEN 'unchanged'
+                  ELSE 'changed' END AS change
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+    SELECT change, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM j GROUP BY change
+    """,
+)
+def x20_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 — diff two deterministic corpus versions: v1 drops every
+    fifth doc, v2 drops every seventh and edits every third's text —
+    so all four change classes occur. The probe returns per-class
+    counts plus min/max doc ids (pins that classification lands on the
+    right documents, not just the right totals); the oracle re-derives
+    both versions and the same full-outer classification."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    diff = corpus_diff(old, new, "doc_id", F.md5("text"))
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
