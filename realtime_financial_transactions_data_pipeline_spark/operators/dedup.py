@@ -1593,3 +1593,86 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return pin_result(spark.read.parquet(accepted_dir).select("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# ER2 — fuzzy entity matching: block-then-verify with an edit-distance
+# scorer, the classic record-linkage shape complementing er1's
+# SymSpell deletion-neighborhood (er1 needs no distance calls at all;
+# er2 is what you run when the catalog is small enough to verify
+# candidates directly and typos aren't pure deletions). Blocking on
+# (length, prefix) bounds the candidate space; levenshtein runs ONLY
+# on in-block pairs; a per-record window keeps the best match.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "er2_fuzzy_match",
+    oracle="""
+    WITH catalog AS (SELECT DISTINCT p_name FROM part),
+    dirty AS (
+      SELECT p_partkey,
+             substr(p_name, 1, 2 + p_partkey % (len(p_name) - 3))
+               || 'x'
+               || substr(p_name, 4 + p_partkey % (len(p_name) - 3)) AS q
+      FROM part WHERE p_partkey % 10 = 0),
+    cand AS (
+      SELECT d.p_partkey, d.q, c.p_name,
+             levenshtein(d.q, c.p_name) AS dist
+      FROM dirty d JOIN catalog c
+        ON len(d.q) = len(c.p_name)
+       AND substr(d.q, 1, 2) = substr(c.p_name, 1, 2)
+      WHERE levenshtein(d.q, c.p_name) <= 1),
+    best AS (
+      SELECT p_partkey, q, p_name, dist,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY dist, p_name) AS rn
+      FROM cand)
+    SELECT p_partkey, q AS dirty_name, p_name AS matched_name,
+           CAST(dist AS BIGINT) AS distance
+    FROM best WHERE rn = 1
+    """,
+)
+def er2_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER2 — every tenth part's name gets a deterministic mid-string
+    character substitution (position 3 + partkey % (len-3), both
+    engines build the identical dirty string), then each dirty record
+    is linked back to the distinct-name catalog: block on (length,
+    2-char prefix) — a substitution never changes either — verify
+    in-block candidates with levenshtein <= 1, and keep the best
+    (distance, name) match per record. The hash certifies blocking
+    recall, the edit-distance arithmetic, and the tie-break. At 100 TB
+    the same plan holds: the catalog blocks broadcast, the record side
+    streams, and the quadratic scorer only ever sees one block."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    catalog = p.select("p_name").distinct()
+    dirty = p.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        F.concat(
+            F.expr("substr(p_name, 1, CAST(2 + pmod(p_partkey, length(p_name) - 3) AS INT))"),
+            F.lit("x"),
+            F.expr("substr(p_name, CAST(4 + pmod(p_partkey, length(p_name) - 3) AS INT))"),
+        ).alias("q"),
+    )
+    cand = (
+        dirty.join(
+            F.broadcast(catalog),
+            (F.length("q") == F.length("p_name"))
+            & (F.substring("q", 1, 2) == F.substring("p_name", 1, 2)),
+        )
+        .withColumn("dist", F.levenshtein("q", "p_name"))
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("p_partkey").orderBy("dist", "p_name")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            F.col("q").alias("dirty_name"),
+            F.col("p_name").alias("matched_name"),
+            F.col("dist").cast("long").alias("distance"),
+        )
+    )
