@@ -269,3 +269,122 @@ def t4_stateful_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.lit(n_input)).cast("long").alias("n_input_rows"),
         )
     )
+
+
+@probe(
+    "t11_dedupe_within_watermark",
+    oracle="""
+    WITH ks AS (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 4)
+    SELECT CAST(2 * count(*) + 2 AS BIGINT) AS n_out,
+           CAST(count(*) AS BIGINT) AS n_wave0,
+           CAST(count(*) AS BIGINT) AS n_wave2,
+           CAST(0 AS BIGINT) AS n_wave3_leaked,
+           CAST(2 AS BIGINT) AS n_pusher
+    FROM ks
+    """,
+)
+def t11_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 — ``dropDuplicatesWithinWatermark``: the state-BOUNDED twin
+    of t4's remember-forever dedupe (Spark 3.5+; per-key state carries
+    an expiry of event-time + delay and is evicted once the watermark
+    passes it — the difference between a dedupe that runs for a day
+    and one that runs for a year). Four-wave protocol over the
+    distinct user keys, mtime-pinned one file per micro-batch:
+
+      wave 0 (T0):            every key once — all admitted;
+      pusher A (T0 + 3h):     raises the watermark past every wave-0
+                              expiry (T0 + 1h);
+      pusher B (T0 + 3h10m):  one more batch — measured: both the
+                              data-side watermark and state EVICTION
+                              lag the raising batch by one, so the
+                              wave-0 state is gone only after this
+                              batch ends;
+      wave 2 (T0 + 2h30):     the SAME keys — all re-admitted, proving
+                              the eviction actually happened (t4 would
+                              have dropped every one);
+      wave 3 (T0 + 2h40):     the same keys again — now within the
+                              delay of live wave-2 state -> all
+                              dropped (the operator's dedup
+                              guarantee).
+
+    Every wave's event time sits above any watermark the engine could
+    be holding when its batch processes (the lag makes the effective
+    data watermark T0 + 2h at most), so the outcome is pinned by STATE
+    semantics alone — eviction, re-admission, and within-delay dedup
+    each shift a column of the hash."""
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+    from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
+        await_or_raise,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    root = "/tmp/spark_graft_streaming/t11"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def waves(tmp: str) -> None:
+        ks = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.pmod(F.col("user_id"), F.lit(10)) == 4)
+            .select(F.col("user_id").alias("k"))
+            .distinct()
+        )
+        rows = None
+        for wave, et in ((0, "2024-01-01 00:00:00"),
+                         (3, "2024-01-01 02:30:00"),
+                         (4, "2024-01-01 02:40:00")):
+            w = ks.select(
+                "k",
+                F.lit(et).cast("timestamp").alias("et"),
+                F.lit(float(wave)).alias("value"),
+                F.lit(wave).alias("b"),
+            )
+            rows = w if rows is None else rows.unionByName(w)
+        spark_json_slices(
+            rows,
+            tmp,
+            5,
+            slice_col=F.col("b"),
+            extra_lines={
+                1: ['{"k": -1, "et": "2024-01-01T03:00:00", "value": -1.0, "b": 1}'],
+                2: ['{"k": -2, "et": "2024-01-01T03:10:00", "value": -1.0, "b": 2}'],
+            },
+        )
+
+    flat = disk_fixture(
+        "t11-dedupe-5wave", source_fingerprint(sf_dir, "events"), waves
+    )
+    stream = (
+        spark.readStream.schema("k LONG, et TIMESTAMP, value DOUBLE, b LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(flat)
+    )
+    q = (
+        stream.withWatermark("et", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/_cp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 120)
+    out = spark.read.schema(
+        "k LONG, et TIMESTAMP, value DOUBLE, b LONG"
+    ).parquet(f"{root}/out")
+    return pin_result(
+        out.agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.count(F.when(F.col("b") == 0, 1)).alias("n_wave0"),
+            F.count(F.when(F.col("b") == 3, 1)).alias("n_wave2"),
+            F.count(F.when(F.col("b") == 4, 1)).alias("n_wave3_leaked"),
+            F.count(F.when(F.col("k") < 0, 1)).alias("n_pusher"),
+        )
+    )
