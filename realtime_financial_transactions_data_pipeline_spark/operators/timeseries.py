@@ -823,3 +823,53 @@ def ts2_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround(fold, 6).alias("ewma"),
     )
+
+
+@probe(
+    "a18_rolling_active_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST((SELECT count(DISTINCT user_id) FROM du
+                 WHERE du.d = days.d) AS BIGINT) AS dau,
+           CAST((SELECT count(DISTINCT user_id) FROM du
+                 WHERE du.d BETWEEN days.d - 6 AND days.d) AS BIGINT) AS wau
+    FROM days
+    """,
+)
+def a18_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 — DAU + trailing-7-day WAU per calendar day: rolling DISTINCT
+    counts, which no windowed aggregate computes directly (distinct
+    does not decompose over sliding frames). The exact shape: reduce
+    the log to distinct (day, user) pairs ONCE — the only touch of the
+    fact table — then a bounded range join fans each pair to at most 7
+    spine days before the per-day distinct count. At 100 TB the pair
+    reduce is the map-side-combined heavy step, the spine is
+    calendar-sized, and the 7x fan-out is the exact-WAU floor
+    (swap in per-day HLL sketch unions — x5d's portable HLL — when
+    approximate rolling actives are acceptable)."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    pairs = du.select(F.col("d").alias("pd"), "user_id")
+    wau = (
+        days.join(
+            pairs,
+            (F.col("pd") <= F.col("d"))
+            & (F.col("pd") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+        )
+    )

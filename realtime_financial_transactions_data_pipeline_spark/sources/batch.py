@@ -312,3 +312,68 @@ def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S12 — fixed-width text source: the mainframe/legacy-feed format
+# (COBOL copybook extracts, bank settlement files) that predates CSV
+# and still feeds financial pipelines. No Spark built-in reads it;
+# the idiomatic shape is spark.read.text + a declared (name, start,
+# width, type) layout compiled to substring/trim/cast projections —
+# all codegen, one scan, no Python.
+# ---------------------------------------------------------------------------
+
+#: (column, 1-based start, width, spark cast type) — the declared layout.
+FIXED_WIDTH_NATION_LAYOUT = (
+    ("n_nationkey", 1, 4, "bigint"),
+    ("n_name", 5, 12, None),  # None => trimmed string
+    ("n_regionkey", 17, 4, "bigint"),
+)
+
+
+def read_fixed_width(spark: SparkSession, path: str, layout) -> DataFrame:
+    """Parse a fixed-width text file with a declared layout: one
+    substring per column, right-trim the padding, cast declared types.
+    Blank lines are dropped (trailing-newline tolerance). The whole
+    parse is a single projection over spark.read.text — scan-level,
+    codegen'd, trivially scalable."""
+    lines = spark.read.text(path).filter(F.length(F.col("value")) > 0)
+    cols = []
+    for name, start, width, typ in layout:
+        c = F.rtrim(F.substring(F.col("value"), start, width))
+        if typ is not None:
+            c = c.cast(typ)
+        cols.append(c.alias(name))
+    return lines.select(*cols)
+
+
+@probe(
+    "s12_fixed_width_source",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s12_fixed_width_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — fixed-width round-trip: nation serialized as space-padded
+    20-byte records (key 4 / name 12 / regionkey 4, the layout table
+    above) and parsed back via the declared-layout reader. The oracle
+    is the table itself, so the hash certifies the byte arithmetic of
+    the layout — an off-by-one start or a missed trim shifts every
+    column."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    def build(tmp: str) -> None:
+        load_table(spark, sf_dir, "nation").select(
+            F.concat(
+                F.rpad(F.col("n_nationkey").cast("string"), 4, " "),
+                F.rpad(F.col("n_name"), 12, " "),
+                F.rpad(F.col("n_regionkey").cast("string"), 4, " "),
+            ).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+
+    path = disk_fixture(
+        "s12-nation-fixedwidth", source_fingerprint(sf_dir, "nation"), build
+    )
+    return read_fixed_width(spark, path, FIXED_WIDTH_NATION_LAYOUT)
