@@ -304,3 +304,86 @@ def u5_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(noise, 6).alias("noise"),
         dround(F.col("n_true") + noise, 6).alias("n_released"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U6 — k-anonymity ENFORCEMENT by generalization (u3 only audits): a
+# declared ladder of coarsenings over the quasi-identifier tuple
+# (account-balance band -> wider band -> drop band -> drop nation),
+# global recoding: publish the FIRST ladder level at which every
+# equivalence class reaches k. Everything is one aggregate per level
+# (4 metadata-sized frames) + a 1-row broadcast chooser — the table
+# itself is scanned once per level and never shuffled beyond the
+# class keys.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "u6_k_anonymity_generalize",
+    oracle=f"""
+    WITH lv AS (
+      SELECT 0 AS level, c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nat,
+             CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS band
+      FROM customer
+      UNION ALL
+      SELECT 1, c_mktsegment, CAST(c_nationkey AS VARCHAR),
+             CAST(CAST(floor(c_acctbal / 5000) AS BIGINT) AS VARCHAR)
+      FROM customer
+      UNION ALL
+      SELECT 2, c_mktsegment, CAST(c_nationkey AS VARCHAR), '*' FROM customer
+      UNION ALL
+      SELECT 3, c_mktsegment, '*', '*' FROM customer),
+    classes AS (
+      SELECT level, seg, nat, band, CAST(count(*) AS BIGINT) AS n
+      FROM lv GROUP BY 1, 2, 3, 4),
+    chosen AS (
+      SELECT min(level) AS lvl FROM (
+        SELECT level, min(n) AS min_n FROM classes GROUP BY level)
+      WHERE min_n >= {_K_ANON})
+    SELECT level, seg, nat, band, n
+    FROM classes, chosen WHERE level = chosen.lvl
+    """,
+)
+def u6_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 — publish customer quasi-identifier classes at the first
+    generalization level where every class holds >= k = {_K_ANON}
+    members: level 0 = (segment, nation, $1000 balance band),
+    level 1 widens the band to $5000, level 2 drops the band,
+    level 3 drops nation (always satisfiable — 5 segment-only
+    classes). The level choice is data-dependent and fully
+    declarative: per-level min class size -> 1-row broadcast min-level
+    gate -> filter the unioned class frames. The oracle replays the
+    whole ladder, so the hash certifies the coarsening laws AND that
+    the published level is exactly the first safe one."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def level(lv: int, band: F.Column | None, nat_star: bool) -> DataFrame:
+        return c.select(
+            F.lit(lv).alias("level"),
+            F.col("c_mktsegment").alias("seg"),
+            (
+                F.lit("*") if nat_star else F.col("c_nationkey").cast("string")
+            ).alias("nat"),
+            (F.lit("*") if band is None else band.cast("long").cast("string")).alias(
+                "band"
+            ),
+        )
+
+    lv = (
+        level(0, F.floor(F.col("c_acctbal") / 1000), False)
+        .unionByName(level(1, F.floor(F.col("c_acctbal") / 5000), False))
+        .unionByName(level(2, None, False))
+        .unionByName(level(3, None, True))
+    )
+    classes = lv.groupBy("level", "seg", "nat", "band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    chosen = (
+        classes.groupBy("level")
+        .agg(F.min("n").alias("min_n"))
+        .filter(F.col("min_n") >= _K_ANON)
+        .agg(F.min("level").alias("lvl"))
+    )
+    return classes.crossJoin(F.broadcast(chosen)).filter(
+        F.col("level") == F.col("lvl")
+    ).select("level", "seg", "nat", "band", "n")
