@@ -2266,3 +2266,118 @@ def mv2_cdc_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.select(
         "event_type", "n", dround("sum_value", 2).alias("revenue")
     )
+
+
+@probe(
+    "f16_iban_mod97",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey % 10000000000 AS VARCHAR), 10, '0')
+               || '30012024' AS bban
+      FROM customer),
+    pre AS (
+      SELECT c_custkey, bban,
+             list_reduce(list_transform(range(1, len(bban || 'DE00') + 1),
+               i -> CAST(CASE WHEN substr(bban || 'DE00', CAST(i AS INT), 1)
+                              BETWEEN '0' AND '9'
+                         THEN substr(bban || 'DE00', CAST(i AS INT), 1)
+                         ELSE CAST(ascii(substr(bban || 'DE00', CAST(i AS INT), 1)) - 55
+                                   AS VARCHAR) END AS VARCHAR)),
+               (a, c) -> a || c) AS pre_exp
+      FROM base),
+    chk AS (
+      SELECT c_custkey, bban,
+             98 - list_reduce(list_transform(range(1, len(pre_exp) + 1),
+               i -> CAST(substr(pre_exp, CAST(i AS INT), 1) AS BIGINT)),
+               (a, d) -> (a * 10 + d) % 97) AS check0
+      FROM pre),
+    ib AS (
+      SELECT c_custkey,
+             'DE' || lpad(CAST(CASE WHEN c_custkey % 4 = 0
+                               THEN check0 + 1 ELSE check0 END AS VARCHAR), 2, '0')
+                  || bban AS iban
+      FROM chk),
+    re AS (
+      SELECT c_custkey, iban,
+             substr(iban, 5) || substr(iban, 1, 4) AS rearr
+      FROM ib),
+    ex AS (
+      SELECT c_custkey, iban,
+             list_reduce(list_transform(range(1, len(rearr) + 1),
+               i -> CAST(CASE WHEN substr(rearr, CAST(i AS INT), 1) BETWEEN '0' AND '9'
+                         THEN substr(rearr, CAST(i AS INT), 1)
+                         ELSE CAST(ascii(substr(rearr, CAST(i AS INT), 1)) - 55
+                                   AS VARCHAR) END AS VARCHAR)),
+               (a, c) -> a || c) AS expanded
+      FROM re)
+    SELECT c_custkey, iban,
+           list_reduce(list_transform(range(1, len(expanded) + 1),
+             i -> CAST(substr(expanded, CAST(i AS INT), 1) AS BIGINT)),
+             (a, d) -> (a * 10 + d) % 97) = 1 AS valid
+    FROM ex
+    """,
+)
+def f16_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — IBAN mod-97 check-digit validation (ISO 7064), the
+    account-number sibling of x3l's Luhn card scrub: rearrange (move
+    the country+check prefix to the tail), map letters to two-digit
+    codes (A=10..Z=35), and fold the digit string through
+    (acc*10 + d) % 97 — the fold never materializes the 20+-digit
+    integer, so it runs in codegen'd long arithmetic at any IBAN
+    length. The corpus synthesizes German IBANs with CORRECT check
+    digits computed by the same fold, then corrupts every fourth
+    customer's by +1 (never re-validates under mod 97); the oracle
+    replays synthesis AND validation, so the hash certifies the
+    letter map, the rearrangement, and the modular fold end-to-end."""
+
+    def expand(col: str) -> F.Column:
+        return F.expr(
+            f"array_join(transform(sequence(1, length({col})),"
+            f" i -> CASE WHEN substring({col}, i, 1) >= '0'"
+            f" AND substring({col}, i, 1) <= '9'"
+            f" THEN substring({col}, i, 1)"
+            f" ELSE CAST(ascii(substring({col}, i, 1)) - 55 AS STRING) END), '')"
+        )
+
+    def mod97(col: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(sequence(1, length({col})),"
+            f" i -> CAST(substring({col}, i, 1) AS BIGINT)),"
+            f" CAST(0 AS BIGINT), (a, d) -> (a * 10 + d) % 97)"
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    out = (
+        c.select(
+            "c_custkey",
+            F.concat(
+                F.lpad((F.col("c_custkey") % 10000000000).cast("string"), 10, "0"),
+                F.lit("30012024"),
+            ).alias("bban"),
+        )
+        .withColumn("pre", F.concat("bban", F.lit("DE00")))
+        .withColumn("pre_exp", expand("pre"))
+        .withColumn("check0", F.lit(98) - mod97("pre_exp"))
+        .withColumn(
+            "iban",
+            F.concat(
+                F.lit("DE"),
+                F.lpad(
+                    F.when(F.col("c_custkey") % 4 == 0, F.col("check0") + 1)
+                    .otherwise(F.col("check0"))
+                    .cast("string"),
+                    2,
+                    "0",
+                ),
+                F.col("bban"),
+            ),
+        )
+        .withColumn(
+            "rearr",
+            F.concat(F.expr("substring(iban, 5)"), F.substring("iban", 1, 4)),
+        )
+        .withColumn("expanded", expand("rearr"))
+        .withColumn("valid", mod97("expanded") == 1)
+    )
+    return out.select("c_custkey", "iban", "valid")
