@@ -2381,3 +2381,93 @@ def f16_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("valid", mod97("expanded") == 1)
     )
     return out.select("c_custkey", "iban", "valid")
+
+
+@probe(
+    "a19_basket_cooccurrence",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, p_name
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    item_n AS (SELECT p_name, count(*) AS n_item FROM items GROUP BY p_name),
+    pair_n AS (
+      SELECT a.p_name AS item_a, b.p_name AS item_b, count(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_name < b.p_name
+      GROUP BY 1, 2)
+    SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+           round(n_pair * 1.0 / n * 1000000) / 1000000 AS support,
+           round(n_pair * 1.0 / ia.n_item * 1000000) / 1000000 AS confidence,
+           round(n_pair * 1.0 * n / (ia.n_item * ib.n_item) * 1000000) / 1000000
+             AS lift
+    FROM pair_n
+    JOIN item_n ia ON ia.p_name = item_a
+    JOIN item_n ib ON ib.p_name = item_b
+    CROSS JOIN n_orders
+    WHERE n_pair >= 20
+    """,
+)
+def a19_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 — market-basket co-occurrence: per-order item sets (orders x
+    part names), within-basket pair counts, and the association-rule
+    panel (support, confidence a->b, lift) for pairs above a minimum
+    support count. Pairs generate INSIDE each basket via the LSH
+    collect-set/explode pattern — work is Σ |basket|², never a global
+    self-join — and the item/total counts broadcast back onto the
+    pair relation. This is the one-level Apriori step; at 100 TB the
+    basket fold is the only heavy shuffle, pair cardinality is bounded
+    by item-vocabulary², and raising the support floor prunes before
+    anything joins."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_name")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_name")).alias("names")
+    )
+    pair_gen = (
+        "flatten(transform(names, (a, i) -> "
+        "transform(slice(names, i + 2, size(names)), b -> "
+        "struct(a AS item_a, b AS item_b))))"
+    )
+    pair_n = (
+        baskets.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 20)
+    )
+    item_n = items.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_item"))
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    out = (
+        pair_n.join(
+            F.broadcast(item_n.select(F.col("p_name").alias("item_a"),
+                                      F.col("n_item").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("p_name").alias("item_b"),
+                                      F.col("n_item").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_pair",
+        dround(F.col("n_pair") / F.col("n"), 6).alias("support"),
+        dround(F.col("n_pair") / F.col("n_a"), 6).alias("confidence"),
+        dround(
+            F.col("n_pair") * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    )
