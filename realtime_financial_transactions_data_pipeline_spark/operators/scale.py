@@ -511,3 +511,110 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# K11 — write-audit-publish (the Iceberg WAP pattern): a batch lands in
+# a STAGED generation, the expectation suite audits the staged files
+# as written, and only a passing audit flips the table pointer — a
+# failing batch leaves the live table untouched (gate, not filter:
+# WAP rejects the whole commit rather than silently dropping rows).
+# Composes the pointer-managed generation store (above) with the
+# dq1 expectation machinery (operators/quality.py).
+# ---------------------------------------------------------------------------
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    rules,
+    max_fail_pct: float = 5.0,
+) -> tuple[bool, float]:
+    """Stage ``batch`` as an unreferenced candidate generation, audit
+    the STAGED files (what would become live, not the pre-write frame),
+    and flip the pointer only if every expectation's fail percentage is
+    within ``max_fail_pct``. Returns (published, worst_fail_pct). A
+    rejected candidate directory is swept; the CURRENT pointer is
+    untouched on any failure path."""
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        expectation_metrics,
+    )
+
+    live = spark.read.parquet(current_table_path(root))
+    cand = live.unionByName(batch)
+    cur_gen = int(os.path.basename(current_table_path(root)).split("=")[1])
+    staged = os.path.join(root, f"staged={cur_gen + 1}")
+    shutil.rmtree(staged, ignore_errors=True)
+    cand.write.mode("overwrite").parquet(staged)
+    audited = spark.read.parquet(staged)
+    worst = (
+        expectation_metrics(audited, rules(audited))
+        .agg(
+            F.max(
+                100.0 * F.col("n_fail") / (F.col("n_pass") + F.col("n_fail"))
+            ).alias("w")
+        )
+        .first()
+        .w
+    )
+    if worst > max_fail_pct:
+        shutil.rmtree(staged, ignore_errors=True)
+        return False, float(worst)
+    gen = cur_gen + 1
+    os.replace(staged, os.path.join(root, f"gen={gen}"))
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"gen={gen}\n")
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+    return True, float(worst)
+
+
+@probe(
+    "k11_write_audit_publish",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           FALSE AS attempt_a_published, TRUE AS attempt_b_published
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03'
+    GROUP BY event_type
+    """,
+)
+def k11_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 — WAP end-to-end: gen 0 = day-1 events; attempt A appends
+    day-2 events with every 7th event's value NULLED (the value
+    expectation fails at ~14 % > the 5 % gate) — the pointer must NOT
+    move; attempt B appends the clean day-2 batch — audit passes, gen 1
+    publishes. The probe returns the LIVE table's per-type counts plus
+    both audit outcomes, so a silently-published bad batch, a wrongly
+    rejected good batch, or a pointer left mid-flip each break the
+    hash against the oracle's day-1+day-2 recount."""
+    root = "/tmp/spark_graft_scale/k11"
+    e = load_table(spark, sf_dir, "events")
+    day1 = e.filter(F.to_date("ts") == "2024-01-01")
+    day2 = e.filter(F.to_date("ts") == "2024-01-02")
+
+    def rules(df: DataFrame):
+        return {
+            "value_not_null": F.col("value").isNotNull(),
+            "user_not_null": F.col("user_id").isNotNull(),
+        }
+
+    init_pointer_table(day1, root)
+    bad = day2.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    a_pub, _ = write_audit_publish(spark, bad, root, rules)
+    b_pub, _ = write_audit_publish(spark, day2, root, rules)
+    live = spark.read.parquet(current_table_path(root))
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    return pin_result(
+        live.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("attempt_a_published", F.lit(a_pub))
+        .withColumn("attempt_b_published", F.lit(b_pub))
+    )
