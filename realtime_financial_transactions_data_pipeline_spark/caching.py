@@ -180,9 +180,16 @@ def disk_fixture(name: str, fingerprint: str, build) -> str:
     tmp = path + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    build(tmp)
-    with open(os.path.join(tmp, "_FIXTURE_OK"), "w"):
-        pass
+    # Sweep the staging dir when build() raises (ADVICE r11): without
+    # this, repeated failed builds accrete one .building dir each,
+    # while the post-commit prune below only runs on success.
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_FIXTURE_OK"), "w"):
+            pass
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
     # Prune superseded generations of THIS fixture name only — AFTER

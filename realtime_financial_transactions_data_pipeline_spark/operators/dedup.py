@@ -1330,6 +1330,29 @@ def _group_values(df: DataFrame, col: str, n_groups: int) -> list[int]:
     return [r[0] for r in df.select(col).distinct().collect()]
 
 
+def _candidate_ids(
+    spark: SparkSession,
+    bands_dir: str,
+    batch_bands: DataFrame,
+    bgs: list[int],
+    n_groups: int,
+) -> DataFrame:
+    """The lazy bg-pruned candidate-doc plan — extracted so the plan
+    test can assert the band-group partition filter BEFORE
+    :func:`pruned_index_state` checkpoints it away."""
+    return (
+        spark.read.parquet(bands_dir)
+        .filter(F.col("bg").isin(bgs))
+        .join(
+            batch_bands.select("band_id", "band_hash").distinct(),
+            ["band_id", "band_hash"],
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("dg", F.pmod(F.hash("doc_id"), F.lit(n_groups)))
+    )
+
+
 def pruned_index_state(
     spark: SparkSession,
     state_dir: str,
@@ -1360,17 +1383,14 @@ def pruned_index_state(
         "bg", F.pmod(F.hash("band_id", "band_hash"), F.lit(n_groups))
     )
     bgs = _group_values(batch_bands, "bg", n_groups)
-    cand_ids = (
-        spark.read.parquet(bands_dir)
-        .filter(F.col("bg").isin(bgs))
-        .join(
-            batch_bands.select("band_id", "band_hash").distinct(),
-            ["band_id", "band_hash"],
-        )
-        .select("doc_id")
-        .distinct()
-        .withColumn("dg", F.pmod(F.hash("doc_id"), F.lit(n_groups)))
-    )
+    # localCheckpoint materializes the candidate set ONCE per trigger
+    # (bounded by batch × bands): both the dg-group collect below and
+    # the returned plan's semi-join read the checkpointed blocks, so
+    # the band-group parquet is scanned exactly once per micro-batch
+    # instead of once per consumer.
+    cand_ids = _candidate_ids(
+        spark, bands_dir, batch_bands, bgs, n_groups
+    ).localCheckpoint()
     dgs = _group_values(cand_ids, "dg", n_groups)
     return (
         spark.read.parquet(state_dir)

@@ -2975,6 +2975,11 @@ def _parse_qoi(b: bytes, mid: object = None):
         i += 1
     if b[pos : pos + 8] != bytes(7) + b"\x01":
         raise ValueError(f"media {mid}: missing QOI end marker")
+    if pos + 8 != len(b):
+        # Strict corrupt-stream contract: the stream must END at the
+        # end marker — trailing garbage means a corrupt/concatenated
+        # payload, not a valid image (ADVICE r11).
+        raise ValueError(f"media {mid}: trailing bytes after QOI end marker")
     return out[:, :3].reshape(h, w, 3)
 
 

@@ -550,11 +550,17 @@ def write_audit_publish(
     shutil.rmtree(staged, ignore_errors=True)
     cand.write.mode("overwrite").parquet(staged)
     audited = spark.read.parquet(staged)
+    # Coalesce to 0.0: an empty rule set (or a zero-row staged table)
+    # yields a NULL max, which must read as "no expectation failed",
+    # not a TypeError at the publish gate.
     worst = (
         expectation_metrics(audited, rules(audited))
         .agg(
-            F.max(
-                100.0 * F.col("n_fail") / (F.col("n_pass") + F.col("n_fail"))
+            F.coalesce(
+                F.max(
+                    100.0 * F.col("n_fail") / (F.col("n_pass") + F.col("n_fail"))
+                ),
+                F.lit(0.0),
             ).alias("w")
         )
         .first()

@@ -479,8 +479,30 @@ def test_pruned_index_state_prunes_partitions(spark, tmp_path):
     bb = banded_keys(batch, "doc_id")
     pruned = pruned_index_state(spark, f"{root}/state", f"{root}/bands", bb)
     assert {r.doc_id for r in pruned.select("doc_id").collect()} == {7}
+    # The candidate stage is localCheckpoint-ed inside pruned_index_state
+    # (one band-index scan per trigger shared by both consumers), which
+    # truncates its lineage out of the returned plan — so assert the bg
+    # partition filter on the pre-checkpoint candidate plan and the dg
+    # filter on the returned state-scan plan.
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _candidate_ids,
+        _group_values,
+    )
+
+    bb_g = bb.withColumn(
+        "bg", F.pmod(F.hash("band_id", "band_hash"), F.lit(_X2N_STATE_GROUPS))
+    )
+    cand_plan = _candidate_ids(
+        spark,
+        f"{root}/bands",
+        bb_g,
+        _group_values(bb_g, "bg", _X2N_STATE_GROUPS),
+        _X2N_STATE_GROUPS,
+    )
+    cpf = inspect.partition_filters(cand_plan)
+    assert "bg" in cpf and "PartitionFilters: []" not in cpf
     pf = inspect.partition_filters(pruned)
-    assert "bg" in pf and "dg" in pf and "PartitionFilters: []" not in pf
+    assert "dg" in pf and "PartitionFilters: []" not in pf
     # A single doc probes at most 12 band keys -> at most 12 of the 16
     # bg groups; the scan must not touch the rest.
     touched = {
