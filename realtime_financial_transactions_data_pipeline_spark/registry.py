@@ -77,49 +77,68 @@ DRIVER_WINDOW = 50
 #: cohort 3 (r08): k7, k8c, j7, mv1, x2j, t10, u4, dq2,
 #: scale_zorder_layout, x15; cohort 4 (r09): x4g, x4h, ts1b,
 #: q13/q15/q17/q19, k6, k8, x16 — 30/30 green on first driver
-#: exposure. Cohort-6 candidates: the round-11 newcomers (x4l av
-#: sniff, x4m QOI, x1db Bloom bitmap, x19 mixture rebalance, dq3 PSI
-#: drift, x2q binary Hamming, u5 DP counts, o8 grouping sets) plus
-#: long-waiting twins s6, s8, s9, s10, a12-a16 reps, o7, x2i, x3i,
-#: x4e, x10, x14, ts1, u1c, q5/q8/q9 (rehearse first).
+#: exposure; cohort 5 (r11): 19 swaps — 50/50 green (lifetime
+#: first-exposure record now 80/80).
+#: Cohort-6 rotation (round 12, VERDICT_r11 item #1): NINETEEN
+#: multi-driver-green probes rotate OUT — u4, j7, mv1 (4 greens each,
+#: cohort 3), q13/q15/q17/q19 (3 each, cohort 4; q1 + incoming q9
+#: keep the Q family), s11 (5, cohort 2), scale_zorder_layout (4,
+#: cohort 3; the scale family is bench/oracle-checked every round and
+#: is not a §2 required family), k3/t8 (driver-green since round 1;
+#: their families keep t1_t6/t7/k8/k8b plus incoming t11/k11),
+#: k6/k8c/k7 (3-4 greens; K keeps k8, k8b, k11), t10 (4), ts1b (3;
+#: incoming ts2 keeps the TS twin pair), x1_dedup_exact (since r1;
+#: x1d + incoming x1db keep x1), x2h (since r5; the x2 family keeps
+#: six members), x4g (3; x4 keeps six members) — and NINETEEN
+#: never-driver-verified probes rotate IN: fifteen round-11 newcomers
+#: (x4l av-container sniff, x4m QOI decode, x1db Bloom long[] bitmap,
+#: x19 mixture rebalance, dq3 PSI drift, x2q binary Hamming top-k,
+#: u5 DP noisy counts, o8 grouping sets, ts2 EWMA smoothing, mv2 CDC
+#: view maintenance, x20 corpus diff, er2 fuzzy match, t11
+#: watermark-bounded dedupe, s12 fixed-width source, k11
+#: write-audit-publish) plus four long-waiting twins (q9 profit by
+#: nation/year, u1c portable FPE structure hash, x2i near-dup
+#: connected components, s9 schema-evolution merge read). Remaining
+#: cohort-7 candidates: a18, u6, f16, a19, s6, s8, s10, a12-a16
+#: reps, o7, x3i, x4e, x10, x14, ts1, q5/q8 (rehearse first).
 _DRIVER_ORDER = [
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
-    "u4_gdpr_erasure",               # U4 GDPR erasure (cohort 3)
+    "q9_profit_by_nation_year",      # TPC-H Q9 multi-join profit (cohort 6)
     "p4_validation_routing",         # P4 validation routing (cohort 5)
     "f10b_date_dim_build",           # F10 calendar/date-dim build (cohort 5)
     "j6b_asof_tolerance",            # J6b as-of join w/ tolerance (cohort 5)
-    "j7_interval_overlap",           # J7 interval overlap (cohort 3)
+    "u1c_fpe_portable",              # U1c portable FPE structure hash (cohort 6)
     "a11_gapfill_moving_avg",        # A11 gap-fill + moving average (cohort 5)
-    "mv1_incremental_agg",           # MV1 incremental agg (cohort 3)
+    "mv2_cdc_view_maintenance",      # MV2 CDC view maintenance (cohort 6)
     "l1b_partition_pruned_slice",    # L1b partition-pruned slicer (cohort 5)
     "o5_window_rank",                # O5 window rank (cohort 5)
-    "q13_order_count_distribution",  # TPC-H Q13 (cohort 4)
-    "q15_top_revenue_supplier",      # TPC-H Q15 broadcast-max argmax (cohort 4)
-    "q17_small_quantity_revenue",    # TPC-H Q17 decorrelated scalar agg (cohort 4)
-    "q19_disjunctive_predicates",    # TPC-H Q19 OR-of-ANDs pushdown (cohort 4)
-    "s11_avro_ocf_roundtrip",        # S11 Avro OCF codec
-    "scale_zorder_layout",           # Z-order clustering (cohort 3)
-    "k3_passthrough_stream",         # K3 (streaming)
-    "k6_cdc_latest_wins",            # K6 CDC compaction (cohort 4)
-    "k7_merge_upsert",               # K7 MERGE upsert (cohort 3)
+    "s9_schema_evolution_merge",     # S9 schema-evolution merge read (cohort 6)
+    "s12_fixed_width_source",        # S12 fixed-width text source (cohort 6)
+    "u5_dp_noisy_counts",            # U5 DP noisy counts (cohort 6)
+    "x4m_qoi_decode",                # X4m QOI decode (cohort 6)
+    "o8_grouping_sets",              # O8 grouping sets (cohort 6)
+    "x19_mixture_rebalance",         # X19 mixture rebalance (cohort 6)
+    "k11_write_audit_publish",       # K11 write-audit-publish (cohort 6)
+    "dq3_psi_drift",                 # DQ3 PSI drift (cohort 6)
+    "er2_fuzzy_match",               # ER2 fuzzy match (cohort 6)
     "k8_stream_merge_sink",          # K8 streaming CDC merge (cohort 4)
     "k8b_bucketed_merge_sink",       # K8b merge-on-write
-    "k8c_change_feed",               # K8c change-data-feed (cohort 3)
+    "x20_corpus_diff",               # X20 corpus diff (cohort 6)
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
     "t7_stream_stream_join",         # T7 stream-stream inner join (cohort 5)
-    "t8_stream_outer_attribution",   # LEFT-OUTER stream-stream join, e2e streaming
-    "t10_stream_tumbling_windows",   # T10 tumbling windows (cohort 3)
-    "ts1b_series_similarity_blocked",  # TS1b blocked candidate step (cohort 4)
-    "x1_dedup_exact",                # X1
+    "t11_dedupe_within_watermark",   # T11 watermark-bounded dedupe (cohort 6)
+    "ts2_ewma_smoothing",            # TS2 EWMA smoothing (cohort 6)
+    "x2i_neardup_components",        # X2i near-dup components (cohort 6)
+    "x1db_bloom_bitmap",             # X1db Bloom long[] bitmap (cohort 6)
     "x1d_bloom_prefilter",           # X1d Bloom prefilter (cohort 5)
-    "x2h_ann_ivf",                   # X2 ANN IVF
+    "x2q_binary_hamming_topk",       # X2q binary Hamming top-k (cohort 6)
     "x2l_semdedup",                  # X2l SemDeDup (cohort 5)
     "x2n_stream_neardup_ingest",     # X2n streaming near-dup ingest (cohort 5)
     "x2o_product_quantization",      # X2o PQ codebook encode (cohort 5)
     "x2p_pq_adc_topk",               # X2p PQ ADC top-k (cohort 5)
     "x3ade_doc_profile",             # X3 merged: tokens+fingerprint+BPE
     "x3l_luhn_card_scrub",           # X3l Luhn card scrub (cohort 5)
-    "x4g_jpeg_decode",               # X4g from-spec JPEG decode (cohort 4)
+    "x4l_av_container_sniff",        # X4l AV container sniff (cohort 6)
     "x4h_audio_features",            # X4h audio features (cohort 4)
     "x4i_gif_decode",                # X4i GIF decode (cohort 5)
     "x4j_gif_frame_sample",          # X4j animated-GIF frame sampling (cohort 5)
