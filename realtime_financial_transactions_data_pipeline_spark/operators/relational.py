@@ -2121,6 +2121,401 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H completion set (round 12): q2, q11, q12, q16, q20, q21 ----
+#
+# The test schema ships no partsupp table (TESTDATA.md), so the four
+# partsupp-dependent shapes derive one deterministically from the
+# lineitem fact: the supplier-supplies-part relation is the DISTINCT
+# (l_partkey, l_suppkey) pairs that actually traded, and
+# cost/availability are exact integer functions of the keys — BIGINT
+# end-to-end, so the Spark and DuckDB sides agree bit-for-bit with no
+# float order-sensitivity anywhere (same discipline as q9's
+# p_retailprice cost model). The SHAPES under test (correlated min
+# subquery, scalar-subquery HAVING, NOT-IN exclusion, nested IN
+# chains, EXISTS/NOT-EXISTS self-join) are unchanged from the spec.
+
+_PARTSUPP_SQL = """partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             1 + (l_partkey * 7 + l_suppkey * 13) % 1000 AS ps_supplycost,
+             1 + (l_partkey * 31 + l_suppkey * 17) % 500 AS ps_availqty
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation (see block comment above). One
+    shuffle (the pair-distinct); everything else is a projection."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        (1 + (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 1000).alias(
+            "ps_supplycost"
+        ),
+        (1 + (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 500).alias(
+            "ps_availqty"
+        ),
+    )
+
+
+@probe(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eu AS (
+      SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    pf AS (SELECT p_partkey, p_type FROM part
+           WHERE p_size <= 10 AND p_type LIKE '%ANDARD'),
+    eu2 AS (SELECT eu.*, p_type FROM eu JOIN pf ON ps_partkey = p_partkey),
+    mn AS (SELECT ps_partkey AS mn_partkey, min(ps_supplycost) AS min_cost
+           FROM eu2 GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_type,
+           ps_supplycost
+    FROM eu2 JOIN mn ON ps_partkey = mn_partkey AND ps_supplycost = min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated min-subquery over a 4-table dim
+    chain: for each small STANDARD-type part, the European supplier(s)
+    offering the minimum supply cost. The correlated
+    ``= (SELECT min(...) WHERE ps_partkey = p_partkey)`` decorrelates
+    into ONE groupBy over the Europe-filtered supply view joined back
+    on (partkey, cost) — the cost is BIGINT so the equality gate is
+    exact (no q15-style float-merge hazard). The part filter
+    broadcasts into the supply view BEFORE the min aggregate (the min
+    per part is independent of the part filter, so pruning first is
+    semantics-preserving and drops the agg input by ~50×); nation and
+    region broadcast as true dims. Reference: the reference's
+    analytics layer is full BigQuery SQL (README.md:79-97), so
+    full-dialect decorrelation parity is the bar."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & F.col("p_type").like("%ANDARD"))
+        .select("p_partkey", "p_type")
+    )
+    eu2 = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(pf), ps.ps_partkey == pf.p_partkey)
+        .select(
+            "ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name", "p_type"
+        )
+    )
+    mn = eu2.groupBy(F.col("ps_partkey").alias("mn_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu2.join(
+            mn,
+            (eu2.ps_partkey == mn.mn_partkey)
+            & (eu2.ps_supplycost == mn.min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_type",
+            "ps_supplycost",
+        )
+    )
+
+
+@probe(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    g AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7')
+    SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS stock_value
+    FROM g GROUP BY ps_partkey
+    HAVING sum(v) * 1000 > (SELECT sum(v) FROM g)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — scalar-subquery HAVING: parts whose stock
+    value at NATION_7 suppliers exceeds 1/1000 of that nation's total
+    stock value. The scalar total is a ONE-ROW aggregate broadcast
+    back over the per-part aggregate (never a per-group subquery);
+    the threshold compare is pure BIGINT (``sum*1000 > total``, no
+    division) so both engines agree exactly. Both aggregates read the
+    same supply view; at cluster scale the per-part aggregate is the
+    only real shuffle — the total folds map-side into one row."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    g = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    tot = g.agg(F.sum("v").alias("total_v"))
+    return (
+        g.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("stock_value"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("stock_value") * 1000 > F.col("total_v"))
+        .select("ps_partkey", "stock_value")
+    )
+
+
+@probe(
+    "q12_shipclass_priority",
+    oracle="""
+    SELECT ship_class,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE (l_partkey + l_suppkey) % 3
+               WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'RAIL'
+             END AS ship_class,
+             o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-01-01')
+    GROUP BY ship_class
+    """,
+)
+def q12_shipclass_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — join + dual conditional aggregate: late 1995
+    shipments split into high/low priority counts per ship class. The
+    schema carries no l_shipmode/l_commitdate/l_receiptdate, so ship
+    class derives deterministically from the part/supplier keys and
+    "late" is shipped >60 days after the order date (both exact
+    timestamp arithmetic in either engine, UTC-pinned). The shipdate
+    window pushes into the lineitem scan; the late predicate rides the
+    post-join filter; the two CASE sums fold in ONE hash aggregate
+    over three groups."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    key3 = (F.col("l_partkey") + F.col("l_suppkey")) % 3
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(
+            F.when(key3 == 0, "MAIL")
+            .when(key3 == 1, "SHIP")
+            .otherwise("RAIL")
+            .alias("ship_class"),
+            hi.alias("hi"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@probe(
+    "q16_supplier_part_counts",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1,4,7,10,13,16,19,22)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT-IN exclusion + count-distinct rollup:
+    how many distinct non-excluded suppliers offer each qualifying
+    (brand, type, size). The schema has no s_comment, so Q16's
+    complaint exclusion becomes the negative-balance suppliers — the
+    SHAPE (NOT IN subquery → LEFT ANTI join on a broadcast-small
+    exclusion list) is identical. The part predicate trio pushes into
+    the broadcast part dim; count(DISTINCT) shuffles once on the
+    grouping key with partial distinct-aggregation map-side."""
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@probe(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-01-01'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%' OR p_name LIKE 'hot%')
+          AND ps_availqty > 0.5 * qty)
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested IN chains decorrelated to semi-joins:
+    NATION_3 suppliers holding excess stock (availqty > half of what
+    they shipped in 1995) of small/hot parts. The inner correlated
+    ``(SELECT 0.5*sum(l_quantity) WHERE l_partkey=.. AND l_suppkey=..)``
+    is ONE groupBy over the date-pruned lineitem joined on the pair
+    key; both IN chains become semi-joins (part list broadcast;
+    qualifying-supplier set broadcast into the final semi). l_quantity
+    is integral doubles summed exactly (< 2^53), so the half-compare
+    is deterministic in both engines."""
+    ps = _partsupp(spark, sf_dir)
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%") | F.col("p_name").like("hot%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .join(F.broadcast(parts), ps.ps_partkey == parts.p_partkey, "left_semi")
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(qualifying), s.s_suppkey == qualifying.ps_suppkey, "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+    )
+
+
+@probe(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lo l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5' AND l1.late
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — multi-way EXISTS / NOT-EXISTS self-join,
+    decorrelated: NATION_5 suppliers who were the SOLE late supplier
+    on a multi-supplier finished order ("late" = shipped >60 days
+    after order date; the schema has no commit/receipt dates). Both
+    correlated quantifiers collapse into ONE per-order aggregate over
+    the same line view — EXISTS(other supplier) ⇔ distinct-supplier
+    count > 1, NOT EXISTS(other LATE supplier) ⇔ distinct-LATE-
+    supplier count = 1 given l1 itself is late — so the self-join
+    triple becomes a single shuffle on l_orderkey plus one join back
+    (AQE co-partitions both sides on the same key; zero nested-loop
+    execution). The nation filter broadcasts into the l1 side BEFORE
+    the per-order join, so only NATION_5 lines carry through."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    l1 = (
+        lo.filter(F.col("late"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey", "s_name")
+    )
+    return (
+        l1.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 @probe(
     "o8_grouping_sets",
     oracle="""

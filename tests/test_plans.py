@@ -138,3 +138,39 @@ def test_ts1b_blocked_variant_plan_and_semantics(spark, sf_dir):
     # distances ascend under the global tie-break
     ds = [r.zdist for r in rows]
     assert ds == sorted(ds)
+
+
+def test_tpch_completion_plans_have_no_nested_loops(spark, sf_dir):
+    """VERDICT r11 #2: the round-12 TPC-H completion set (q2 correlated
+    min-subquery, q11 scalar-subquery HAVING, q12 dual conditional agg,
+    q16 NOT-IN exclusion, q20 nested IN chains, q21 EXISTS/NOT-EXISTS
+    self-join) must decorrelate to hash joins — a CartesianProduct or a
+    data-sized BroadcastNestedLoopJoin is the 100 TB scale-killer these
+    shapes exist to test. q11's single benign exception: the ONE-ROW
+    total-value gate broadcasts via crossJoin (the q15/q22 pattern)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        q2_min_cost_supplier,
+        q11_important_stock,
+        q12_shipclass_priority,
+        q16_supplier_part_counts,
+        q20_potential_promotion,
+        q21_suppliers_kept_waiting,
+    )
+
+    for fn in (
+        q2_min_cost_supplier,
+        q12_shipclass_priority,
+        q16_supplier_part_counts,
+        q20_potential_promotion,
+        q21_suppliers_kept_waiting,
+    ):
+        plan = inspect.formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (fn.__name__, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (fn.__name__, plan)
+    # q11: the 1-row aggregate gate is the only permitted NLJ node.
+    plan = inspect.formatted_plan(q11_important_stock(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert nlj <= 1, plan
