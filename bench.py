@@ -43,11 +43,14 @@ from realtime_financial_transactions_data_pipeline_spark.registry import all_pro
 from realtime_financial_transactions_data_pipeline_spark.session import get_spark
 
 #: Probes at or above this first-pass time (sec) get a second timed
-#: invocation. Sub-threshold probes whipsaw by well under the ~0.5 s
-#: adjudication floor, and bounding the rerun set keeps the suite
-#: comfortably inside the driver's bench budget (r08: the >=1.5 s tail
-#: was ~20 probes / ~70 s worst case on top of a 146 s pass 1).
-_RERUN_THRESHOLD = 1.5
+#: invocation. 0.0 = EVERY probe gets min-of-2 protection (VERDICT r11
+#: #3: sub-threshold probes had zero noise shielding, and round-11's
+#: x3h/x4h looked 2.4x/1.6x regressed in-suite purely from host jitter,
+#: costing an adjudication cycle — while the warm second pass of the
+#: full suite adds only ~60% of pass-1 wall because fixtures and JVM
+#: code caches are hot). ``value`` stays the PASS-1 wall so
+#: round-over-round suite comparisons remain apples-to-apples.
+_RERUN_THRESHOLD = 0.0
 
 
 def _sched_calib(spark) -> float:

@@ -49,6 +49,16 @@ def test_bench_emits_one_json_line_with_timings():
     assert detail["calib_sec"] > 0
     assert set(detail["queries_min"]) == set(detail["queries"])
     assert set(detail["queries_rerun"]) <= set(detail["queries"])
+    # VERDICT r11 #3: every probe gets min-of-2 noise protection — the
+    # old 1.5 s rerun threshold left sub-threshold probes with a single
+    # unshielded sample, which read as 2x phantom regressions in-suite.
+    import bench as bench_mod
+
+    assert bench_mod._RERUN_THRESHOLD <= 0.5
+    assert detail["rerun_threshold"] <= 0.5
+    succeeded = {n for n, t in detail["queries"].items() if t >= 0}
+    rerun_ok = {n for n in succeeded if detail["queries_rerun"].get(n, -1) >= 0}
+    assert len(rerun_ok) >= 0.9 * len(succeeded)
     for n, t in detail["queries_min"].items():
         if t < 0:
             # A probe that failed is recorded as -1 in BOTH maps — the
