@@ -139,11 +139,19 @@ def route_and_tokenize(parsed: DataFrame, key: bytes | None = None) -> tuple[Dat
     return valid, errors
 
 
-def kafka_reader_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
     """The reader options a Kafka-backed S1 needs (message-bus twin of
     the reference's Pub/Sub subscription). Kept as a pure function so
-    the seam is unit-testable without a broker."""
-    return {
+    the seam is unit-testable without a broker.
+    ``max_offsets_per_trigger`` is the backpressure knob — the Kafka
+    twin of the file transport's ``maxFilesPerTrigger`` (at cluster
+    scale it bounds per-micro-batch state/shuffle so one lagged restart
+    can't pull the whole retention window into a single batch)."""
+    opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
         "startingOffsets": "earliest",
@@ -151,6 +159,9 @@ def kafka_reader_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
         # exactly-once posture of the checkpointed pipeline (T1).
         "failOnDataLoss": "true",
     }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
 
 
 def build_stream_source(

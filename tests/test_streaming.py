@@ -530,3 +530,34 @@ def test_read_changes_since_prunes_consumed_generations(spark, tmp_path):
 
     plan = inspect.formatted_plan(late)
     assert "PartitionFilters" in plan and "gen" in plan
+
+
+def test_kafka_pacing_option_and_binary_value_decode_parity(spark):
+    """VERDICT r11 #4 closure: (a) the Kafka backpressure knob
+    (maxOffsetsPerTrigger, the file transport's maxFilesPerTrigger
+    twin) flows through kafka_reader_options; (b) the claim that
+    parse_stream's cast-to-string IS the S2 decode for BOTH transports
+    is pinned — a Kafka-shaped BINARY value column must parse to the
+    identical rows a file-transport STRING value produces."""
+    from realtime_financial_transactions_data_pipeline_spark.streaming import (
+        pipeline as sp,
+    )
+
+    opts = sp.kafka_reader_options("b1:9092", "txns", max_offsets_per_trigger=50000)
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["subscribe"] == "txns"
+    # no pacing requested -> knob absent (Kafka default = read-all)
+    assert "maxOffsetsPerTrigger" not in sp.kafka_reader_options("b", "t")
+
+    msg = (
+        '{"transaction_id": "tx-1", "card_number": '
+        '{"string": "4556737586899855"}, "amount": {"double": 12.5}}'
+    )
+    from pyspark.sql import functions as F
+
+    as_text = spark.createDataFrame([(msg,)], "value string")
+    as_kafka = spark.createDataFrame([(msg.encode("utf-8"),)], "value binary")
+    rows_text = sp.parse_stream(as_text).collect()
+    rows_kafka = sp.parse_stream(as_kafka).collect()
+    assert rows_text == rows_kafka
+    assert rows_text[0]["transaction_id"] == "tx-1"
