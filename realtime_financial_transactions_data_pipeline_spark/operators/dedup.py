@@ -568,11 +568,29 @@ def x2a_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     x2b) are unit-tested in tests/test_dedup.py."""
     grams = _corpus_grams(spark, sf_dir)
     sigs = minhash_signature(grams, grams_col="grams").select("doc_id", "sig")
-    cands = lsh_candidate_pairs(sigs, "doc_id")
-    docs_a = grams.select(
+    # Materialize the candidate pairs once (they feed BOTH the id
+    # prune and the verify join), then SEMI-JOIN the corpus down to
+    # candidate ids BEFORE the verify join ships any gram array.
+    # Pre-r12 this joined cands against the FULL corpus: past the
+    # broadcast threshold both gram sides shuffled whole (the 73.7×
+    # shuffle blow-up at the 10× smoke, PLANS.md). Candidate ids are
+    # O(near-dup pairs) — linear in planted dups, tiny vs corpus — so
+    # broadcasting the id set keeps the gram shuffle proportional to
+    # CANDIDATES at any corpus size. When even the candidate-id set
+    # exceeds broadcast (adversarially duplicated corpora), the
+    # documented 100 TB route is x2n's band-partitioned incremental
+    # index, not this batch probe (PLANS.md §scale-smoke).
+    cands = lsh_candidate_pairs(sigs, "doc_id").localCheckpoint(eager=False)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_grams = grams.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    docs_a = cand_grams.select(
         F.col("doc_id").alias("id_a"), F.col("grams").alias("sh_a"), F.col("n").alias("n_a")
     )
-    docs_b = grams.select(
+    docs_b = cand_grams.select(
         F.col("doc_id").alias("id_b"), F.col("grams").alias("sh_b"), F.col("n").alias("n_b")
     )
     return (
