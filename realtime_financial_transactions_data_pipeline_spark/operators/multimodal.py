@@ -241,12 +241,36 @@ def x4_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth_media(spark, sf_dir).mapInPandas(profile, _PROFILE_SCHEMA)
 
 
-@probe("x4b_decode_stub", oracle=None)
+@probe(
+    "x4b_decode_stub",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             octet_length(encode(text)) AS n,
+             (SELECT coalesce(sum(ord(u.c)), 0)
+              FROM (SELECT unnest(string_split(text, '')) AS c) u) AS checksum
+      FROM documents)
+    SELECT modality, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum((n % 640 + 16) * (n % 480 + 16)) AS BIGINT)
+             AS total_pixels,
+           CAST(sum(checksum) AS BIGINT) AS checksum_sum
+    FROM m GROUP BY modality
+    """,
+)
 def x4b_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing (stubbed codec): binary batches →
-    typed decoded rows; aggregated per modality. Rows-only (the fake
-    decode has no SQL twin); batch shape and determinism are tested in
-    tests/test_multimodal.py."""
+    typed decoded rows; aggregated per modality. Hash-checked since
+    round 12 (VERDICT r11 #8): the "fake" decode is fully deterministic
+    arithmetic on the payload bytes — stub_dims on the byte length,
+    byte-sum checksum — so DuckDB replays it exactly. The byte-sum
+    replay uses per-character code points, which equals the UTF-8
+    byte sum because the documents corpus is ASCII at every shipped SF
+    (asserted: octet_length(encode(text)) == length(text) for all
+    rows); if the driver ever regenerates non-ASCII testdata this
+    oracle fails loudly rather than drifting. Batch shape and
+    determinism are additionally tested in tests/test_multimodal.py."""
     decoded = decode_media(synth_media(spark, sf_dir))
     return decoded.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -291,3 +291,30 @@ def test_sign_bits_packed_matches_python_reference(spark):
     for i, v in enumerate(vecs):
         assert got[i] == ref(v), i
     assert got[0] == 0 and got[1] == -1 and got[2] == -(1 << 63)
+
+
+def test_x2r_recall_accounting_mechanics(spark):
+    """The recall accounting itself (VERDICT r11 #7): hit counting via
+    the exact∩ann join, zero-hit queries RETAINED at recall 0.0 (a
+    left join from the exact side — an inner join would silently drop
+    them and overstate mean recall), and the recall division."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        _recall_against,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    # query 1: 2 of 3 hit (one extra non-exact neighbor is ignored);
+    # query 2: nothing hit -> must still appear with recall 0.0
+    ann = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77), (2, 78), (2, 79)],
+        "query_id long, neighbor_id long",
+    )
+    rows = {
+        r.query_id: r for r in _recall_against("m", ann, exact, 3).collect()
+    }
+    assert rows[1].n_hits == 2 and abs(rows[1].recall - 2 / 3) < 1e-12
+    assert rows[2].n_hits == 0 and rows[2].recall == 0.0
+    assert all(r.method == "m" for r in rows.values())
