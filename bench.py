@@ -244,6 +244,22 @@ def main() -> None:
     if t_stream > 0:
         from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import WIRE_COPIES
 
+        # The headline stream window gets two extra dedicated samples
+        # (~3 s each on a ~265 s suite) on top of the pass-1/pass-2
+        # snapshots, min-of-N like queries_min: the window is a ~1 s
+        # quantity on a host with ±0.3 s scheduling jitter, and r11/r12
+        # both burned adjudication cycles on single-sample readings that
+        # standalone re-runs couldn't reproduce.
+        from realtime_financial_transactions_data_pipeline_spark.streaming import pipeline as _plx
+
+        for _ in range(2):
+            try:
+                probes["t1_t6_streaming_pipeline"].fn(spark, sf_dir).count()
+                if _plx.LAST_STREAM_SECONDS and stream_window_s:
+                    stream_window_s = min(stream_window_s, _plx.LAST_STREAM_SECONDS)
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench: stream window sample failed: {exc}", file=sys.stderr)
+
         # Two rates, two explicit keys (round-5 ADVICE: round 5 silently
         # redefined stream_msgs_per_sec from probe-wall to query-window):
         #   stream_msgs_per_sec        — over the PROBE WALL, the
