@@ -319,3 +319,107 @@ def dq3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("_sb", 6).alias("share_new"),
         dround("_psi", 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ4 — schema-drift audit: the catalog-side complement of the data-
+# side PSI drift (dq3) and the read-side evolution merge (s9). Given
+# two generations of a dataset, report per column: membership in each
+# generation, the drift class (added / removed / stable), the declared
+# type on each side, and the DATA impact under an evolution-merged read
+# (how many live rows actually carry the column vs read it as null) —
+# the accounting a schema-registry gate or a migration runbook needs
+# before flipping consumers to the merged view.
+# ---------------------------------------------------------------------------
+
+
+def schema_drift_report(
+    spark: SparkSession, gen0_dir: str, gen1_dir: str
+) -> DataFrame:
+    """Diff two parquet generations' schemas (footer metadata — no data
+    read) and account the merged read's per-column presence. The
+    column-level diff is metadata-sized driver work by nature (a schema
+    is not a dataset); the row accounting is ONE conditional aggregate
+    over the mergeSchema scan."""
+    s0 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(gen0_dir).schema.fields}
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(gen1_dir).schema.fields}
+    cols = sorted(set(s0) | set(s1))
+    meta = spark.createDataFrame(
+        [
+            (
+                c,
+                c in s0,
+                c in s1,
+                "stable" if c in s0 and c in s1 else ("added" if c in s1 else "removed"),
+                s0.get(c),
+                s1.get(c),
+            )
+            for c in cols
+        ],
+        "column string, in_gen0 boolean, in_gen1 boolean, status string,"
+        " type_gen0 string, type_gen1 string",
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(gen0_dir, gen1_dir)
+    counts = merged.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[F.count(c).alias(f"_nn_{c}") for c in cols],
+    )
+    long = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_nn_{c}").alias("n_rows_present"),
+                        (F.col("_total") - F.col(f"_nn_{c}")).alias("n_rows_missing"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return meta.join(F.broadcast(long), "column")
+
+
+@probe(
+    "dq4_schema_drift",
+    oracle="""
+    WITH g0 AS (SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0),
+         g1 AS (SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 1),
+         tot AS (SELECT (SELECT count(*) FROM g0) + (SELECT count(*) FROM g1)
+                   AS total, (SELECT count(*) FROM g1) AS n1)
+    SELECT * FROM (
+      SELECT 'n_nationkey' AS "column", TRUE AS in_gen0, TRUE AS in_gen1,
+             'stable' AS status, 'int' AS type_gen0, 'int' AS type_gen1,
+             CAST(total AS BIGINT) AS n_rows_present,
+             CAST(0 AS BIGINT) AS n_rows_missing FROM tot
+      UNION ALL
+      SELECT 'n_name', TRUE, TRUE, 'stable', 'string', 'string',
+             CAST(total AS BIGINT), CAST(0 AS BIGINT) FROM tot
+      UNION ALL
+      SELECT 'n_regionkey', FALSE, TRUE, 'added', NULL, 'int',
+             CAST(n1 AS BIGINT), CAST(total - n1 AS BIGINT) FROM tot)
+    """,
+)
+def dq4_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4 — schema-drift audit over the s9-style two-generation nation
+    layout (gen0 written before ``n_regionkey`` existed over the even
+    keys, gen1 after over the odd keys). The probe derives the report
+    from the REAL parquet footers and a REAL mergeSchema scan; the
+    oracle recomputes the expectation from the base table — which
+    columns each generation declares is fixed by the build, while the
+    row accounting (how many merged rows carry the added column vs
+    null) is data-derived. Generalizes to any two generation dirs via
+    :func:`schema_drift_report`."""
+    import shutil
+
+    base = load_table(spark, sf_dir, "nation")
+    root = "/tmp/spark_graft_quality/nation_drift"
+    shutil.rmtree(root, ignore_errors=True)
+    base.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", "n_name"
+    ).write.parquet(f"{root}/gen=0")
+    base.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.parquet(f"{root}/gen=1")
+    return schema_drift_report(spark, f"{root}/gen=0", f"{root}/gen=1")

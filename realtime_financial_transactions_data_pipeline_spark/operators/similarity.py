@@ -1222,6 +1222,144 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X2s — IVF+PQ composed search: the canonical billion-scale ANN
+# architecture (FAISS IndexIVFPQ). The coarse quantizer (x2h's IVF
+# lists) prunes the corpus to the query's nprobe nearest lists; PQ/ADC
+# (x2p) scores ONLY those candidates from their 4-byte code tuples —
+# the corpus contributes 8-byte (vec_id, codes) rows to the search, its
+# floats never move. This variant scores raw-vector PQ codes (FAISS's
+# residual encoding is an accuracy refinement on the same plan shape:
+# subtract the list centroid before pq_train and add one term to the
+# ADC table; the join/aggregate topology is identical).
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+
+
+@probe(
+    "x2s_ivf_pq_search",
+    oracle=f"""{_X2O_CTE},
+    ive AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+    ipos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos,
+                    unnest(emb) AS v
+             FROM ive),
+    ipm AS (SELECT label, pos, avg(v) AS mv FROM ipos GROUP BY label, pos),
+    icents AS (SELECT label AS ivf_list, list(mv ORDER BY pos) AS centroid
+               FROM ipm GROUP BY label),
+    isims AS (SELECT ive.vec_id, c.ivf_list,
+                     list_inner_product(ive.emb, c.centroid)
+                     / (sqrt(list_inner_product(ive.emb, ive.emb))
+                        * sqrt(list_inner_product(c.centroid, c.centroid)))
+                       AS sim
+              FROM ive CROSS JOIN icents c),
+    iassign AS (SELECT vec_id, ivf_list,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, ivf_list) AS rnk
+                FROM isims),
+    iidx AS (SELECT vec_id, ivf_list FROM iassign WHERE rnk = 1),
+    iqs0 AS (SELECT vec_id AS q_id FROM ive
+             ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)) LIMIT {_PQ_NQ}),
+    iqs AS (SELECT q_id, ivf_list
+            FROM iassign JOIN iqs0 ON vec_id = q_id
+            WHERE rnk <= {_IVFPQ_NPROBE}),
+    cand AS (SELECT DISTINCT iqs.q_id, iidx.vec_id
+             FROM iqs JOIN iidx USING (ivf_list)),
+    qsub AS (SELECT q_id, sub.m, sub.sub FROM iqs0
+             JOIN sub ON sub.vec_id = q_id),
+    tbl AS (SELECT qsub.q_id, c1.m, c1.list_id,
+                   list_sum(list_transform(list_zip(qsub.sub, c1.centroid),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd
+            FROM qsub JOIN c1 ON qsub.m = c1.m),
+    sc AS (SELECT tbl.q_id, a2.vec_id,
+                  list_sum(list(tbl.qd ORDER BY a2.m)) AS qdist
+           FROM cand
+           JOIN a2 ON a2.vec_id = cand.vec_id
+           JOIN tbl ON tbl.q_id = cand.q_id AND tbl.m = a2.m
+                   AND tbl.list_id = a2.list_id
+           GROUP BY tbl.q_id, a2.vec_id),
+    ranked AS (SELECT q_id, vec_id, qdist,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY qdist, vec_id) AS rnk
+               FROM sc)
+    SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(qdist, 4) AS adc_dist
+    FROM ranked WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2s: IVF-pruned PQ/ADC search (see block comment). Per query:
+    assign to the {_IVFPQ_NPROBE} nearest coarse lists (centroids
+    broadcast), semi-restrict the code table to vectors INDEXED in
+    those lists, then score candidates from codes alone via the
+    broadcast ADC lookup table — x2p's scan shrinks by ~k/nprobe while
+    every remaining arithmetic step stays bit-deterministic (ordered
+    subspace folds, tie-broken rankings), so DuckDB replays coarse
+    training, PQ training, list pruning, and the ADC sums end-to-end.
+    At 100 TB: lists are the partition key (a query touches nprobe
+    partitions), codes are 4 bytes/vector, the window is per-query —
+    swap the final row_number for per-partition heads + merge exactly
+    as documented on x2p."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "nrm", "label"
+    )
+    cents = shared_persist(ivf_centroids(emb))
+    iidx = ivf_assign(emb, cents, nprobe=1).select("vec_id", F.col("list_id").alias("ivf_list"))
+    qs0 = (
+        emb.select("vec_id")
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("q_id"))
+    )
+    qvec = emb.join(F.broadcast(qs0), emb.vec_id == qs0.q_id).select(
+        "vec_id", "emb", "nrm"
+    )
+    qassign = ivf_assign(qvec, cents, nprobe=_IVFPQ_NPROBE).select(
+        F.col("vec_id").alias("q_id"), F.col("list_id").alias("ivf_list")
+    )
+    cand = (
+        iidx.join(F.broadcast(qassign), "ivf_list")
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    a2, c1, sub = pq_train(emb.select("vec_id", "emb"))
+    qsub = sub.join(F.broadcast(qs0), sub.vec_id == F.col("q_id")).select(
+        "q_id", "m", "sub"
+    )
+    qd = F.expr(
+        "aggregate(zip_with(sub, centroid, (x, c) -> (x - c) * (x - c)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+    tbl = (
+        qsub.join(F.broadcast(c1), "m")
+        .withColumn("qd", qd)
+        .select("q_id", "m", "list_id", "qd")
+    )
+    sc = (
+        a2.select("vec_id", "m", F.col("code").alias("list_id"))
+        .join(cand, "vec_id")
+        .join(F.broadcast(tbl), ["q_id", "m", "list_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "qd"))).alias("terms"))
+        .withColumn("qdist", F.expr("aggregate(terms, 0.0D, (s, p) -> s + p.qd)"))
+    )
+    w = Window.partitionBy("q_id").orderBy("qdist", "vec_id")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            dround("qdist", 4).alias("adc_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # X2q — binary (sign) quantization + Hamming top-k: the third point on
 # the compression spectrum next to int8 (x2k) and PQ/ADC (x2o/x2p).
 # A 64-dim float32 embedding packs into ONE 64-bit word (32x smaller);

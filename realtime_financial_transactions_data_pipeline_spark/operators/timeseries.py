@@ -873,3 +873,95 @@ def a18_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TS3 — classical additive seasonal decomposition (trend + weekly
+# seasonal + residual), the moving-average method behind monitoring
+# dashboards and STL's inner loop: trend is a CENTERED 7-day moving
+# average (defined only where the full window exists), the seasonal
+# index is the per-day-of-week mean of the detrended series re-centered
+# to sum to zero, and the residual is what's left. Everything is
+# windows + hash aggregates over a days-sized series per key — at
+# 100 TB the daily reduction is the only fact-sized shuffle; the
+# decomposition itself runs on |keys| × |days| rows.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "ts3_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, d, n,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN avg(CAST(n AS DOUBLE)) OVER w7 END AS trend
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (SELECT event_type, isodow(d) - 1 AS dow, n - trend AS dt
+            FROM t WHERE trend IS NOT NULL),
+    sraw AS (SELECT event_type, dow, avg(dt) AS s FROM det GROUP BY 1, 2),
+    sadj AS (SELECT event_type, dow,
+                    s - avg(s) OVER (PARTITION BY event_type) AS seasonal
+             FROM sraw)
+    SELECT t.event_type, strftime(t.d, '%Y-%m-%d') AS d, t.n,
+           round(t.trend * 1000000) / 1000000 AS trend,
+           round(sadj.seasonal * 1000000) / 1000000 AS seasonal,
+           round((t.n - t.trend - sadj.seasonal) * 1000000) / 1000000
+             AS residual
+    FROM t JOIN sadj ON t.event_type = sadj.event_type
+                    AND isodow(t.d) - 1 = sadj.dow
+    """,
+)
+def ts3_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS3 — additive decomposition of each event type's daily count
+    series (see block comment). Day-of-week indexing uses Monday=0 in
+    both engines (Spark ``weekday`` == DuckDB ``isodow - 1``); trend is
+    NULL on the 3-row edges (the centered window's honest domain), and
+    seasonal applies to every row via the dow join. Double averaging
+    chains agree across engines well inside the 1e-6 rounding (integer
+    counts, ~50-term means: accumulated ULP error ~1e-12)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    t = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.avg(F.col("n").cast("double")).over(w7),
+        ),
+    )
+    det = t.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        F.weekday("d").alias("dow"),
+        (F.col("n") - F.col("trend")).alias("dt"),
+    )
+    sadj = (
+        det.groupBy("event_type", "dow")
+        .agg(F.avg("dt").alias("s"))
+        .withColumn(
+            "seasonal",
+            F.col("s") - F.avg("s").over(Window.partitionBy("event_type")),
+        )
+        .select("event_type", "dow", "seasonal")
+    )
+    return (
+        t.withColumn("dow", F.weekday("d"))
+        .join(sadj, ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "n",
+            dround("trend", 6).alias("trend"),
+            dround("seasonal", 6).alias("seasonal"),
+            dround(F.col("n") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+    )

@@ -138,3 +138,25 @@ def test_psi_drift_smoothing_and_empty_bins(spark):
         F.sum("_psi").alias("s")
     ).first().s
     assert abs(same) < 1e-12
+
+
+def test_schema_drift_report_removed_column(spark, tmp_path):
+    """dq4's probe only exercises 'added'; pin 'removed' and the
+    presence accounting for a column that disappears in gen1."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        schema_drift_report,
+    )
+
+    g0 = str(tmp_path / "g0")
+    g1 = str(tmp_path / "g1")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, legacy double"
+    ).write.parquet(g0)
+    spark.createDataFrame([(3, "c"), (4, "d")], "id long, name string").write.parquet(g1)
+    rows = {r.column: r for r in schema_drift_report(spark, g0, g1).collect()}
+    leg = rows["legacy"]
+    assert leg.status == "removed" and leg.in_gen0 and not leg.in_gen1
+    assert leg.type_gen0 == "double" and leg.type_gen1 is None
+    # 2 gen0 rows carry it; 2 gen1 rows read it as null under the merge
+    assert leg.n_rows_present == 2 and leg.n_rows_missing == 2
+    assert rows["id"].status == "stable" and rows["id"].n_rows_missing == 0

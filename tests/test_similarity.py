@@ -318,3 +318,27 @@ def test_x2r_recall_accounting_mechanics(spark):
     assert rows[1].n_hits == 2 and abs(rows[1].recall - 2 / 3) < 1e-12
     assert rows[2].n_hits == 0 and rows[2].recall == 0.0
     assert all(r.method == "m" for r in rows.values())
+
+
+def test_x2s_agrees_with_full_adc_on_shared_pairs(spark):
+    """IVF pruning must change WHICH vectors are scored, never their
+    scores: any (query, neighbor) pair appearing in both x2s (IVF-
+    pruned ADC) and x2p (full-corpus ADC) must carry the identical
+    rounded ADC distance — same codebooks, same lookup table, same
+    ordered subspace fold."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        x2p_pq_adc_topk,
+        x2s_ivf_pq_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r.q_id, r.neighbor_id): r.adc_dist
+        for r in x2p_pq_adc_topk(spark, sf).collect()
+    }
+    pruned = x2s_ivf_pq_search(spark, sf).collect()
+    assert pruned, "IVF-pruned search returned nothing"
+    shared = [r for r in pruned if (r.q_id, r.neighbor_id) in full]
+    assert shared, "no overlap between pruned and full top-k to compare"
+    for r in shared:
+        assert full[(r.q_id, r.neighbor_id)] == r.adc_dist
