@@ -249,3 +249,56 @@ def test_avro_ocf_roundtrip_any_records(recs, codec):
     out, schema = decode_ocf(blob)
     assert schema == EVENT_AVRO_SCHEMA
     assert out == recs
+
+
+# q21 decorrelation: the aggregate rewrite must equal the literal
+# quantifier semantics on ANY line set, including duplicate rows, solo
+# suppliers, multi-late orders, and all-late orders.
+_q21_lines = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 3), st.booleans()),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(lines=_q21_lines)
+@settings(**_SETTINGS)
+def test_q21_decorrelation_matches_exists_semantics(spark, lines):
+    """q21 collapses `EXISTS(other supplier) AND NOT EXISTS(other LATE
+    supplier)` into one per-order aggregate (distinct-supplier count > 1
+    AND distinct-late-supplier count = 1 given l1 is late). Verify the
+    rewrite against a brute-force evaluation of the quantifiers."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    expected = Counter()
+    for o, s, late in lines:
+        if not late:
+            continue
+        other = any(o2 == o and s2 != s for (o2, s2, _l) in lines)
+        other_late = any(o2 == o and s2 != s and l2 for (o2, s2, l2) in lines)
+        if other and not other_late:
+            expected[s] += 1  # counts l1 ROWS, duplicates included
+
+    df = spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long, late boolean"
+    )
+    per = df.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    got = {
+        r.l_suppkey: r.numwait
+        for r in (
+            df.filter(F.col("late"))
+            .join(per, "l_orderkey")
+            .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .collect()
+        )
+    }
+    assert got == dict(expected)
