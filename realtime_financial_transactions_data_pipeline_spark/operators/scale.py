@@ -624,3 +624,43 @@ def k11_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("attempt_a_published", F.lit(a_pub))
         .withColumn("attempt_b_published", F.lit(b_pub))
     )
+
+
+def staged_topk(
+    df: DataFrame,
+    keys: list[str],
+    order: list,
+    k: int,
+    salt_col: str,
+    fanout: int = 32,
+) -> DataFrame:
+    """Exact per-key top-k WITHOUT the few-keys window funnel.
+
+    ``Window.partitionBy(keys)`` parallelizes across keys — fine for
+    many keys, but a per-QUERY ranking over a 100 TB corpus with a
+    handful of queries funnels every candidate row through |keys|
+    tasks. This is the standard two-phase rewrite: rows first rank
+    inside (key, salt) sub-partitions (``fanout``-way parallel per
+    key), only the ≤ k survivors of each sub-partition reach the final
+    per-key ranking — so the second window sees at most k·fanout rows
+    per key instead of the corpus.
+
+    EXACT by containment: the global top-k of a key is a subset of the
+    union of its per-salt top-k (any row outside its salt's local
+    top-k has ≥ k rows of the SAME key ahead of it globally).
+    ``order`` must be a total order (include a tiebreak column) and
+    ``salt_col`` names a column whose hash spreads rows evenly; both
+    phases then rank identically to the single-window form
+    (equivalence property-tested in tests/test_properties.py)."""
+    from pyspark.sql import Window
+
+    salted = df.withColumn("_tk_salt", F.pmod(F.xxhash64(salt_col), F.lit(fanout)))
+    w1 = Window.partitionBy(*keys, "_tk_salt").orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        salted.withColumn("_tk_r1", F.row_number().over(w1))
+        .filter(F.col("_tk_r1") <= k)
+        .withColumn("_tk_rank", F.row_number().over(w2))
+        .filter(F.col("_tk_rank") <= k)
+        .drop("_tk_salt", "_tk_r1")
+    )

@@ -1297,9 +1297,12 @@ def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace folds, tie-broken rankings), so DuckDB replays coarse
     training, PQ training, list pruning, and the ADC sums end-to-end.
     At 100 TB: lists are the partition key (a query touches nprobe
-    partitions), codes are 4 bytes/vector, the window is per-query —
-    swap the final row_number for per-partition heads + merge exactly
-    as documented on x2p."""
+    partitions) and codes are 4 bytes/vector. The final per-query
+    ranking uses the two-phase ``staged_topk`` (rank inside
+    (query, salt) sub-partitions first, then rank the ≤ k·fanout
+    survivors) — a handful of queries over a corpus-sized candidate
+    set would otherwise funnel every row through |queries| window
+    tasks, the q15 single-partition hazard in per-key form."""
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "nrm", "label"
     )
@@ -1346,16 +1349,17 @@ def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("m", "qd"))).alias("terms"))
         .withColumn("qdist", F.expr("aggregate(terms, 0.0D, (s, p) -> s + p.qd)"))
     )
-    w = Window.partitionBy("q_id").orderBy("qdist", "vec_id")
-    return (
-        sc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _PQ_TOPK)
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rnk").cast("int").alias("rnk"),
-            dround("qdist", 4).alias("adc_dist"),
-        )
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        staged_topk,
+    )
+
+    return staged_topk(
+        sc, ["q_id"], [F.col("qdist"), F.col("vec_id")], _PQ_TOPK, salt_col="vec_id"
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_tk_rank").cast("int").alias("rnk"),
+        dround("qdist", 4).alias("adc_dist"),
     )
 
 
