@@ -1048,180 +1048,6 @@ def x2p_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X2r — ANN recall accounting (VERDICT r11 #7): the approximate paths
-# (x2g LSH, x2h IVF, x2p PQ/ADC) return hash-verified RESULTS, but
-# nothing certified their recall against the exact scan. This probe
-# joins each ANN top-k against the exact top-k over the same queries
-# and reports per-(method, query) recall@k — fully deterministic, so
-# the recall ARITHMETIC itself is replayed in DuckDB.
-# ---------------------------------------------------------------------------
-
-
-def _recall_against(
-    method: str, ann: DataFrame, exact: DataFrame, k: int
-) -> DataFrame:
-    """Per-query recall@k of ``ann`` vs ``exact`` (both are
-    (query_id, neighbor_id) sets with k rows per query). LEFT join from
-    the exact side so a query whose ANN set misses everything still
-    reports recall 0.0 rather than vanishing."""
-    hits = (
-        exact.join(ann, ["query_id", "neighbor_id"], "inner")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        exact.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            F.lit(method).alias("method"),
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / float(k)).alias(
-                "recall"
-            ),
-        )
-    )
-
-
-_X2R_EXACT3 = """
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings WHERE vec_id < 20),
-         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings),
-         scored AS (
-           SELECT query_id, neighbor_id,
-                  list_cosine_similarity(q.emb, c.emb) AS sim_raw
-           FROM q, c WHERE query_id <> neighbor_id),
-         ranked AS (
-           SELECT query_id, neighbor_id,
-                  row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim_raw DESC, neighbor_id) AS rank
-           FROM scored)
-    SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
-"""
-
-_X2R_EXACT_L2_5 = f"""
-    WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                FROM embeddings),
-         pqs AS (SELECT vec_id AS query_id FROM embeddings
-                 ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)) LIMIT {_PQ_NQ}),
-         pl2 AS (SELECT pqs.query_id, c.vec_id AS neighbor_id,
-                        list_sum(list_transform(list_zip(qe.emb, c.emb),
-                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
-                 FROM pqs JOIN pe qe ON qe.vec_id = pqs.query_id
-                 CROSS JOIN pe c),
-         pranked AS (SELECT query_id, neighbor_id,
-                            row_number() OVER (PARTITION BY query_id
-                                               ORDER BY d2, neighbor_id) AS rank
-                     FROM pl2)
-    SELECT query_id, neighbor_id FROM pranked WHERE rank <= {_PQ_TOPK}
-"""
-
-
-@probe(
-    "x2r_ann_recall",
-    oracle=f"""
-    WITH exact3 AS ({_X2R_EXACT3}),
-    lsh AS (SELECT query_id, neighbor_id FROM ({_x2g_oracle()})),
-    ivf AS (SELECT query_id, neighbor_id FROM ({_X2H_ORACLE})),
-    adc AS (SELECT q_id AS query_id, neighbor_id FROM ({_X2P_ORACLE})),
-    pexact AS ({_X2R_EXACT_L2_5}),
-    r_lsh AS (SELECT 'lsh_x2g' AS method, e.query_id,
-                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
-              FROM exact3 e LEFT JOIN lsh a
-                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-              GROUP BY e.query_id),
-    r_ivf AS (SELECT 'ivf_x2h' AS method, e.query_id,
-                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
-              FROM exact3 e LEFT JOIN ivf a
-                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-              GROUP BY e.query_id),
-    r_adc AS (SELECT 'pq_adc_x2p' AS method, e.query_id,
-                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
-              FROM pexact e LEFT JOIN adc a
-                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-              GROUP BY e.query_id)
-    SELECT method, query_id, n_hits, n_hits / 3.0 AS recall FROM r_lsh
-    UNION ALL
-    SELECT method, query_id, n_hits, n_hits / 3.0 AS recall FROM r_ivf
-    UNION ALL
-    SELECT method, query_id, n_hits, n_hits / {float(_PQ_TOPK)} AS recall
-    FROM r_adc
-    """,
-)
-def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2r: per-query recall@k of every ANN path vs the exact scan.
-
-    - ``lsh_x2g`` / ``ivf_x2h``: top-3 vs the exact cosine top-3 over
-      the same 20 queries (x2e's ranking, truncated to k=3 to match
-      the ANN k);
-    - ``pq_adc_x2p``: ADC top-5 vs the exact L2² top-5 over the same
-      md5-sampled queries (ADC approximates L2, so the reference set
-      uses the true L2 ranking; self-matches appear on BOTH sides, so
-      they cancel in the recall ratio).
-
-    Everything is deterministic (seeded hyperplanes, fixed centroids,
-    tie-broken rankings), so the oracle replays the full accounting —
-    ANN search, exact search, hit counting, the recall division — in
-    DuckDB: a refactor that silently degrades an ANN path now fails a
-    hash check, not just a tolerance test. The accounting mechanics
-    (zero-hit queries kept at recall 0.0, hit counting, the division)
-    are unit-pinned in tests/test_similarity.py. Note the absolute
-    numbers on THIS corpus are intrinsically low (ivf ~0.4, lsh ~0.07
-    at sf0.01): the synthetic embeddings are near-uniform, the regime
-    where hyperplane LSH recall collapses (x2f docstring) — which is
-    exactly what recall accounting exists to surface; the planted-
-    cluster recall guarantees live with the x2g/x2h unit tests."""
-    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < 20)
-    exact3 = cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
-    lsh = (
-        x2g_ann_lsh_bucketed(spark, sf_dir)
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id")
-    )
-    ivf = (
-        x2h_ann_ivf(spark, sf_dir)
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id")
-    )
-    adc = x2p_pq_adc_topk(spark, sf_dir).select(
-        F.col("q_id").alias("query_id"), "neighbor_id"
-    )
-    pqs = (
-        emb.select("vec_id")
-        .withColumn(
-            "_h", F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string")))
-        )
-        .orderBy("_h")
-        .limit(_PQ_NQ)
-        .select(F.col("vec_id").alias("query_id"))
-    )
-    qv = emb.join(F.broadcast(pqs), emb.vec_id == pqs.query_id).select(
-        "query_id", F.col("emb").alias("q_emb")
-    )
-    d2 = F.expr(
-        "aggregate(zip_with(q_emb, c_emb, (a, b) -> (a - b) * (a - b)),"
-        " 0.0D, (s, v) -> s + v)"
-    )
-    w5 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    pexact = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"))
-        .crossJoin(F.broadcast(qv))
-        .withColumn("d2", d2)
-        .withColumn("rank", F.row_number().over(w5))
-        .filter(F.col("rank") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
-    return (
-        _recall_against("lsh_x2g", lsh, exact3, 3)
-        .unionAll(_recall_against("ivf_x2h", ivf, exact3, 3))
-        .unionAll(_recall_against("pq_adc_x2p", adc, pexact, _PQ_TOPK))
-    )
-
-
-# ---------------------------------------------------------------------------
 # X2s — IVF+PQ composed search: the canonical billion-scale ANN
 # architecture (FAISS IndexIVFPQ). The coarse quantizer (x2h's IVF
 # lists) prunes the corpus to the query's nprobe nearest lists; PQ/ADC
@@ -1236,9 +1062,7 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_NPROBE = 2
 
 
-@probe(
-    "x2s_ivf_pq_search",
-    oracle=f"""{_X2O_CTE},
+_X2S_ORACLE = f"""{_X2O_CTE},
     ive AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
             FROM embeddings),
     ipos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos,
@@ -1285,8 +1109,10 @@ _IVFPQ_NPROBE = 2
     SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
            round(qdist, 4) AS adc_dist
     FROM ranked WHERE rnk <= {_PQ_TOPK}
-    """,
-)
+    """
+
+
+@probe("x2s_ivf_pq_search", oracle=_X2S_ORACLE)
 def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2s: IVF-pruned PQ/ADC search (see block comment). Per query:
     assign to the {_IVFPQ_NPROBE} nearest coarse lists (centroids
@@ -1418,9 +1244,7 @@ def hamming_topk(
     )
 
 
-@probe(
-    "x2q_binary_hamming_topk",
-    oracle=f"""
+_X2Q_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS e
                FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS neighbor_id, embedding AS e
@@ -1438,8 +1262,10 @@ def hamming_topk(
            FROM p)
     SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, hamming
     FROM ranked WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@probe("x2q_binary_hamming_topk", oracle=_X2Q_ORACLE)
 def x2q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2q — sign-quantize every embedding to one 64-bit word and take
     exact Hamming top-5 for the first 20 queries. The Spark side runs
@@ -1450,3 +1276,213 @@ def x2q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions, ties, and all."""
     emb = load_table(spark, sf_dir, "embeddings")
     return hamming_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# ---------------------------------------------------------------------------
+# X2r — ANN recall accounting (VERDICT r11 #7): the approximate paths
+# (x2g LSH, x2h IVF, x2p PQ/ADC) return hash-verified RESULTS, but
+# nothing certified their recall against the exact scan. This probe
+# joins each ANN top-k against the exact top-k over the same queries
+# and reports per-(method, query) recall@k — fully deterministic, so
+# the recall ARITHMETIC itself is replayed in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _recall_against(
+    method: str, ann: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """Per-query recall@k of ``ann`` vs ``exact`` (both are
+    (query_id, neighbor_id) sets with k rows per query). LEFT join from
+    the exact side so a query whose ANN set misses everything still
+    reports recall 0.0 rather than vanishing."""
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / float(k)).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+_X2R_EXACT3 = """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  list_cosine_similarity(q.emb, c.emb) AS sim_raw
+           FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim_raw DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
+"""
+
+_X2R_EXACT_L2_5 = f"""
+    WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+         pqs AS (SELECT vec_id AS query_id FROM embeddings
+                 ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)) LIMIT {_PQ_NQ}),
+         pl2 AS (SELECT pqs.query_id, c.vec_id AS neighbor_id,
+                        list_sum(list_transform(list_zip(qe.emb, c.emb),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+                 FROM pqs JOIN pe qe ON qe.vec_id = pqs.query_id
+                 CROSS JOIN pe c),
+         pranked AS (SELECT query_id, neighbor_id,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY d2, neighbor_id) AS rank
+                     FROM pl2)
+    SELECT query_id, neighbor_id FROM pranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
+#: Exact cosine top-5 — same ranking as _X2R_EXACT3 at the k the
+#: 5-deep approximate paths (x2q) are compared at.
+_X2R_EXACT5 = _X2R_EXACT3.replace("rank <= 3", "rank <= 5")
+
+
+@probe(
+    "x2r_ann_recall",
+    oracle=f"""
+    WITH exact3 AS ({_X2R_EXACT3}),
+    exact5 AS ({_X2R_EXACT5}),
+    lsh AS (SELECT query_id, neighbor_id FROM ({_x2g_oracle()})),
+    ivf AS (SELECT query_id, neighbor_id FROM ({_X2H_ORACLE})),
+    adc AS (SELECT q_id AS query_id, neighbor_id FROM ({_X2P_ORACLE})),
+    ivfpq AS (SELECT q_id AS query_id, neighbor_id FROM ({_X2S_ORACLE})),
+    bin AS (SELECT query_id, neighbor_id FROM ({_X2Q_ORACLE})),
+    pexact AS ({_X2R_EXACT_L2_5}),
+    r_lsh AS (SELECT 'lsh_x2g' AS method, e.query_id,
+                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+              FROM exact3 e LEFT JOIN lsh a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+              GROUP BY e.query_id),
+    r_ivf AS (SELECT 'ivf_x2h' AS method, e.query_id,
+                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+              FROM exact3 e LEFT JOIN ivf a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+              GROUP BY e.query_id),
+    r_adc AS (SELECT 'pq_adc_x2p' AS method, e.query_id,
+                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+              FROM pexact e LEFT JOIN adc a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+              GROUP BY e.query_id),
+    r_ivfpq AS (SELECT 'ivfpq_x2s' AS method, e.query_id,
+                       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+                FROM pexact e LEFT JOIN ivfpq a
+                  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+                GROUP BY e.query_id),
+    r_bin AS (SELECT 'binary_x2q' AS method, e.query_id,
+                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+              FROM exact5 e LEFT JOIN bin a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+              GROUP BY e.query_id)
+    SELECT method, query_id, n_hits, n_hits / 3.0 AS recall FROM r_lsh
+    UNION ALL
+    SELECT method, query_id, n_hits, n_hits / 3.0 AS recall FROM r_ivf
+    UNION ALL
+    SELECT method, query_id, n_hits, n_hits / {float(_PQ_TOPK)} AS recall
+    FROM r_adc
+    UNION ALL
+    SELECT method, query_id, n_hits, n_hits / {float(_PQ_TOPK)} AS recall
+    FROM r_ivfpq
+    UNION ALL
+    SELECT method, query_id, n_hits, n_hits / 5.0 AS recall FROM r_bin
+    """,
+)
+def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2r: per-query recall@k of every ANN path vs the exact scan.
+
+    - ``lsh_x2g`` / ``ivf_x2h``: top-3 vs the exact cosine top-3 over
+      the same 20 queries (x2e's ranking, truncated to k=3 to match
+      the ANN k);
+    - ``pq_adc_x2p`` / ``ivfpq_x2s``: ADC top-5 (full-corpus and
+      IVF-pruned) vs the exact L2² top-5 over the same md5-sampled
+      queries (ADC approximates L2, so the reference set uses the true
+      L2 ranking; self-matches appear on BOTH sides, so they cancel in
+      the recall ratio);
+    - ``binary_x2q``: Hamming top-5 over sign bits vs the exact cosine
+      top-5 (sign quantization approximates ANGLE, so cosine is its
+      reference ranking).
+
+    Everything is deterministic (seeded hyperplanes, fixed centroids,
+    tie-broken rankings), so the oracle replays the full accounting —
+    ANN search, exact search, hit counting, the recall division — in
+    DuckDB: a refactor that silently degrades an ANN path now fails a
+    hash check, not just a tolerance test. The accounting mechanics
+    (zero-hit queries kept at recall 0.0, hit counting, the division)
+    are unit-pinned in tests/test_similarity.py. Note the absolute
+    numbers on THIS corpus are intrinsically low (ivf ~0.4, lsh ~0.07
+    at sf0.01): the synthetic embeddings are near-uniform, the regime
+    where hyperplane LSH recall collapses (x2f docstring) — which is
+    exactly what recall accounting exists to surface; the planted-
+    cluster recall guarantees live with the x2g/x2h unit tests."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 20)
+    exact3 = cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    exact5 = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    lsh = (
+        x2g_ann_lsh_bucketed(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        x2h_ann_ivf(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    adc = x2p_pq_adc_topk(spark, sf_dir).select(
+        F.col("q_id").alias("query_id"), "neighbor_id"
+    )
+    ivfpq = x2s_ivf_pq_search(spark, sf_dir).select(
+        F.col("q_id").alias("query_id"), "neighbor_id"
+    )
+    binq = x2q_binary_hamming_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    pqs = (
+        emb.select("vec_id")
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    qv = emb.join(F.broadcast(pqs), emb.vec_id == pqs.query_id).select(
+        "query_id", F.col("emb").alias("q_emb")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+    w5 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    pexact = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w5))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        _recall_against("lsh_x2g", lsh, exact3, 3)
+        .unionAll(_recall_against("ivf_x2h", ivf, exact3, 3))
+        .unionAll(_recall_against("pq_adc_x2p", adc, pexact, _PQ_TOPK))
+        .unionAll(_recall_against("ivfpq_x2s", ivfpq, pexact, _PQ_TOPK))
+        .unionAll(_recall_against("binary_x2q", binq, exact5, 5))
+    )
