@@ -161,9 +161,13 @@ def make_fpe_tokenizer(key: bytes | None = None, portable: bool = False):
         - tokens are DETERMINISTIC per key, so a per-task memo encrypts
           each distinct PAN once and maps repeats through the dict —
           duplicate PANs (wire-copy replays, repeat customers) cost a
-          dict hit instead of 10 PRF calls. Bounded at 1M entries
-          (~100 MB worst case) so a 100 TB-scale task can't grow it
-          unboundedly."""
+          dict hit instead of 10 PRF calls. The size check runs once
+          per Arrow batch, so the true bound is 1M + one batch's
+          distinct PANs (~1M + maxRecordsPerBatch), and eviction is a
+          full clear — a deliberate trade: per-insert LRU bookkeeping
+          costs more than re-encrypting the occasional post-clear
+          batch, and tasks at 100 TB scale rotate long before the cap
+          trips twice."""
         k = key if key is not None else _load_key()  # once per worker
         fast = prf is _prf
         keyed = hashlib.blake2b(key=k, digest_size=8) if fast else None

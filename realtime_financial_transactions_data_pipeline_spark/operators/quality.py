@@ -360,9 +360,13 @@ def schema_drift_report(
         " type_gen0 string, type_gen1 string",
     )
     merged = spark.read.option("mergeSchema", "true").parquet(gen0_dir, gen1_dir)
+    # Positional aliases (_nn_<i>) + backticked source refs: a column
+    # named "user.name" (pandas/JSON-flattening schemas — exactly what a
+    # drift auditor sees) must count as a top-level column, not resolve
+    # as struct-field access.
     counts = merged.agg(
         F.count(F.lit(1)).alias("_total"),
-        *[F.count(c).alias(f"_nn_{c}") for c in cols],
+        *[F.count(F.col(f"`{c}`")).alias(f"_nn_{i}") for i, c in enumerate(cols)],
     )
     long = counts.select(
         F.explode(
@@ -370,10 +374,10 @@ def schema_drift_report(
                 *[
                     F.struct(
                         F.lit(c).alias("column"),
-                        F.col(f"_nn_{c}").alias("n_rows_present"),
-                        (F.col("_total") - F.col(f"_nn_{c}")).alias("n_rows_missing"),
+                        F.col(f"_nn_{i}").alias("n_rows_present"),
+                        (F.col("_total") - F.col(f"_nn_{i}")).alias("n_rows_missing"),
                     )
-                    for c in cols
+                    for i, c in enumerate(cols)
                 ]
             )
         ).alias("r")

@@ -651,9 +651,17 @@ def staged_topk(
     ``order`` must be a total order (include a tiebreak column) and
     ``salt_col`` names a column whose hash spreads rows evenly; both
     phases then rank identically to the single-window form
-    (equivalence property-tested in tests/test_properties.py)."""
+    (equivalence property-tested in tests/test_properties.py).
+
+    Output contract: the result carries the input columns plus
+    ``_tk_rank`` (the per-key rank, 1..k). ``_tk_salt`` / ``_tk_r1`` /
+    ``_tk_rank`` are reserved — inputs already carrying one are
+    rejected rather than silently overwritten."""
     from pyspark.sql import Window
 
+    reserved = {"_tk_salt", "_tk_r1", "_tk_rank"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"staged_topk reserved columns present: {sorted(reserved)}")
     salted = df.withColumn("_tk_salt", F.pmod(F.xxhash64(salt_col), F.lit(fanout)))
     w1 = Window.partitionBy(*keys, "_tk_salt").orderBy(*order)
     w2 = Window.partitionBy(*keys).orderBy(*order)
@@ -705,10 +713,21 @@ def managed_write(df: DataFrame, root: str, fmt: str = "auto") -> str:
         return root
     if fmt != "generation":
         raise ValueError(f"unknown managed-table format {fmt!r}")
-    if not os.path.exists(os.path.join(root, "CURRENT")):
+    if os.path.exists(os.path.join(root, "CURRENT")):
+        publish_generation(df, root)
+    elif not os.path.exists(root) or not os.listdir(root):
+        # Fresh init ONLY into an empty/absent root: a non-empty dir
+        # without a CURRENT pointer is someone else's data (plain
+        # parquet, a delta log, ...) — init_pointer_table rmtree's the
+        # root, so silently "initializing" there would destroy it. The
+        # format-migration case must be explicit, not an accident.
         init_pointer_table(df, root)
     else:
-        publish_generation(df, root)
+        raise ValueError(
+            f"{root} is non-empty but has no CURRENT pointer — refusing to "
+            "initialize a generation table over existing data; point at an "
+            "empty root or migrate explicitly via init_pointer_table"
+        )
     return root
 
 

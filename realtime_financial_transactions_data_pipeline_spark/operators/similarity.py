@@ -1115,7 +1115,7 @@ _X2S_ORACLE = f"""{_X2O_CTE},
 @probe("x2s_ivf_pq_search", oracle=_X2S_ORACLE)
 def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2s: IVF-pruned PQ/ADC search (see block comment). Per query:
-    assign to the {_IVFPQ_NPROBE} nearest coarse lists (centroids
+    assign to the nprobe=2 nearest coarse lists (centroids
     broadcast), semi-restrict the code table to vectors INDEXED in
     those lists, then score candidates from codes alone via the
     broadcast ADC lookup table — x2p's scan shrinks by ~k/nprobe while

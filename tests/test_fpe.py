@@ -124,3 +124,35 @@ def test_portable_mode_rejects_non_test_keys():
     with pytest.raises(ValueError, match="TEST_KEY"):
         make_fpe_tokenizer(None, portable=True)  # env-resolved keys too
     make_fpe_tokenizer(TEST_KEY, portable=True)  # allowed
+
+
+def test_udf_fast_path_equals_encrypt_digits(spark):
+    """The UDF inlines a keyed-copy fast path of the Feistel network
+    (round schedule, message bytes, halving). Pin it bit-for-bit to the
+    reference implementation across PAN lengths — a future edit to
+    _prf's message format or encrypt_digits' rounds must not silently
+    fork the streaming tokens from the library function (which would
+    break cross-run token joins and decrypt_digits inversion)."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.fpe import (
+        TEST_KEY,
+        encrypt_digits,
+        fpe_token_col,
+    )
+    from pyspark.sql import functions as F
+
+    pans = [
+        "12",                    # minimum domain
+        "4556737586899855",      # 16 (the PAN hot path)
+        "455673758689985",       # odd length -> unbalanced halves
+        "4556737586899855123",   # 19 (ISO max)
+        "0000000000000001",      # leading zeros survive the int round-trip
+    ]
+    df = spark.createDataFrame([(p,) for p in pans], "pan string")
+    got = {
+        r.pan: r.tok
+        for r in df.withColumn(
+            "tok", fpe_token_col(F.col("pan"), key=TEST_KEY)
+        ).collect()
+    }
+    for p in pans:
+        assert got[p] == str(int(encrypt_digits(TEST_KEY, p))).zfill(16), p
