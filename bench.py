@@ -193,6 +193,15 @@ def main() -> None:
         n: (min(t, timings2[n]) if timings2.get(n, -1.0) > 0 else t)
         for n, t in timings.items()
     }
+    # Headline: the full TPC-H 22 as one de-noised number (sum of each
+    # q-probe's min-of-2). q1's shapes live under several names; the
+    # regex keeps exactly the canonical 22 (q1b..q22, q1sql excluded as
+    # a dialect-parity twin, not a distinct shape).
+    tpch = {
+        n: t for n, t in min2.items()
+        if re.match(r"^q(1b|[2-9]|1[0-9]|2[0-2])_", n) and t > 0
+    }
+    tpch_suite_sec = round(sum(tpch.values()), 3) if len(tpch) >= 22 else None
 
     # Full per-query timings go to a sidecar file; the stdout line keeps
     # only a headline subset so it stays under the driver's tail capture.
@@ -209,7 +218,8 @@ def main() -> None:
                    "rerun_threshold": _RERUN_THRESHOLD,
                    "rerun_sec": rerun_sec,
                    "queries": timings, "queries_rerun": timings2,
-                   "queries_min": min2}, fh,
+                   "queries_min": min2,
+                   "tpch_suite_sec": tpch_suite_sec}, fh,
                   indent=1, sort_keys=True)
 
     headline = dict(
@@ -232,6 +242,8 @@ def main() -> None:
         "queries": headline,
         "detail": detail_name,
     }
+    if tpch_suite_sec is not None:
+        out["tpch_suite_sec"] = tpch_suite_sec
     # Streaming throughput vs BASELINE.md's ≤10k msg/s offered producer
     # rate: the flagship probe streams one wire message per customer row
     # through parse→validate→tokenize→dual-sink, so input_rows/wall is
