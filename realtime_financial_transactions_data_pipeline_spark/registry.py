@@ -200,6 +200,7 @@ def all_probes() -> dict[str, Probe]:
         profiling,
         quality,
         relational,
+        graph,
         dedup,
         similarity,
         text,

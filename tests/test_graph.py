@@ -1,0 +1,59 @@
+"""Triangle counting (g1): hand-built graphs pin the semantics the
+sf-level oracle can't isolate — exact per-node counts on known shapes,
+hub behavior under the degree orientation, and edge-threshold gating."""
+
+from pyspark.sql import functions as F
+
+from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+    coengagement_edges,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "u long, v long"
+    ).distinct()
+
+
+def test_triangle_counts_known_shapes(spark):
+    # K4 on {1,2,3,4}: 4 triangles, every node in exactly 3;
+    # plus a pendant path 4-5-6 contributing none.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    rows = {
+        r.user_id: r.n_triangles
+        for r in triangle_counts(_edges(spark, k4 + [(4, 5), (5, 6)])).collect()
+    }
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_hub_star_has_none(spark):
+    # A star (hub 0 to 50 leaves) has no triangles — and under the
+    # degree orientation the hub is every edge's DST, so the hub's
+    # out-adjacency stays empty (the quadratic-wedge case the
+    # orientation exists to avoid).
+    star = [(0, i) for i in range(1, 51)]
+    assert triangle_counts(_edges(spark, star)).count() == 0
+    # One closing edge between two leaves -> exactly one triangle.
+    rows = {
+        r.user_id: r.n_triangles
+        for r in triangle_counts(_edges(spark, star + [(1, 2)])).collect()
+    }
+    assert rows == {0: 1, 1: 1, 2: 1}
+
+
+def test_coengagement_edges_threshold(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 1,2 share 3 hourly buckets (edge); users 1,3 share 1 (no edge)
+    for k in range(3):
+        for u in (1, 2):
+            rows.append((u, "click", base + dt.timedelta(hours=k)))
+    rows.append((3, "click", base))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {(r.u, r.v) for r in coengagement_edges(ev, min_shared=3).collect()}
+    assert got == {(1, 2)}
