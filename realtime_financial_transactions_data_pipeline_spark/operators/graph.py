@@ -142,3 +142,105 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation is the 100 TB-scale point."""
     e = coengagement_edges(load_table(spark, sf_dir, "events"))
     return triangle_counts(e)
+
+
+# ---------------------------------------------------------------------------
+# G2 — PageRank over the same co-engagement graph: the canonical
+# iterative fixed-point computation. Fixed iteration count (3) keeps
+# it deterministic and lets the oracle UNROLL the recursion in plain
+# SQL; per-round `localCheckpoint(eager=True)` keeps every round's
+# logical plan constant-size (the x2i discipline — persist alone left
+# plans doubling per round and stalled Catalyst in round 4). No
+# dangling-node mass term: every node here has degree >= 1 by
+# construction (nodes ARE edge endpoints).
+# ---------------------------------------------------------------------------
+
+_G2_DAMPING = 0.85
+_G2_ITERS = 3
+
+
+def pagerank(edges: DataFrame, iters: int = _G2_ITERS, d: float = _G2_DAMPING) -> DataFrame:
+    """PageRank over undirected edges (u < v), uniform init. Returns
+    (user_id, rank). The rank vector is |nodes|-sized state; the edge
+    relation is the only big operand and it never changes — at cluster
+    scale pre-partition both sides on the node key once and every
+    iteration's join reuses that partitioning."""
+    bi = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    outd = bi.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+    nodes = bi.select("u").distinct()
+    n = nodes.count()
+    p = nodes.select("u", F.lit(1.0 / n).alias("p")).localCheckpoint(eager=True)
+    adj = bi.join(outd, "u").localCheckpoint(eager=True)  # (u, v, od) — static
+    for _ in range(iters):
+        contribs = (
+            adj.join(p, "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("p") / F.col("od")).alias("c"))
+        )
+        p = (
+            nodes.join(contribs, nodes.u == contribs.v, "left")
+            .select(
+                "u",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select(F.col("u").alias("user_id"), F.col("p").alias("rank"))
+
+
+@probe(
+    "g2_pagerank",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G1_MIN_SHARED}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    outd AS (SELECT u, count(*) AS od FROM bi GROUP BY u),
+    nodes AS (SELECT DISTINCT u FROM bi),
+    nn AS (SELECT count(*) AS c FROM nodes),
+    p0 AS (SELECT u, 1.0 / c AS p FROM nodes, nn),
+    p1 AS (SELECT nodes.u,
+                  (1 - {_G2_DAMPING}) / nn.c + {_G2_DAMPING} * coalesce(
+                    (SELECT sum(p0.p / outd.od) FROM bi
+                     JOIN p0 ON p0.u = bi.u JOIN outd ON outd.u = bi.u
+                     WHERE bi.v = nodes.u), 0) AS p
+           FROM nodes, nn),
+    p2 AS (SELECT nodes.u,
+                  (1 - {_G2_DAMPING}) / nn.c + {_G2_DAMPING} * coalesce(
+                    (SELECT sum(p1.p / outd.od) FROM bi
+                     JOIN p1 ON p1.u = bi.u JOIN outd ON outd.u = bi.u
+                     WHERE bi.v = nodes.u), 0) AS p
+           FROM nodes, nn),
+    p3 AS (SELECT nodes.u,
+                  (1 - {_G2_DAMPING}) / nn.c + {_G2_DAMPING} * coalesce(
+                    (SELECT sum(p2.p / outd.od) FROM bi
+                     JOIN p2 ON p2.u = bi.u JOIN outd ON outd.u = bi.u
+                     WHERE bi.v = nodes.u), 0) AS p
+           FROM nodes, nn)
+    SELECT u AS user_id, round(p * 1000000) / 1000000 AS rank FROM p3
+    """,
+)
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — {_G2_ITERS} PageRank iterations (d = {_G2_DAMPING}) over the
+    co-engagement graph, uniform init. The oracle unrolls the identical
+    recursion as three correlated-sum CTEs (DuckDB decorrelates them),
+    so the hash certifies the contribution join, the damping
+    arithmetic, and the isolated-neighbor coalesce across all rounds.
+    Per-round eager localCheckpoint keeps plans constant-size (module
+    comment)."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    e = coengagement_edges(load_table(spark, sf_dir, "events"))
+    pr = pagerank(e)
+    return pr.select("user_id", dround("rank", 6).alias("rank"))
