@@ -108,6 +108,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def _memo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized co-engagement edge pass — the one expensive reduction
+    both g1 and g2 start from (the _corpus_grams pattern)."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
+
+    return memo_persist(
+        spark,
+        ("g_edges", sf_dir, _G1_MIN_SHARED, _G1_BUCKET_CAP),
+        lambda: coengagement_edges(load_table(spark, sf_dir, "events")),
+    )
+
+
 @probe(
     "g1_triangle_count",
     oracle=f"""
@@ -133,15 +145,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 )
 def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — per-user triangle participation in the co-engagement graph
-    (users sharing ≥{_G1_MIN_SHARED} distinct activity buckets). The
+    (users sharing >=_G1_MIN_SHARED distinct activity buckets). The
     oracle enumerates triangles by id-ordered brute force (each
     triangle a<b<c appears exactly once as (a,b)+(a,c)+(b,c)); the
     Spark side enumerates by DEGREE-ordered wedges — different pivot,
     provably the same triangle set, so the hash certifies the
     orientation machinery end-to-end. See module docstring for why the
     orientation is the 100 TB-scale point."""
-    e = coengagement_edges(load_table(spark, sf_dir, "events"))
-    return triangle_counts(e)
+    return triangle_counts(_memo_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -241,6 +252,5 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment)."""
     from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 
-    e = coengagement_edges(load_table(spark, sf_dir, "events"))
-    pr = pagerank(e)
+    pr = pagerank(_memo_edges(spark, sf_dir))
     return pr.select("user_id", dround("rank", 6).alias("rank"))
