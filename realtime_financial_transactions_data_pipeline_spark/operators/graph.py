@@ -254,3 +254,75 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pr = pagerank(_memo_edges(spark, sf_dir))
     return pr.select("user_id", dround("rank", 6).alias("rank"))
+
+
+@probe(
+    "g1b_clustering_coefficient",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G1_MIN_SHARED}),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+    tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (SELECT a AS node FROM tri
+                 UNION ALL SELECT b2 FROM tri
+                 UNION ALL SELECT c FROM tri)
+           GROUP BY node)
+    SELECT deg.node AS user_id, deg.deg,
+           coalesce(tc.n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.deg >= 2
+                THEN round(2.0 * coalesce(tc.n_triangles, 0)
+                           / (deg.deg * (deg.deg - 1)) * 1000000) / 1000000
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN tc ON tc.node = deg.node
+    """,
+)
+def g1b_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1b — local clustering coefficient per user: 2·triangles /
+    (deg·(deg−1)), the closed-neighborhood density behind community
+    cohesion and bot/fraud anomaly scoring. Composes the memoized edge
+    pass with g1's degree-ordered triangle counts; nodes with no
+    triangles (or degree 1) report 0.0 rather than vanishing. Same
+    plan economics as g1 — the coefficient itself is arithmetic on two
+    node-sized aggregates."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    edges = _memo_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("user_id"))
+        .unionAll(edges.select(F.col("v").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tc = triangle_counts(edges)
+    coeff = F.when(
+        F.col("deg") >= 2,
+        dround(
+            2.0 * F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+            / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tc, "user_id", "left")
+        .select(
+            "user_id",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            coeff.alias("clustering_coeff"),
+        )
+    )
