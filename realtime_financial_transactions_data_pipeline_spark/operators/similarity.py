@@ -1291,6 +1291,169 @@ def x2q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X2t — RESIDUAL-encoded IVF+PQ (the complete FAISS IndexIVFPQ): PQ
+# codebooks are trained on coarse-quantizer residuals (v − centroid of
+# v's list) instead of raw vectors, and each query builds ONE ADC
+# lookup table PER PROBED LIST from its own residual against that
+# list's centroid. Residuals concentrate near the origin, so the same
+# 8-bit budget quantizes them with far less error than raw vectors —
+# this is why FAISS encodes residuals. x2s (raw-vector codes, one
+# table per query) remains the simpler plan-shape twin; the join and
+# aggregate topology here is identical plus one (q, list) key column.
+# ---------------------------------------------------------------------------
+
+
+_X2T_ORACLE = f"""
+    WITH ive AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+    ipos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos,
+                    unnest(emb) AS v
+             FROM ive),
+    ipm AS (SELECT label, pos, avg(v) AS mv FROM ipos GROUP BY label, pos),
+    icents AS (SELECT label AS ivf_list, list(mv ORDER BY pos) AS centroid
+               FROM ipm GROUP BY label),
+    isims AS (SELECT ive.vec_id, c.ivf_list,
+                     list_inner_product(ive.emb, c.centroid)
+                     / (sqrt(list_inner_product(ive.emb, ive.emb))
+                        * sqrt(list_inner_product(c.centroid, c.centroid)))
+                       AS sim
+              FROM ive CROSS JOIN icents c),
+    iassign AS (SELECT vec_id, ivf_list,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, ivf_list) AS rnk
+                FROM isims),
+    iidx AS (SELECT vec_id, ivf_list FROM iassign WHERE rnk = 1),
+    re AS (SELECT iidx.vec_id,
+                  list_transform(list_zip(ive.emb, icents.centroid),
+                                 p -> p[1] - p[2]) AS emb
+           FROM iidx JOIN ive USING (vec_id) JOIN icents USING (ivf_list)),
+    {_pq_cte_body("re")},
+    iqs0 AS (SELECT vec_id AS q_id FROM ive
+             ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)) LIMIT {_PQ_NQ}),
+    iqs AS (SELECT q_id, ivf_list
+            FROM iassign JOIN iqs0 ON vec_id = q_id
+            WHERE rnk <= {_IVFPQ_NPROBE}),
+    qres AS (SELECT iqs.q_id, iqs.ivf_list,
+                    list_transform(list_zip(qe.emb, icents.centroid),
+                                   p -> p[1] - p[2]) AS remb
+             FROM iqs JOIN ive qe ON qe.vec_id = iqs.q_id
+             JOIN icents USING (ivf_list)),
+    qsub AS (SELECT q_id, ivf_list, mm.m AS m,
+                    remb[mm.m * {_PQ_DSUB} + 1 : mm.m * {_PQ_DSUB} + {_PQ_DSUB}]
+                      AS sub
+             FROM qres, (SELECT unnest(range(0, {_PQ_M})) AS m) mm),
+    tbl AS (SELECT qsub.q_id, qsub.ivf_list, c1.m, c1.list_id,
+                   list_sum(list_transform(list_zip(qsub.sub, c1.centroid),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd
+            FROM qsub JOIN c1 ON qsub.m = c1.m),
+    cand AS (SELECT DISTINCT iqs.q_id, iqs.ivf_list, iidx.vec_id
+             FROM iqs JOIN iidx USING (ivf_list)),
+    sc AS (SELECT tbl.q_id, a2.vec_id,
+                  list_sum(list(tbl.qd ORDER BY a2.m)) AS qdist
+           FROM cand
+           JOIN a2 ON a2.vec_id = cand.vec_id
+           JOIN tbl ON tbl.q_id = cand.q_id AND tbl.ivf_list = cand.ivf_list
+                   AND tbl.m = a2.m AND tbl.list_id = a2.list_id
+           GROUP BY tbl.q_id, a2.vec_id),
+    ranked AS (SELECT q_id, vec_id, qdist,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY qdist, vec_id) AS rnk
+               FROM sc)
+    SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(qdist, 4) AS adc_dist
+    FROM ranked WHERE rnk <= {_PQ_TOPK}
+    """
+
+
+@probe("x2t_ivfpq_residual_search", oracle=_X2T_ORACLE)
+def x2t_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2t: residual IVF+PQ search (block comment above). Pipeline:
+    coarse-assign every vector (nprobe=1) → subtract its list centroid
+    → train PQ on the residuals → per query, build the nprobe
+    per-(query, list) ADC tables from the query's OWN residual against
+    each probed centroid → score candidates from their 4-id code
+    tuples, sum in fixed subspace order, two-phase top-k. All
+    arithmetic replays bit-for-bit in DuckDB (element-wise residual
+    subtraction, avg-based centroids, ordered folds), so the hash
+    certifies the full FAISS IndexIVFPQ construction end-to-end."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "nrm", "label"
+    )
+    cents = shared_persist(ivf_centroids(emb))
+    assign1 = ivf_assign(emb, cents, nprobe=1).select("vec_id", "emb", "list_id")
+    residual = F.expr("zip_with(emb, centroid, (a, b) -> a - b)")
+    re = (
+        assign1.join(F.broadcast(cents.select("list_id", "centroid")), "list_id")
+        .select("vec_id", residual.alias("emb"), F.col("list_id").alias("ivf_list"))
+    )
+    a2, c1, _sub = pq_train(re.select("vec_id", "emb"))
+    iidx = re.select("vec_id", "ivf_list")
+    qs0 = (
+        emb.select("vec_id")
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("q_id"))
+    )
+    qvec = emb.join(F.broadcast(qs0), emb.vec_id == qs0.q_id).select(
+        "q_id", "emb", "nrm", F.col("q_id").alias("vec_id")
+    )
+    qassign = ivf_assign(
+        qvec.select("vec_id", "emb", "nrm"), cents, nprobe=_IVFPQ_NPROBE
+    ).select(F.col("vec_id").alias("q_id"), "emb", F.col("list_id").alias("ivf_list"))
+    qres = (
+        qassign.join(F.broadcast(cents.select(F.col("list_id").alias("ivf_list"), "centroid")), "ivf_list")
+        .select("q_id", "ivf_list", residual.alias("remb"))
+    )
+    qsub = qres.select(
+        "q_id",
+        "ivf_list",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), mm -> "
+                f"named_struct('m', mm, 'sub', slice(remb, mm * {_PQ_DSUB} + 1, {_PQ_DSUB})))"
+            )
+        ).alias("s"),
+    ).select("q_id", "ivf_list", "s.m", "s.sub")
+    qd = F.expr(
+        "aggregate(zip_with(sub, centroid, (x, c) -> (x - c) * (x - c)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+    tbl = (
+        qsub.join(F.broadcast(c1), "m")
+        .withColumn("qd", qd)
+        .select("q_id", "ivf_list", "m", "list_id", "qd")
+    )
+    cand = (
+        iidx.join(F.broadcast(qassign.select("q_id", "ivf_list")), "ivf_list")
+        .select("q_id", "ivf_list", "vec_id")
+        .distinct()
+    )
+    sc = (
+        a2.select("vec_id", "m", F.col("code").alias("list_id"))
+        .join(cand, "vec_id")
+        .join(F.broadcast(tbl), ["q_id", "ivf_list", "m", "list_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "qd"))).alias("terms"))
+        .withColumn("qdist", F.expr("aggregate(terms, 0.0D, (s, p) -> s + p.qd)"))
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        staged_topk,
+    )
+
+    return staged_topk(
+        sc, ["q_id"], [F.col("qdist"), F.col("vec_id")], _PQ_TOPK, salt_col="vec_id"
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_tk_rank").cast("int").alias("rnk"),
+        dround("qdist", 4).alias("adc_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X2r — ANN recall accounting (VERDICT r11 #7): the approximate paths
 # (x2g LSH, x2h IVF, x2p PQ/ADC) return hash-verified RESULTS, but
 # nothing certified their recall against the exact scan. This probe
@@ -1376,6 +1539,7 @@ _X2R_EXACT5 = _X2R_EXACT3.replace("rank <= 3", "rank <= 5")
     ivf AS (SELECT query_id, neighbor_id FROM ({_X2H_ORACLE})),
     adc AS (SELECT q_id AS query_id, neighbor_id FROM ({_X2P_ORACLE})),
     ivfpq AS (SELECT q_id AS query_id, neighbor_id FROM ({_X2S_ORACLE})),
+    ivfpqr AS (SELECT q_id AS query_id, neighbor_id FROM ({_X2T_ORACLE})),
     bin AS (SELECT query_id, neighbor_id FROM ({_X2Q_ORACLE})),
     pexact AS ({_X2R_EXACT_L2_5}),
     r_lsh AS (SELECT 'lsh_x2g' AS method, e.query_id,
@@ -1398,6 +1562,11 @@ _X2R_EXACT5 = _X2R_EXACT3.replace("rank <= 3", "rank <= 5")
                 FROM pexact e LEFT JOIN ivfpq a
                   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
                 GROUP BY e.query_id),
+    r_ivfpqr AS (SELECT 'ivfpq_residual_x2t' AS method, e.query_id,
+                        CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+                 FROM pexact e LEFT JOIN ivfpqr a
+                   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+                 GROUP BY e.query_id),
     r_bin AS (SELECT 'binary_x2q' AS method, e.query_id,
                      CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
               FROM exact5 e LEFT JOIN bin a
@@ -1413,6 +1582,9 @@ _X2R_EXACT5 = _X2R_EXACT3.replace("rank <= 3", "rank <= 5")
     SELECT method, query_id, n_hits, n_hits / {float(_PQ_TOPK)} AS recall
     FROM r_ivfpq
     UNION ALL
+    SELECT method, query_id, n_hits, n_hits / {float(_PQ_TOPK)} AS recall
+    FROM r_ivfpqr
+    UNION ALL
     SELECT method, query_id, n_hits, n_hits / 5.0 AS recall FROM r_bin
     """,
 )
@@ -1422,8 +1594,9 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``lsh_x2g`` / ``ivf_x2h``: top-3 vs the exact cosine top-3 over
       the same 20 queries (x2e's ranking, truncated to k=3 to match
       the ANN k);
-    - ``pq_adc_x2p`` / ``ivfpq_x2s``: ADC top-5 (full-corpus and
-      IVF-pruned) vs the exact L2² top-5 over the same md5-sampled
+    - ``pq_adc_x2p`` / ``ivfpq_x2s`` / ``ivfpq_residual_x2t``: ADC
+      top-5 (full-corpus, IVF-pruned, and residual-encoded IVF-pruned)
+      vs the exact L2² top-5 over the same md5-sampled
       queries (ADC approximates L2, so the reference set uses the true
       L2 ranking; self-matches appear on BOTH sides, so they cancel in
       the recall ratio);
@@ -1463,6 +1636,9 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = x2s_ivf_pq_search(spark, sf_dir).select(
         F.col("q_id").alias("query_id"), "neighbor_id"
     )
+    ivfpqr = x2t_ivfpq_residual_search(spark, sf_dir).select(
+        F.col("q_id").alias("query_id"), "neighbor_id"
+    )
     binq = x2q_binary_hamming_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
@@ -1496,168 +1672,6 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_recall_against("ivf_x2h", ivf, exact3, 3))
         .unionAll(_recall_against("pq_adc_x2p", adc, pexact, _PQ_TOPK))
         .unionAll(_recall_against("ivfpq_x2s", ivfpq, pexact, _PQ_TOPK))
+        .unionAll(_recall_against("ivfpq_residual_x2t", ivfpqr, pexact, _PQ_TOPK))
         .unionAll(_recall_against("binary_x2q", binq, exact5, 5))
-    )
-
-
-# ---------------------------------------------------------------------------
-# X2t — RESIDUAL-encoded IVF+PQ (the complete FAISS IndexIVFPQ): PQ
-# codebooks are trained on coarse-quantizer residuals (v − centroid of
-# v's list) instead of raw vectors, and each query builds ONE ADC
-# lookup table PER PROBED LIST from its own residual against that
-# list's centroid. Residuals concentrate near the origin, so the same
-# 8-bit budget quantizes them with far less error than raw vectors —
-# this is why FAISS encodes residuals. x2s (raw-vector codes, one
-# table per query) remains the simpler plan-shape twin; the join and
-# aggregate topology here is identical plus one (q, list) key column.
-# ---------------------------------------------------------------------------
-
-
-@probe(
-    "x2t_ivfpq_residual_search",
-    oracle=f"""
-    WITH ive AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-                 FROM embeddings),
-    ipos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos,
-                    unnest(emb) AS v
-             FROM ive),
-    ipm AS (SELECT label, pos, avg(v) AS mv FROM ipos GROUP BY label, pos),
-    icents AS (SELECT label AS ivf_list, list(mv ORDER BY pos) AS centroid
-               FROM ipm GROUP BY label),
-    isims AS (SELECT ive.vec_id, c.ivf_list,
-                     list_inner_product(ive.emb, c.centroid)
-                     / (sqrt(list_inner_product(ive.emb, ive.emb))
-                        * sqrt(list_inner_product(c.centroid, c.centroid)))
-                       AS sim
-              FROM ive CROSS JOIN icents c),
-    iassign AS (SELECT vec_id, ivf_list,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY sim DESC, ivf_list) AS rnk
-                FROM isims),
-    iidx AS (SELECT vec_id, ivf_list FROM iassign WHERE rnk = 1),
-    re AS (SELECT iidx.vec_id,
-                  list_transform(list_zip(ive.emb, icents.centroid),
-                                 p -> p[1] - p[2]) AS emb
-           FROM iidx JOIN ive USING (vec_id) JOIN icents USING (ivf_list)),
-    {_pq_cte_body("re")},
-    iqs0 AS (SELECT vec_id AS q_id FROM ive
-             ORDER BY md5('q:' || CAST(vec_id AS VARCHAR)) LIMIT {_PQ_NQ}),
-    iqs AS (SELECT q_id, ivf_list
-            FROM iassign JOIN iqs0 ON vec_id = q_id
-            WHERE rnk <= {_IVFPQ_NPROBE}),
-    qres AS (SELECT iqs.q_id, iqs.ivf_list,
-                    list_transform(list_zip(qe.emb, icents.centroid),
-                                   p -> p[1] - p[2]) AS remb
-             FROM iqs JOIN ive qe ON qe.vec_id = iqs.q_id
-             JOIN icents USING (ivf_list)),
-    qsub AS (SELECT q_id, ivf_list, mm.m AS m,
-                    remb[mm.m * {_PQ_DSUB} + 1 : mm.m * {_PQ_DSUB} + {_PQ_DSUB}]
-                      AS sub
-             FROM qres, (SELECT unnest(range(0, {_PQ_M})) AS m) mm),
-    tbl AS (SELECT qsub.q_id, qsub.ivf_list, c1.m, c1.list_id,
-                   list_sum(list_transform(list_zip(qsub.sub, c1.centroid),
-                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS qd
-            FROM qsub JOIN c1 ON qsub.m = c1.m),
-    cand AS (SELECT DISTINCT iqs.q_id, iqs.ivf_list, iidx.vec_id
-             FROM iqs JOIN iidx USING (ivf_list)),
-    sc AS (SELECT tbl.q_id, a2.vec_id,
-                  list_sum(list(tbl.qd ORDER BY a2.m)) AS qdist
-           FROM cand
-           JOIN a2 ON a2.vec_id = cand.vec_id
-           JOIN tbl ON tbl.q_id = cand.q_id AND tbl.ivf_list = cand.ivf_list
-                   AND tbl.m = a2.m AND tbl.list_id = a2.list_id
-           GROUP BY tbl.q_id, a2.vec_id),
-    ranked AS (SELECT q_id, vec_id, qdist,
-                      row_number() OVER (PARTITION BY q_id
-                                         ORDER BY qdist, vec_id) AS rnk
-               FROM sc)
-    SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
-           round(qdist, 4) AS adc_dist
-    FROM ranked WHERE rnk <= {_PQ_TOPK}
-    """,
-)
-def x2t_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2t: residual IVF+PQ search (block comment above). Pipeline:
-    coarse-assign every vector (nprobe=1) → subtract its list centroid
-    → train PQ on the residuals → per query, build the nprobe
-    per-(query, list) ADC tables from the query's OWN residual against
-    each probed centroid → score candidates from their 4-id code
-    tuples, sum in fixed subspace order, two-phase top-k. All
-    arithmetic replays bit-for-bit in DuckDB (element-wise residual
-    subtraction, avg-based centroids, ordered folds), so the hash
-    certifies the full FAISS IndexIVFPQ construction end-to-end."""
-    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "emb", "nrm", "label"
-    )
-    cents = shared_persist(ivf_centroids(emb))
-    assign1 = ivf_assign(emb, cents, nprobe=1).select("vec_id", "emb", "list_id")
-    residual = F.expr("zip_with(emb, centroid, (a, b) -> a - b)")
-    re = (
-        assign1.join(F.broadcast(cents.select("list_id", "centroid")), "list_id")
-        .select("vec_id", residual.alias("emb"), F.col("list_id").alias("ivf_list"))
-    )
-    a2, c1, _sub = pq_train(re.select("vec_id", "emb"))
-    iidx = re.select("vec_id", "ivf_list")
-    qs0 = (
-        emb.select("vec_id")
-        .withColumn(
-            "_h", F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string")))
-        )
-        .orderBy("_h")
-        .limit(_PQ_NQ)
-        .select(F.col("vec_id").alias("q_id"))
-    )
-    qvec = emb.join(F.broadcast(qs0), emb.vec_id == qs0.q_id).select(
-        "q_id", "emb", "nrm", F.col("q_id").alias("vec_id")
-    )
-    qassign = ivf_assign(
-        qvec.select("vec_id", "emb", "nrm"), cents, nprobe=_IVFPQ_NPROBE
-    ).select(F.col("vec_id").alias("q_id"), "emb", F.col("list_id").alias("ivf_list"))
-    qres = (
-        qassign.join(F.broadcast(cents.select(F.col("list_id").alias("ivf_list"), "centroid")), "ivf_list")
-        .select("q_id", "ivf_list", residual.alias("remb"))
-    )
-    qsub = qres.select(
-        "q_id",
-        "ivf_list",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), mm -> "
-                f"named_struct('m', mm, 'sub', slice(remb, mm * {_PQ_DSUB} + 1, {_PQ_DSUB})))"
-            )
-        ).alias("s"),
-    ).select("q_id", "ivf_list", "s.m", "s.sub")
-    qd = F.expr(
-        "aggregate(zip_with(sub, centroid, (x, c) -> (x - c) * (x - c)),"
-        " 0.0D, (s, v) -> s + v)"
-    )
-    tbl = (
-        qsub.join(F.broadcast(c1), "m")
-        .withColumn("qd", qd)
-        .select("q_id", "ivf_list", "m", "list_id", "qd")
-    )
-    cand = (
-        iidx.join(F.broadcast(qassign.select("q_id", "ivf_list")), "ivf_list")
-        .select("q_id", "ivf_list", "vec_id")
-        .distinct()
-    )
-    sc = (
-        a2.select("vec_id", "m", F.col("code").alias("list_id"))
-        .join(cand, "vec_id")
-        .join(F.broadcast(tbl), ["q_id", "ivf_list", "m", "list_id"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "qd"))).alias("terms"))
-        .withColumn("qdist", F.expr("aggregate(terms, 0.0D, (s, p) -> s + p.qd)"))
-    )
-    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
-        staged_topk,
-    )
-
-    return staged_topk(
-        sc, ["q_id"], [F.col("qdist"), F.col("vec_id")], _PQ_TOPK, salt_col="vec_id"
-    ).select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("_tk_rank").cast("int").alias("rnk"),
-        dround("qdist", 4).alias("adc_dist"),
     )
