@@ -344,3 +344,35 @@ def test_staged_topk_equals_single_window(spark, rows, k, fanout):
                              fanout=fanout).collect()
     }
     assert staged == direct
+
+
+# Degree-ordered triangle enumeration must equal brute force on ANY
+# graph — random graphs exercise orientation ties, multi-hub overlap,
+# and wedge-closure corner cases the hand-built shapes miss.
+_graph_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=_graph_edges)
+@settings(**_SETTINGS)
+def test_triangle_counts_match_brute_force(spark, raw):
+    from collections import Counter
+    from itertools import combinations
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw}
+    expected = Counter()
+    for a, b, c in combinations(sorted({n for e in edges for n in e}), 3):
+        if {(a, b), (a, c), (b, c)} <= edges:
+            expected[a] += 1
+            expected[b] += 1
+            expected[c] += 1
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {r.user_id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == dict(expected)
