@@ -376,3 +376,56 @@ def test_triangle_counts_match_brute_force(spark, raw):
     df = spark.createDataFrame(sorted(edges), "u long, v long")
     got = {r.user_id: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == dict(expected)
+
+
+# PageRank mass conservation: with no dangling nodes (every node in
+# this graph has degree >= 1 by construction), the total rank must be
+# exactly the initial mass after ANY number of damped iterations.
+@given(raw=_graph_edges, iters=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_pagerank_conserves_mass(spark, raw, iters):
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    df = spark.createDataFrame(edges, "u long, v long")
+    ranks = [r.rank for r in pagerank(df, iters=iters).collect()]
+    assert abs(sum(ranks) - 1.0) < 1e-9
+    assert all(r > 0 for r in ranks)
+
+
+# Co-engagement edge building vs brute force: for ANY event set, the
+# bucketed pair generation must produce exactly the pairs sharing
+# >= min_shared distinct (event_type, hour) buckets.
+_event_rows = st.lists(
+    st.tuples(st.integers(1, 6), st.sampled_from(["a", "b"]), st.integers(0, 5)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_event_rows, min_shared=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_coengagement_edges_match_brute_force(spark, rows, min_shared):
+    import datetime as dt
+    from collections import Counter
+    from itertools import combinations
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        coengagement_edges,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ev = [(u, et, base + dt.timedelta(hours=h)) for u, et, h in rows]
+    buckets = {}
+    for u, et, h in rows:
+        buckets.setdefault((et, h), set()).add(u)
+    shared = Counter()
+    for users in buckets.values():
+        for a, b in combinations(sorted(users), 2):
+            shared[(a, b)] += 1
+    expected = {p for p, n in shared.items() if n >= min_shared}
+    df = spark.createDataFrame(ev, "user_id long, event_type string, ts timestamp")
+    got = {(r.u, r.v) for r in coengagement_edges(df, min_shared=min_shared).collect()}
+    assert got == expected
