@@ -129,9 +129,14 @@ def main() -> None:
             _plw.synth_wire_messages(spark, sf_dir, copies=1, max_custkey=50)\
                 .coalesce(1).write.mode("overwrite").text(f"{wroot}/in")
             # lookup_dir compiles the per-batch broadcast-join shape
-            # too (j3's plan); the customer parquet doubles as the dim.
+            # too (j3's plan). The join key is customer_id, so derive
+            # it from c_custkey — passing customer.parquet raw fails
+            # with UNRESOLVED_USING_COLUMN and warms nothing.
+            spark.read.parquet(f"{sf_dir}/customer.parquet").limit(50)\
+                .selectExpr("c_custkey AS customer_id", "c_mktsegment")\
+                .coalesce(1).write.mode("overwrite").parquet(f"{wroot}/dim")
             _plw.run_pipeline(spark, f"{wroot}/in", f"{wroot}/out", key=TEST_KEY,
-                              lookup_dir=f"{sf_dir}/customer.parquet")
+                              lookup_dir=f"{wroot}/dim")
             shutil.rmtree(wroot, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001 — never fail the suite
             print(f"bench: stream warm-up failed: {exc}", file=sys.stderr)
@@ -288,6 +293,11 @@ def main() -> None:
         out["stream_msgs_per_sec_window"] = round(n_msgs / window, 1)
         out["stream_wire_copies"] = WIRE_COPIES
         out["stream_window_sec"] = round(window, 3)
+        # Window definition v2 since round 12: query start → termination
+        # (plan construction excluded). Rounds 1-11 archives used v1
+        # (build_pipeline_query included, ~0.2 s wider) — bench_compare
+        # warns when mixing definitions across the redefinition.
+        out["stream_window_def"] = "v2_start_to_termination"
         out["stream_msgs_per_sec_1x"] = round(n_cust / window, 1)
     line = json.dumps(out)
     assert len(line) < 1024, f"bench stdout line too long: {len(line)}B"

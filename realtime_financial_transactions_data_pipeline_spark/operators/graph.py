@@ -182,6 +182,13 @@ def pagerank(edges: DataFrame, iters: int = _G2_ITERS, d: float = _G2_DAMPING) -
     outd = bi.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
     nodes = bi.select("u").distinct()
     n = nodes.count()
+    if n == 0:
+        # No user pair shares >= min_shared buckets (possible at tiny
+        # SFs) — return an empty (user_id, rank) frame instead of
+        # dividing by zero on the uniform init.
+        return nodes.select(
+            F.col("u").alias("user_id"), F.lit(0.0).alias("rank")
+        )
     p = nodes.select("u", F.lit(1.0 / n).alias("p")).localCheckpoint(eager=True)
     adj = bi.join(outd, "u").localCheckpoint(eager=True)  # (u, v, od) — static
     for _ in range(iters):

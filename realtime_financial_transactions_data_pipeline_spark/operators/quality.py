@@ -344,30 +344,51 @@ def schema_drift_report(
     s0 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(gen0_dir).schema.fields}
     s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(gen1_dir).schema.fields}
     cols = sorted(set(s0) | set(s1))
+
+    def _status(c: str) -> str:
+        if c in s0 and c in s1:
+            return "stable" if s0[c] == s1[c] else "type_changed"
+        return "added" if c in s1 else "removed"
+
     meta = spark.createDataFrame(
-        [
-            (
-                c,
-                c in s0,
-                c in s1,
-                "stable" if c in s0 and c in s1 else ("added" if c in s1 else "removed"),
-                s0.get(c),
-                s1.get(c),
-            )
-            for c in cols
-        ],
+        [(c, c in s0, c in s1, _status(c), s0.get(c), s1.get(c)) for c in cols],
         "column string, in_gen0 boolean, in_gen1 boolean, status string,"
         " type_gen0 string, type_gen1 string",
     )
-    merged = spark.read.option("mergeSchema", "true").parquet(gen0_dir, gen1_dir)
     # Positional aliases (_nn_<i>) + backticked source refs: a column
     # named "user.name" (pandas/JSON-flattening schemas — exactly what a
     # drift auditor sees) must count as a top-level column, not resolve
     # as struct-field access.
-    counts = merged.agg(
-        F.count(F.lit(1)).alias("_total"),
-        *[F.count(F.col(f"`{c}`")).alias(f"_nn_{i}") for i, c in enumerate(cols)],
-    )
+    try:
+        merged = spark.read.option("mergeSchema", "true").parquet(gen0_dir, gen1_dir)
+        counts = merged.agg(
+            F.count(F.lit(1)).alias("_total"),
+            *[F.count(F.col(f"`{c}`")).alias(f"_nn_{i}") for i, c in enumerate(cols)],
+        )
+    except Exception:  # noqa: BLE001 — incompatible type drift
+        # Spark refuses to merge footers when a column's type changed
+        # incompatibly (e.g. int→string) — exactly the drift class this
+        # audit exists to surface. Fall back to per-generation scans:
+        # a column is "present" in a merged-view row iff its source
+        # generation declares it AND the value is non-null, so summing
+        # the two generations' non-null counts (0 where undeclared)
+        # reproduces the merged accounting without the merged read.
+        def _gen_counts(d: str, s: dict) -> DataFrame:
+            df = spark.read.parquet(d)
+            return df.agg(
+                F.count(F.lit(1)).alias("_total"),
+                *[
+                    (
+                        F.count(F.col(f"`{c}`")) if c in s else F.lit(0).cast("long")
+                    ).alias(f"_nn_{i}")
+                    for i, c in enumerate(cols)
+                ],
+            )
+        both = _gen_counts(gen0_dir, s0).unionAll(_gen_counts(gen1_dir, s1))
+        counts = both.agg(
+            F.sum("_total").alias("_total"),
+            *[F.sum(f"_nn_{i}").alias(f"_nn_{i}") for i in range(len(cols))],
+        )
     long = counts.select(
         F.explode(
             F.array(

@@ -57,6 +57,11 @@ def _load(path: str) -> dict:
         "sched": d.get("sched_calib") or 1.0,
         "value": d.get("value"),
         "stream_1x": d.get("stream_msgs_per_sec_1x"),
+        # v1 (rounds 1-11): window included plan construction; v2
+        # (round 12+): start → termination only. The field first appears
+        # in round 13, so an absent field is ambiguous: v1 through r11,
+        # v2 in r12's (unlabeled) archives.
+        "stream_def": d.get("stream_window_def", "unlabeled(pre-r13: v1 thru r11, v2 in r12)"),
         "queries": d.get("queries_min") or d.get("queries") or {},
         "min_of_2": "queries_min" in d,
     }
@@ -121,7 +126,12 @@ def main() -> None:
             "cpu-normalized; note probe-count changes above)"
         )
     if b["stream_1x"] and n["stream_1x"]:
-        print(f"stream 1x: {b['stream_1x']} -> {n['stream_1x']} msg/s")
+        note = ""
+        if b["stream_def"] != n["stream_def"]:
+            note = (f"  [WARNING: window definitions differ — "
+                    f"{b['stream_def']} vs {n['stream_def']}; ~0.2s of "
+                    "plan construction moved out of the window in v2]")
+        print(f"stream 1x: {b['stream_1x']} -> {n['stream_1x']} msg/s{note}")
 
 
 if __name__ == "__main__":

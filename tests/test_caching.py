@@ -109,3 +109,54 @@ def test_prune_is_scoped_to_the_exact_name(fixture_root):
     long_path = caching.disk_fixture("t8-left", fp, touch_build("long"))
     caching.disk_fixture("t8", fp, touch_build("short"))
     assert os.path.exists(os.path.join(long_path, "_FIXTURE_OK"))
+
+
+# ---------------------------------------------------------------------------
+# memo_persist LRU semantics (VERDICT r12 #2): round 12's FIFO at
+# capacity 4 evicted the shingle/fingerprint frames before their
+# min-of-2 reruns — a get must refresh recency, and capacity must cover
+# the suite's ~8-frame working set.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def empty_memo(monkeypatch):
+    monkeypatch.setattr(caching, "_MEMO", {})
+    return caching._MEMO
+
+
+def test_memo_capacity_covers_suite_working_set():
+    assert caching._MEMO_CAPACITY >= 12
+
+
+def test_memo_get_refreshes_recency(spark, empty_memo, monkeypatch):
+    """LRU, not FIFO: after touching the oldest entry, inserting past
+    capacity must evict the UNtouched entry, and the touched one must
+    still be served from cache (builder not re-invoked)."""
+    monkeypatch.setattr(caching, "_MEMO_CAPACITY", 2)
+    builds: list[str] = []
+
+    def make(name: str):
+        def build():
+            builds.append(name)
+            return spark.range(3).toDF(name)
+
+        return build
+
+    caching.memo_persist(spark, ("lru", "a"), make("a"))
+    caching.memo_persist(spark, ("lru", "b"), make("b"))
+    caching.memo_persist(spark, ("lru", "a"), make("a"))  # touch a
+    caching.memo_persist(spark, ("lru", "c"), make("c"))  # evicts b, not a
+    caching.memo_persist(spark, ("lru", "a"), make("a"))  # still cached
+    assert builds == ["a", "b", "c"]
+    caching.memo_persist(spark, ("lru", "b"), make("b"))  # b was evicted
+    assert builds == ["a", "b", "c", "b"]
+
+
+def test_memo_eviction_unpersists_not_errors(spark, empty_memo, monkeypatch):
+    """An evicted frame's consumers recompute — the frame stays usable
+    after eviction (unpersist is semantics-preserving)."""
+    monkeypatch.setattr(caching, "_MEMO_CAPACITY", 1)
+    df1 = caching.memo_persist(spark, ("ev", 1), lambda: spark.range(5))
+    caching.memo_persist(spark, ("ev", 2), lambda: spark.range(7))
+    assert df1.count() == 5  # recomputes fine post-eviction

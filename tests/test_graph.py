@@ -85,3 +85,17 @@ def test_pagerank_known_values(spark):
         }
     for v in (1, 2, 3):
         assert abs(pr[v] - p[v]) < 1e-12
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """ADVICE r13: an empty edge relation (no user pair clears
+    min_shared at tiny SFs) must yield an empty (user_id, rank) frame,
+    not ZeroDivisionError on the uniform init."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    empty = spark.createDataFrame([], "u long, v long")
+    out = pagerank(empty)
+    assert out.columns == ["user_id", "rank"]
+    assert out.count() == 0

@@ -160,3 +160,45 @@ def test_schema_drift_report_removed_column(spark, tmp_path):
     # 2 gen0 rows carry it; 2 gen1 rows read it as null under the merge
     assert leg.n_rows_present == 2 and leg.n_rows_missing == 2
     assert rows["id"].status == "stable" and rows["id"].n_rows_missing == 0
+
+
+def test_schema_drift_survives_incompatible_type_change(spark, tmp_path):
+    """ADVICE r13: int→string drift makes the mergeSchema read refuse
+    ('Failed to merge fields') — the audit must still emit the metadata
+    diff with a type_changed status and per-generation row accounting,
+    not crash on exactly the drift class it exists to surface."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        schema_drift_report,
+    )
+
+    g0 = str(tmp_path / "g0")
+    g1 = str(tmp_path / "g1")
+    spark.createDataFrame(
+        [(1, 10), (2, None)], "id long, code int"
+    ).write.parquet(g0)
+    spark.createDataFrame(
+        [(3, "X"), (4, "Y"), (5, None)], "id long, code string"
+    ).write.parquet(g1)
+    rows = {r.column: r for r in schema_drift_report(spark, g0, g1).collect()}
+    code = rows["code"]
+    assert code.status == "type_changed"
+    assert code.type_gen0 == "int" and code.type_gen1 == "string"
+    # per-generation accounting: 1 non-null in g0 + 2 non-null in g1
+    assert code.n_rows_present == 3 and code.n_rows_missing == 2
+    assert rows["id"].status == "stable" and rows["id"].n_rows_present == 5
+
+
+def test_schema_drift_compatible_type_change_still_merges(spark, tmp_path):
+    """int→long upcasts merge fine; status still reports the drift but
+    accounting comes from the real merged scan."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        schema_drift_report,
+    )
+
+    g0 = str(tmp_path / "g0")
+    g1 = str(tmp_path / "g1")
+    spark.createDataFrame([(1,)], "n int").write.parquet(g0)
+    spark.createDataFrame([(2,), (3,)], "n long").write.parquet(g1)
+    rows = {r.column: r for r in schema_drift_report(spark, g0, g1).collect()}
+    assert rows["n"].status == "type_changed"
+    assert rows["n"].n_rows_present == 3 and rows["n"].n_rows_missing == 0
