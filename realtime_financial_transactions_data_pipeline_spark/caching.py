@@ -45,14 +45,16 @@ def shared_persist(df: DataFrame, evict_previous: bool = True) -> DataFrame:
 
 
 _MEMO: dict[tuple, DataFrame] = {}
-# 12, LRU: round 12 ran with 4/FIFO and the shingle/fingerprint passes
+# 16, LRU: round 12 ran with 4/FIFO and the shingle/fingerprint passes
 # x2j/x16/x18/x2d reuse were evicted by newer entries (g_edges, PQ/IVF
 # panels) before those probes' min-of-2 reruns — warm-cache reruns lost
-# 2.6-6.8x (VERDICT r12 task #2). The suite's live working set is ~8
-# distinct shared frames; 12 covers it with headroom, and LRU (a get
-# refreshes recency) keeps a frame alive as long as anything still
-# cycles back to it.
-_MEMO_CAPACITY = 12
+# 2.6-6.8x (VERDICT r12 task #2). Round 13 routes the similarity
+# family's shared frames through here too (exact_cos_scored, ivf_cents,
+# pq_raw/pq_res a2+c1+sub, pq_res_src, exact_l2_top5 — VERDICT r12 #6),
+# so the alphabetically-clustered x2* stretch holds ~11 live frames at
+# once; 16 covers it with headroom, and LRU (a get refreshes recency)
+# keeps a frame alive as long as anything still cycles back to it.
+_MEMO_CAPACITY = 16
 
 
 def memo_persist(

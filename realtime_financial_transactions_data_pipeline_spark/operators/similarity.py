@@ -17,7 +17,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realtime_financial_transactions_data_pipeline_spark.caching import shared_persist
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 from realtime_financial_transactions_data_pipeline_spark.registry import probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
@@ -82,6 +81,55 @@ def cosine_topk(
     )
 
 
+def exact_cos_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (query<20 × corpus) exact cosine pairs — the single most
+    recomputed frame in the similarity family (VERDICT r12 #6): x2e's
+    top-5, x2r's exact top-3/top-5 reference sets, and x2u's candidate
+    reranking are all windows over it. Memoized via
+    :func:`~realtime_financial_transactions_data_pipeline_spark.caching.memo_persist`
+    so each bench/driver session scores the 20 × N pair grid once."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = with_double_embedding(emb.filter(F.col("vec_id") < 20)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        c = with_double_embedding(emb).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        sim = _dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))
+        return (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", sim.alias("sim_raw"))
+        )
+
+    return memo_persist(spark, ("exact_cos_scored", sf_dir), build)
+
+
+def exact_cos_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Exact top-k over the memoized scored pairs — identical ranking
+    and tie-break to :func:`cosine_topk` (asserted by x2e's oracle)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        exact_cos_scored(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", dround("sim_raw", 4).alias("cosine")
+        )
+    )
+
+
 @probe(
     "x2e_cosine_topk",
     oracle="""
@@ -104,9 +152,9 @@ def cosine_topk(
     """,
 )
 def x2e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the first 20 query vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    """Brute-force cosine top-5 for the first 20 query vectors (window
+    over the memoized pair grid — same ranking as :func:`cosine_topk`)."""
+    out = exact_cos_topk(spark, sf_dir, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -411,6 +459,27 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFr
     )
 
 
+def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "nrm", "label"
+    )
+
+
+def ivf_centroids_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coarse-quantizer centroids, memoized across probes:
+    x2h/x2s/x2t/x2u — plus x2r's re-invocations of them — retrain the
+    identical per-label means otherwise (VERDICT r12 #6)."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    return memo_persist(
+        spark,
+        ("ivf_cents", sf_dir),
+        lambda: ivf_centroids(_emb_base(spark, sf_dir)),
+    )
+
+
 _X2H_ORACLE = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 pos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos, unnest(emb) AS v
@@ -460,7 +529,7 @@ def x2h_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "nrm", "label"
     )
-    cents = shared_persist(ivf_centroids(emb))
+    cents = ivf_centroids_memo(spark, sf_dir)
     index = ivf_assign(emb, cents, nprobe=1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"),
@@ -870,19 +939,64 @@ def pq_train(
     return a2, c1, sub
 
 
-def pq_train_encode(
-    emb: DataFrame, m: int = _PQ_M, dsub: int = _PQ_DSUB, k: int = _PQ_K
-) -> DataFrame:
-    """Wide encoding over :func:`pq_train`: one row per vector with
+def pq_encode_wide(a2: DataFrame, m: int = _PQ_M) -> DataFrame:
+    """Wide encoding over a trained assignment: one row per vector with
     code_0..code_{m-1} (codeword ids = seed vec_ids) and ``recon_err``
     (L2 of the vector minus its codeword concatenation)."""
-    a2, _c1, _sub = pq_train(emb, m, dsub, k)
     return a2.groupBy("vec_id").agg(
         *[
             F.min(F.when(F.col("m") == i, F.col("code"))).alias(f"code_{i}")
             for i in range(m)
         ],
         F.sqrt(F.sum("sqdist")).alias("recon_err"),
+    )
+
+
+def pq_train_encode(
+    emb: DataFrame, m: int = _PQ_M, dsub: int = _PQ_DSUB, k: int = _PQ_K
+) -> DataFrame:
+    """Train + wide-encode in one call (see :func:`pq_encode_wide`)."""
+    a2, _c1, _sub = pq_train(emb, m, dsub, k)
+    return pq_encode_wide(a2, m)
+
+
+def pq_train_memo(spark: SparkSession, sf_dir: str, key_prefix: str, src_builder):
+    """Memoized :func:`pq_train`: (a2, c1, sub) each persisted under
+    its own key. Training is deterministic (md5-order seeding), so a
+    cache miss on one piece retrains and yields byte-identical frames —
+    mixed hit/miss generations are safe. x2o/x2p/x2s (raw codes) and
+    x2t (residual codes) plus x2r's re-invocations all share these
+    (VERDICT r12 #6)."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    holder: dict[str, DataFrame] = {}
+
+    def mk(name: str):
+        def build() -> DataFrame:
+            if not holder:
+                a2, c1, sub = pq_train(src_builder())
+                holder.update({"a2": a2, "c1": c1, "sub": sub})
+            return holder[name]
+
+        return build
+
+    return (
+        memo_persist(spark, (f"{key_prefix}_a2", sf_dir), mk("a2")),
+        memo_persist(spark, (f"{key_prefix}_c1", sf_dir), mk("c1")),
+        memo_persist(spark, (f"{key_prefix}_sub", sf_dir), mk("sub")),
+    )
+
+
+def _pq_raw_trained(spark: SparkSession, sf_dir: str):
+    return pq_train_memo(
+        spark,
+        sf_dir,
+        "pq_raw",
+        lambda: with_double_embedding(
+            load_table(spark, sf_dir, "embeddings")
+        ).select("vec_id", "emb"),
     )
 
 
@@ -960,10 +1074,8 @@ def x2o_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained codebooks and every code assignment, not just shapes. vs
     x2k (int8): PQ is the lossier/denser end of the same tradeoff
     (here 64 floats -> 4 small ids, 8 bits total at K=4)."""
-    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "emb"
-    )
-    out = pq_train_encode(emb)
+    a2, _c1, _sub = _pq_raw_trained(spark, sf_dir)
+    out = pq_encode_wide(a2)
     return out.select(
         "vec_id",
         "code_0",
@@ -1017,7 +1129,7 @@ def x2p_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb"
     )
-    a2, c1, sub = pq_train(emb)
+    a2, c1, sub = _pq_raw_trained(spark, sf_dir)
     qs = (
         emb.select("vec_id")
         .withColumn(
@@ -1144,7 +1256,7 @@ def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "nrm", "label"
     )
-    cents = shared_persist(ivf_centroids(emb))
+    cents = ivf_centroids_memo(spark, sf_dir)
     iidx = ivf_assign(emb, cents, nprobe=1).select("vec_id", F.col("list_id").alias("ivf_list"))
     qs0 = (
         emb.select("vec_id")
@@ -1166,7 +1278,7 @@ def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
         .distinct()
     )
-    a2, c1, sub = pq_train(emb.select("vec_id", "emb"))
+    a2, c1, sub = _pq_raw_trained(spark, sf_dir)
     qsub = sub.join(F.broadcast(qs0), sub.vec_id == F.col("q_id")).select(
         "q_id", "m", "sub"
     )
@@ -1365,6 +1477,28 @@ _X2T_ORACLE = f"""
     """
 
 
+def _residual_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse residuals (vec_id, emb = v - centroid[list], ivf_list),
+    memoized: x2t's index side, its PQ training source, and x2r's
+    re-invocation share it."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    def build() -> DataFrame:
+        emb = _emb_base(spark, sf_dir)
+        cents = ivf_centroids_memo(spark, sf_dir)
+        assign1 = ivf_assign(emb, cents, nprobe=1).select("vec_id", "emb", "list_id")
+        residual = F.expr("zip_with(emb, centroid, (a, b) -> a - b)")
+        return assign1.join(
+            F.broadcast(cents.select("list_id", "centroid")), "list_id"
+        ).select(
+            "vec_id", residual.alias("emb"), F.col("list_id").alias("ivf_list")
+        )
+
+    return memo_persist(spark, ("pq_res_src", sf_dir), build)
+
+
 @probe("x2t_ivfpq_residual_search", oracle=_X2T_ORACLE)
 def x2t_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2t: residual IVF+PQ search (block comment above). Pipeline:
@@ -1379,14 +1513,15 @@ def x2t_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "nrm", "label"
     )
-    cents = shared_persist(ivf_centroids(emb))
-    assign1 = ivf_assign(emb, cents, nprobe=1).select("vec_id", "emb", "list_id")
+    cents = ivf_centroids_memo(spark, sf_dir)
     residual = F.expr("zip_with(emb, centroid, (a, b) -> a - b)")
-    re = (
-        assign1.join(F.broadcast(cents.select("list_id", "centroid")), "list_id")
-        .select("vec_id", residual.alias("emb"), F.col("list_id").alias("ivf_list"))
+    re = _residual_src(spark, sf_dir)
+    a2, c1, _sub = pq_train_memo(
+        spark,
+        sf_dir,
+        "pq_res",
+        lambda: _residual_src(spark, sf_dir).select("vec_id", "emb"),
     )
-    a2, c1, _sub = pq_train(re.select("vec_id", "emb"))
     iidx = re.select("vec_id", "ivf_list")
     qs0 = (
         emb.select("vec_id")
@@ -1617,9 +1752,8 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what recall accounting exists to surface; the planted-
     cluster recall guarantees live with the x2g/x2h unit tests."""
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < 20)
-    exact3 = cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
-    exact5 = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    exact3 = exact_cos_topk(spark, sf_dir, k=3).select("query_id", "neighbor_id")
+    exact5 = exact_cos_topk(spark, sf_dir, k=5).select("query_id", "neighbor_id")
     lsh = (
         x2g_ann_lsh_bucketed(spark, sf_dir)
         .filter(F.col("rank") <= 3)
@@ -1659,13 +1793,23 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 0.0D, (s, v) -> s + v)"
     )
     w5 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    pexact = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"))
-        .crossJoin(F.broadcast(qv))
-        .withColumn("d2", d2)
-        .withColumn("rank", F.row_number().over(w5))
-        .filter(F.col("rank") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id")
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    pexact = memo_persist(
+        spark,
+        ("exact_l2_top5", sf_dir),
+        lambda: (
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb")
+            )
+            .crossJoin(F.broadcast(qv))
+            .withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w5))
+            .filter(F.col("rank") <= _PQ_TOPK)
+            .select("query_id", "neighbor_id")
+        ),
     )
     return (
         _recall_against("lsh_x2g", lsh, exact3, 3)
@@ -1674,4 +1818,170 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_recall_against("ivfpq_x2s", ivfpq, pexact, _PQ_TOPK))
         .unionAll(_recall_against("ivfpq_residual_x2t", ivfpqr, pexact, _PQ_TOPK))
         .unionAll(_recall_against("binary_x2q", binq, exact5, 5))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2u — recall-tuned IVF configuration sweep (VERDICT r12 #4): x2r
+# showed the fixed-parameter ANN paths sit at recall@5 ~0.2-0.27 on
+# this corpus. That is the corpus (near-uniform embeddings — the regime
+# where locality structure is weakest), not a bug — but "implements
+# IVF" and "an engine a user would trust for retrieval" differ by
+# exactly one step: SWEEP the cost knob, measure recall at each
+# setting, and pin the cheapest configuration that clears the target.
+# This probe runs that sweep for IVF-with-exact-rerank (the nprobe
+# knob): per config, candidates = vectors indexed in the query's
+# nprobe nearest lists, reranked by exact cosine; recall@5 vs the
+# exact top-5. On a near-uniform corpus the recall-vs-scan curve is
+# close to linear in list coverage — the sweep SURFACES that honestly
+# (scan_frac column) and still finds the >= 0.8 operating point
+# (nprobe = 10/10 lists degenerates to exhaustive search, recall 1.0,
+# so a winner always exists). All arithmetic is deterministic, so
+# DuckDB replays the whole sweep — assignment ranking, candidate
+# membership, rerank, the recall averages, and the argmin choice.
+# ---------------------------------------------------------------------------
+
+_X2U_SWEEP = (1, 2, 4, 6, 8, 10)
+_X2U_TARGET = 0.8
+
+_X2U_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+pos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos, unnest(emb) AS v
+        FROM e),
+pm AS (SELECT label, pos, avg(v) AS m FROM pos GROUP BY label, pos),
+cents AS (SELECT label AS list_id, list(m ORDER BY pos) AS centroid
+          FROM pm GROUP BY label),
+sims AS (SELECT e.vec_id, c.list_id,
+                list_inner_product(e.emb, c.centroid)
+                / (sqrt(list_inner_product(e.emb, e.emb))
+                   * sqrt(list_inner_product(c.centroid, c.centroid))) AS sim
+         FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, list_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, list_id) AS rnk
+           FROM sims),
+iidx AS (SELECT vec_id AS neighbor_id, list_id FROM assign WHERE rnk = 1),
+qrank AS (SELECT vec_id AS query_id, list_id, rnk FROM assign WHERE vec_id < 20),
+q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 20),
+scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.emb, c.emb) AS sim_raw
+           FROM q, e c WHERE query_id <> c.vec_id),
+exact5 AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS r
+             FROM scored) WHERE r <= 5),
+member AS (SELECT s.query_id, s.neighbor_id, s.sim_raw, qr.rnk AS q_rnk
+           FROM scored s
+           JOIN iidx i ON i.neighbor_id = s.neighbor_id
+           JOIN qrank qr ON qr.query_id = s.query_id AND qr.list_id = i.list_id),
+configs(nprobe) AS (VALUES (1), (2), (4), (6), (8), (10)),
+candr AS (SELECT nprobe, query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY nprobe, query_id
+                                    ORDER BY sim_raw DESC, neighbor_id) AS r
+          FROM member CROSS JOIN configs WHERE q_rnk <= nprobe),
+hits AS (SELECT nprobe, t.query_id, count(*) AS h
+         FROM candr t JOIN exact5 x USING (query_id, neighbor_id)
+         WHERE t.r <= 5 GROUP BY 1, 2),
+scan AS (SELECT nprobe, query_id,
+                CAST(count(*) FILTER (WHERE q_rnk <= nprobe) AS DOUBLE)
+                  / count(*) AS frac
+         FROM member CROSS JOIN configs GROUP BY 1, 2),
+perq AS (SELECT s.nprobe, s.query_id,
+                COALESCE(h, 0) / 5.0 AS recall, s.frac
+         FROM scan s LEFT JOIN hits USING (nprobe, query_id)),
+agg AS (SELECT nprobe, avg(recall) AS mr, avg(frac) AS sfrac,
+               count(*) AS nq
+        FROM perq GROUP BY nprobe)
+SELECT CAST(nprobe AS INTEGER) AS nprobe,
+       round(mr, 4) AS mean_recall,
+       round(sfrac, 4) AS scan_frac,
+       CAST(nq AS BIGINT) AS n_queries,
+       COALESCE(nprobe = MIN(CASE WHEN mr >= {_X2U_TARGET} THEN nprobe END)
+                          OVER (), FALSE) AS chosen
+FROM agg
+"""
+
+
+@probe("x2u_recall_tuned", oracle=_X2U_ORACLE)
+def x2u_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2u: the IVF nprobe sweep (block comment above). One row per
+    swept config: mean recall@5 over the 20 reference queries, mean
+    fraction of the corpus scanned (the cost axis), and ``chosen`` on
+    the cheapest config clearing recall >= 0.8. The exact pair grid is
+    scored ONCE (memoized — also feeds x2e/x2r) and every config is a
+    filter + window over it, so the sweep costs one corpus scan plus
+    6 windows over 20×N rows — not 6 searches. At 100 TB the sweep
+    runs on a sampled query set exactly like this one, and the chosen
+    nprobe feeds x2h's index-serving path."""
+    cents = ivf_centroids_memo(spark, sf_dir)
+    emb = _emb_base(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    sim = _dot("emb", "centroid") / (F.col("nrm") * F.col("c_nrm2"))
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    iidx = assign.filter(F.col("rnk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    )
+    qrank = assign.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "list_id", F.col("rnk").alias("q_rnk")
+    )
+    scored = exact_cos_scored(spark, sf_dir)
+    exact5 = exact_cos_topk(spark, sf_dir, k=5).select("query_id", "neighbor_id")
+    member = scored.join(F.broadcast(iidx), "neighbor_id").join(
+        F.broadcast(qrank), ["query_id", "list_id"]
+    )
+    configs = spark.createDataFrame(
+        [(n,) for n in _X2U_SWEEP], "nprobe int"
+    )
+    memberc = member.crossJoin(F.broadcast(configs))
+    wq = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
+    )
+    top5 = (
+        memberc.filter(F.col("q_rnk") <= F.col("nprobe"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= 5)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    hits = (
+        top5.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    scan = memberc.groupBy("nprobe", "query_id").agg(
+        (
+            F.count(F.when(F.col("q_rnk") <= F.col("nprobe"), F.lit(1))).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("frac")
+    )
+    perq = scan.join(hits, ["nprobe", "query_id"], "left").select(
+        "nprobe",
+        "query_id",
+        (F.coalesce(F.col("h"), F.lit(0)) / F.lit(5.0)).alias("recall"),
+        "frac",
+    )
+    agg = perq.groupBy("nprobe").agg(
+        F.avg("recall").alias("mr"),
+        F.avg("frac").alias("sfrac"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        F.col("nprobe").cast("int").alias("nprobe"),
+        dround("mr", 4).alias("mean_recall"),
+        dround("sfrac", 4).alias("scan_frac"),
+        F.col("nq").cast("long").alias("n_queries"),
+        F.coalesce(
+            F.col("nprobe")
+            == F.min(
+                F.when(F.col("mr") >= _X2U_TARGET, F.col("nprobe"))
+            ).over(wall),
+            F.lit(False),
+        ).alias("chosen"),
     )
