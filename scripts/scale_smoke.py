@@ -42,6 +42,8 @@ from realtime_financial_transactions_data_pipeline_spark.registry import all_pro
 ROOT = "/tmp/spark_graft_scale"
 BASE_DOCS = 5_000     # sf0.1 documents row count
 BASE_EVENTS = 100_000  # sf0.1 events row count
+BASE_EMB = 2_000       # sf0.1 embeddings row count
+BASE = {"documents": BASE_DOCS, "events": BASE_EVENTS, "embeddings": BASE_EMB}
 
 #: probe -> (table it scales with, scales to run)
 MATRIX = {
@@ -50,6 +52,14 @@ MATRIX = {
     "x2n_stream_neardup_ingest": ("documents", (1, 10)),
     "k8b_bucketed_merge_sink": ("events", (1, 10, 60)),
     "ts1b_series_similarity_blocked": ("events", (1, 10)),
+    # round 13 (VERDICT r12 #3): the new heavy families. g1's in-bucket
+    # pair generation is the quadratic-looking construct the bucket cap
+    # bounds — measure it like x2a/x2n were; x2s/x2t scale with the
+    # embeddings corpus (PQ training + IVF-pruned ADC scan).
+    "g1_triangle_count": ("events", (1, 10)),
+    "g2_pagerank": ("events", (1, 10)),
+    "x2s_ivf_pq_search": ("embeddings", (1, 10)),
+    "x2t_ivfpq_residual_search": ("embeddings", (1, 10)),
 }
 
 
@@ -84,6 +94,24 @@ def gen_events(spark: SparkSession, n: int, path: str) -> None:
         ).alias("event_type"),
         (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(100000)) / 1000.0).alias("value"),
         F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def gen_embeddings(spark: SparkSession, n: int, path: str) -> None:
+    """sf0.1-shaped embeddings: 64-dim float vectors, 10 labels, weak
+    label-dependent mean (offset ~0.05) under dominant hash noise
+    (~0.12 sd) — matching the real corpus's near-uniform regime (the
+    x2u docstring's worst case), so recall/pruning behavior at 10x is
+    representative, not cherry-picked."""
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> CAST("
+            " 0.05 * (pmod(xxhash64(pmod(id, 10) * 64 + d, 7), 2001) / 1000.0 - 1.0)"
+            " + 0.12 * (pmod(xxhash64(id * 64 + d, 8), 2001) / 1000.0 - 1.0)"
+            " AS FLOAT))"
+        ).alias("embedding"),
+        F.pmod("id", F.lit(10)).cast("int").alias("label"),
     ).write.mode("overwrite").parquet(path)
 
 
@@ -133,10 +161,9 @@ def main() -> None:
         if os.path.exists(f"{path}/_SUCCESS"):
             continue
         t0 = time.time()
-        if table == "documents":
-            gen_documents(spark, BASE_DOCS * s, path)
-        else:
-            gen_events(spark, BASE_EVENTS * s, path)
+        gen = {"documents": gen_documents, "events": gen_events,
+               "embeddings": gen_embeddings}[table]
+        gen(spark, BASE[table] * s, path)
         print(f"gen   {table} x{s}: {time.time() - t0:.1f}s", flush=True)
 
     rows = []
@@ -160,7 +187,7 @@ def main() -> None:
             else:
                 factor = f"{wall / base_wall:.1f}x wall / {dw / base_w:.1f}x shuffle"
             rows.append(
-                (name, s, BASE_DOCS * s if table == "documents" else BASE_EVENTS * s,
+                (name, s, BASE[table] * s,
                  wall, dw, (r1 - r0) / 1e6, n_rows, factor)
             )
             print(
