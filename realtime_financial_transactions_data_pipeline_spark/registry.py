@@ -98,60 +98,91 @@ DRIVER_WINDOW = 50
 #: watermark-bounded dedupe, s12 fixed-width source, k11
 #: write-audit-publish) plus four long-waiting twins (q9 profit by
 #: nation/year, u1c portable FPE structure hash, x2i near-dup
-#: connected components, s9 schema-evolution merge read). Remaining
-#: cohort-7 candidates: a18, u6, f16, a19, s6, s8, s10, a12-a16
-#: reps, o7, x3i, x4e, x10, x14, ts1, q5/q8 (rehearse first).
+#: connected components, s9 schema-evolution merge read).
+#: Cohort-7 rotation (round 13, VERDICT_r12 item #1): the rotation goal
+#: shifted from "retire multi-green" to "finish lifetime first-exposure
+#: coverage" (VERDICT r12 #7) — 71 probes had never been driver-
+#: verified while the machinery's lifetime record stood at 99/99 green.
+#: FORTY-EIGHT members leave (everything except the q1/t1_t6 anchors),
+#: all still oracle-checked every round by bench.py /
+#: scripts/check_oracle.py; FORTY-TWO never-driver-verified probes
+#: enter (the round-12/13 newcomers g1/g1b/g2, x2r/x2s/x2t/x2u, ts3,
+#: dq4, x4b, q2/q11/q12/q16/q20/q21, plus long-waiters q5/q8, a12/a13/
+#: a16/a18/a19, f16, f8_f13, u6, o6/o7, s10, ts1, prof1, x1c, x2k,
+#: x3i, x4e, x7/x8/x10/x12/x13/x14/x17), and SIX family-coverage keeps
+#: fill the rest — k5/p5/j1/l1_l3/x5d/er2, families with no
+#: never-verified member left, chosen for fewest greens or longest-ago
+#: verification (p5/j1 last green round 2, k5 round 7, l1_l3 round 10).
+#: Remaining never-driver-verified after cohort 7 (~26, targeted for
+#: cohort 8): a1_a6, a8b, a14, a15, q1b, q1sql, q3, q4, q6, q10, q14,
+#: q18, q22, scale_salted_agg, scale_time_travel, t2c, t4b, ts2-free
+#: slot, x1e, x3g, x3h, x3j, x3k, x4_binary_columns, x4c, x4d, x4f,
+#: x9, x11 — plus the three rows-only-by-nature probes (u1, t5, x5)
+#: that can never enter (the window requires a hash-checked oracle).
 _DRIVER_ORDER = [
+    # anchors (stability): the flagship star join (also entry()'s smoke
+    # every round) and the streaming pipeline covering S1/S2/S4/K1/K2/
+    # T1/T2/T3/T6 in one probe.
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
-    "q9_profit_by_nation_year",      # TPC-H Q9 multi-join profit (cohort 6)
-    "p4_validation_routing",         # P4 validation routing (cohort 5)
-    "f10b_date_dim_build",           # F10 calendar/date-dim build (cohort 5)
-    "j6b_asof_tolerance",            # J6b as-of join w/ tolerance (cohort 5)
-    "u1c_fpe_portable",              # U1c portable FPE structure hash (cohort 6)
-    "a11_gapfill_moving_avg",        # A11 gap-fill + moving average (cohort 5)
-    "mv2_cdc_view_maintenance",      # MV2 CDC view maintenance (cohort 6)
-    "l1b_partition_pruned_slice",    # L1b partition-pruned slicer (cohort 5)
-    "o5_window_rank",                # O5 window rank (cohort 5)
-    "s9_schema_evolution_merge",     # S9 schema-evolution merge read (cohort 6)
-    "s12_fixed_width_source",        # S12 fixed-width text source (cohort 6)
-    "u5_dp_noisy_counts",            # U5 DP noisy counts (cohort 6)
-    "x4m_qoi_decode",                # X4m QOI decode (cohort 6)
-    "o8_grouping_sets",              # O8 grouping sets (cohort 6)
-    "x19_mixture_rebalance",         # X19 mixture rebalance (cohort 6)
-    "k11_write_audit_publish",       # K11 write-audit-publish (cohort 6)
-    "dq3_psi_drift",                 # DQ3 PSI drift (cohort 6)
-    "er2_fuzzy_match",               # ER2 fuzzy match (cohort 6)
-    "k8_stream_merge_sink",          # K8 streaming CDC merge (cohort 4)
-    "k8b_bucketed_merge_sink",       # K8b merge-on-write
-    "x20_corpus_diff",               # X20 corpus diff (cohort 6)
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
-    "t7_stream_stream_join",         # T7 stream-stream inner join (cohort 5)
-    "t11_dedupe_within_watermark",   # T11 watermark-bounded dedupe (cohort 6)
-    "ts2_ewma_smoothing",            # TS2 EWMA smoothing (cohort 6)
-    "x2i_neardup_components",        # X2i near-dup components (cohort 6)
-    "x1db_bloom_bitmap",             # X1db Bloom long[] bitmap (cohort 6)
-    "x1d_bloom_prefilter",           # X1d Bloom prefilter (cohort 5)
-    "x2q_binary_hamming_topk",       # X2q binary Hamming top-k (cohort 6)
-    "x2l_semdedup",                  # X2l SemDeDup (cohort 5)
-    "x2n_stream_neardup_ingest",     # X2n streaming near-dup ingest (cohort 5)
-    "x2o_product_quantization",      # X2o PQ codebook encode (cohort 5)
-    "x2p_pq_adc_topk",               # X2p PQ ADC top-k (cohort 5)
-    "x3ade_doc_profile",             # X3 merged: tokens+fingerprint+BPE
-    "x3l_luhn_card_scrub",           # X3l Luhn card scrub (cohort 5)
-    "x4l_av_container_sniff",        # X4l AV container sniff (cohort 6)
-    "x4h_audio_features",            # X4h audio features (cohort 4)
-    "x4i_gif_decode",                # X4i GIF decode (cohort 5)
-    "x4j_gif_frame_sample",          # X4j animated-GIF frame sampling (cohort 5)
-    "x4k_media_sniff",               # X4k header-only media sniffer (cohort 5)
-    "x5b_exact_percentiles",         # X5 (hash-checked twin)
-    "x5c_heavy_hitters",             # X5c Misra-Gries heavy hitters (cohort 5)
-    "x5d_hll_distinct",              # X5d portable HLL distinct (cohort 5)
-    "x6_corpus_curation",            # X6 flagship curation chain
-    "x15_chunk_dedup_rebuild",       # X15 chunk dedup rebuild (cohort 3)
-    "x16_crossdoc_dup_fraction",     # X16 cross-doc dup fraction (cohort 4)
-    "er1_entity_resolution",         # ER1 SymSpell index
-    "prof2_skew_profile",            # PROF2 skew profile (cohort 5)
-    "dq2_referential_audit",         # DQ2 referential audit (cohort 3)
+    # family-coverage keeps (no never-verified member exists in these
+    # families; chosen for fewest greens / longest-ago verification):
+    "k5_create_table_ddl",           # K5 DDL from schema (last green r7)
+    "p5_null_defaulting",            # P5 null defaulting (last green r2)
+    "j1_left_join_dim",              # J1 dim left join (last green r2)
+    "l1_l3_slicer_stack",            # L1-L3 slicers (last green r10)
+    "x5d_hll_distinct",              # X5d portable HLL (cohort 6)
+    "er2_fuzzy_match",               # ER2 fuzzy match (cohort 6)
+    # first exposure (42): TPC-H completions (round 12)...
+    "q2_min_cost_supplier",
+    "q5_local_supplier_revenue",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_shipclass_priority",
+    "q16_supplier_part_counts",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    # ...graph analytics (round 12)...
+    "g1_triangle_count",
+    "g1b_clustering_coefficient",
+    "g2_pagerank",
+    # ...similarity/ANN (rounds 9-13)...
+    "x2k_int8_quantize",
+    "x2r_ann_recall",
+    "x2s_ivf_pq_search",
+    "x2t_ivfpq_residual_search",
+    "x2u_recall_tuned",
+    # ...time series, data quality, profiling...
+    "ts1_series_similarity",
+    "ts3_seasonal_decomposition",
+    "dq4_schema_drift",
+    "prof1_table_profile",
+    # ...analytics extensions...
+    "a12_funnel",
+    "a13_cohort_retention",
+    "a16_dispersion_correlation",
+    "a18_rolling_active_users",
+    "a19_basket_cooccurrence",
+    # ...functions, tokenization, ordering, sources...
+    "f16_iban_mod97",
+    "f8_f13_generator_mix",
+    "u6_k_anonymity_generalize",
+    "o6_ntile_deciles",
+    "o7_rank_distributions",
+    "s10_orc_roundtrip",
+    # ...text, multimodal...
+    "x3i_bm25",
+    "x4b_decode_stub",
+    "x4e_png_decode",
+    # ...dedup + curation chain...
+    "x1c_incremental_dedup",
+    "x7_contamination_check",
+    "x8_stratified_sample",
+    "x10_sequence_packing",
+    "x12_domain_quota",
+    "x13_quantile_gate",
+    "x14_doc_chunking",
+    "x17_train_val_test_split",
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
     # Not assert: these invariants must hold under ``python -O`` too,
