@@ -379,10 +379,22 @@ def x2g_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-expressible (see :func:`_x2g_oracle`); recall vs the
     brute-force baseline is additionally asserted in
     tests/test_similarity.py."""
-    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
-    bucketed = emb.select(
-        "vec_id", "emb", "nrm", F.explode(lsh_table_buckets("emb")).alias("tb")
-    ).select("vec_id", "emb", "nrm", "tb.table_id", "tb.bucket")
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    # The 32 hyperplane dots per vector run as interpreted lambdas —
+    # the probe's dominant pass; memoized so x2g's own rerun and x2r's
+    # re-invocation skip it (VERDICT r12 #6).
+    bucketed = memo_persist(
+        spark,
+        ("lsh_bucketed", sf_dir),
+        lambda: with_double_embedding(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id", "emb", "nrm", F.explode(lsh_table_buckets("emb")).alias("tb")
+        )
+        .select("vec_id", "emb", "nrm", "tb.table_id", "tb.bucket"),
+    )
     q = bucketed.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
