@@ -333,3 +333,114 @@ def g1b_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             coeff.alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G3 — link prediction by common-neighbor / Jaccard scoring: the other
+# classic batch graph workload next to triangles (g1) and PageRank
+# (g2). Candidates are non-adjacent pairs at distance 2 — generated
+# from each center's sorted adjacency list (the same in-bucket pair
+# idiom as edge building, Σ C(deg, 2) bounded by a hub cap: a center
+# adjacent to everything predicts everything, which is popularity,
+# not affinity — the same rationale as _G1_BUCKET_CAP). Jaccard uses
+# the FULL degrees (only pair GENERATION is capped). One shuffle for
+# wedges, one for the per-pair count, an anti-join against the edge
+# set, then a global top-N (tiny by construction).
+# ---------------------------------------------------------------------------
+
+_G3_HUB_CAP = 200
+_G3_TOPN = 20
+
+
+def link_predictions(
+    edges: DataFrame, topn: int = _G3_TOPN, hub_cap: int = _G3_HUB_CAP
+) -> DataFrame:
+    """Top-``topn`` non-edges ranked by Jaccard affinity (ties: common
+    neighbors desc, then u, v). Returns (u, v, common_neighbors,
+    jaccard, rank)."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+    from pyspark.sql import Window
+
+    bi = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    adj = bi.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("ids"))
+    wedges = (
+        adj.join(deg, "u")
+        .filter(F.col("d") <= hub_cap)
+        .select(F.explode(F.expr(_PAIR_GEN)).alias("p"))
+        .select("p.u", "p.v")
+    )
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    non_edges = cn.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .withColumn(
+            "jaccard",
+            F.col("common_neighbors").cast("double")
+            / (F.col("du") + F.col("dv") - F.col("common_neighbors")),
+        )
+    )
+    w = Window.partitionBy().orderBy(
+        F.desc("jaccard"), F.desc("common_neighbors"), F.asc("u"), F.asc("v")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            dround("jaccard", 4).alias("jaccard"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@probe(
+    "g3_link_prediction",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G1_MIN_SHARED}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u, count(*) AS d FROM bi GROUP BY u),
+    w AS (SELECT b1.v AS u, b2.v AS v
+          FROM bi b1 JOIN bi b2 ON b1.u = b2.u AND b1.v < b2.v
+          JOIN deg ON deg.u = b1.u AND deg.d <= {_G3_HUB_CAP}),
+    cn AS (SELECT u, v, count(*) AS common_neighbors FROM w GROUP BY 1, 2),
+    ne AS (SELECT cn.* FROM cn LEFT JOIN e ON e.u = cn.u AND e.v = cn.v
+           WHERE e.u IS NULL),
+    sc AS (SELECT ne.u, ne.v, ne.common_neighbors,
+                  CAST(ne.common_neighbors AS DOUBLE)
+                    / (du.d + dv.d - ne.common_neighbors) AS jaccard
+           FROM ne JOIN deg du ON du.u = ne.u JOIN deg dv ON dv.u = ne.v),
+    ranked AS (SELECT u, v, common_neighbors, jaccard,
+                      row_number() OVER (ORDER BY jaccard DESC,
+                        common_neighbors DESC, u, v) AS rank
+               FROM sc)
+    SELECT u, v, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+           round(jaccard, 4) AS jaccard, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_G3_TOPN}
+    """,
+)
+def g3_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — top-20 predicted links over the co-engagement graph (block
+    comment above). Reuses the memoized edge pass shared with g1/g2;
+    the oracle replays pair generation, the hub cap, the anti-join,
+    Jaccard, and the deterministic global ranking."""
+    return link_predictions(_memo_edges(spark, sf_dir))

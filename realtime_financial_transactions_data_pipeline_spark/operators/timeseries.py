@@ -965,3 +965,86 @@ def ts3_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TS4 — autocorrelation function of the daily event-count series: the
+# diagnostic every forecasting pipeline runs before picking seasonal
+# terms (ts3's period-7 assumption is exactly what an ACF validates).
+# Estimator: r_k = Σ(x_t - μ)(x_{t-k} - μ) / Σ(x_t - μ)² over the
+# GAP-FILLED calendar (a missing day is a 0-count observation, not a
+# missing one). Scale shape: the daily reduction is the only
+# fact-sized shuffle; the series itself is |days| rows, the lag join
+# is |days| × |lags|, and the two scalar moments ride the
+# broadcast-scalar pattern (crossJoin of a 1-row aggregate).
+# ---------------------------------------------------------------------------
+
+_TS4_MAX_LAG = 14
+
+
+@probe(
+    "ts4_autocorrelation",
+    oracle=f"""
+    WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                          count(*) AS n
+                   FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+            FROM bounds),
+    s AS (SELECT date_diff('day', (SELECT lo FROM bounds), cal.d) AS i,
+                 CAST(COALESCE(n, 0) AS DOUBLE) AS x
+          FROM cal LEFT JOIN daily ON daily.d = cal.d),
+    st AS (SELECT avg(x) AS mu, count(*) AS nd FROM s),
+    dev AS (SELECT i, x - (SELECT mu FROM st) AS dx FROM s),
+    den AS (SELECT sum(dx * dx) AS dd FROM dev),
+    lags AS (SELECT unnest(range(1, {_TS4_MAX_LAG + 1})) AS lag),
+    num AS (SELECT lags.lag, sum(a.dx * b.dx) AS nn
+            FROM lags CROSS JOIN dev a
+            JOIN dev b ON b.i = a.i - lags.lag
+            GROUP BY lags.lag)
+    SELECT CAST(lag AS INTEGER) AS lag,
+           round(nn / (SELECT dd FROM den), 6) AS acf,
+           CAST((SELECT nd FROM st) AS BIGINT) AS n_days
+    FROM num
+    """,
+)
+def ts4_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS4 — ACF at lags 1..14 of the gap-filled daily event-count
+    series (block comment above). The oracle replays calendar
+    gap-filling, the mean/variance moments, the lag join, and the
+    normalized sums; integer counts keep the double chains well inside
+    the 1e-6 rounding."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        "lo",
+    )
+    s = (
+        cal.join(daily, "d", "left")
+        .select(
+            F.datediff("d", "lo").alias("i"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x"),
+        )
+    )
+    st = s.agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("nd"))
+    dev = s.crossJoin(F.broadcast(st)).select(
+        "i", (F.col("x") - F.col("mu")).alias("dx"), "nd"
+    )
+    den = dev.agg(F.sum(F.col("dx") * F.col("dx")).alias("dd"))
+    lags = spark.range(1, _TS4_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    cur = dev.crossJoin(F.broadcast(lags))
+    prev = dev.select(F.col("i").alias("pi"), F.col("dx").alias("pdx"))
+    num = (
+        cur.join(prev, cur.i - cur.lag == prev.pi)
+        .groupBy("lag")
+        .agg(F.sum(F.col("dx") * F.col("pdx")).alias("nn"), F.first("nd").alias("nd"))
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        dround(F.col("nn") / F.col("dd"), 6).alias("acf"),
+        F.col("nd").cast("long").alias("n_days"),
+    )

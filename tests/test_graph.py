@@ -99,3 +99,43 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(empty)
     assert out.columns == ["user_id", "rank"]
     assert out.count() == 0
+
+
+def test_link_prediction_known_path_graph(spark):
+    """Path 1-2-3-4: the two distance-2 pairs (1,3) and (2,4) both have
+    one common neighbor and Jaccard 0.5; ties break on u asc."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        link_predictions,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = sorted(link_predictions(edges).collect(), key=lambda r: r.rank)
+    assert [(r.u, r.v, r.common_neighbors, r.jaccard) for r in rows] == [
+        (1, 3, 1, 0.5),
+        (2, 4, 1, 0.5),
+    ]
+    assert [r.rank for r in rows] == [1, 2]
+
+
+def test_link_prediction_hub_cap_suppresses_popularity(spark):
+    """A center above the hub cap generates no candidate pairs — a node
+    adjacent to everything is popularity, not affinity."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        link_predictions,
+    )
+
+    star = _edges(spark, [(0, i) for i in range(1, 6)])
+    assert link_predictions(star, hub_cap=3).count() == 0
+    # under the cap the same star predicts all leaf pairs
+    assert link_predictions(star, hub_cap=5).count() == 10
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """A triangle has wedges but every closing pair is already an edge
+    — zero predictions."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        link_predictions,
+    )
+
+    tri = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    assert link_predictions(tri).count() == 0

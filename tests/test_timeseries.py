@@ -254,3 +254,17 @@ def test_scd2_intervals_abut_and_single_current(spark):
         assert rs[-1].is_current and rs[-1].valid_to == "9999-12-31 00:00:00"
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from, (user, a, b)
+
+
+def test_ts4_acf_bounded_and_complete(spark, sf_dir):
+    """ACF estimates are bounded by |r_k| <= 1 (Cauchy-Schwarz on the
+    full-mean estimator) and the probe reports every lag 1..14 over a
+    consistent gap-filled day count."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        ts4_autocorrelation,
+    )
+
+    rows = ts4_autocorrelation(spark, sf_dir).collect()
+    assert sorted(r.lag for r in rows) == list(range(1, 15))
+    assert all(abs(r.acf) <= 1.0 + 1e-9 for r in rows)
+    assert len({r.n_days for r in rows}) == 1 and rows[0].n_days >= 14
