@@ -444,3 +444,88 @@ def g3_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays pair generation, the hub cap, the anti-join,
     Jaccard, and the deterministic global ranking."""
     return link_predictions(_memo_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# G4 — BFS hop-distance histogram from a deterministic source node: the
+# reachability diagnostic behind "how many hops away is the rest of the
+# graph" questions (fraud-ring blast radius, notification fan-out). The
+# classic iterative-frontier construction: each round joins the current
+# frontier against the static bidirectional edge relation, anti-joins
+# already-visited nodes, and checkpoints the (small) frontier — the
+# edge relation is the only big operand and, like g2's, it never
+# changes, so at cluster scale both sides are pre-partitioned on the
+# node key once and every round reuses that partitioning. The visited
+# set grows monotonically but is |nodes|-bounded state, never
+# collected; the one driver-side action per round is the scalar
+# empty-frontier check that terminates early.
+# ---------------------------------------------------------------------------
+
+_G4_MAX_HOPS = 4
+
+
+def bfs_hops(edges: DataFrame, max_hops: int = _G4_MAX_HOPS) -> DataFrame:
+    """Minimum hop distance from the lowest-id node over undirected
+    edges (u < v), bounded at ``max_hops``. Returns (u, hop); BFS
+    order guarantees first discovery IS the minimum distance."""
+    spark = edges.sparkSession
+    bi = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    src = bi.agg(F.min("u").alias("s")).collect()[0]["s"]
+    if src is None:  # empty graph at tiny SFs — no rows, stable schema
+        return spark.createDataFrame([], "u long, hop int")
+    visited = spark.createDataFrame([(src, 0)], "u long, hop int").localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(bi, "u")
+            .select(F.col("v").alias("u"))
+            .distinct()
+            .join(visited, "u", "left_anti")
+            .select("u", F.lit(h).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+@probe(
+    "g4_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE b AS (SELECT DISTINCT user_id, event_type,
+                                date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G1_MIN_SHARED}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    src AS (SELECT min(u) AS s FROM bi),
+    r AS (SELECT s AS v, 0 AS d FROM src WHERE s IS NOT NULL
+          UNION
+          SELECT bi.v, r.d + 1 FROM r JOIN bi ON bi.u = r.v
+          WHERE r.d < {_G4_MAX_HOPS}),
+    dist AS (SELECT v, min(d) AS hop FROM r GROUP BY v)
+    SELECT CAST(hop AS INTEGER) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hop
+    """,
+)
+def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — node count at each BFS hop distance (0..{_G4_MAX_HOPS})
+    from the lowest-id node of the co-engagement graph (block comment
+    above). The oracle replays the whole frontier recursion as a
+    bounded recursive CTE whose UNION dedups (v, d) pairs, then takes
+    min(d) per node — exactly the first-discovery distance the
+    frontier/anti-join loop produces. Reuses the memoized edge pass
+    shared with g1/g2/g3."""
+    d = bfs_hops(_memo_edges(spark, sf_dir))
+    return d.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -1048,3 +1048,76 @@ def ts4_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("nn") / F.col("dd"), 6).alias("acf"),
         F.col("nd").cast("long").alias("n_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS5 — CUSUM changepoint scan over the gap-filled daily event-count
+# series: the level-shift detector that complements ts3 (seasonality)
+# and ts4 (autocorrelation) — a sustained shift in daily volume makes
+# the cumulative sum of deviations from the global mean drift
+# monotonically, and the |CUSUM| peak marks the most likely change
+# day (Page's classic statistic, evaluated offline). Scale shape:
+# identical to ts4 — the daily reduction is the only fact-sized
+# shuffle; everything after runs on the |days|-row series, with the
+# global mean riding the broadcast-scalar pattern and the single
+# ordered running sum on a |days|-row single partition (days are
+# thousands even at decade horizons — this is deliberately NOT a
+# partitioned window).
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "ts5_cusum_changepoint",
+    oracle="""
+    WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                          count(*) AS n
+                   FROM events GROUP BY 1),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+            FROM bounds),
+    s AS (SELECT cal.d, CAST(COALESCE(n, 0) AS DOUBLE) AS x
+          FROM cal LEFT JOIN daily ON daily.d = cal.d),
+    st AS (SELECT avg(x) AS mu FROM s),
+    c AS (SELECT d, x, sum(x - (SELECT mu FROM st))
+                         OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cusum
+          FROM s),
+    mx AS (SELECT max(abs(cusum)) AS m FROM c)
+    SELECT strftime(d, '%Y-%m-%d') AS d, CAST(x AS BIGINT) AS n,
+           round(cusum, 6) AS cusum,
+           abs(cusum) = (SELECT m FROM mx) AS is_changepoint
+    FROM c
+    """,
+)
+def ts5_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5 — per-day CUSUM of deviations from the global daily mean,
+    with the |CUSUM|-argmax day flagged as the changepoint (block
+    comment above). Deterministic across engines: daily counts are
+    integers (their double sums are exact well below 2^53), the mean
+    is an exact-sum average, and both engines accumulate the running
+    sum in the same calendar order — the 1e-6 rounding is belt and
+    braces, the flag compares identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    s = cal.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x")
+    )
+    st = s.agg(F.avg("x").alias("mu"))
+    dev = s.crossJoin(F.broadcast(st))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = dev.select(
+        "d", "x", F.sum(F.col("x") - F.col("mu")).over(w).alias("cusum")
+    )
+    mx = c.agg(F.max(F.abs("cusum")).alias("m"))
+    return c.crossJoin(F.broadcast(mx)).select(
+        F.date_format(F.col("d").cast("date"), "yyyy-MM-dd").alias("d"),
+        F.col("x").cast("long").alias("n"),
+        dround("cusum", 6).alias("cusum"),
+        (F.abs("cusum") == F.col("m")).alias("is_changepoint"),
+    )

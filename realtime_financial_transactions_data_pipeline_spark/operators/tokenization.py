@@ -387,3 +387,43 @@ def u6_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classes.crossJoin(F.broadcast(chosen)).filter(
         F.col("level") == F.col("lvl")
     ).select("level", "seg", "nat", "band", "n")
+
+
+#: l-diversity floor: an equivalence class whose sensitive attribute
+#: takes fewer than this many distinct values is attack-prone even when
+#: it is k-anonymous (homogeneity attack — Machanavajjhala et al.).
+_L_DIVERSE = 3
+
+
+@probe(
+    "u7_l_diversity_audit",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER))
+                AS BIGINT) AS l_distinct,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER))
+             >= {_L_DIVERSE} AS diverse
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def u7_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the (segment, nation) quasi-identifier:
+    u3's k-anonymity check counts class SIZE, but a class where every
+    member shares the same sensitive value leaks that value to anyone
+    who can place a subject in the class (the homogeneity attack).
+    Here the sensitive attribute is the $1000 account-balance band;
+    each class reports its distinct-band count and a diversity flag at
+    l={_L_DIVERSE}. One partial-aggregable groupBy with a distinct
+    aggregate — the same shuffle shape as a10b's count-distinct, so it
+    scales identically (two-phase exact distinct on the class key)."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("int")
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(band).alias("l_distinct"),
+        )
+        .withColumn("diverse", F.col("l_distinct") >= _L_DIVERSE)
+    )

@@ -139,3 +139,41 @@ def test_link_prediction_excludes_existing_edges(spark):
 
     tri = _edges(spark, [(1, 2), (2, 3), (1, 3)])
     assert link_predictions(tri).count() == 0
+
+
+def test_bfs_hops_path_graph(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import bfs_hops
+
+    # Path 1-2-3-4-5-6 from source 1 with max_hops=4: node 6 (5 hops)
+    # stays undiscovered; everything else gets its exact distance.
+    path = [(i, i + 1) for i in range(1, 6)]
+    got = {r.u: r.hop for r in bfs_hops(_edges(spark, path), max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_hops_disconnected_component_unreached(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import bfs_hops
+
+    # Component {1,2} and component {10,11}: BFS starts at min id 1 and
+    # never reaches the other component; early-exit on empty frontier.
+    got = {r.u: r.hop for r in bfs_hops(_edges(spark, [(1, 2), (10, 11)])).collect()}
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_hops_empty_graph(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import bfs_hops
+
+    empty = spark.createDataFrame([], "u long, v long")
+    df = bfs_hops(empty)
+    assert df.columns == ["u", "hop"] and df.count() == 0
+
+
+def test_bfs_hops_min_distance_not_first_path(spark):
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import bfs_hops
+
+    # Diamond 1-2-4, 1-3-4 plus long tail 2-5, 5-4: node 4 is distance
+    # 2 (via 2 or 3), never 3 (via the tail) — BFS first-discovery
+    # must equal min distance.
+    g = [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5), (4, 5)]
+    got = {r.u: r.hop for r in bfs_hops(_edges(spark, g)).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}

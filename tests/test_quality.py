@@ -202,3 +202,30 @@ def test_schema_drift_compatible_type_change_still_merges(spark, tmp_path):
     rows = {r.column: r for r in schema_drift_report(spark, g0, g1).collect()}
     assert rows["n"].status == "type_changed"
     assert rows["n"].n_rows_present == 3 and rows["n"].n_rows_missing == 0
+
+
+def test_u7_l_diversity_flags_homogeneous_class(spark):
+    """A (segment, nation) class whose members all fall in one balance
+    band is k-anonymous at n=4 yet fails l-diversity at l=3."""
+    import tempfile
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.tokenization import (
+        u7_l_diversity_audit,
+    )
+
+    rows = (
+        # homogeneous: 4 members, all in band 1 (1000-1999)
+        [(i, f"c{i}", 1, 1000.0 + i, "AUTOMOBILE") for i in range(4)]
+        # diverse: 4 members across bands 0,1,2,3
+        + [(10 + i, f"c{10+i}", 2, i * 1000.0 + 10.0, "AUTOMOBILE") for i in range(4)]
+    )
+    c = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        c.write.parquet(f"{d}/customer.parquet")
+        out = {r.c_nationkey: r for r in u7_l_diversity_audit(spark, d).collect()}
+    assert out[1].n == 4 and out[1].l_distinct == 1 and not out[1].diverse
+    assert out[2].n == 4 and out[2].l_distinct == 4 and out[2].diverse

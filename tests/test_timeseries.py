@@ -268,3 +268,51 @@ def test_ts4_acf_bounded_and_complete(spark, sf_dir):
     assert sorted(r.lag for r in rows) == list(range(1, 15))
     assert all(abs(r.acf) <= 1.0 + 1e-9 for r in rows)
     assert len({r.n_days for r in rows}) == 1 and rows[0].n_days >= 14
+
+
+def test_ts5_cusum_invariants(spark, sf_dir):
+    """CUSUM of deviations from the series mean telescopes to ~0 on the
+    last day, exactly one day carries the changepoint flag at the
+    |CUSUM| max, and the calendar is gap-free."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        ts5_cusum_changepoint,
+    )
+
+    rows = sorted(ts5_cusum_changepoint(spark, sf_dir).collect(), key=lambda r: r.d)
+    assert abs(rows[-1].cusum) < 1e-3  # Σ(x - μ) over all days == 0
+    peaks = [r for r in rows if r.is_changepoint]
+    m = max(abs(r.cusum) for r in rows)
+    assert peaks and all(abs(r.cusum) == m for r in peaks)
+    import datetime as dt
+
+    days = [dt.date.fromisoformat(r.d) for r in rows]
+    assert (days[-1] - days[0]).days + 1 == len(days)
+
+
+def test_ts5_detects_planted_level_shift(spark):
+    """A synthetic series with a level shift at day 20 of 40 puts the
+    |CUSUM| peak exactly on the last pre-shift day."""
+    import datetime as dt
+
+    from realtime_financial_transactions_data_pipeline_spark.operators import timeseries
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    rows = []
+    eid = 0
+    for day in range(40):
+        n = 5 if day < 20 else 15  # level shift upward at day 20
+        for _ in range(n):
+            rows.append((eid, 1, "click", base + dt.timedelta(days=day), 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = sorted(
+            timeseries.ts5_cusum_changepoint(spark, d).collect(), key=lambda r: r.d
+        )
+    flagged = [r.d for r in out if r.is_changepoint]
+    assert flagged == ["2024-03-20"]  # last day of the low regime
