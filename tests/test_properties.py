@@ -429,3 +429,35 @@ def test_coengagement_edges_match_brute_force(spark, rows, min_shared):
     df = spark.createDataFrame(ev, "user_id long, event_type string, ts timestamp")
     got = {(r.u, r.v) for r in coengagement_edges(df, min_shared=min_shared).collect()}
     assert got == expected
+
+
+# BFS frontier iteration must produce exact min hop distances from the
+# lowest-id node on ANY random graph — verified against a driver-side
+# brute-force Dijkstra-on-unit-weights.
+@given(raw=_graph_edges, max_hops=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_bfs_hops_match_brute_force(spark, raw, max_hops):
+    from collections import deque
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    expected, q = {src: 0}, deque([src])
+    while q:
+        n = q.popleft()
+        if expected[n] >= max_hops:
+            continue
+        for m in adj[n]:
+            if m not in expected:
+                expected[m] = expected[n] + 1
+                q.append(m)
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.u: r.hop for r in bfs_hops(df, max_hops=max_hops).collect()}
+    assert got == expected

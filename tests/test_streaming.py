@@ -561,3 +561,21 @@ def test_kafka_pacing_option_and_binary_value_decode_parity(spark):
     rows_kafka = sp.parse_stream(as_kafka).collect()
     assert rows_text == rows_kafka
     assert rows_text[0]["transaction_id"] == "tx-1"
+
+
+def test_kafka_connector_sentinel(spark):
+    """The sandbox ships no spark-sql-kafka connector jar, so the kafka
+    seam can only be plumbing-tested (above). If a connector ever
+    appears on the classpath, this sentinel FAILS to demand a real
+    end-to-end readStream test replace the mock."""
+    import glob as g
+    import os
+
+    import pyspark
+
+    jars = g.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "*kafka*"))
+    assert not jars, (
+        f"spark-sql-kafka connector now present ({jars}): wire a real "
+        "broker-backed readStream test for the kafka seam and retire "
+        "the mocked plumbing test."
+    )
