@@ -389,12 +389,16 @@ def link_predictions(
             / (F.col("du") + F.col("dv") - F.col("common_neighbors")),
         )
     )
-    w = Window.partitionBy().orderBy(
-        F.desc("jaccard"), F.desc("common_neighbors"), F.asc("u"), F.asc("v")
-    )
+    # Global top-N via orderBy().limit() — TakeOrderedAndProject keeps
+    # per-partition heaps and merges topn rows on the driver, so the
+    # full candidate set never funnels through one partition (a global
+    # row_number window would — the classic single-partition cliff).
+    # The rank window then runs over only the topn survivors.
+    order = [F.desc("jaccard"), F.desc("common_neighbors"), F.asc("u"), F.asc("v")]
+    top = scored.orderBy(*order).limit(topn)
+    w = Window.partitionBy().orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topn)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "u",
             "v",

@@ -58,6 +58,12 @@ MATRIX = {
     # embeddings corpus (PQ training + IVF-pruned ADC scan).
     "g1_triangle_count": ("events", (1, 10)),
     "g2_pagerank": ("events", (1, 10)),
+    # g3's wedge generation is Σ C(deg, 2) under the hub cap — the
+    # densest construct in the graph family (12.3M wedges at sf0.1);
+    # g4's frontier loop is the iterative one. Both ride the same
+    # bucket-capped edge pass, so edge growth is the thing to watch.
+    "g3_link_prediction": ("events", (1, 10)),
+    "g4_bfs_hops": ("events", (1, 10)),
     "x2s_ivf_pq_search": ("embeddings", (1, 10)),
     "x2t_ivfpq_residual_search": ("embeddings", (1, 10)),
 }
