@@ -46,11 +46,11 @@ _PAIR_GEN = (
 )
 
 
-def coengagement_edges(
-    events: DataFrame, min_shared: int = _G1_MIN_SHARED
-) -> DataFrame:
-    """Undirected edges (u < v by id) between users sharing at least
-    ``min_shared`` distinct (event_type, hour) activity buckets."""
+def coengagement_pair_counts(events: DataFrame) -> DataFrame:
+    """(u, v, n_shared) for every user pair sharing >= 1 capped
+    (event_type, hour) activity bucket, u < v by id — the one
+    expensive reduction every graph-family threshold is a filter
+    over."""
     b = events.select(
         "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
     ).distinct()
@@ -63,6 +63,16 @@ def coengagement_edges(
         buckets.select(F.explode(F.expr(_PAIR_GEN)).alias("p"))
         .groupBy("p.u", "p.v")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def coengagement_edges(
+    events: DataFrame, min_shared: int = _G1_MIN_SHARED
+) -> DataFrame:
+    """Undirected edges (u < v by id) between users sharing at least
+    ``min_shared`` distinct (event_type, hour) activity buckets."""
+    return (
+        coengagement_pair_counts(events)
         .filter(F.col("n_shared") >= min_shared)
         .select("u", "v")
     )
@@ -108,15 +118,27 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def _memo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized co-engagement edge pass — the one expensive reduction
-    both g1 and g2 start from (the _corpus_grams pattern)."""
+def _memo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized co-engagement pair-count pass (the _corpus_grams
+    pattern): every graph-family probe (g1..g5) derives its edge set
+    by FILTERING this one frame at its own min_shared, so the bucket
+    collect + pair generation + count shuffle runs once per session."""
     from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
 
     return memo_persist(
         spark,
-        ("g_edges", sf_dir, _G1_MIN_SHARED, _G1_BUCKET_CAP),
-        lambda: coengagement_edges(load_table(spark, sf_dir, "events")),
+        ("g_pairs", sf_dir, _G1_BUCKET_CAP),
+        lambda: coengagement_pair_counts(load_table(spark, sf_dir, "events")),
+    )
+
+
+def _memo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g1..g4's edge set: the memoized pair counts at the default
+    min_shared threshold."""
+    return (
+        _memo_pairs(spark, sf_dir)
+        .filter(F.col("n_shared") >= _G1_MIN_SHARED)
+        .select("u", "v")
     )
 
 
@@ -533,3 +555,66 @@ def g4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with g1/g2/g3."""
     d = bfs_hops(_memo_edges(spark, sf_dir))
     return d.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# G5 — connected components over the co-engagement graph: the community
+# / fraud-ring boundary question ("which users form one interaction
+# island?"). Reuses the engine's production min-label-propagation CC
+# (operators/dedup.connected_components — the x2i machinery: per-round
+# eager localCheckpoint for constant-size plans, metadata-only
+# convergence check, O(diameter) rounds). At the DEFAULT edge threshold
+# this corpus is one dense hairball, so g5 raises min_shared to the
+# community regime (>= _G5_MIN_SHARED shared buckets) where real
+# component structure exists — the same pair-count frame, one filter
+# different. Output is per-component (component = min user_id, size):
+# |components| rows, never the node list.
+# ---------------------------------------------------------------------------
+
+_G5_MIN_SHARED = 6
+
+
+@probe(
+    "g5_connected_components",
+    oracle=f"""
+    WITH RECURSIVE b AS (SELECT DISTINCT user_id, event_type,
+                                date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G5_MIN_SHARED}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    r AS (SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM bi)
+          UNION
+          SELECT bi.v AS node, r.lbl FROM r JOIN bi ON bi.u = r.node
+          WHERE r.lbl < bi.v),
+    comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY component
+    """,
+)
+def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — component id (min reachable user_id) and size for every
+    connected component of the community-regime co-engagement graph
+    (block comment above). The oracle replays the label propagation as
+    a recursive min-label closure: seed (u, u), propagate a label
+    across an edge only while it is smaller than the target node (the
+    component minimum is never blocked), take min per node — exactly
+    the fixed point the iterative Spark loop converges to. Reuses the
+    memoized pair-count pass shared with g1..g4."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = (
+        _memo_pairs(spark, sf_dir)
+        .filter(F.col("n_shared") >= _G5_MIN_SHARED)
+        .select("u", "v")
+    )
+    comp = connected_components(edges, a_col="u", b_col="v")
+    return comp.groupBy(F.col("canonical_id").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

@@ -1427,7 +1427,7 @@ def x2q_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_X2T_ORACLE = f"""
+_X2T_CTE = f"""
     WITH ive AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                  FROM embeddings),
     ipos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos,
@@ -1482,7 +1482,9 @@ _X2T_ORACLE = f"""
     ranked AS (SELECT q_id, vec_id, qdist,
                       row_number() OVER (PARTITION BY q_id
                                          ORDER BY qdist, vec_id) AS rnk
-               FROM sc)
+               FROM sc)"""
+
+_X2T_ORACLE = f"""{_X2T_CTE}
     SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
            round(qdist, 4) AS adc_dist
     FROM ranked WHERE rnk <= {_PQ_TOPK}
@@ -1511,17 +1513,22 @@ def _residual_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_persist(spark, ("pq_res_src", sf_dir), build)
 
 
-@probe("x2t_ivfpq_residual_search", oracle=_X2T_ORACLE)
-def x2t_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2t: residual IVF+PQ search (block comment above). Pipeline:
-    coarse-assign every vector (nprobe=1) → subtract its list centroid
-    → train PQ on the residuals → per query, build the nprobe
-    per-(query, list) ADC tables from the query's OWN residual against
-    each probed centroid → score candidates from their 4-id code
-    tuples, sum in fixed subspace order, two-phase top-k. All
-    arithmetic replays bit-for-bit in DuckDB (element-wise residual
-    subtraction, avg-based centroids, ordered folds), so the hash
-    certifies the full FAISS IndexIVFPQ construction end-to-end."""
+def _ivfpq_residual_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF+PQ ADC scores (q_id, vec_id, qdist) over the
+    IVF-pruned candidate set — the shared search core behind x2t
+    (top-k cut), x2v (shortlist + exact refine), and x2r's
+    re-invocation. Memoized: the frame is nq × candidates rows (tiny —
+    scores, never vectors), so one persist serves all three probes."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    return memo_persist(
+        spark, ("ivfpq_res_sc", sf_dir), lambda: _ivfpq_residual_build(spark, sf_dir)
+    )
+
+
+def _ivfpq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "nrm", "label"
     )
@@ -1586,6 +1593,21 @@ def x2t_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("m", "qd"))).alias("terms"))
         .withColumn("qdist", F.expr("aggregate(terms, 0.0D, (s, p) -> s + p.qd)"))
     )
+    return sc.select("q_id", "vec_id", "qdist")
+
+
+@probe("x2t_ivfpq_residual_search", oracle=_X2T_ORACLE)
+def x2t_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2t: residual IVF+PQ search (block comment above). Pipeline:
+    coarse-assign every vector (nprobe=1) → subtract its list centroid
+    → train PQ on the residuals → per query, build the nprobe
+    per-(query, list) ADC tables from the query's OWN residual against
+    each probed centroid → score candidates from their 4-id code
+    tuples, sum in fixed subspace order, two-phase top-k. All
+    arithmetic replays bit-for-bit in DuckDB (element-wise residual
+    subtraction, avg-based centroids, ordered folds), so the hash
+    certifies the full FAISS IndexIVFPQ construction end-to-end."""
+    sc = _ivfpq_residual_scored(spark, sf_dir)
     from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
         staged_topk,
     )
@@ -1597,6 +1619,89 @@ def x2t_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("_tk_rank").cast("int").alias("rnk"),
         dround("qdist", 4).alias("adc_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2v — IVF+PQ shortlist + exact re-rank (FAISS IndexRefineFlat): the
+# production retrieval shape. ADC codes are 4 bytes/vector and rank
+# CHEAPLY but coarsely (x2r measured recall@5 ~0.27 on this corpus);
+# the refine step fetches the ORIGINAL floats for only the ADC top-R
+# shortlist (R = refine_factor × k rows per query — hundreds, not the
+# corpus) and re-ranks those by exact distance. Recall rises toward
+# the shortlist's ceiling while the float I/O stays O(queries × R):
+# at 100 TB the corpus floats live in cold storage keyed by vec_id and
+# the refine join touches R rows per query — this is exactly why FAISS
+# ships IndexRefineFlat on top of IndexIVFPQ.
+# ---------------------------------------------------------------------------
+
+_X2V_SHORTLIST = 20  # refine_factor 4 × k=5
+
+_X2V_ORACLE = f"""{_X2T_CTE},
+    short AS (SELECT q_id, vec_id FROM ranked WHERE rnk <= {_X2V_SHORTLIST}),
+    rr AS (SELECT short.q_id, short.vec_id,
+                  list_sum(list_transform(list_zip(qe.emb, ce.emb),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM short
+           JOIN ive qe ON qe.vec_id = short.q_id
+           JOIN ive ce ON ce.vec_id = short.vec_id),
+    rranked AS (SELECT q_id, vec_id, d2,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY d2, vec_id) AS rnk
+                FROM rr)
+    SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(d2, 4) AS l2_dist
+    FROM rranked WHERE rnk <= {_PQ_TOPK}
+    """
+
+
+@probe("x2v_ivfpq_refine", oracle=_X2V_ORACLE)
+def x2v_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2v: exact re-rank of the residual IVF+PQ shortlist (block
+    comment above). The ADC-scored frame is shared with x2t via
+    ``_ivfpq_residual_scored``; the shortlist (top-{_X2V_SHORTLIST}
+    per query by ADC distance) is queries × {_X2V_SHORTLIST} rows —
+    broadcast — so the exact-distance join moves floats for ONLY the
+    shortlisted vectors. Exact L2² uses the same ordered fold as the
+    oracle's list_sum/list_zip, so the refine ranking replays
+    bit-for-bit in DuckDB end-to-end (coarse train → PQ train → ADC
+    shortlist → exact refine)."""
+    sc = _ivfpq_residual_scored(spark, sf_dir)
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        staged_topk,
+    )
+
+    short = staged_topk(
+        sc,
+        ["q_id"],
+        [F.col("qdist"), F.col("vec_id")],
+        _X2V_SHORTLIST,
+        salt_col="vec_id",
+    ).select("q_id", "vec_id")
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb"
+    )
+    qe = emb.select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+    ce = emb.select("vec_id", F.col("emb").alias("c_emb"))
+    d2 = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+    rr = (
+        ce.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qe.join(F.broadcast(short.select("q_id").distinct()), "q_id")), "q_id")
+        .withColumn("d2", d2)
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    return (
+        rr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            dround("d2", 4).alias("l2_dist"),
+        )
     )
 
 

@@ -177,3 +177,71 @@ def test_bfs_hops_min_distance_not_first_path(spark):
     g = [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5), (4, 5)]
     got = {r.u: r.hop for r in bfs_hops(_edges(spark, g)).collect()}
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_g5_components_match_union_find(spark):
+    """g5's label-propagation components vs a driver-side union-find
+    over the SAME edge set (sf0.001 + the probe's community threshold),
+    and on a hand-built multi-component graph."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        _G5_MIN_SHARED,
+        _memo_pairs,
+        g5_connected_components,
+    )
+
+    def brute(edge_rows):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edge_rows:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        comp = {}
+        for n in list(parent):
+            comp.setdefault(find(n), []).append(n)
+        return {c: len(ns) for c, ns in comp.items()}
+
+    # Hand-built: two triangles + a 2-chain + isolated edge.
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (20, 21), (30, 31)]
+    got = {
+        r.canonical_id: 0
+        for r in connected_components(
+            spark.createDataFrame(pairs, "u long, v long"), a_col="u", b_col="v"
+        ).collect()
+    }
+    sizes = (
+        connected_components(
+            spark.createDataFrame(pairs, "u long, v long"), a_col="u", b_col="v"
+        )
+        .groupBy("canonical_id")
+        .count()
+        .collect()
+    )
+    assert {r.canonical_id: r["count"] for r in sizes} == brute(pairs)
+    assert set(got) == {1, 10, 20, 30}
+
+    # Probe-path parity at sf0.001 (possibly empty at the community
+    # threshold — then both sides must agree on empty).
+    sf = "/root/testdata/sf0.001"
+    edge_rows = [
+        (r.u, r.v)
+        for r in _memo_pairs(spark, sf)
+        .filter(F.col("n_shared") >= _G5_MIN_SHARED)
+        .select("u", "v")
+        .collect()
+    ]
+    expect = brute(edge_rows)
+    probe_rows = {
+        r.component: r.n_nodes for r in g5_connected_components(spark, sf).collect()
+    }
+    assert probe_rows == expect

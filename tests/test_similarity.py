@@ -405,3 +405,59 @@ def test_x2u_sweep_finds_target_recall_config(spark, sf_dir):
     recalls = [r.mean_recall for r in by_np]
     assert recalls == sorted(recalls)
     assert by_np[-1].mean_recall == 1.0  # full coverage == exhaustive
+
+
+def test_x2v_refine_reranks_within_adc_shortlist(spark):
+    """IndexRefineFlat contract: every refined neighbor must come from
+    the ADC shortlist (floats move only for shortlisted vectors), the
+    refined ranking must be by exact L2^2 (verified by recomputing the
+    distance from the raw embeddings), and refine can only improve the
+    ADC ranking's agreement with the exact ranking, never change the
+    candidate universe."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        staged_topk,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        _X2V_SHORTLIST,
+        _ivfpq_residual_scored,
+        with_double_embedding,
+        x2v_ivfpq_refine,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    refined = x2v_ivfpq_refine(spark, sf).collect()
+    assert refined, "refine returned nothing"
+    shortlist = {
+        (r.q_id, r.vec_id)
+        for r in staged_topk(
+            _ivfpq_residual_scored(spark, sf),
+            ["q_id"],
+            [F.col("qdist"), F.col("vec_id")],
+            _X2V_SHORTLIST,
+            salt_col="vec_id",
+        )
+        .select("q_id", "vec_id")
+        .collect()
+    }
+    emb = {
+        r.vec_id: r.emb
+        for r in with_double_embedding(load_table(spark, sf, "embeddings"))
+        .select("vec_id", "emb")
+        .collect()
+    }
+    per_q = {}
+    for r in refined:
+        assert (r.q_id, r.neighbor_id) in shortlist
+        d2 = sum(
+            (a - b) * (a - b) for a, b in zip(emb[r.q_id], emb[r.neighbor_id])
+        )
+        assert abs(d2 - r.l2_dist) < 5e-4, (r, d2)
+        per_q.setdefault(r.q_id, []).append((r.rnk, r.l2_dist))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [rnk for rnk, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists), (q, dists)
