@@ -64,8 +64,10 @@ MATRIX = {
     # bucket-capped edge pass, so edge growth is the thing to watch.
     "g3_link_prediction": ("events", (1, 10)),
     "g4_bfs_hops": ("events", (1, 10)),
+    "g5_connected_components": ("events", (1, 10)),
     "x2s_ivf_pq_search": ("embeddings", (1, 10)),
     "x2t_ivfpq_residual_search": ("embeddings", (1, 10)),
+    "x2v_ivfpq_refine": ("embeddings", (1, 10)),
 }
 
 

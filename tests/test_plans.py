@@ -189,3 +189,34 @@ def test_x2a_verify_join_is_candidate_pruned(spark, sf_dir):
     plan = inspect.formatted_plan(x2a_minhash_lsh_neardup(spark, sf_dir))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_x2v_refine_broadcasts_shortlist_no_cartesian(spark, sf_dir):
+    """x2v's refine join must move floats for ONLY the shortlist: the
+    corpus-side embedding scan joins a BROADCAST shortlist (queries x
+    refine_factor x k rows), never the reverse, and nothing in the
+    refine stage is a cartesian/nested-loop product."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        x2v_ivfpq_refine,
+    )
+
+    plan = inspect.formatted_plan(x2v_ivfpq_refine(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_g3_ranking_has_no_global_window_over_candidates(spark, sf_dir):
+    """r13 regression pin (the q15 hazard in graph form): g3's global
+    top-N must be TakeOrderedAndProject (per-partition heaps, driver
+    merges topn rows) feeding a window over ONLY the topn survivors —
+    never a partitionBy-less row_number over the full scored candidate
+    set. The plan signature: TakeOrderedAndProject BELOW the Window
+    node, i.e. the window's child is already limited."""
+    import re
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        g3_link_prediction,
+    )
+
+    plan = inspect.formatted_plan(g3_link_prediction(spark, sf_dir))
+    assert re.search(r"^\(\d+\) TakeOrderedAndProject", plan, re.M), plan
