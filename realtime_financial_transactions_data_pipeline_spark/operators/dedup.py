@@ -1714,3 +1714,143 @@ def er2_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("long").alias("distance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ER3 — golden-record survivorship: the step AFTER matching (er1/er2).
+# Once duplicate records are clustered, MDM systems "survive" one
+# golden record per entity with per-attribute rules; the classic set is
+# completeness (longest non-null), frequency (mode across sources),
+# source priority (first non-null by system rank), and recency/extremum
+# (max). The probe plants three deterministic source-system variants
+# per customer (truncated name, corrupted segment, parity-gated
+# nationkey, per-source balance jitter) and survives each attribute
+# under a different rule — so the hash certifies all four rule kinds
+# and their tie-breaks at once. Every rule partitions on the entity
+# key: on a layout bucketed by that key the whole survivorship pass is
+# exchange-free; here the windows/aggregations share one hash exchange.
+# Reference counterpart: none (the reference dedupes exact rows only);
+# pattern per the MDM survivorship literature.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "er3_golden_record",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, src,
+             CASE src WHEN 1 THEN c_name
+                      WHEN 2 THEN substr(c_name, 1,
+                                         CAST(length(c_name) - 3 AS INTEGER))
+             END AS name_v,
+             CASE src WHEN 2 THEN 'X' || substr(c_mktsegment, 2)
+                      ELSE c_mktsegment END AS seg_v,
+             CASE WHEN (c_custkey + src) % 2 = 1 THEN c_nationkey END AS nat_v,
+             c_acctbal + ((c_custkey * src) % 7) AS bal_v
+      FROM customer CROSS JOIN (SELECT unnest([1, 2, 3]) AS src)),
+    n1 AS (SELECT c_custkey, name_v AS name FROM (
+             SELECT c_custkey, name_v,
+                    row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY length(name_v) DESC, name_v)
+                      AS rn
+             FROM v WHERE name_v IS NOT NULL) WHERE rn = 1),
+    sc AS (SELECT c_custkey, seg_v, count(*) AS cnt FROM v
+           WHERE seg_v IS NOT NULL GROUP BY 1, 2),
+    s1 AS (SELECT c_custkey, seg_v AS segment FROM (
+             SELECT c_custkey, seg_v,
+                    row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY cnt DESC, seg_v) AS rn
+             FROM sc) WHERE rn = 1),
+    na AS (SELECT c_custkey, nat_v FROM (
+             SELECT c_custkey, nat_v,
+                    row_number() OVER (PARTITION BY c_custkey ORDER BY src)
+                      AS rn
+             FROM v WHERE nat_v IS NOT NULL) WHERE rn = 1),
+    b AS (SELECT c_custkey, round(max(bal_v), 2) AS acctbal
+          FROM v GROUP BY 1)
+    SELECT n1.c_custkey, name, segment, CAST(nat_v AS INTEGER) AS nationkey,
+           acctbal
+    FROM n1 JOIN s1 USING (c_custkey) JOIN na USING (c_custkey)
+    JOIN b USING (c_custkey)
+    """,
+)
+def er3_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER3 — one golden record per customer from three planted source
+    variants (block comment above): name by COMPLETENESS (longest
+    non-null, lexicographic tie-break), segment by FREQUENCY (mode,
+    count-then-value tie-break), nationkey by SOURCE PRIORITY (first
+    non-null in system rank), balance by EXTREMUM (max, rounded).
+    Every window and aggregation partitions on c_custkey, so the four
+    rules share one hash exchange; at 100 TB a layout bucketed on the
+    entity key makes the pass exchange-free."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    v = (
+        c.select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "c_acctbal",
+            "c_nationkey",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("src"),
+        )
+        .select(
+            "c_custkey",
+            "src",
+            F.when(F.col("src") == 1, F.col("c_name"))
+            .when(
+                F.col("src") == 2,
+                F.expr("substr(c_name, 1, CAST(length(c_name) - 3 AS INT))"),
+            )
+            .alias("name_v"),
+            F.when(
+                F.col("src") == 2,
+                F.concat(F.lit("X"), F.expr("substr(c_mktsegment, 2)")),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg_v"),
+            F.when(
+                F.pmod(F.col("c_custkey") + F.col("src"), F.lit(2)) == 1,
+                F.col("c_nationkey"),
+            ).alias("nat_v"),
+            (
+                F.col("c_acctbal")
+                + F.pmod(F.col("c_custkey") * F.col("src"), F.lit(7))
+            ).alias("bal_v"),
+        )
+    )
+    wn = Window.partitionBy("c_custkey").orderBy(
+        F.length("name_v").desc(), F.asc("name_v")
+    )
+    n1 = (
+        v.filter(F.col("name_v").isNotNull())
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("name_v").alias("name"))
+    )
+    sc = (
+        v.filter(F.col("seg_v").isNotNull())
+        .groupBy("c_custkey", "seg_v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ws = Window.partitionBy("c_custkey").orderBy(F.desc("cnt"), F.asc("seg_v"))
+    s1 = (
+        sc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("seg_v").alias("segment"))
+    )
+    wa = Window.partitionBy("c_custkey").orderBy("src")
+    na = (
+        v.filter(F.col("nat_v").isNotNull())
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("nat_v").cast("int").alias("nationkey"))
+    )
+    b = v.groupBy("c_custkey").agg(dround(F.max("bal_v"), 2).alias("acctbal"))
+    return (
+        n1.join(s1, "c_custkey")
+        .join(na, "c_custkey")
+        .join(b, "c_custkey")
+        .select("c_custkey", "name", "segment", "nationkey", "acctbal")
+    )

@@ -512,3 +512,32 @@ def test_pruned_index_state_prunes_partitions(spark, tmp_path):
         ).distinct().collect()
     }
     assert len(touched) <= 12 < _X2N_STATE_GROUPS
+
+
+def test_er3_survivorship_rules(spark):
+    """Each golden-record attribute must obey ITS rule, recomputed
+    per-customer in pure Python from the raw parquet: completeness
+    (longest name variant = the untruncated original), frequency
+    (mode segment = the original, which two of three sources carry),
+    source priority (nationkey from the lowest-src non-null variant,
+    gated on (custkey+src) parity), extremum (max balance jitter)."""
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        er3_golden_record,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = pd.read_parquet(sf + "/customer.parquet").set_index("c_custkey")
+    got = {r.c_custkey: r for r in er3_golden_record(spark, sf).collect()}
+    assert set(got) == set(raw.index)
+    for k, row in raw.iterrows():
+        g = got[k]
+        assert g.name == row.c_name  # longest non-null beats truncated
+        assert g.segment == row.c_mktsegment  # mode 2-1 over corrupted
+        first_src = min(s for s in (1, 2, 3) if (k + s) % 2 == 1)
+        assert g.nationkey == (row.c_nationkey if first_src else None)
+        expect_bal = round(
+            row.c_acctbal + max((k * s) % 7 for s in (1, 2, 3)), 2
+        )
+        assert abs(g.acctbal - expect_bal) < 1e-9, (k, g.acctbal, expect_bal)
