@@ -1286,6 +1286,56 @@ def mv1_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @probe(
+    "mv3_aggregate_navigation",
+    oracle="""
+    SELECT event_type,
+           CAST(strftime(ts, '%Y-%m') AS VARCHAR) AS month,
+           round(sum(value), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) / count(*), 4) AS avg_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv3_aggregate_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate navigation (the OLAP summary-table pattern): the
+    MONTHLY report is computed from mv1's DAILY state alone — sums of
+    sums, sums of counts, max of maxes, avg derived as sum/count at
+    the END (the classic non-additivity trap: averaging daily averages
+    would be wrong; re-aggregating the additive accumulators is not).
+    The oracle computes the month directly from the fact rows, so the
+    hash certifies navigation == full recompute — the invariant that
+    lets a 100 TB warehouse serve month/quarter/year queries from a
+    per-day state table six orders of magnitude smaller than facts."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("value").alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("value").alias("max_value"),
+    )
+    monthly = daily.groupBy(
+        "event_type", F.substring("day", 1, 7).alias("month")
+    ).agg(
+        F.sum("sum_value").alias("s"),
+        F.sum("n").alias("n"),
+        F.max("max_value").alias("mx"),
+    )
+    return monthly.select(
+        "event_type",
+        "month",
+        dround(F.col("s"), 2).alias("revenue"),
+        F.col("n").cast("long").alias("n"),
+        dround(F.col("s") / F.col("n"), 4).alias("avg_value"),
+        dround(F.col("mx"), 4).alias("max_value"),
+    )
+
+
+@probe(
     "q3_unshipped_orders_topk",
     oracle="""
     SELECT o_orderkey,

@@ -743,3 +743,76 @@ def managed_read(
             reader = reader.option("versionAsOf", version)
         return reader.load(root)
     return read_generation(spark, root, gen=version)
+
+
+# ---------------------------------------------------------------------------
+# scale_compaction_plan — the small-files problem's planning half: given
+# a file manifest (partition key, file, bytes), assign files to
+# bin-packed compaction groups of ~target bytes via a cumulative-sum
+# window per partition — the deterministic planner behind lakehouse
+# OPTIMIZE / rewriteDataFiles. The plan runs over METADATA (one row per
+# file — millions of rows at 100 TB, never the data), one window per
+# partition key; executing a group is then an independent
+# read-coalesce-write task. The manifest here is synthesized from the
+# events table (one "file" per (event_type, day), bytes = rows × 64)
+# so the whole plan — manifest build, cumulative sum, group assignment,
+# per-group rollup — replays in DuckDB.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 16_384  # bytes per compaction group (probe scale)
+
+
+@probe(
+    "scale_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT event_type, CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+             CAST(count(*) * 64 AS BIGINT) AS bytes
+      FROM events GROUP BY 1, 2),
+    planned AS (
+      SELECT event_type, day, bytes,
+             CAST(floor((sum(bytes) OVER (PARTITION BY event_type
+                                          ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING) - bytes)
+                        / {_COMPACT_TARGET}) AS BIGINT) AS group_id
+      FROM manifest)
+    SELECT event_type, group_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS group_bytes,
+           min(day) AS first_day, max(day) AS last_day
+    FROM planned GROUP BY 1, 2
+    """,
+)
+def scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction groups per partition key (block comment above): a
+    file joins the group its FIRST byte lands in (floor((cum−bytes)/
+    target)), so groups are contiguous day ranges of ≥ target bytes
+    (the last group may be short). Output is the per-group rollup the
+    executor would fan out over — n_files, bytes, day span. Integer
+    arithmetic end-to-end: the hash certifies the cumulative window,
+    the bucketing, and the rollup."""
+    from pyspark.sql import Window
+
+    manifest = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("event_type", "day")
+        .agg((F.count(F.lit(1)) * 64).cast("long").alias("bytes"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = manifest.withColumn(
+        "group_id",
+        F.floor((F.sum("bytes").over(w) - F.col("bytes")) / _COMPACT_TARGET).cast(
+            "long"
+        ),
+    )
+    return planned.groupBy("event_type", "group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("group_bytes"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )

@@ -400,3 +400,79 @@ def test_lakehouse_lib_appeared_requires_wiring():
                 f"'{lib}' branch to the real package and extend "
                 f"test_managed_table_seam to run against it"
             )
+
+
+def test_compaction_plan_invariants(spark):
+    """The bin-packing plan must conserve the manifest exactly: per
+    partition key, group ids are contiguous from 0, group byte/file
+    totals sum to the manifest's, and consecutive groups cover
+    disjoint ordered day ranges (a group is a contiguous slice of the
+    ordered file list)."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        scale_compaction_plan,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    plan = scale_compaction_plan(spark, sf).collect()
+    manifest = (
+        load_table(spark, sf, "events")
+        .select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("event_type", "day")
+        .agg((F.count(F.lit(1)) * 64).cast("long").alias("bytes"))
+        .groupBy("event_type")
+        .agg(F.sum("bytes").alias("total"), F.count(F.lit(1)).alias("files"))
+        .collect()
+    )
+    totals = {r.event_type: (r.total, r.files) for r in manifest}
+    by_part = {}
+    for r in plan:
+        by_part.setdefault(r.event_type, []).append(r)
+    assert set(by_part) == set(totals)
+    for part, rows in by_part.items():
+        rows.sort(key=lambda r: r.group_id)
+        assert [r.group_id for r in rows] == list(range(len(rows)))
+        assert sum(r.group_bytes for r in rows) == totals[part][0]
+        assert sum(r.n_files for r in rows) == totals[part][1]
+        for a, b in zip(rows, rows[1:]):
+            assert a.last_day < b.first_day, (part, a, b)
+
+
+def test_mv3_navigation_avoids_avg_of_avgs(spark):
+    """mv3's avg must be sum/count over the month, NOT the mean of the
+    daily averages — verify against a pandas recomputation from the
+    raw facts, and verify the two definitions actually differ on this
+    data (else the test guards nothing)."""
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        mv3_aggregate_navigation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(sf + "/events.parquet")
+    pdf["month"] = pdf["ts"].dt.strftime("%Y-%m")
+    pdf["day"] = pdf["ts"].dt.strftime("%Y-%m-%d")
+    direct = pdf.groupby(["event_type", "month"])["value"].agg(
+        ["sum", "count", "max", "mean"]
+    )
+    daily_means = (
+        pdf.groupby(["event_type", "month", "day"])["value"]
+        .mean()
+        .groupby(["event_type", "month"])
+        .mean()
+    )
+    got = {(r.event_type, r.month): r for r in mv3_aggregate_navigation(spark, sf).collect()}
+    assert set(got) == set(direct.index)
+    differs = 0
+    for key, row in direct.iterrows():
+        g = got[key]
+        assert abs(g.revenue - round(row["sum"], 2)) < 1e-6
+        assert g.n == row["count"]
+        assert abs(g.avg_value - row["mean"]) < 1e-3
+        assert abs(g.max_value - row["max"]) < 1e-3
+        if abs(daily_means.loc[key] - row["mean"]) > 1e-6:
+            differs += 1
+    assert differs > 0, "avg-of-avgs equals true avg everywhere; weak fixture"
