@@ -301,3 +301,71 @@ def j6b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("pts") - F.unix_timestamp("_asof_ts")) / 60.0, 2
         ).alias("mins_since_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — keyless band join, bucketed: match rows from two sides whose
+# VALUES are within delta, with no equi-key anywhere in the predicate.
+# Spark plans a raw |l - r| <= d join as BroadcastNestedLoopJoin —
+# O(n·m) comparisons, the shape that dies first at scale. The rewrite
+# every interval/band-join engine uses: bucket both sides at width
+# delta, explode ONE side to its {b-1, b, b+1} neighborhood, equi-join
+# on the bucket (hash join — each qualifying pair meets in exactly one
+# bucket since |l-r| <= d bounds the bucket gap to 1), then apply the
+# exact band predicate to the in-bucket candidates. Comparisons drop
+# from n·m to sum over buckets of |l_b|·|r_b±1| — linear in matches for
+# uniform data — and the join parallelizes on the bucket key.
+# j5/j7 ride an equi-key so the theta stays a post-join filter; j8 is
+# the case with NO key, where the bucket IS the manufactured key.
+# ---------------------------------------------------------------------------
+
+_J8_DELTA = 0.05
+
+
+@probe(
+    "j8_band_join_bucketed",
+    oracle=f"""
+    WITH l AS (SELECT value AS lv FROM events WHERE event_type = 'error'),
+         r AS (SELECT value AS rv FROM events WHERE event_type = 'purchase')
+    SELECT CAST(floor(lv / 100) AS BIGINT) AS value_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(lv - rv)), 4) AS avg_gap
+    FROM l JOIN r ON abs(lv - rv) <= {_J8_DELTA}
+    GROUP BY 1
+    """,
+)
+def j8_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — error events matched to purchase events with values within
+    {_J8_DELTA} (block comment above): bucket at width delta, explode
+    the purchase side to its 3-bucket neighborhood, hash-join on the
+    bucket, exact band filter on candidates. The oracle states the
+    plain theta join — the hash certifies the bucketing rewrite finds
+    EXACTLY the theta join's pairs (every qualifying pair lands in one
+    bucket; the exact predicate prunes false in-bucket candidates).
+    Plan-pinned nested-loop-free in tests/test_plans.py."""
+    e = load_table(spark, sf_dir, "events")
+    lb = (
+        e.filter(F.col("event_type") == "error")
+        .select(F.col("value").alias("lv"))
+        .withColumn("bkt", F.floor(F.col("lv") / _J8_DELTA))
+    )
+    rb = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("value").alias("rv"))
+        .withColumn("bkt0", F.floor(F.col("rv") / _J8_DELTA))
+        .select(
+            "rv",
+            F.explode(
+                F.expr("array(bkt0 - 1L, bkt0, bkt0 + 1L)")
+            ).alias("bkt"),
+        )
+    )
+    pairs = lb.join(rb, "bkt").filter(
+        F.abs(F.col("lv") - F.col("rv")) <= _J8_DELTA
+    )
+    return pairs.groupBy(
+        F.floor(F.col("lv") / 100).cast("long").alias("value_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dround(F.avg(F.abs(F.col("lv") - F.col("rv"))), 4).alias("avg_gap"),
+    )

@@ -220,3 +220,16 @@ def test_g3_ranking_has_no_global_window_over_candidates(spark, sf_dir):
 
     plan = inspect.formatted_plan(g3_link_prediction(spark, sf_dir))
     assert re.search(r"^\(\d+\) TakeOrderedAndProject", plan, re.M), plan
+
+
+def test_j8_band_join_is_hash_not_nested_loop(spark, sf_dir):
+    """j8's whole reason to exist: the keyless band predicate must ride
+    the manufactured bucket key as a HASH join — never the
+    BroadcastNestedLoopJoin Spark plans for a raw theta join."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.asof import (
+        j8_band_join_bucketed,
+    )
+
+    plan = inspect.formatted_plan(j8_band_join_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
