@@ -2916,3 +2916,93 @@ def a19_basket_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pair") * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A20 — marketing attribution (first-touch / last-touch): credit each
+# conversion to the touch that led it. The batch twin of t8's streaming
+# attribution join: purchases join the user's click/view touches inside
+# a 7-day lookback, two windows pick the earliest and latest touch per
+# conversion (full (ts, event_id) tie-breaks), and the rollup reports
+# per-model channel credit with share-of-model. The join is equi-keyed
+# on user_id — per-user touch lists are bounded (~50 events/user), so
+# the pair space is Σ purchases·touches per user, never users²; at
+# 100 TB both sides partition on user_id and the lookback predicate
+# prunes inside each key group.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a20_touch_attribution",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS pid, ts AS pt FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, event_type AS channel, ts AS tt, event_id
+          FROM events WHERE event_type IN ('click', 'view')),
+    j AS (SELECT p.pid, t.channel, t.tt, t.event_id
+          FROM p JOIN t ON p.user_id = t.user_id
+           AND t.tt <= p.pt AND t.tt >= p.pt - INTERVAL 7 DAY),
+    f AS (SELECT pid, channel, row_number() OVER (PARTITION BY pid
+            ORDER BY tt, event_id) AS rn FROM j),
+    l AS (SELECT pid, channel, row_number() OVER (PARTITION BY pid
+            ORDER BY tt DESC, event_id DESC) AS rn FROM j),
+    u AS (SELECT 'first_touch' AS model, channel FROM f WHERE rn = 1
+          UNION ALL
+          SELECT 'last_touch', channel FROM l WHERE rn = 1)
+    SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions,
+           round(count(*) / CAST(sum(count(*))
+                 OVER (PARTITION BY model) AS DOUBLE), 4) AS share
+    FROM u GROUP BY 1, 2
+    """,
+)
+def a20_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — first- and last-touch conversion attribution (block
+    comment above): per purchase, the earliest and the latest
+    click/view touch by the same user within a 7-day lookback; per
+    (model, channel), conversion counts and the model's credit share.
+    Fully deterministic ((ts, event_id) tie-breaks), so the oracle
+    replays the lookback join, both windows, and the share division."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pt")
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tt"),
+        "event_id",
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("tt") <= F.col("pt"))
+        & (F.col("tt") >= F.col("pt") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wf = Window.partitionBy("pid").orderBy(F.asc("tt"), F.asc("event_id"))
+    wl = Window.partitionBy("pid").orderBy(F.desc("tt"), F.desc("event_id"))
+    first = (
+        j.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("first_touch").alias("model"), "channel")
+    )
+    last = (
+        j.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("last_touch").alias("model"), "channel")
+    )
+    counts = (
+        first.unionAll(last)
+        .groupBy("model", "channel")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+    wm = Window.partitionBy("model")
+    return counts.select(
+        "model",
+        "channel",
+        "n_conversions",
+        dround(
+            F.col("n_conversions")
+            / F.sum("n_conversions").over(wm).cast("double"),
+            4,
+        ).alias("share"),
+    )

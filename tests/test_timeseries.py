@@ -316,3 +316,45 @@ def test_ts5_detects_planted_level_shift(spark):
         )
     flagged = [r.d for r in out if r.is_changepoint]
     assert flagged == ["2024-03-20"]  # last day of the low regime
+
+
+def test_a20_attribution_matches_pandas_recompute(spark):
+    """First/last-touch credit recomputed independently in pandas from
+    the raw events: same per-(model, channel) conversion counts, both
+    models attribute the same conversion total (every purchase with a
+    touch in the lookback gets exactly one credit per model), shares
+    sum to 1 per model."""
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        a20_touch_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(sf + "/events.parquet")
+    p = pdf[pdf.event_type == "purchase"][["user_id", "event_id", "ts"]]
+    t = pdf[pdf.event_type.isin(["click", "view"])][
+        ["user_id", "event_type", "ts", "event_id"]
+    ].rename(columns={"event_type": "channel", "ts": "tt", "event_id": "tid"})
+    j = p.merge(t, on="user_id")
+    j = j[(j.tt <= j.ts) & (j.tt >= j.ts - pd.Timedelta(days=7))]
+    expect = {}
+    for model, asc in (("first_touch", True), ("last_touch", False)):
+        picked = (
+            j.sort_values(["tt", "tid"], ascending=asc)
+            .groupby("event_id")
+            .head(1)
+        )
+        for ch, n in picked.channel.value_counts().items():
+            expect[(model, ch)] = n
+    rows = a20_touch_attribution(spark, sf).collect()
+    got = {(r.model, r.channel): r.n_conversions for r in rows}
+    assert got == expect
+    for model in ("first_touch", "last_touch"):
+        share = sum(r.share for r in rows if r.model == model)
+        assert abs(share - 1.0) < 1e-3, (model, share)
+    totals = {
+        m: sum(n for (mm, _), n in got.items() if mm == m)
+        for m in ("first_touch", "last_touch")
+    }
+    assert totals["first_touch"] == totals["last_touch"]
