@@ -618,3 +618,109 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy(F.col("canonical_id").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# G6 — WEIGHTED PageRank: same fixed-point as g2 but mass flows in
+# proportion to edge weight (shared-bucket count), the form actually
+# used on interaction graphs where tie strength matters (a pair
+# sharing 20 activity buckets should pull more rank than a pair
+# sharing 3). Identical plan shape to g2 — static weighted adjacency
+# checkpointed once, constant-size per-round plans, |nodes|-sized rank
+# state — so the scale posture carries over unchanged; the only new
+# arithmetic is the per-node weight normalizer replacing out-degree.
+# ---------------------------------------------------------------------------
+
+
+def weighted_pagerank(
+    wedges: DataFrame, iters: int = _G2_ITERS, d: float = _G2_DAMPING
+) -> DataFrame:
+    """PageRank over undirected weighted edges (u < v, weight w > 0):
+    node u sends p(u) * w(u,v) / W(u) along each edge, W(u) = total
+    incident weight. Returns (user_id, rank)."""
+    bi = wedges.select("u", "v", "w").unionAll(
+        wedges.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+        )
+    )
+    wd = bi.groupBy("u").agg(F.sum("w").alias("wd"))
+    nodes = bi.select("u").distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("u").alias("user_id"), F.lit(0.0).alias("rank")
+        )
+    p = nodes.select("u", F.lit(1.0 / n).alias("p")).localCheckpoint(eager=True)
+    adj = bi.join(wd, "u").localCheckpoint(eager=True)  # (u, v, w, wd) — static
+    for _ in range(iters):
+        contribs = (
+            adj.join(p, "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("p") * F.col("w") / F.col("wd")).alias("c"))
+        )
+        p = (
+            nodes.join(contribs, nodes.u == contribs.v, "left")
+            .select(
+                "u",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select(F.col("u").alias("user_id"), F.col("p").alias("rank"))
+
+
+@probe(
+    "g6_weighted_pagerank",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v, count(*) AS w
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G1_MIN_SHARED}),
+    bi AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+    wd AS (SELECT u, sum(w) AS wd FROM bi GROUP BY u),
+    nodes AS (SELECT DISTINCT u FROM bi),
+    nn AS (SELECT count(*) AS c FROM nodes),
+    p0 AS (SELECT u, 1.0 / c AS p FROM nodes, nn),
+    p1 AS (SELECT nodes.u,
+                  (1 - {_G2_DAMPING}) / nn.c + {_G2_DAMPING} * coalesce(
+                    (SELECT sum(p0.p * bi.w / wd.wd) FROM bi
+                     JOIN p0 ON p0.u = bi.u JOIN wd ON wd.u = bi.u
+                     WHERE bi.v = nodes.u), 0) AS p
+           FROM nodes, nn),
+    p2 AS (SELECT nodes.u,
+                  (1 - {_G2_DAMPING}) / nn.c + {_G2_DAMPING} * coalesce(
+                    (SELECT sum(p1.p * bi.w / wd.wd) FROM bi
+                     JOIN p1 ON p1.u = bi.u JOIN wd ON wd.u = bi.u
+                     WHERE bi.v = nodes.u), 0) AS p
+           FROM nodes, nn),
+    p3 AS (SELECT nodes.u,
+                  (1 - {_G2_DAMPING}) / nn.c + {_G2_DAMPING} * coalesce(
+                    (SELECT sum(p2.p * bi.w / wd.wd) FROM bi
+                     JOIN p2 ON p2.u = bi.u JOIN wd ON wd.u = bi.u
+                     WHERE bi.v = nodes.u), 0) AS p
+           FROM nodes, nn)
+    SELECT u AS user_id, round(p * 1000000) / 1000000 AS rank FROM p3
+    """,
+)
+def g6_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — weighted PageRank over the co-engagement graph with
+    shared-bucket counts as tie strength (block comment above). Same
+    unrolled-recursion oracle discipline as g2; reuses the memoized
+    pair-count pass, taking n_shared as the edge weight."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    wedges = (
+        _memo_pairs(spark, sf_dir)
+        .filter(F.col("n_shared") >= _G1_MIN_SHARED)
+        .select("u", "v", F.col("n_shared").alias("w"))
+    )
+    p = weighted_pagerank(wedges)
+    return p.select("user_id", dround("rank", 6).alias("rank"))

@@ -119,13 +119,14 @@ DRIVER_WINDOW = 50
 #: slot, x1e, x3g, x3h, x3j, x3k, x4_binary_columns, x4c, x4d, x4f,
 #: x9, x11 — plus the three rows-only-by-nature probes (u1, t5, x5)
 #: that can never enter (the window requires a hash-checked oracle),
-#: plus the twelve round-13 newcomers added after this rotation was
+#: plus the thirteen round-13 newcomers added after this rotation was
 #: rehearsed (g3 link prediction, g4 BFS hops, g5 connected
-#: components, ts4 autocorrelation, ts5 CUSUM changepoint, u7
-#: l-diversity, x2v IVF+PQ refine, er3 golden record, mv3 aggregate
-#: navigation, scale_compaction_plan, j8 bucketed band join, a20
-#: touch attribution) — cohort 8 therefore has ~41 candidates for its
-#: ~48 free slots: full lifetime coverage is one rotation away.
+#: components, g6 weighted PageRank, ts4 autocorrelation, ts5 CUSUM
+#: changepoint, u7 l-diversity, x2v IVF+PQ refine, er3 golden record,
+#: mv3 aggregate navigation, scale_compaction_plan, j8 bucketed band
+#: join, a20 touch attribution) — cohort 8 therefore has ~42
+#: candidates for its ~48 free slots: full lifetime coverage is one
+#: rotation away.
 _DRIVER_ORDER = [
     # anchors (stability): the flagship star join (also entry()'s smoke
     # every round) and the streaming pipeline covering S1/S2/S4/K1/K2/

@@ -245,3 +245,35 @@ def test_g5_components_match_union_find(spark):
         r.component: r.n_nodes for r in g5_connected_components(spark, sf).collect()
     }
     assert probe_rows == expect
+
+
+def test_weighted_pagerank_mass_and_uniform_equivalence(spark):
+    """Weighted PageRank must (a) conserve probability mass every run,
+    and (b) degenerate EXACTLY to unweighted PageRank when all weights
+    are equal (w=1 makes w/W(u) = 1/deg(u))."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        pagerank,
+        weighted_pagerank,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (1, 5), (5, 6)]
+    e = _edges(spark, pairs)
+    we = e.withColumn("w", F.lit(1).cast("long"))
+    pw = {r.user_id: r.rank for r in weighted_pagerank(we).collect()}
+    pu = {r.user_id: r.rank for r in pagerank(e).collect()}
+    assert set(pw) == set(pu)
+    for k in pu:
+        assert abs(pw[k] - pu[k]) < 1e-12, (k, pw[k], pu[k])
+    assert abs(sum(pw.values()) - 1.0) < 1e-9
+    # Strong tie dominates: connect 7 to the graph with a heavy edge to
+    # node 1 and a light edge to node 6 — node 1 must gain more rank
+    # from 7 than node 6 does.
+    we2 = spark.createDataFrame(
+        [(min(a, b), max(a, b), w) for a, b, w in
+         [(1, 2, 1), (2, 3, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1),
+          (1, 5, 1), (5, 6, 1), (1, 7, 10), (6, 7, 1)]],
+        "u long, v long, w long",
+    )
+    pw2 = {r.user_id: r.rank for r in weighted_pagerank(we2).collect()}
+    assert abs(sum(pw2.values()) - 1.0) < 1e-9
+    assert pw2[1] > pw2[6]
