@@ -448,3 +448,87 @@ def dq4_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     ).write.parquet(f"{root}/gen=1")
     return schema_drift_report(spark, f"{root}/gen=0", f"{root}/gen=1")
+
+
+# ---------------------------------------------------------------------------
+# dq5 — freshness / completeness SLA audit: the table-health questions
+# a platform team asks of every ingested feed — when did data last
+# arrive per key, what is the largest arrival gap, and what fraction of
+# the expected cadence is actually covered. Pure date/int arithmetic
+# over a per-(key, day) rollup: the audit scans the fact table ONCE
+# into a metadata-sized daily frame, then a lag window per key finds
+# gaps — at 100 TB the rollup is the only data-sized pass and it is a
+# map-side-combinable count.
+# ---------------------------------------------------------------------------
+
+_DQ5_MAX_GAP_DAYS = 2
+
+
+@probe(
+    "dq5_freshness_audit",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, day, n,
+                 lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev
+          FROM daily),
+    a AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_active_days,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(strftime(min(day), '%Y-%m-%d') AS VARCHAR) AS first_day,
+                 CAST(strftime(max(day), '%Y-%m-%d') AS VARCHAR) AS last_day,
+                 CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+                   AS span_days,
+                 CAST(coalesce(max(date_diff('day', prev, day)), 0) AS BIGINT)
+                   AS max_gap_days
+          FROM g GROUP BY 1)
+    SELECT event_type, n_active_days, n_rows, first_day, last_day, span_days,
+           max_gap_days,
+           round(n_active_days / CAST(span_days AS DOUBLE), 4) AS completeness,
+           max_gap_days <= {_DQ5_MAX_GAP_DAYS} AS freshness_ok
+    FROM a
+    """,
+)
+def dq5_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq5 — per-event-type freshness/completeness SLA card (block
+    comment above): active-day count, row count, first/last arrival
+    day, calendar span, largest day gap between consecutive arrivals,
+    active-day coverage of the span, and the <= {_DQ5_MAX_GAP_DAYS}-day
+    freshness verdict. Integer/date arithmetic end-to-end."""
+    from pyspark.sql import Window
+
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    g = daily.withColumn("prev", F.lag("day").over(w)).withColumn(
+        "gap", F.datediff(F.col("day"), F.col("prev"))
+    )
+    a = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_active_days"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        (F.datediff(F.max("day"), F.min("day")) + 1)
+        .cast("long")
+        .alias("span_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_days"),
+    )
+    return a.select(
+        "event_type",
+        "n_active_days",
+        "n_rows",
+        "first_day",
+        "last_day",
+        "span_days",
+        "max_gap_days",
+        dround(
+            F.col("n_active_days") / F.col("span_days").cast("double"), 4
+        ).alias("completeness"),
+        (F.col("max_gap_days") <= _DQ5_MAX_GAP_DAYS).alias("freshness_ok"),
+    )

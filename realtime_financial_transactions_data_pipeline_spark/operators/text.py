@@ -1057,3 +1057,108 @@ def x3l_luhn_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text_clean").alias("clean_len"),
         F.md5(F.col("text_clean")).alias("clean_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x3m — corpus vocabulary statistics (Zipf/Heaps panel): the
+# corpus-linguistics card every training-data report carries — total
+# tokens, vocabulary size, hapax-legomena fraction (the Heaps-law
+# signal: a high hapax share means vocabulary is still growing with
+# corpus size), the modal term, and the fitted Zipf slope (log-log
+# least squares over the top-100 ranks; natural text sits near -1).
+# One exact term-frequency aggregation over the corpus — the identical
+# shuffle x3f/x3i already pay — then everything else is arithmetic
+# over a 100-row frame: at 100 TB the vocab aggregation is the only
+# data-sized pass and it is map-side combinable.
+# ---------------------------------------------------------------------------
+
+_X3M_TOP = 100
+
+
+@probe(
+    "x3m_vocab_zipf",
+    oracle=f"""
+    WITH terms AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    vocab AS (SELECT term, count(*) AS freq FROM terms GROUP BY 1),
+    s AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab_size,
+                 CAST(count(*) FILTER (WHERE freq = 1) AS BIGINT)
+                   AS hapax_count
+          FROM vocab),
+    top AS (SELECT term, freq,
+                   row_number() OVER (ORDER BY freq DESC, term) AS rank
+            FROM vocab QUALIFY rank <= {_X3M_TOP}),
+    reg AS (SELECT count(*) AS n, sum(ln(rank)) AS sx, sum(ln(freq)) AS sy,
+                   sum(ln(rank) * ln(freq)) AS sxy,
+                   sum(ln(rank) * ln(rank)) AS sxx
+            FROM top),
+    t1 AS (SELECT term AS top1_term, CAST(freq AS BIGINT) AS top1_freq
+           FROM top WHERE rank = 1)
+    SELECT total_tokens, vocab_size, hapax_count,
+           round(hapax_count / CAST(vocab_size AS DOUBLE), 4) AS hapax_frac,
+           top1_term, top1_freq,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+    FROM s, t1, reg
+    """,
+)
+def x3m_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3m — one-row corpus vocabulary card (block comment above).
+    Token segmentation is the engine's standard alnum regex over
+    lowered text (identical literal in both engines); the Zipf slope
+    is closed-form least squares ((nΣxy − ΣxΣy)/(nΣx² − (Σx)²)) over
+    ln(rank), ln(freq) of the top-{_X3M_TOP} terms — deterministic
+    tie-break (freq DESC, term ASC), so the whole panel hash-replays."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    s = vocab.agg(
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count(F.when(F.col("freq") == 1, F.lit(1))).alias("hapax_count"),
+    )
+    from pyspark.sql import Window
+
+    top = vocab.orderBy(F.desc("freq"), F.asc("term")).limit(_X3M_TOP)
+    wr = Window.partitionBy().orderBy(F.desc("freq"), F.asc("term"))
+    ranked = top.withColumn("rank", F.row_number().over(wr)).select(
+        "term",
+        "freq",
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    reg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    t1 = ranked.filter(F.col("rank") == 1).select(
+        F.col("term").alias("top1_term"), F.col("freq").alias("top1_freq")
+    )
+    return (
+        s.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(reg))
+        .select(
+            "total_tokens",
+            "vocab_size",
+            "hapax_count",
+            dround(
+                F.col("hapax_count") / F.col("vocab_size").cast("double"), 4
+            ).alias("hapax_frac"),
+            "top1_term",
+            "top1_freq",
+            dround(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                4,
+            ).alias("zipf_slope"),
+        )
+    )

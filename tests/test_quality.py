@@ -229,3 +229,28 @@ def test_u7_l_diversity_flags_homogeneous_class(spark):
         out = {r.c_nationkey: r for r in u7_l_diversity_audit(spark, d).collect()}
     assert out[1].n == 4 and out[1].l_distinct == 1 and not out[1].diverse
     assert out[2].n == 4 and out[2].l_distinct == 4 and out[2].diverse
+
+
+def test_dq5_freshness_matches_pandas(spark):
+    """Gap/coverage arithmetic recomputed independently in pandas."""
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        dq5_freshness_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(sf + "/events.parquet")
+    pdf["day"] = pdf["ts"].dt.normalize()
+    got = {r.event_type: r for r in dq5_freshness_audit(spark, sf).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        days = sorted(grp.day.unique())
+        g = got[et]
+        assert g.n_active_days == len(days)
+        assert g.n_rows == len(grp)
+        span = (days[-1] - days[0]).days + 1
+        assert g.span_days == span
+        gaps = [(b - a).days for a, b in zip(days, days[1:])]
+        assert g.max_gap_days == (max(gaps) if gaps else 0)
+        assert abs(g.completeness - round(len(days) / span, 4)) < 1e-9
+        assert g.freshness_ok == (g.max_gap_days <= 2)

@@ -107,3 +107,39 @@ def test_luhn_card_scrub_validates_checksum(spark):
     assert got[3].text_clean == "a <CARD> b <CARD> c"
     assert (got[4].n_card_candidates, got[4].n_cards_valid) == (1, 0)
     assert (got[5].n_card_candidates, got[5].n_cards_valid) == (0, 0)
+
+
+def test_x3m_vocab_panel_matches_python(spark):
+    """Vocabulary card recomputed independently: exact counts via
+    collections.Counter over the same regex tokens, slope via the
+    closed-form least squares in pure Python."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        x3m_vocab_zipf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = pd.read_parquet(sf + "/documents.parquet")["text"]
+    c = Counter()
+    for t in texts:
+        c.update(re.findall(r"[a-z0-9]+", t.lower()))
+    row = x3m_vocab_zipf(spark, sf).collect()[0]
+    assert row.total_tokens == sum(c.values())
+    assert row.vocab_size == len(c)
+    hapax = sum(1 for v in c.values() if v == 1)
+    assert row.hapax_count == hapax
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    assert (row.top1_term, row.top1_freq) == top[0]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(f) for _, f in top]
+    n = float(len(top))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row.zipf_slope - slope) < 1e-3, (row.zipf_slope, slope)
