@@ -1121,3 +1121,91 @@ def ts5_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("cusum", 6).alias("cusum"),
         (F.abs("cusum") == F.col("m")).alias("is_changepoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts6 — per-series linear-trend fit + forecast: the closed-form OLS
+# baseline every forecasting stack starts from (and the honest
+# complement to ts3's seasonal decomposition: trend here is FIT, not
+# extracted by smoothing). One daily rollup per series (the only
+# data-sized pass, map-combinable), then the slope/intercept/r²
+# normal equations over the metadata-sized (series, day) frame and a
+# closed-form 7-day-ahead sum forecast — no iterative optimizer, so
+# the whole fit replays bit-for-bit in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "ts6_trend_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+    xy AS (SELECT daily.event_type,
+                  CAST(date_diff('day', d0, day) AS DOUBLE) AS x, y
+           FROM daily JOIN m USING (event_type)),
+    reg AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+                   max(x) AS mx
+            FROM xy GROUP BY 1),
+    fit AS (SELECT event_type, n, mx,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                     AS intercept,
+                   (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+            FROM reg)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(slope, 4) AS slope,
+           round(intercept, 4) AS intercept,
+           round(r2, 4) AS r2,
+           round(7 * intercept + slope * (7 * mx + 28), 2) AS forecast_next7
+    FROM fit
+    """,
+)
+def ts6_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts6 — OLS trend per event_type over daily revenue (block comment
+    above): x = days since the series' first day, y = daily sum; slope
+    and intercept from the normal equations, r² as the squared
+    correlation, and forecast_next7 = Σ_{j=mx+1..mx+7}(intercept +
+    slope·j) in closed form (7·intercept + slope·(7·mx + 28))."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    xy = daily.join(m, "event_type").select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("double").alias("x"),
+        "y",
+    )
+    reg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max("x").alias("mx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (num * num) / (
+        den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return reg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        dround(slope, 4).alias("slope"),
+        dround(intercept, 4).alias("intercept"),
+        dround(r2, 4).alias("r2"),
+        dround(
+            F.lit(7.0) * intercept + slope * (7.0 * F.col("mx") + 28.0), 2
+        ).alias("forecast_next7"),
+    )

@@ -427,3 +427,94 @@ def u7_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("diverse", F.col("l_distinct") >= _L_DIVERSE)
     )
+
+
+# ---------------------------------------------------------------------------
+# U8 — DP with CONTRIBUTION BOUNDING: u5's Laplace release is only
+# epsilon-DP if each user contributes at most one row to the counted
+# set; real event streams have power users, so production DP pipelines
+# first CLAMP per-user contribution to k rows per partition (bounding
+# the sensitivity at k) and then add noise scaled to k/epsilon. The
+# probe releases both the unbounded truth and the bounded count so the
+# clamping loss is visible, with the same seeded inverse-CDF Laplace
+# draw as u5 at the k-scaled width. The clamp is a per-(user, key)
+# count capped with LEAST — one extra map-combinable aggregate, never
+# a per-user collect.
+# ---------------------------------------------------------------------------
+
+_U8_K = 10  # max events a single user may contribute per event_type
+_U8_EPSILON = 0.5
+_U8_SEED = "u8-v1"
+
+
+@probe(
+    "u8_dp_bounded_contribution",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_true,
+             CAST(sum(least(c, {_U8_K})) AS BIGINT) AS n_bounded
+      FROM per_user GROUP BY 1),
+    u AS (
+      SELECT event_type, n_true, n_bounded,
+             ((('0x' || substr(md5('{_U8_SEED}-' || event_type), 1, 8))::UINTEGER + 1)
+              / 4294967298.0) AS u
+      FROM g),
+    n AS (
+      SELECT event_type, n_true, n_bounded,
+             -({_U8_K} / {_U8_EPSILON}) * sign(u - 0.5)
+               * ln(1 - 2 * abs(u - 0.5)) AS noise
+      FROM u)
+    SELECT event_type, n_true, n_bounded,
+           round(noise * 1000000) / 1000000 AS noise,
+           round((n_bounded + noise) * 1000000) / 1000000 AS n_released
+    FROM n
+    """,
+)
+def u8_dp_bounded_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 — contribution-bounded Laplace release (block comment above):
+    per-user counts clamped at k = {_U8_K} per event_type, sensitivity
+    therefore k, noise scale k/epsilon with u5's exact seeded
+    inverse-CDF draw. The hash certifies the clamp, the k-scaled draw
+    law, and the release arithmetic."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = per_user.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_true"),
+        F.sum(F.least(F.col("c"), F.lit(_U8_K))).cast("long").alias("n_bounded"),
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{_U8_SEED}-"), F.col("event_type"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        )
+        / F.lit(4294967298.0)
+    )
+    b = _U8_K / _U8_EPSILON
+    noise = (
+        F.lit(-b) * F.signum(u - 0.5) * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        "n_true",
+        "n_bounded",
+        dround(noise, 6).alias("noise"),
+        dround(F.col("n_bounded") + noise, 6).alias("n_released"),
+    )

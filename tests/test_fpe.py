@@ -156,3 +156,39 @@ def test_udf_fast_path_equals_encrypt_digits(spark):
     }
     for p in pans:
         assert got[p] == str(int(encrypt_digits(TEST_KEY, p))).zfill(16), p
+
+
+def test_u8_contribution_bounding(spark):
+    """The clamp must cap per-user contribution at k, the noise scale
+    must be k/epsilon wide (recompute the seeded inverse-CDF draw in
+    pure Python), and n_bounded <= n_true always."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.tokenization import (
+        _U8_EPSILON,
+        _U8_K,
+        _U8_SEED,
+        u8_dp_bounded_contribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(sf + "/events.parquet")
+    per_user = pdf.groupby(["event_type", "user_id"]).size()
+    rows = u8_dp_bounded_contribution(spark, sf).collect()
+    assert rows
+    for r in rows:
+        grp = per_user.loc[r.event_type]
+        assert r.n_true == grp.sum()
+        assert r.n_bounded == grp.clip(upper=_U8_K).sum()
+        assert r.n_bounded <= r.n_true
+        u = (
+            int(hashlib.md5(f"{_U8_SEED}-{r.event_type}".encode()).hexdigest()[:8], 16)
+            + 1
+        ) / 4294967298.0
+        b = _U8_K / _U8_EPSILON
+        noise = -b * math.copysign(1.0, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+        assert abs(r.noise - noise) < 1e-4, (r.event_type, r.noise, noise)
+        assert abs(r.n_released - (r.n_bounded + noise)) < 1e-3

@@ -358,3 +358,33 @@ def test_a20_attribution_matches_pandas_recompute(spark):
         for m in ("first_touch", "last_touch")
     }
     assert totals["first_touch"] == totals["last_touch"]
+
+
+def test_ts6_trend_matches_numpy_polyfit(spark):
+    """Slope/intercept/r2/forecast recomputed independently with numpy
+    from the same daily sums."""
+    import numpy as np
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        ts6_trend_forecast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(sf + "/events.parquet")
+    pdf["day"] = pdf["ts"].dt.normalize()
+    got = {r.event_type: r for r in ts6_trend_forecast(spark, sf).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        daily = grp.groupby("day")["value"].sum().sort_index()
+        x = np.array([(d - daily.index[0]).days for d in daily.index], float)
+        y = daily.to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        mx = x.max()
+        fc = 7 * intercept + slope * (7 * mx + 28)
+        g = got[et]
+        assert g.n_days == len(x)
+        assert abs(g.slope - slope) < 1e-2 * max(1, abs(slope)), (et, g.slope, slope)
+        assert abs(g.intercept - intercept) < 1e-2 * max(1, abs(intercept))
+        assert abs(g.r2 - r2) < 1e-3
+        assert abs(g.forecast_next7 - fc) < max(0.1, 1e-4 * abs(fc))
