@@ -724,3 +724,116 @@ def g6_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = weighted_pagerank(wedges)
     return p.select("user_id", dround("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# G7 — graph summary card: node/edge counts, degree extremes, mean
+# degree, and Pearson degree assortativity (Newman's r — do high-degree
+# users co-engage with other high-degree users?). Every statistic is a
+# sum over the edge list with endpoint degrees joined in; the moment
+# sums (Σ ju·jv, Σ(ju+jv)/2, Σ(ju²+jv²)/2) are INTEGER-valued, so both
+# engines compute them exactly and the final r is one identical
+# double expression — no accumulation-order sensitivity anywhere.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "g7_graph_summary",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G1_MIN_SHARED}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM bi GROUP BY u),
+    ed AS (SELECT du.d AS ju, dv.d AS jv
+           FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+    s AS (SELECT count(*) AS m,
+                 sum(ju * jv) AS s1,
+                 sum(ju + jv) AS s2x2,
+                 sum(ju * ju + jv * jv) AS s3x2
+          FROM ed),
+    n AS (SELECT count(*) AS n_nodes, min(d) AS dmin, max(d) AS dmax,
+                 sum(d) AS dsum
+          FROM deg)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(m AS BIGINT) AS n_edges,
+           CAST(dmin AS BIGINT) AS min_degree,
+           CAST(dmax AS BIGINT) AS max_degree,
+           round(dsum / CAST(n_nodes AS DOUBLE), 4) AS avg_degree,
+           CASE WHEN s3x2 / (2.0 * m)
+                     - (s2x2 / (2.0 * m)) * (s2x2 / (2.0 * m)) = 0
+                THEN NULL
+                ELSE round((s1 / CAST(m AS DOUBLE)
+                            - (s2x2 / (2.0 * m)) * (s2x2 / (2.0 * m)))
+                           / (s3x2 / (2.0 * m)
+                              - (s2x2 / (2.0 * m)) * (s2x2 / (2.0 * m))), 4)
+           END AS assortativity
+    FROM s, n
+    """,
+)
+def g7_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — one-row co-engagement graph card (block comment above).
+    Newman's degree assortativity from exact integer moment sums over
+    the edge list; reuses the memoized pair-count pass shared by the
+    whole graph family."""
+    return graph_summary(_memo_edges(spark, sf_dir))
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row summary card for an undirected (u < v) edge list:
+    node/edge counts, degree extremes, mean degree, Newman degree
+    assortativity from exact integer moment sums."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    bi = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bi.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("ju")), "u"
+        ).join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("jv")), "v"
+        )
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("ju") * F.col("jv")).alias("s1"),
+        F.sum(F.col("ju") + F.col("jv")).alias("s2x2"),
+        F.sum(F.col("ju") * F.col("ju") + F.col("jv") * F.col("jv")).alias(
+            "s3x2"
+        ),
+    )
+    n = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.sum("d").alias("dsum"),
+    )
+    mu = F.col("s2x2") / (2.0 * F.col("m"))
+    return (
+        s.crossJoin(F.broadcast(n))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("dmin").cast("long").alias("min_degree"),
+            F.col("dmax").cast("long").alias("max_degree"),
+            dround(F.col("dsum") / F.col("n_nodes").cast("double"), 4).alias(
+                "avg_degree"
+            ),
+            F.when(
+                F.col("s3x2") / (2.0 * F.col("m")) - mu * mu != 0,
+                dround(
+                    (F.col("s1") / F.col("m").cast("double") - mu * mu)
+                    / (F.col("s3x2") / (2.0 * F.col("m")) - mu * mu),
+                    4,
+                ),
+            ).alias("assortativity"),
+        )
+    )

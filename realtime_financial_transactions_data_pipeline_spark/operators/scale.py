@@ -816,3 +816,86 @@ def scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("first_day"),
         F.max("day").alias("last_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k12 — dynamic partition overwrite: THE incremental-backfill idiom.
+# Static overwrite mode would wipe the whole table to write two revised
+# days; `spark.sql.sources.partitionOverwriteMode=dynamic` replaces
+# ONLY the partitions present in the incoming frame — the revision
+# batch fully supersedes its days (row counts may differ; it is a
+# replacement, not a merge) while untouched days keep their original
+# files. The probe writes a 5-day day-partitioned table, overwrites
+# days 2-3 with a deliberately different revision (even event_ids,
+# doubled values), and reads the live table back — the hash against
+# the oracle's expected final state catches a full-table wipe, a merge
+# instead of a replace, or an untouched partition being rewritten.
+# Reference counterpart: BigQuery load jobs with WRITE_TRUNCATE on a
+# partition decorator (conceptual; the reference truncates whole
+# tables — generate_dim_tables_data.py WRITE_TRUNCATE).
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "k12_dynamic_partition_overwrite",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, value, event_id
+      FROM events WHERE ts < TIMESTAMP '2024-01-06'),
+    keep AS (SELECT * FROM base
+             WHERE day <> DATE '2024-01-02' AND day <> DATE '2024-01-03'),
+    rev AS (SELECT day, event_type, value * 2 AS value, event_id
+            FROM base
+            WHERE day >= DATE '2024-01-02' AND day <= DATE '2024-01-03'
+              AND event_id % 2 = 0),
+    fin AS (SELECT * FROM keep UNION ALL SELECT * FROM rev)
+    SELECT CAST(strftime(day, '%Y-%m-%d') AS VARCHAR) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS revenue
+    FROM fin GROUP BY 1, 2
+    """,
+)
+def k12_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k12 — dynamic partition overwrite end-to-end (block comment
+    above): initial 5-day partitioned write, then an overwrite-mode
+    write of the revised days 2-3 under partitionOverwriteMode=dynamic,
+    then a live read-back rolled up per (day, event_type). The session
+    conf is restored afterward — the mode only applies to the revision
+    write."""
+    import shutil
+
+    root = "/tmp/spark_graft_scale/k12"
+    shutil.rmtree(root, ignore_errors=True)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < "2024-01-06")
+        .select(
+            F.to_date("ts").alias("day"), "event_type", "value", "event_id"
+        )
+    )
+    e.write.partitionBy("day").mode("overwrite").parquet(root)
+    rev = (
+        e.filter(
+            (F.col("day") >= "2024-01-02")
+            & (F.col("day") <= "2024-01-03")
+            & (F.col("event_id") % 2 == 0)
+        )
+        .withColumn("value", F.col("value") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rev.write.partitionBy("day").mode("overwrite").parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    live = spark.read.parquet(root)
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    return pin_result(
+        live.groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("value"), 2).alias("revenue"),
+        )
+    )

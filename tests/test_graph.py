@@ -277,3 +277,25 @@ def test_weighted_pagerank_mass_and_uniform_equivalence(spark):
     pw2 = {r.user_id: r.rank for r in weighted_pagerank(we2).collect()}
     assert abs(sum(pw2.values()) - 1.0) < 1e-9
     assert pw2[1] > pw2[6]
+
+
+def test_g7_summary_known_graphs(spark):
+    """Assortativity on analytically known shapes: a star is perfectly
+    DISassortative (r = -1); a clique's degrees are constant so r is
+    null (zero variance); counts/extremes/mean verified exactly."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        graph_summary,
+    )
+
+    star = _edges(spark, [(0, i) for i in range(1, 6)])
+    row = graph_summary(star).collect()[0]
+    assert (row.n_nodes, row.n_edges) == (6, 5)
+    assert (row.min_degree, row.max_degree) == (1, 5)
+    assert abs(row.avg_degree - 10 / 6) < 1e-3
+    assert abs(row.assortativity - (-1.0)) < 1e-9
+    k4 = _edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    row = graph_summary(k4).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.min_degree, row.max_degree) == (
+        4, 6, 3, 3,
+    )
+    assert row.assortativity is None  # 0/0: constant degree

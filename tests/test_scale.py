@@ -476,3 +476,37 @@ def test_mv3_navigation_avoids_avg_of_avgs(spark):
         if abs(daily_means.loc[key] - row["mean"]) > 1e-6:
             differs += 1
     assert differs > 0, "avg-of-avgs equals true avg everywhere; weak fixture"
+
+
+def test_k12_dynamic_overwrite_replaces_only_incoming_partitions(spark):
+    """The mechanism itself on a hand-built table: write days a+b, then
+    dynamic-overwrite day b with a DIFFERENT row count — day a must be
+    byte-identical (same rows), day b must contain exactly the revision
+    (replace, not merge), and static mode untouched after."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = "/tmp/spark_graft_scale/k12_unit"
+    shutil.rmtree(root, ignore_errors=True)
+    base = spark.createDataFrame(
+        [("2024-01-01", i, float(i)) for i in range(10)]
+        + [("2024-01-02", i, float(i)) for i in range(10)],
+        "day string, id int, v double",
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(root)
+    rev = spark.createDataFrame(
+        [("2024-01-02", i, 99.0) for i in range(3)],
+        "day string, id int, v double",
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rev.write.partitionBy("day").mode("overwrite").parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    live = spark.read.parquet(root)
+    a = live.filter(F.col("day") == "2024-01-01")
+    b = live.filter(F.col("day") == "2024-01-02")
+    assert a.count() == 10 and sorted(r.id for r in a.collect()) == list(range(10))
+    assert b.count() == 3 and {r.v for r in b.collect()} == {99.0}
