@@ -2102,3 +2102,113 @@ def x2u_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("chosen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X2w — Matryoshka (prefix-dimension) retrieval: embeddings trained
+# with matryoshka representation learning rank usefully from their
+# FIRST d' dimensions, so retrieval stacks scan a d'-dim prefix
+# (16 of 64 here — 4x less arithmetic and I/O per comparison) and
+# rerank only the prefix top-R with the full vector. Same
+# shortlist-then-refine topology as x2v with a different coarse
+# scorer: array slice instead of PQ codes — at 100 TB the prefix can
+# be STORED as its own column/file, so the coarse scan reads a quarter
+# of the bytes, and the full vectors are fetched for R rows per query.
+# ---------------------------------------------------------------------------
+
+_X2W_PREFIX = 16
+_X2W_SHORT = 20
+
+
+_X2W_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 8),
+    pre AS (SELECT q.q_id, c.vec_id,
+                   list_sum(list_transform(
+                     list_zip(q.emb[1:{_X2W_PREFIX}], c.emb[1:{_X2W_PREFIX}]),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS pd2
+            FROM q, e c WHERE c.vec_id <> q.q_id),
+    short AS (SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY pd2, vec_id) AS rn
+                FROM pre) WHERE rn <= {_X2W_SHORT}),
+    rr AS (SELECT short.q_id, short.vec_id,
+                  list_sum(list_transform(list_zip(qe.emb, ce.emb),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+           FROM short
+           JOIN e qe ON qe.vec_id = short.q_id
+           JOIN e ce ON ce.vec_id = short.vec_id),
+    ranked AS (SELECT q_id, vec_id, d2,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY d2, vec_id) AS rnk
+               FROM rr)
+    SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+           round(d2, 4) AS l2_dist
+    FROM ranked WHERE rnk <= {_PQ_TOPK}
+    """
+
+
+@probe("x2w_matryoshka_prefix_search", oracle=_X2W_ORACLE)
+def x2w_matryoshka_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2w — prefix-dim coarse scan + full-dim rerank (block comment
+    above): per query, L2² over the first {_X2W_PREFIX} dims ranks the
+    corpus (broadcast query prefixes; the corpus side reads a quarter
+    of the floats), the top-{_X2W_SHORT} shortlist reranks with the
+    full 64-dim vector via the same ordered fold as x2v. Deterministic
+    tie-breaks end-to-end, so DuckDB replays prefix scan, shortlist,
+    and refine."""
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb"
+    )
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.slice("emb", 1, _X2W_PREFIX).alias("q_pre"),
+        F.col("emb").alias("q_emb"),
+    )
+    pre_d2 = F.expr(
+        "aggregate(zip_with(q_pre, c_pre, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+    pre = (
+        emb.select(
+            "vec_id",
+            F.slice("emb", 1, _X2W_PREFIX).alias("c_pre"),
+        )
+        .crossJoin(F.broadcast(qs.select("q_id", "q_pre")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("pd2", pre_d2)
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        staged_topk,
+    )
+
+    short = staged_topk(
+        pre.select("q_id", "vec_id", "pd2"),
+        ["q_id"],
+        [F.col("pd2"), F.col("vec_id")],
+        _X2W_SHORT,
+        salt_col="vec_id",
+    ).select("q_id", "vec_id")
+    d2 = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+    rr = (
+        emb.select("vec_id", F.col("emb").alias("c_emb"))
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qs.select("q_id", "q_emb")), "q_id")
+        .withColumn("d2", d2)
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    return (
+        rr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            dround("d2", 4).alias("l2_dist"),
+        )
+    )

@@ -461,3 +461,46 @@ def test_x2v_refine_reranks_within_adc_shortlist(spark):
         assert [rnk for rnk, _ in rows] == list(range(1, len(rows) + 1))
         dists = [d for _, d in rows]
         assert dists == sorted(dists), (q, dists)
+
+
+def test_x2w_prefix_shortlist_and_rerank_contract(spark):
+    """Matryoshka contract: every returned neighbor's full-dim distance
+    must match a numpy recomputation, ranks must be contiguous per
+    query ordered by that distance, and the shortlist must come from
+    PREFIX-dim ranking (verify membership in the numpy prefix top-20)."""
+    import numpy as np
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        _X2W_PREFIX,
+        _X2W_SHORT,
+        x2w_matryoshka_prefix_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(sf + "/embeddings.parquet")
+    vecs = {r.vec_id: np.array(r.embedding, float) for r in pdf.itertuples()}
+    rows = x2w_matryoshka_prefix_search(spark, sf).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rs in per_q.items():
+        pre_q = vecs[q][:_X2W_PREFIX]
+        pd2 = {
+            v: float(((pre_q - vec[:_X2W_PREFIX]) ** 2).sum())
+            for v, vec in vecs.items()
+            if v != q
+        }
+        shortlist = set(
+            sorted(pd2, key=lambda v: (pd2[v], v))[:_X2W_SHORT]
+        )
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        dists = []
+        for r in rs:
+            assert r.neighbor_id in shortlist, (q, r.neighbor_id)
+            d2 = float(((vecs[q] - vecs[r.neighbor_id]) ** 2).sum())
+            assert abs(d2 - r.l2_dist) < 5e-4
+            dists.append(r.l2_dist)
+        assert dists == sorted(dists)
