@@ -2212,3 +2212,99 @@ def x2w_matryoshka_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("d2", 4).alias("l2_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2rb — refine-lift recall accounting: x2r certifies each ANN path's
+# recall; this panel certifies the REFINE STEP'S VALUE — the same
+# queries, raw residual-ADC top-5 (x2t) vs shortlist-refined top-5
+# (x2v), both scored against the exact L2 top-5. The lift (0.267 →
+# 0.333 mean recall@5 at sf0.01) is thereby a hash-checked fact, not a
+# docstring claim: a refactor that silently breaks the refine join now
+# fails the oracle, and the two methods' per-query rows diff exactly
+# where refinement changed the answer.
+# ---------------------------------------------------------------------------
+
+
+def _exact_l2_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2² top-5 for the md5-sampled PQ query set — memoized
+    under the SAME key x2r's inline builder uses, so whichever panel
+    runs first pays the scan and both share the persist."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
+    pqs = (
+        emb.select("vec_id")
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    qv = emb.join(F.broadcast(pqs), emb.vec_id == pqs.query_id).select(
+        "query_id", F.col("emb").alias("q_emb")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(q_emb, c_emb, (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+    w5 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return memo_persist(
+        spark,
+        ("exact_l2_top5", sf_dir),
+        lambda: (
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("emb").alias("c_emb"),
+            )
+            .crossJoin(F.broadcast(qv))
+            .withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w5))
+            .filter(F.col("rank") <= _PQ_TOPK)
+            .select("query_id", "neighbor_id")
+        ),
+    )
+
+
+@probe(
+    "x2rb_refine_recall",
+    oracle=f"""
+    WITH pexact AS ({_X2R_EXACT_L2_5}),
+    raw AS (SELECT q_id AS query_id, neighbor_id FROM ({_X2T_ORACLE})),
+    ref AS (SELECT q_id AS query_id, neighbor_id FROM ({_X2V_ORACLE})),
+    r_raw AS (SELECT 'ivfpq_residual_x2t' AS method, e.query_id,
+                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+              FROM pexact e LEFT JOIN raw a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+              GROUP BY e.query_id),
+    r_ref AS (SELECT 'ivfpq_refined_x2v' AS method, e.query_id,
+                     CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+              FROM pexact e LEFT JOIN ref a
+                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+              GROUP BY e.query_id)
+    SELECT method, query_id, n_hits, n_hits / {float(_PQ_TOPK)} AS recall
+    FROM r_raw
+    UNION ALL
+    SELECT method, query_id, n_hits, n_hits / {float(_PQ_TOPK)} AS recall
+    FROM r_ref
+    """,
+)
+def x2rb_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2rb — per-query recall@{_PQ_TOPK} of the raw residual IVF+PQ
+    ranking (x2t) and its exact-refined counterpart (x2v) against the
+    exact L2 top-{_PQ_TOPK} (block comment above). Reuses the shared
+    ADC-scored frame and the memoized exact baseline; DuckDB replays
+    both searches, the refine, and the recall arithmetic."""
+    raw = x2t_ivfpq_residual_search(spark, sf_dir).select(
+        F.col("q_id").alias("query_id"), "neighbor_id"
+    )
+    ref = x2v_ivfpq_refine(spark, sf_dir).select(
+        F.col("q_id").alias("query_id"), "neighbor_id"
+    )
+    pexact = _exact_l2_top5(spark, sf_dir)
+    return _recall_against(
+        "ivfpq_residual_x2t", raw, pexact, _PQ_TOPK
+    ).unionAll(_recall_against("ivfpq_refined_x2v", ref, pexact, _PQ_TOPK))

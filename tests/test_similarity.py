@@ -504,3 +504,28 @@ def test_x2w_prefix_shortlist_and_rerank_contract(spark):
             assert abs(d2 - r.l2_dist) < 5e-4
             dists.append(r.l2_dist)
         assert dists == sorted(dists)
+
+
+def test_x2rb_refine_never_hurts_and_lifts_at_sf001(spark):
+    """Refinement reorders within the ADC shortlist by EXACT distance,
+    so against the exact reference its mean recall must be >= the raw
+    ADC ranking's on any corpus; at sf0.01 the lift is strict (the
+    0.267 -> 0.333 fact the panel exists to certify)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        x2rb_refine_recall,
+    )
+
+    rows = x2rb_refine_recall(spark, "/root/testdata/sf0.01").collect()
+    by_method = {}
+    for r in rows:
+        by_method.setdefault(r.method, []).append(r.recall)
+    raw = sum(by_method["ivfpq_residual_x2t"]) / len(
+        by_method["ivfpq_residual_x2t"]
+    )
+    ref = sum(by_method["ivfpq_refined_x2v"]) / len(
+        by_method["ivfpq_refined_x2v"]
+    )
+    assert len(by_method["ivfpq_residual_x2t"]) == len(
+        by_method["ivfpq_refined_x2v"]
+    )
+    assert ref > raw, (raw, ref)
