@@ -70,6 +70,7 @@ MATRIX = {
     "x2s_ivf_pq_search": ("embeddings", (1, 10)),
     "x2t_ivfpq_residual_search": ("embeddings", (1, 10)),
     "x2v_ivfpq_refine": ("embeddings", (1, 10)),
+    "x2w_matryoshka_prefix_search": ("embeddings", (1, 10)),
 }
 
 
