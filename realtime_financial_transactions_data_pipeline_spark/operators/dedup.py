@@ -1854,3 +1854,113 @@ def er3_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "c_custkey")
         .select("c_custkey", "name", "segment", "nationkey", "acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# ER4 — blocking-quality accounting: the two numbers every record-
+# linkage textbook demands before trusting a blocking scheme —
+# REDUCTION RATIO (how much of the dirty×catalog pair space the blocks
+# prune) and PAIR COMPLETENESS (what fraction of TRUE matches survive
+# into the candidate set). er2's planted corruption makes ground truth
+# known exactly, so both metrics are computable — and the (length,
+# 2-prefix) blocking is substitution-invariant at the planted
+# positions, so completeness must be exactly 1.0: the probe certifies
+# the blocking INVARIANT, the same way x2r certifies ANN recall.
+# Counts are one aggregate over the blocked join (pairs never
+# materialize wide); the pair-space denominator is a scalar product.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "er4_blocking_quality",
+    oracle="""
+    WITH catalog AS (SELECT DISTINCT p_name FROM part),
+    dirty AS (
+      SELECT p_partkey, p_name AS true_name,
+             substr(p_name, 1, 2 + p_partkey % (len(p_name) - 3))
+               || 'x'
+               || substr(p_name, 4 + p_partkey % (len(p_name) - 3)) AS q
+      FROM part WHERE p_partkey % 10 = 0),
+    nc AS (SELECT count(*) AS n_catalog FROM catalog),
+    nd AS (SELECT count(*) AS n_dirty FROM dirty),
+    cand AS (SELECT count(*) AS n_candidates
+             FROM dirty d JOIN catalog c
+               ON len(d.q) = len(c.p_name)
+              AND substr(d.q, 1, 2) = substr(c.p_name, 1, 2)),
+    found AS (SELECT count(*) AS n_truth_found
+              FROM dirty d
+              WHERE len(d.q) = len(d.true_name)
+                AND substr(d.q, 1, 2) = substr(d.true_name, 1, 2))
+    SELECT CAST(n_dirty AS BIGINT) AS n_dirty,
+           CAST(n_catalog AS BIGINT) AS n_catalog,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           round(1 - n_candidates / (CAST(n_dirty AS DOUBLE) * n_catalog), 6)
+             AS reduction_ratio,
+           CAST(n_truth_found AS BIGINT) AS n_truth_found,
+           round(n_truth_found / CAST(n_dirty AS DOUBLE), 6)
+             AS pair_completeness
+    FROM nd, nc, cand, found
+    """,
+)
+def er4_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER4 — reduction ratio and pair completeness of er2's (length,
+    2-char-prefix) blocking against the planted ground truth (block
+    comment above). One blocked-join count plus three scalar counts;
+    the hash certifies the metric arithmetic and the completeness-1.0
+    invariant."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    catalog = p.select("p_name").distinct()
+    dirty = p.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        F.col("p_name").alias("true_name"),
+        F.concat(
+            F.expr(
+                "substr(p_name, 1, CAST(2 + pmod(p_partkey, length(p_name) - 3) AS INT))"
+            ),
+            F.lit("x"),
+            F.expr(
+                "substr(p_name, CAST(4 + pmod(p_partkey, length(p_name) - 3) AS INT))"
+            ),
+        ).alias("q"),
+    )
+    nc = catalog.agg(F.count(F.lit(1)).alias("n_catalog"))
+    nd = dirty.agg(F.count(F.lit(1)).alias("n_dirty"))
+    cand = (
+        dirty.join(
+            F.broadcast(catalog),
+            (F.length("q") == F.length("p_name"))
+            & (F.substring("q", 1, 2) == F.substring("p_name", 1, 2)),
+        )
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    found = (
+        dirty.filter(
+            (F.length("q") == F.length("true_name"))
+            & (F.substring("q", 1, 2) == F.substring("true_name", 1, 2))
+        )
+        .agg(F.count(F.lit(1)).alias("n_truth_found"))
+    )
+    return (
+        nd.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(found))
+        .select(
+            F.col("n_dirty").cast("long").alias("n_dirty"),
+            F.col("n_catalog").cast("long").alias("n_catalog"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            dround(
+                F.lit(1.0)
+                - F.col("n_candidates")
+                / (F.col("n_dirty").cast("double") * F.col("n_catalog")),
+                6,
+            ).alias("reduction_ratio"),
+            F.col("n_truth_found").cast("long").alias("n_truth_found"),
+            dround(
+                F.col("n_truth_found") / F.col("n_dirty").cast("double"), 6
+            ).alias("pair_completeness"),
+        )
+    )

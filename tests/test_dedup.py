@@ -541,3 +541,21 @@ def test_er3_survivorship_rules(spark):
             row.c_acctbal + max((k * s) % 7 for s in (1, 2, 3)), 2
         )
         assert abs(g.acctbal - expect_bal) < 1e-9, (k, g.acctbal, expect_bal)
+
+
+def test_er4_blocking_metrics_semantics(spark):
+    """The completeness invariant (substitution never alters length or
+    the 2-prefix at the planted positions => exactly 1.0), and the
+    reduction ratio recomputed from the row's own counts."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        er4_blocking_quality,
+    )
+
+    row = er4_blocking_quality(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.pair_completeness == 1.0
+    assert row.n_truth_found == row.n_dirty > 0
+    expect_rr = round(
+        1 - row.n_candidates / (row.n_dirty * row.n_catalog), 6
+    )
+    assert abs(row.reduction_ratio - expect_rr) < 1e-9
+    assert 0.9 < row.reduction_ratio < 1.0  # blocks prune >90% of pairs
