@@ -1209,3 +1209,65 @@ def ts6_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(7.0) * intercept + slope * (7.0 * F.col("mx") + 28.0), 2
         ).alias("forecast_next7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a21 — daily percentile-band panel (the p50/p95 latency-style
+# dashboard): per (series, day) exact interpolated percentiles, plus a
+# per-series spike flag — a day is flagged when its p95 exceeds 1.5x
+# the series' median daily p95 (the robust threshold ops dashboards
+# use, insensitive to the spike days themselves). Exact percentiles
+# per day group (tens of values each — sort-within-group, never a
+# global sort); the second-level median runs over the metadata-sized
+# daily frame.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a21_daily_percentile_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.95), 4) AS p95
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 round(quantile_cont(p95, 0.5), 4) AS med95
+          FROM daily GROUP BY 1)
+    SELECT daily.event_type, day, n, p50, p95,
+           round(med95, 4) AS series_median_p95,
+           p95 > 1.5 * med95 AS p95_spike
+    FROM daily JOIN m USING (event_type)
+    """,
+)
+def a21_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a21 — per-(series, day) p50/p95 bands with a robust spike flag
+    (block comment above). Uses the engine's proven exact-percentile
+    pairing (Spark `percentile` == DuckDB `quantile_cont`, x5b);
+    flag arithmetic runs on the ROUNDED percentiles so both engines
+    compare identical doubles."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.percentile("value", 0.5), 4).alias("p50"),
+            dround(F.percentile("value", 0.95), 4).alias("p95"),
+        )
+    )
+    m = daily.groupBy("event_type").agg(
+        dround(F.percentile("p95", 0.5), 4).alias("med95")
+    )
+    return daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "p50",
+        "p95",
+        dround(F.col("med95"), 4).alias("series_median_p95"),
+        (F.col("p95") > 1.5 * F.col("med95")).alias("p95_spike"),
+    )

@@ -127,9 +127,10 @@ DRIVER_WINDOW = 50
 #: join, a20 touch attribution, dq5 freshness audit, x3m vocabulary
 #: panel, ts6 trend forecast, u8 DP contribution bounding, g7 graph
 #: summary card, k12 dynamic partition overwrite, x2w Matryoshka
-#: prefix search, x2rb refine-lift recall, er4 blocking quality) —
-#: cohort 8 has ~50 candidates for its ~48 free slots: full lifetime
-#: coverage takes cohort 8 plus a couple of stragglers in cohort 9.
+#: prefix search, x2rb refine-lift recall, er4 blocking quality, a21
+#: percentile bands) — cohort 8 has ~51 candidates for its ~48 free
+#: slots: full lifetime coverage takes cohort 8 plus a few stragglers
+#: in cohort 9.
 _DRIVER_ORDER = [
     # anchors (stability): the flagship star join (also entry()'s smoke
     # every round) and the streaming pipeline covering S1/S2/S4/K1/K2/

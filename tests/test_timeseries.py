@@ -388,3 +388,36 @@ def test_ts6_trend_matches_numpy_polyfit(spark):
         assert abs(g.intercept - intercept) < 1e-2 * max(1, abs(intercept))
         assert abs(g.r2 - r2) < 1e-3
         assert abs(g.forecast_next7 - fc) < max(0.1, 1e-4 * abs(fc))
+
+
+def test_a21_percentile_bands_match_numpy(spark):
+    """Daily p50/p95 recomputed with numpy's linear interpolation (the
+    quantile_cont definition), and the spike flag re-derived from the
+    rounded values."""
+    import numpy as np
+    import pandas as pd
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        a21_daily_percentile_bands,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(sf + "/events.parquet")
+    pdf["day"] = pdf["ts"].dt.strftime("%Y-%m-%d")
+    rows = a21_daily_percentile_bands(spark, sf).collect()
+    assert rows
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, {})[r.day] = r
+    for (et, day), grp in pdf.groupby(["event_type", "day"]):
+        r = by_series[et][day]
+        assert r.n == len(grp)
+        v = grp["value"].to_numpy()
+        assert abs(r.p50 - round(float(np.quantile(v, 0.5)), 4)) < 1e-9
+        assert abs(r.p95 - round(float(np.quantile(v, 0.95)), 4)) < 1e-9
+    for et, days in by_series.items():
+        p95s = [r.p95 for r in days.values()]
+        med = round(float(np.quantile(np.array(p95s), 0.5)), 4)
+        for r in days.values():
+            assert abs(r.series_median_p95 - med) < 1e-9
+            assert r.p95_spike == (r.p95 > 1.5 * med)
