@@ -355,8 +355,15 @@ def j8_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bkt0", F.floor(F.col("rv") / _J8_DELTA))
         .select(
             "rv",
+            # {b-2..b+2}, not {b-1..b+1}: two independent fp divisions
+            # can straddle TWO integer boundaries when |lv-rv| is within
+            # a few ulps of delta (ADVICE r13) — the wider neighborhood
+            # keeps the gap bound exact while staying O(1) fan-out, and
+            # the exact band predicate still prunes false candidates; a
+            # qualifying pair still meets at most once (lv has one bkt,
+            # the five exploded buckets are distinct).
             F.explode(
-                F.expr("array(bkt0 - 1L, bkt0, bkt0 + 1L)")
+                F.expr("array(bkt0 - 2L, bkt0 - 1L, bkt0, bkt0 + 1L, bkt0 + 2L)")
             ).alias("bkt"),
         )
     )

@@ -614,7 +614,7 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _G5_MIN_SHARED)
         .select("u", "v")
     )
-    comp = connected_components(edges, a_col="u", b_col="v")
+    comp = connected_components(edges, a_col="u", b_col="v", pin=True)
     return comp.groupBy(F.col("canonical_id").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )

@@ -769,13 +769,19 @@ _COMPACT_TARGET = 16_384  # bytes per compaction group (probe scale)
       SELECT event_type, CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
              CAST(count(*) * 64 AS BIGINT) AS bytes
       FROM events GROUP BY 1, 2),
-    planned AS (
+    rawg AS (
       SELECT event_type, day, bytes,
              CAST(floor((sum(bytes) OVER (PARTITION BY event_type
                                           ORDER BY day
                                           ROWS UNBOUNDED PRECEDING) - bytes)
-                        / {_COMPACT_TARGET}) AS BIGINT) AS group_id
-      FROM manifest)
+                        / {_COMPACT_TARGET}) AS BIGINT) AS raw_group
+      FROM manifest),
+    planned AS (
+      SELECT event_type, day, bytes,
+             CAST(dense_rank() OVER (PARTITION BY event_type
+                                     ORDER BY raw_group) - 1 AS BIGINT)
+               AS group_id
+      FROM rawg)
     SELECT event_type, group_id,
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(sum(bytes) AS BIGINT) AS group_bytes,
@@ -786,11 +792,15 @@ _COMPACT_TARGET = 16_384  # bytes per compaction group (probe scale)
 def scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction groups per partition key (block comment above): a
     file joins the group its FIRST byte lands in (floor((cum−bytes)/
-    target)), so groups are contiguous day ranges of ≥ target bytes
-    (the last group may be short). Output is the per-group rollup the
-    executor would fan out over — n_files, bytes, day span. Integer
-    arithmetic end-to-end: the hash certifies the cumulative window,
-    the bucketing, and the rollup."""
+    target)), DENSIFIED with a dense_rank over the floor value so
+    group ids are contiguous from 0 even when one oversized file (>
+    2× target) makes the raw floor skip integers (ADVICE r13 — the
+    contiguity invariant test_compaction_plan_invariants pins was
+    scale-fragile without the densify). Groups remain contiguous day
+    ranges of ≥ target bytes (the last group may be short). Output is
+    the per-group rollup the executor would fan out over — n_files,
+    bytes, day span. Integer arithmetic end-to-end: the hash certifies
+    the cumulative window, the bucketing, and the rollup."""
     from pyspark.sql import Window
 
     manifest = (
@@ -804,12 +814,13 @@ def scale_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wd = Window.partitionBy("event_type").orderBy("raw_group")
     planned = manifest.withColumn(
-        "group_id",
+        "raw_group",
         F.floor((F.sum("bytes").over(w) - F.col("bytes")) / _COMPACT_TARGET).cast(
             "long"
         ),
-    )
+    ).withColumn("group_id", (F.dense_rank().over(wd) - 1).cast("long"))
     return planned.groupBy("event_type", "group_id").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("bytes").cast("long").alias("group_bytes"),

@@ -71,7 +71,35 @@ MATRIX = {
     "x2t_ivfpq_residual_search": ("embeddings", (1, 10)),
     "x2v_ivfpq_refine": ("embeddings", (1, 10)),
     "x2w_matryoshka_prefix_search": ("embeddings", (1, 10)),
+    # Not a registry probe: the g5 probe opts in to pin=True (tiny
+    # hashed output), so this entry exercises the PUBLIC DEFAULT —
+    # connected_components(pin=False), distributed labels end to end —
+    # at scale (VERDICT r13 weak #1 done-criterion).
+    "cc_default_nopin": ("events", (1, 10)),
 }
+
+
+def _cc_default_nopin(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        _G5_MIN_SHARED,
+        _memo_pairs,
+    )
+
+    edges = (
+        _memo_pairs(spark, sf_dir)
+        .filter(F.col("n_shared") >= _G5_MIN_SHARED)
+        .select("u", "v")
+    )
+    return connected_components(edges, a_col="u", b_col="v")
+
+
+#: smoke-only entries that are not registry probes
+CUSTOM = {"cc_default_nopin": _cc_default_nopin}
 
 
 def gen_documents(spark: SparkSession, n: int, path: str) -> None:
@@ -188,7 +216,8 @@ def main() -> None:
             sf_dir = f"{ROOT}/sf{s}x"
             w0, r0 = shuffle_totals(app_id)
             t0 = time.time()
-            n_rows = probes[name].fn(spark, sf_dir).count()
+            fn = CUSTOM.get(name) or probes[name].fn
+            n_rows = fn(spark, sf_dir).count()
             wall = time.time() - t0
             w1, r1 = shuffle_totals(app_id)
             dw = (w1 - w0) / 1e6
