@@ -177,7 +177,9 @@ def test_connected_components_default_is_distributed(spark, monkeypatch):
     (the loop's convergence check is a count, metadata-sized), and the
     returned frame is a checkpoint-backed LogicalRDD, not a local
     relation. pin=True (probe opt-in) is the collecting path."""
-    from pyspark.sql import DataFrame
+    # Patch the CONCRETE class: in Spark 4 pyspark.sql.DataFrame is a
+    # dispatch base whose classic subclass overrides collect.
+    from pyspark.sql.classic.dataframe import DataFrame
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
