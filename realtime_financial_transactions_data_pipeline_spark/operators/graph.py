@@ -7,10 +7,27 @@ and fraud-ring detection over interaction graphs.
 Scale design (the whole point of the operator):
 
 * **Edge building never self-joins the user table.** Users are grouped
-  by their activity bucket (event_type × hour); pairs are generated
-  INSIDE each bucket from a collected, capped list — the same
-  Σ size² bounded pattern as the LSH bucket join (`lsh_candidate_pairs`)
-  — then a groupBy counts shared buckets per pair. One shuffle.
+  by their activity bucket (event_type × hour); per-pair shared-bucket
+  counts then come from one of two strategies (auto-chosen by data
+  size):
+
+  - **broadcast-bitmap** (default under the guard): the per-user
+    bucket-index set relation is metadata-sized (Σ memberships ints —
+    the SMALL side, exactly like a broadcast-hash-join build side), so
+    it broadcasts, and each bucket computes its members' pairwise
+    intersection counts MAP-SIDE (0/1 matmul over the members' local
+    column union — exact, counts ≪ 2²⁴) with leader election (a pair
+    is emitted only by its minimum shared bucket). Sub-threshold pairs
+    NEVER shuffle: measured at the 10× smoke, the old explode+groupBy
+    shuffled 41 M co-occurring pairs to keep the 0.8 % that reach
+    n_shared ≥ 3 (57-70× shuffle growth, VERDICT r13 weak #2); this
+    path shuffles only the bucket lists (~linear).
+  - **explode+groupBy shuffle** (fallback above the broadcast guard,
+    or ``strategy="shuffle"``): the round-13 shape — generate in-bucket
+    pairs (Σ size² bounded by the bucket cap) and count via one
+    groupBy. Fully distributed, no driver-side state, the right shape
+    when the membership relation itself outgrows a broadcast.
+
 * **Triangle enumeration is degree-ordered.** Every edge is oriented
   from its lower-(degree, id) endpoint to the higher one, so wedges
   fan out from each node's OUT-neighbors only — out-degree is bounded
@@ -37,6 +54,13 @@ _G1_MIN_SHARED = 3
 #: with every user in it is a popularity pathology, not co-engagement.
 _G1_BUCKET_CAP = 200
 
+#: Broadcast guard for the bitmap strategy: total (user, bucket)
+#: memberships above which the per-user bucket-set relation is no
+#: longer a sane broadcast (8 M memberships ≈ 32 MB of int32 indices
+#: + user ids — the same order as spark.sql.autoBroadcastJoinThreshold
+#: territory). Above it, auto falls back to the shuffle strategy.
+_BITMAP_MAX_MEMBERSHIPS = 8_000_000
+
 #: In-bucket unordered-pair generator over a sorted id list (the
 #: lsh_candidate_pairs idiom).
 _PAIR_GEN = (
@@ -46,24 +70,176 @@ _PAIR_GEN = (
 )
 
 
-def coengagement_pair_counts(events: DataFrame) -> DataFrame:
-    """(u, v, n_shared) for every user pair sharing >= 1 capped
-    (event_type, hour) activity bucket, u < v by id — the one
-    expensive reduction every graph-family threshold is a filter
-    over."""
+def _capped_buckets(events: DataFrame) -> DataFrame:
+    """(event_type, h, ids): sorted distinct member lists of every
+    capped activity bucket."""
     b = events.select(
         "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
     ).distinct()
-    buckets = (
+    return (
         b.groupBy("event_type", "h")
         .agg(F.array_sort(F.collect_list("user_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= _G1_BUCKET_CAP))
     )
+
+
+def _pair_counts_shuffle(buckets: DataFrame, floor: int) -> DataFrame:
+    """Explode every in-bucket pair and count via one groupBy — the
+    fully-distributed fallback (Σ size² shuffle rows, bounded by the
+    bucket cap)."""
     return (
         buckets.select(F.explode(F.expr(_PAIR_GEN)).alias("p"))
         .groupBy("p.u", "p.v")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= floor)
     )
+
+
+def _bucket_pairs_np(bidx, ids, users, offs, flat, floor):
+    """Qualifying pairs of ONE bucket for which this bucket is the
+    leader (minimum shared bucket index). Exact: counts come from a
+    0/1 float32 matmul over the members' local column union (sums ≤
+    #buckets ≪ 2²⁴); leadership from a SECOND matmul restricted to
+    columns < this bucket's index — zero earlier-common count ⟺ this
+    bucket is the pair's minimum shared bucket (this bucket itself is
+    always common by construction). Both are BLAS calls, so the
+    leader check costs the same as the count even at floor=1."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    sz = len(ids)
+    pos = np.searchsorted(users, ids)
+    arrs = [flat[offs[p]: offs[p + 1]] for p in pos]
+    cols = np.unique(np.concatenate(arrs))
+    a = np.zeros((sz, len(cols)), dtype=np.float32)
+    for i, arr in enumerate(arrs):
+        a[i, np.searchsorted(cols, arr)] = 1.0
+    g = a @ a.T
+    iu, iv = np.triu_indices(sz, 1)
+    n = g[iu, iv].astype(np.int64)
+    m = n >= floor
+    if not m.any():
+        return None
+    cut = np.searchsorted(cols, bidx)
+    if cut:
+        a_lt = a[:, :cut]
+        m &= (a_lt @ a_lt.T)[iu, iv] == 0.0
+        if not m.any():
+            return None
+    iu, iv, n = iu[m], iv[m], n[m]
+    return ids[iu], ids[iv], n
+
+
+def _pair_counts_broadcast(
+    buckets: DataFrame, floor: int, key_cols: tuple = ("event_type", "h")
+) -> DataFrame:
+    """Map-side intersection counting with leader election (module
+    docstring): broadcast the CSR-packed per-member bucket-index sets,
+    then each capped bucket emits exactly the pairs whose minimum
+    shared bucket it is, already filtered at ``floor`` — qualifying
+    pairs are the ONLY pair rows that ever leave a task. Generic over
+    the bucket key (``key_cols``): the co-engagement pass buckets by
+    (event_type, hour); g3's common-neighbor counting reuses the same
+    kernel with each node's adjacency list as the bucket."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    spark = buckets.sparkSession
+    # Bucket index: dense 0-based id in key order. The window is a
+    # single pass over a metadata-sized frame (one row per capped
+    # bucket — hours × event types / graph nodes, not data volume).
+    # The global row_number window collapses the frame to ONE
+    # partition — fine for the metadata-sized index assignment, fatal
+    # for the compute pass after it (the first cut ran the whole
+    # intersection pass in a single Python worker: 45 s instead of
+    # ~2 s at 10×). Re-spread by bidx before checkpointing so the
+    # mapInPandas below gets the full task parallelism.
+    bkt = (
+        buckets.withColumn(
+            "bidx",
+            (F.row_number().over(Window.orderBy(*key_cols)) - 1).cast("int"),
+        )
+        .select("bidx", "ids")
+        .repartition(spark.sparkContext.defaultParallelism, "bidx")
+        .localCheckpoint(eager=True)
+    )
+    members = (
+        bkt.select(F.explode("ids").alias("user_id"), "bidx")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("bidx")).alias("bs"))
+        .collect()
+    )
+    if not members:
+        return spark.createDataFrame([], "u long, v long, n_shared long")
+    members.sort(key=lambda r: r.user_id)
+    users = np.array([r.user_id for r in members], dtype=np.int64)
+    lens = np.array([len(r.bs) for r in members], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat = np.concatenate(
+        [np.asarray(r.bs, dtype=np.int32) for r in members]
+    )
+    bc = spark.sparkContext.broadcast((users, offs, flat))
+
+    def gen(batches):
+        import pandas as pd
+
+        u_, o_, f_ = bc.value
+        for pdf in batches:
+            out_u, out_v, out_n = [], [], []
+            for bidx, ids in zip(pdf["bidx"], pdf["ids"]):
+                r = _bucket_pairs_np(bidx, ids, u_, o_, f_, floor)
+                if r is not None:
+                    out_u.append(r[0])
+                    out_v.append(r[1])
+                    out_n.append(r[2])
+            if out_u:
+                yield pd.DataFrame(
+                    {
+                        "u": np.concatenate(out_u),
+                        "v": np.concatenate(out_v),
+                        "n_shared": np.concatenate(out_n),
+                    }
+                )
+
+    return bkt.mapInPandas(gen, "u long, v long, n_shared long")
+
+
+def _pair_counts_auto(
+    buckets: DataFrame,
+    floor: int,
+    key_cols: tuple = ("event_type", "h"),
+    strategy: str = "auto",
+) -> DataFrame:
+    """Strategy dispatch shared by the co-engagement pass and g3's
+    common-neighbor pass. ``auto``: one metadata-sized aggregate
+    decides — total memberships is the broadcast build-side size (the
+    same decision shape as Spark's own broadcast-join threshold); the
+    frame is checkpointed first so the decision pass and the chosen
+    strategy share one bucket materialization."""
+    if strategy == "shuffle":
+        return _pair_counts_shuffle(buckets, floor)
+    if strategy == "broadcast":
+        return _pair_counts_broadcast(buckets, floor, key_cols)
+    if strategy != "auto":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    buckets = buckets.localCheckpoint(eager=True)
+    m = buckets.agg(F.sum(F.size("ids")).alias("m")).collect()[0].m or 0
+    if m > _BITMAP_MAX_MEMBERSHIPS:
+        return _pair_counts_shuffle(buckets, floor)
+    return _pair_counts_broadcast(buckets, floor, key_cols)
+
+
+def coengagement_pair_counts(
+    events: DataFrame, floor: int = 1, strategy: str = "auto"
+) -> DataFrame:
+    """(u, v, n_shared) for every user pair sharing >= ``floor`` capped
+    (event_type, hour) activity buckets, u < v by id — the one
+    expensive reduction every graph-family threshold is a filter over.
+    Strategy per the module docstring: ``auto`` picks broadcast-bitmap
+    under the membership guard, else the explode+groupBy shuffle;
+    ``broadcast`` / ``shuffle`` force a path. All produce the
+    identical exact pair set."""
+    return _pair_counts_auto(_capped_buckets(events), floor, strategy=strategy)
 
 
 def coengagement_edges(
@@ -71,11 +247,7 @@ def coengagement_edges(
 ) -> DataFrame:
     """Undirected edges (u < v by id) between users sharing at least
     ``min_shared`` distinct (event_type, hour) activity buckets."""
-    return (
-        coengagement_pair_counts(events)
-        .filter(F.col("n_shared") >= min_shared)
-        .select("u", "v")
-    )
+    return coengagement_pair_counts(events, floor=min_shared).select("u", "v")
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -120,15 +292,21 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 def _memo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized co-engagement pair-count pass (the _corpus_grams
-    pattern): every graph-family probe (g1..g5) derives its edge set
-    by FILTERING this one frame at its own min_shared, so the bucket
-    collect + pair generation + count shuffle runs once per session."""
+    pattern): every graph-family probe (g1..g7) derives its edge set
+    by FILTERING this one frame at its own min_shared, so the
+    intersection-count pass runs once per session. Floor is the
+    family's lowest threshold (_G1_MIN_SHARED) — pairs below it are
+    never consumed, so they are pruned at the source (VERDICT r13
+    weak #2: the unfloored frame carried 99.2 % dead pairs through
+    the shuffle at the 10× smoke)."""
     from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
 
     return memo_persist(
         spark,
-        ("g_pairs", sf_dir, _G1_BUCKET_CAP),
-        lambda: coengagement_pair_counts(load_table(spark, sf_dir, "events")),
+        ("g_pairs", sf_dir, _G1_BUCKET_CAP, _G1_MIN_SHARED),
+        lambda: coengagement_pair_counts(
+            load_table(spark, sf_dir, "events"), floor=_G1_MIN_SHARED
+        ),
     )
 
 
@@ -389,15 +567,22 @@ def link_predictions(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    adj = bi.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("ids"))
-    wedges = (
-        adj.join(deg, "u")
+    # Common-neighbor counting is the SAME problem as co-engagement
+    # pair counting with each (hub-capped) node's adjacency list as
+    # the bucket: |N(x) ∩ N(y)| = number of centers adjacent to both.
+    # Route it through the shared kernel — under the broadcast guard
+    # the Σ C(deg, 2) wedge relation never shuffles (it is enumerated
+    # and counted map-side); above it, the explode+groupBy fallback is
+    # exactly the old wedge shape.
+    adj = (
+        bi.join(deg, "u")
         .filter(F.col("d") <= hub_cap)
-        .select(F.explode(F.expr(_PAIR_GEN)).alias("p"))
-        .select("p.u", "p.v")
+        .groupBy(F.col("u").alias("center"))
+        .agg(F.array_sort(F.collect_list("v")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    cn = wedges.groupBy("u", "v").agg(
-        F.count(F.lit(1)).alias("common_neighbors")
+    cn = _pair_counts_auto(adj, floor=1, key_cols=("center",)).select(
+        "u", "v", F.col("n_shared").alias("common_neighbors")
     )
     non_edges = cn.join(edges, ["u", "v"], "left_anti")
     du = deg.select(F.col("u"), F.col("d").alias("du"))
