@@ -59,6 +59,63 @@ def test_coengagement_edges_threshold(spark):
     assert got == {(1, 2)}
 
 
+def test_pair_count_strategies_agree_on_adversarial_layout(spark):
+    """broadcast-bitmap vs explode+groupBy on a layout built to stress
+    the leader election: pairs whose minimum shared bucket is NOT
+    their first bucket in id order of either member, a pair shared
+    across many buckets, a bucket-cap dropout, and a sub-floor pair.
+    Both strategies must emit the identical exact (u, v, n_shared)
+    multiset at every floor."""
+    import datetime as dt
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        coengagement_pair_counts,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # (1,2) share hours 5,7,9 of 'click' AND hour 5 of 'view' (4 buckets,
+    # min bucket is the 'click' h5 one only under (event_type, h) order).
+    for h in (5, 7, 9):
+        for u in (1, 2):
+            rows.append((u, "click", base + dt.timedelta(hours=h)))
+    for u in (1, 2):
+        rows.append((u, "view", base + dt.timedelta(hours=5)))
+    # (3,4) share exactly 2 buckets (sub-floor at floor=3).
+    for h in (0, 1):
+        for u in (3, 4):
+            rows.append((u, "click", base + dt.timedelta(hours=h)))
+    # (1,3) share ONE bucket whose hour sorts after every other bucket.
+    for u in (1, 3):
+        rows.append((u, "click", base + dt.timedelta(hours=23)))
+    # An over-cap bucket (everyone at hour 12) must drop entirely.
+    for u in range(1, 8):
+        rows.append((u, "purchase", base + dt.timedelta(hours=12)))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    import realtime_financial_transactions_data_pipeline_spark.operators.graph as g
+
+    old_cap = g._G1_BUCKET_CAP
+    try:
+        g._G1_BUCKET_CAP = 5  # drops the 7-user purchase bucket
+        for floor in (1, 2, 3, 4, 5):
+            a = sorted(
+                map(tuple, coengagement_pair_counts(
+                    ev, floor=floor, strategy="broadcast").collect())
+            )
+            b = sorted(
+                map(tuple, coengagement_pair_counts(
+                    ev, floor=floor, strategy="shuffle").collect())
+            )
+            assert a == b, (floor, a, b)
+        assert sorted(
+            map(tuple, coengagement_pair_counts(ev, floor=1).collect())
+        ) == [(1, 2, 4), (1, 3, 1), (3, 4, 2)]
+    finally:
+        g._G1_BUCKET_CAP = old_cap
+
+
 def test_pagerank_known_values(spark):
     """Hand-checkable graph: path 1-2-3. Symmetric under 1<->3, ranks
     sum to 1 every iteration (no dangling mass), center outranks ends."""
