@@ -1403,24 +1403,45 @@ def pruned_index_state(
     those pairs cannot exist at the verify threshold by induction —
     one side would have rejected the other at its own admission — and
     even when banding false-positives them, their ids are absent from
-    ``b`` so the admission anti-join ignores them.)"""
+    ``b`` so the admission anti-join ignores them.)
+
+    Latency shape (r14 trim): exactly TWO driver actions per probe —
+    each wrapped quantity is batch-bounded by construction. Action 1
+    collects the batch's distinct (band_id, band_hash, bg) keys (≤
+    batch × bands rows), so the band-group list AND the bucket-key
+    join relation come from one job and the key join against the
+    band parquet is a local relation (broadcast, no recompute of the
+    batch's banding inside the scan plan). Action 2 collects the
+    candidate (doc_id, dg) ids (≤ docs sharing a bucket with the
+    batch), replacing the old localCheckpoint + second collect — the
+    dg list and the semi-join relation again come from one job. The
+    previous shape paid three actions plus a checkpoint; per-trigger
+    latency here is action-count-bound, not row-bound
+    (neardup_admit docstring)."""
     batch_bands = batch_bands.withColumn(
         "bg", F.pmod(F.hash("band_id", "band_hash"), F.lit(n_groups))
     )
-    bgs = _group_values(batch_bands, "bg", n_groups)
-    # localCheckpoint materializes the candidate set ONCE per trigger
-    # (bounded by batch × bands): both the dg-group collect below and
-    # the returned plan's semi-join read the checkpointed blocks, so
-    # the band-group parquet is scanned exactly once per micro-batch
-    # instead of once per consumer.
-    cand_ids = _candidate_ids(
-        spark, bands_dir, batch_bands, bgs, n_groups
-    ).localCheckpoint()
-    dgs = _group_values(cand_ids, "dg", n_groups)
+    keys = (
+        batch_bands.select("band_id", "band_hash", "bg").distinct().collect()
+    )
+    empty = spark.createDataFrame(
+        [], "doc_id long, lang string, grams array<string>, sig array<bigint>"
+    ).coalesce(1)
+    if not keys:
+        return empty
+    bgs = sorted({r.bg for r in keys})
+    key_df = spark.createDataFrame(
+        [(r.band_id, r.band_hash) for r in keys], "band_id int, band_hash int"
+    )
+    cand = _candidate_ids(spark, bands_dir, key_df, bgs, n_groups).collect()
+    if not cand:
+        return empty
+    dgs = sorted({r.dg for r in cand})
+    ids_df = spark.createDataFrame([(r.doc_id,) for r in cand], "doc_id long")
     return (
         spark.read.parquet(state_dir)
         .filter(F.col("dg").isin(dgs))
-        .join(cand_ids.select("doc_id"), "doc_id", "semi")
+        .join(ids_df, "doc_id", "semi")
         .select("doc_id", "lang", "grams", "sig")
     )
 
@@ -1571,8 +1592,28 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     s, state_dir, bands_dir, banded_keys(b, "doc_id")
                 ).persist()
             else:
+                # Plain empty local relation — do NOT coalesce(1) it:
+                # measured at sf0.1, a coalesced empty side made the
+                # downstream union's checkpoint task hang ~5.5 s (6.0 s
+                # vs 0.49 s for the plain form; r14 x2n trim bisect).
                 state = s.createDataFrame([], state_schema)
-            admitted = neardup_admit(state, b)
+                # Pin b's cache BEFORE the admit action: on the first
+                # batch nothing upstream has materialized it, and the
+                # admit job's three uni subtrees (banding, ga, gb) race
+                # the un-filled cache into ~3 concurrent minhash passes
+                # (measured 6.6 s -> 2.5 s for batch 0 at sf0.1). Later
+                # batches materialize b inside the pruned probe's key
+                # collect, so the pin is batch-0-only.
+                b.count()
+            # Eager localCheckpoint, NOT persist: the three sink writes
+            # and the replay check each re-ANALYZE the frame's full
+            # lineage (cache substitution happens after analysis), and
+            # the admit DAG is the most analysis-heavy plan in the
+            # probe. Checkpointing makes every downstream plan a
+            # LogicalRDD leaf — one heavy analysis per batch instead of
+            # four (r14 x2n trim; the neardup_admit docstring's
+            # plan-size-dominates observation, applied).
+            admitted = neardup_admit(state, b).localCheckpoint(eager=True)
             part_dir = f"{accepted_dir}/batch={batch_id}"
             hpath = jvm.org.apache.hadoop.fs.Path(part_dir)
             hfs = hpath.getFileSystem(hconf)
@@ -1581,8 +1622,6 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # back empty — the committed rows must be left untouched.
             already_applied = hfs.exists(hpath) and admitted.limit(1).count() == 0
             if not already_applied:
-                admitted.persist()
-                try:
                     admitted.select("doc_id", "lang").write.mode(
                         "overwrite"
                     ).parquet(part_dir)
@@ -1594,25 +1633,41 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # repartition on the partition column first: one
                     # file per touched group instead of one per task
                     # per group (the many-executor small-file guard).
-                    admitted.withColumn(
-                        "dg",
-                        F.pmod(F.hash("doc_id"), F.lit(_X2N_STATE_GROUPS)),
-                    ).repartition("dg").write.mode("overwrite").partitionBy(
-                        "dg"
-                    ).parquet(f"{state_dir}/batch={batch_id}")
-                    banded_keys(admitted, "doc_id").select(
-                        F.col("_id").alias("doc_id"),
-                        "band_id",
-                        "band_hash",
-                        F.pmod(
-                            F.hash("band_id", "band_hash"),
-                            F.lit(_X2N_STATE_GROUPS),
-                        ).alias("bg"),
-                    ).repartition("bg").write.mode("overwrite").partitionBy(
-                        "bg"
-                    ).parquet(f"{bands_dir}/batch={batch_id}")
-                finally:
-                    admitted.unpersist()
+                    # The two index writes run CONCURRENTLY (driver
+                    # threads; both read the persisted `admitted`) —
+                    # they are commit-latency-bound at batch scale, and
+                    # every crash window stays replay-safe: a missing
+                    # bg subdir means the batch's docs surface no band
+                    # candidates, a missing dg subdir drops their grams
+                    # from verification — either way `admitted` comes
+                    # back NON-empty on replay and all three sinks are
+                    # rewritten idempotently (r14 x2n trim).
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    def _write_dg() -> None:
+                        admitted.withColumn(
+                            "dg",
+                            F.pmod(F.hash("doc_id"), F.lit(_X2N_STATE_GROUPS)),
+                        ).repartition("dg").write.mode("overwrite").partitionBy(
+                            "dg"
+                        ).parquet(f"{state_dir}/batch={batch_id}")
+
+                    def _write_bg() -> None:
+                        banded_keys(admitted, "doc_id").select(
+                            F.col("_id").alias("doc_id"),
+                            "band_id",
+                            "band_hash",
+                            F.pmod(
+                                F.hash("band_id", "band_hash"),
+                                F.lit(_X2N_STATE_GROUPS),
+                            ).alias("bg"),
+                        ).repartition("bg").write.mode("overwrite").partitionBy(
+                            "bg"
+                        ).parquet(f"{bands_dir}/batch={batch_id}")
+
+                    with ThreadPoolExecutor(2) as pool:
+                        for fut in [pool.submit(_write_dg), pool.submit(_write_bg)]:
+                            fut.result()
         finally:
             b.unpersist()
             try:
@@ -1626,7 +1681,13 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(flat)
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # 1, not 4: at the ~800-doc probe batches every admit shuffle is a
+    # single task, and the per-trigger wall is task-launch-bound, not
+    # row-bound (measured 12.6 -> 9.8 s min-of-2 at sf0.1, r14 trim).
+    # Production sizing note: scale this with batch volume - the
+    # probe-scale counterpart of sizing shuffle partitions to executor
+    # count on a cluster.
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     try:
         q = (
             stream.writeStream.foreachBatch(_ingest)
