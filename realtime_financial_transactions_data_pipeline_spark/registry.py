@@ -113,88 +113,96 @@ DRIVER_WINDOW = 50
 #: fill the rest — k5/p5/j1/l1_l3/x5d/er2, families with no
 #: never-verified member left, chosen for fewest greens or longest-ago
 #: verification (p5/j1 last green round 2, k5 round 7, l1_l3 round 10).
-#: Remaining never-driver-verified after cohort 7 (~26, targeted for
-#: cohort 8): a1_a6, a8b, a14, a15, q1b, q1sql, q3, q4, q6, q10, q14,
-#: q18, q22, scale_salted_agg, scale_time_travel, t2c, t4b, ts2-free
-#: slot, x1e, x3g, x3h, x3j, x3k, x4_binary_columns, x4c, x4d, x4f,
-#: x9, x11 — plus the three rows-only-by-nature probes (u1, t5, x5)
-#: that can never enter (the window requires a hash-checked oracle),
-#: plus the thirteen round-13 newcomers added after this rotation was
-#: rehearsed (g3 link prediction, g4 BFS hops, g5 connected
-#: components, g6 weighted PageRank, ts4 autocorrelation, ts5 CUSUM
-#: changepoint, u7 l-diversity, x2v IVF+PQ refine, er3 golden record,
-#: mv3 aggregate navigation, scale_compaction_plan, j8 bucketed band
-#: join, a20 touch attribution, dq5 freshness audit, x3m vocabulary
-#: panel, ts6 trend forecast, u8 DP contribution bounding, g7 graph
-#: summary card, k12 dynamic partition overwrite, x2w Matryoshka
-#: prefix search, x2rb refine-lift recall, er4 blocking quality, a21
-#: percentile bands) — cohort 8 has ~51 candidates for its ~48 free
-#: slots: full lifetime coverage takes cohort 8 plus a few stragglers
-#: in cohort 9.
+#: Remaining never-driver-verified after cohort 7 (28 singles plus the
+#: TWENTY-THREE round-13 newcomers added after that rotation was
+#: rehearsed — ADVICE r13 fixed this count from "thirteen"): 51
+#: hash-checkable candidates for cohort 8's 42 free slots.
+#: Cohort-8 rotation (round 14, VERDICT_r13 item #1): anchors stay
+#: (q1, t1_t6); SIX family-coverage keeps are the least-recently-
+#: verified member of each family with no never-verified candidate
+#: left (s3b/p2/f11_f12/cube all last green round 2, l1b round 12,
+#: x5b round 12); FORTY-TWO never-driver-verified probes enter —
+#: every round-13 newcomer (g3-g7, ts4/ts5/ts6, u7/u8, er3/er4, mv3,
+#: scale_compaction_plan, j8, a20/a21, dq5, x3m, k12, x2v/x2w/x2rb)
+#: plus the oldest never-verified registry candidates (a1_a6, a8b,
+#: q3/q4/q6/q10/q14/q18/q22, t4b, x1e, x3h/x3j/x3k, x4c/x4d/x4f,
+#: x9, x11). NINE candidates wait for cohort 9 (family-redundant,
+#: deferred: q1b, q1sql, a14, a15, x4_binary_columns, x3g,
+#: scale_salted_agg, scale_time_travel, t2c) — after cohort 8 the
+#: lifetime ledger is 177/231 driver-verified with 9 hash-checkable
+#: stragglers left.
+#: ROWS-ONLY EXCLUSION (VERDICT_r13 item #7, permanent policy): the
+#: three rows-only-by-nature probes — u1_fpe_tokenize (keyed PRF),
+#: t5_rate_source (throughput), x5_approx_sketches (approximate) —
+#: NEVER enter the window: a window slot spent on a rows-only check
+#: is a wasted hash slot (test_driver_window_contract enforces that
+#: every member carries an oracle). Each has hash-checked twins
+#: (u1b/u1c, t9/t10, x5b/x5c/x5d) covering its semantics.
 _DRIVER_ORDER = [
     # anchors (stability): the flagship star join (also entry()'s smoke
     # every round) and the streaming pipeline covering S1/S2/S4/K1/K2/
     # T1/T2/T3/T6 in one probe.
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
-    # family-coverage keeps (no never-verified member exists in these
-    # families; chosen for fewest greens / longest-ago verification):
-    "k5_create_table_ddl",           # K5 DDL from schema (last green r7)
-    "p5_null_defaulting",            # P5 null defaulting (last green r2)
-    "j1_left_join_dim",              # J1 dim left join (last green r2)
-    "l1_l3_slicer_stack",            # L1-L3 slicers (last green r10)
-    "x5d_hll_distinct",              # X5d portable HLL (cohort 6)
-    "er2_fuzzy_match",               # ER2 fuzzy match (cohort 6)
-    # first exposure (42): TPC-H completions (round 12)...
-    "q2_min_cost_supplier",
-    "q5_local_supplier_revenue",
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_shipclass_priority",
-    "q16_supplier_part_counts",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    # ...graph analytics (round 12)...
-    "g1_triangle_count",
-    "g1b_clustering_coefficient",
-    "g2_pagerank",
-    # ...similarity/ANN (rounds 9-13)...
-    "x2k_int8_quantize",
-    "x2r_ann_recall",
-    "x2s_ivf_pq_search",
-    "x2t_ivfpq_residual_search",
-    "x2u_recall_tuned",
-    # ...time series, data quality, profiling...
-    "ts1_series_similarity",
-    "ts3_seasonal_decomposition",
-    "dq4_schema_drift",
-    "prof1_table_profile",
-    # ...analytics extensions...
-    "a12_funnel",
-    "a13_cohort_retention",
-    "a16_dispersion_correlation",
-    "a18_rolling_active_users",
-    "a19_basket_cooccurrence",
-    # ...functions, tokenization, ordering, sources...
-    "f16_iban_mod97",
-    "f8_f13_generator_mix",
-    "u6_k_anonymity_generalize",
-    "o6_ntile_deciles",
-    "o7_rank_distributions",
-    "s10_orc_roundtrip",
-    # ...text, multimodal...
-    "x3i_bm25",
-    "x4b_decode_stub",
-    "x4e_png_decode",
-    # ...dedup + curation chain...
-    "x1c_incremental_dedup",
-    "x7_contamination_check",
-    "x8_stratified_sample",
-    "x10_sequence_packing",
-    "x12_domain_quota",
-    "x13_quantile_gate",
-    "x14_doc_chunking",
-    "x17_train_val_test_split",
+    # family-coverage keeps (least-recently-verified per family):
+    "s3b_json_path_extract",         # S3 twin (last green r2)
+    "p2_column_drop",                # P2 (last green r2)
+    "f11_f12_arithmetic_round",      # F11/F12 (last green r2)
+    "l1b_partition_pruned_slice",    # L slicer, pruned (last green r12)
+    "cube_segment_status",           # O cube (last green r2)
+    "x5b_exact_percentiles",         # X5 twin (last green r12)
+    # first exposure (42): analytics extensions...
+    "a1_a6_generated_star",
+    "a8b_generated_dashboard_charts",
+    "a20_touch_attribution",
+    "a21_daily_percentile_bands",
+    # ...governance/quality...
+    "dq5_freshness_audit",
+    "er3_golden_record",
+    "er4_blocking_quality",
+    # ...round-13 graph family...
+    "g3_link_prediction",
+    "g4_bfs_hops",
+    "g5_connected_components",
+    "g6_weighted_pagerank",
+    "g7_graph_summary",
+    # ...joins, sinks, views...
+    "j8_band_join_bucketed",
+    "k12_dynamic_partition_overwrite",
+    "mv3_aggregate_navigation",
+    # ...TPC-H stragglers...
+    "q3_unshipped_orders_topk",
+    "q4_late_shipment_exists",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q22_idle_customers",
+    # ...scale ops, streaming, time series...
+    "scale_compaction_plan",
+    "t4b_sessionization",
+    "ts4_autocorrelation",
+    "ts5_cusum_changepoint",
+    "ts6_trend_forecast",
+    # ...privacy...
+    "u7_l_diversity_audit",
+    "u8_dp_bounded_contribution",
+    # ...dedup, retrieval...
+    "x1e_stream_dedup_ingest",
+    "x2rb_refine_recall",
+    "x2v_ivfpq_refine",
+    "x2w_matryoshka_prefix_search",
+    # ...text...
+    "x3h_repetition_metrics",
+    "x3j_bigram_xentropy",
+    "x3k_normalize",
+    "x3m_vocab_zipf",
+    # ...multimodal, curation...
+    "x4c_real_decode",
+    "x4d_bmp_decode",
+    "x4f_png_resize",
+    "x9_token_sharding",
+    "x11_deterministic_shuffle",
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
     # Not assert: these invariants must hold under ``python -O`` too,
