@@ -190,6 +190,27 @@ def build_stream_source(
                 "classpath and a reachable broker (pass kafka_options from "
                 "kafka_reader_options)"
             ) from exc
+    if source_format == "socket":
+        # Live-TCP transport: real bytes over a wire into readStream,
+        # one message per line — the integration-test stand-in for a
+        # broker (tests/test_streaming.py runs the full parse→validate→
+        # tokenize graph against a real server socket). NOT a
+        # production transport: Spark's socket source keeps no offsets,
+        # so it cannot replay and therefore cannot be exactly-once —
+        # Kafka (above) is the durable seam; this one proves the wire
+        # path end to end where no broker exists.
+        host, _, port = (input_dir or "").partition(":")
+        if not host or not port.isdigit():
+            raise ValueError(
+                "socket transport needs input_dir='host:port', got "
+                f"{input_dir!r}"
+            )
+        return (
+            spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", int(port))
+            .load()
+        )
     if source_format != "text":
         raise ValueError(f"unknown source_format {source_format!r}")
     reader = spark.readStream.format("text")
