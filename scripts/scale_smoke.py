@@ -48,7 +48,11 @@ BASE = {"documents": BASE_DOCS, "events": BASE_EVENTS, "embeddings": BASE_EMB}
 #: probe -> (table it scales with, scales to run)
 MATRIX = {
     "x2a_minhash_lsh_neardup": ("documents", (1, 10)),
-    "x2i_neardup_components": ("documents", (1, 10)),
+    # 100x = 500 k docs (VERDICT r13 stretch #8): one family measured
+    # at two orders of magnitude, turning the "survives 100x" claim
+    # from extrapolation into measurement for the banding + label-
+    # propagation chain.
+    "x2i_neardup_components": ("documents", (1, 10, 100)),
     "x2n_stream_neardup_ingest": ("documents", (1, 10)),
     "k8b_bucketed_merge_sink": ("events", (1, 10, 60)),
     "ts1b_series_similarity_blocked": ("events", (1, 10)),
