@@ -1022,3 +1022,133 @@ def graph_summary(edges: DataFrame) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G8 — connected components via LARGE-STAR / SMALL-STAR alternation
+# (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+# the O(log n)-round algorithm the min-label-propagation CC
+# (operators/dedup.connected_components) names as its upgrade path for
+# pathological high-diameter graphs. Each round rewires the edge list
+# toward a star forest rooted at component minima:
+#   large-star(u): every neighbor v > u reattaches to min(Γ(u) ∪ {u});
+#   small-star(u): orient edges large→small, every smaller neighbor
+#   (and u itself) reattaches to the minimum.
+# Rounds needed are O(log n) REGARDLESS of diameter — label
+# propagation pays O(diameter) rounds on a path graph; the star
+# alternation halves star heights geometrically. Per round: two
+# groupBy-min aggregations + two joins over the (shrinking) edge list,
+# plans kept constant-size by eager localCheckpoint (the x2i
+# discipline). Convergence is an EXACT fixed-point check (symmetric
+# exceptAll, edge-list-sized — correctness-first; a production run at
+# extreme scale can swap it for a count+hash metadata check).
+# Reference counterpart: none (reference dedupes exact rows only);
+# algorithm per the public MapReduce-CC literature.
+# ---------------------------------------------------------------------------
+
+
+def connected_components_star(
+    edges: DataFrame, a_col: str = "u", b_col: str = "v", max_iters: int = 25
+) -> DataFrame:
+    """Star-contraction connected components over an undirected edge
+    list: returns (doc_id, canonical_id) for every node appearing in an
+    edge, canonical_id = the component's minimum node id — the same
+    contract as ``dedup.connected_components``, reached in O(log n)
+    rounds instead of O(diameter)."""
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # Large-star: reattach strictly-larger neighbors to the
+        # center's neighborhood minimum (center included).
+        bi = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mn = bi.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            bi.join(mn, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # Small-star: orient large→small; reattach every smaller
+        # neighbor AND the center to the minimum.
+        o = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mn2 = o.groupBy("a").agg(F.min("b").alias("m"))
+        om = o.join(mn2, "a")
+        small = (
+            om.select(F.col("b").alias("x"), "m")
+            .unionAll(om.select(F.col("a").alias("x"), "m"))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count()
+            + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} rounds"
+        )
+    # Fixed point is a star forest (node -> component root); roots
+    # label themselves.
+    roots = e.select(
+        F.col("b").alias("doc_id"), F.col("b").alias("canonical_id")
+    ).distinct()
+    return (
+        e.select(F.col("a").alias("doc_id"), F.col("b").alias("canonical_id"))
+        .unionByName(roots)
+        .distinct()
+    )
+
+
+@probe(
+    "g8_star_components",
+    oracle=f"""
+    WITH RECURSIVE b AS (SELECT DISTINCT user_id, event_type,
+                                date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G5_MIN_SHARED}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    r AS (SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM bi)
+          UNION
+          SELECT bi.v AS node, r.lbl FROM r JOIN bi ON bi.u = r.node
+          WHERE r.lbl < bi.v),
+    comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+           max(node) AS max_node
+    FROM comp GROUP BY component
+    """,
+)
+def g8_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — the same community-regime components as g5, computed by the
+    large-star/small-star contraction instead of min-label propagation
+    (block comment above): two INDEPENDENT distributed algorithms, one
+    recursive-closure oracle — the hash certifies they agree down to
+    per-component membership extremes (component minimum AND maximum
+    node id, plus size). Reuses the memoized pair-count pass shared by
+    the whole graph family."""
+    edges = (
+        _memo_pairs(spark, sf_dir)
+        .filter(F.col("n_shared") >= _G5_MIN_SHARED)
+        .select("u", "v")
+    )
+    comp = connected_components_star(edges)
+    return comp.groupBy(F.col("canonical_id").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("doc_id").alias("max_node"),
+    )

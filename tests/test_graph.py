@@ -59,6 +59,71 @@ def test_coengagement_edges_threshold(spark):
     assert got == {(1, 2)}
 
 
+def test_star_components_match_union_find_and_label_prop(spark):
+    """connected_components_star (large-star/small-star) against a
+    driver-side union-find AND the production label-propagation CC on
+    adversarial shapes: a 40-node path (the O(diameter) worst case the
+    star alternation exists to beat), two dense cliques bridged by one
+    edge, a star with a hub that is NOT the minimum, and singleton
+    edges."""
+    import random
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    def brute(pairs):
+        parent = {}
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(14)
+    cases = [
+        [(i, i + 1) for i in range(40)],                      # path
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+        + [(4, 10)],                                          # bridged cliques
+        [(50, i) for i in range(51, 70)] + [(7, 50)],         # hub != min
+        [(100, 101), (200, 201)],                             # singletons
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)],
+    ]
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "u long, v long")
+        star = {
+            r.doc_id: r.canonical_id
+            for r in connected_components_star(df).collect()
+        }
+        assert star == brute(pairs), pairs
+        # max_iters=60: label propagation needs O(diameter) rounds, so
+        # the 40-node path blows the default 25 cap — the exact failure
+        # mode the star alternation's O(log n) rounds avoid (star CC
+        # converges on the same path in ~6 rounds under ITS default).
+        prop = {
+            r.doc_id: r.canonical_id
+            for r in connected_components(
+                df, a_col="u", b_col="v", max_iters=60
+            ).collect()
+        }
+        assert star == prop, pairs
+
+
 def test_pair_count_strategies_agree_on_adversarial_layout(spark):
     """broadcast-bitmap vs explode+groupBy on a layout built to stress
     the leader election: pairs whose minimum shared bucket is NOT
