@@ -376,3 +376,158 @@ def j8_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         dround(F.avg(F.abs(F.col("lv") - F.col("rv"))), 4).alias("avg_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J9 — NEAREST-direction as-of join (pandas merge_asof
+# direction='nearest' with tolerance): for every left row, the right
+# row with the same key minimizing |right_ts − left_ts|, bounded by a
+# tolerance window; ties break toward the EARLIER (backward) match.
+# j6 is the backward (<=) form; j9 completes the direction family.
+#
+# Scale design — the SAME union + one-window-sort plan as j6, no join
+# node, no pair blow-up: one pass computes BOTH direction candidates
+# (last right-at-or-before via an unbounded-preceding frame, first
+# right-after via an unbounded-following frame over the identical
+# sort), then nearest is a null-safe arithmetic pick. One shuffle per
+# side, total.
+# ---------------------------------------------------------------------------
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """Append ``right_payload`` + ``_asof_ts`` from the nearest right
+    row per key within ``tolerance_seconds``; nulls when none
+    qualifies. Right must be unique per (key, right_ts) — reduce it
+    first (j6's contract). A right row at exactly the left timestamp
+    is a distance-0 backward match by the union sort order (right
+    sorts before left at equal ts), so the backward branch alone
+    covers equality and the tie rule stays 'earlier wins'."""
+    lcols = list(left.columns)
+    rstruct = F.struct(*right_payload, right_ts)
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            right.select(rstruct.alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        rstruct.alias("_r"),
+    )
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    back = (
+        Window.partitionBy("_k").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("_k").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = (
+        l.unionByName(r)
+        .withColumn("_b", F.last("_r", ignorenulls=True).over(back))
+        .withColumn("_f", F.first("_r", ignorenulls=True).over(fwd))
+        .filter(F.col("_side") == 1)
+    )
+    ts_of = lambda c: F.unix_timestamp(F.col(c)[right_ts])  # noqa: E731
+    db = F.unix_timestamp("_ts") - ts_of("_b")
+    df_ = ts_of("_f") - F.unix_timestamp("_ts")
+    b_ok = F.col("_b").isNotNull() & (db <= tolerance_seconds)
+    f_ok = F.col("_f").isNotNull() & (df_ <= tolerance_seconds)
+    # Nearest with earlier-wins ties: backward unless forward is
+    # STRICTLY closer (or backward missing/out-of-window).
+    pick = (
+        F.when(b_ok & f_ok, F.when(df_ < db, F.col("_f")).otherwise(F.col("_b")))
+        .when(b_ok, F.col("_b"))
+        .when(f_ok, F.col("_f"))
+    )
+    out = u.withColumn("_match", pick).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_match.{c}").alias(c) for c in right_payload],
+        F.col(f"_match.{right_ts}").alias("_asof_ts"),
+    )
+    return out
+
+
+_J9_TOL_S = 6 * 3600
+
+
+@probe(
+    "j9_asof_nearest",
+    oracle=f"""
+    WITH p AS (SELECT user_id, event_id AS purchase_id,
+                      date_trunc('second', ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, date_trunc('second', ts) AS ets,
+                      max(event_id) AS error_id
+               FROM events WHERE event_type = 'error'
+               GROUP BY user_id, date_trunc('second', ts)),
+    cand AS (SELECT p.user_id, p.purchase_id, p.pts, e.error_id, e.ets,
+                    abs(epoch(p.pts) - epoch(e.ets)) AS d
+             FROM p JOIN e USING (user_id)
+             WHERE abs(epoch(p.pts) - epoch(e.ets)) <= {_J9_TOL_S}),
+    best AS (SELECT *, row_number() OVER (
+                 PARTITION BY user_id, purchase_id
+                 ORDER BY d, ets) AS rn
+             FROM cand)
+    SELECT p.user_id, p.purchase_id, b.error_id,
+           CAST(epoch(b.ets) - epoch(p.pts) AS BIGINT) AS offset_sec
+    FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON p.user_id = b.user_id AND p.purchase_id = b.purchase_id
+    """,
+)
+def j9_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — each purchase matched to the user's NEAREST error event
+    within ±{_J9_TOL_S // 3600} h (block comment above): the
+    incident-correlation lookup ("which failure is this purchase
+    closest to?"). The oracle states the brute-force argmin over all
+    in-window pairs with the same earlier-wins tie rule, so the hash
+    certifies the two-direction window construction, the tolerance
+    nulling, and the tie-break — against an implementation-independent
+    formulation. ``offset_sec`` is SIGNED (negative = matched error
+    precedes the purchase)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_trunc("second", "ts").alias("pts"),
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select("user_id", F.date_trunc("second", "ts").alias("ets"), "event_id")
+        .groupBy("user_id", "ets")
+        .agg(F.max("event_id").alias("error_id"))
+    )
+    out = asof_nearest(
+        purchases,
+        errors,
+        key="user_id",
+        left_ts="pts",
+        right_ts="ets",
+        right_payload=["error_id"],
+        tolerance_seconds=_J9_TOL_S,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        (F.unix_timestamp("_asof_ts") - F.unix_timestamp("pts"))
+        .cast("long")
+        .alias("offset_sec"),
+    )

@@ -143,3 +143,70 @@ def test_j6_probe_matches_naive_join_formulation(spark, sf_dir):
     assert set(fast) == set(slow)
     mismatches = {k: (fast[k], slow[k]) for k in fast if fast[k] != slow[k]}
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_asof_nearest_directions_ties_and_tolerance(spark):
+    """Pins j9's nearest semantics on a crafted frame: backward-closer,
+    forward-closer, exact tie (earlier/backward wins), equal-timestamp
+    (distance 0), out-of-tolerance on both sides (null), and a key with
+    no right rows at all (null)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.asof import (
+        asof_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, s(100), "back-closer"),    # rights at 90 (d=10) and 130 (d=30)
+            (2, s(100), "fwd-closer"),     # rights at 60 (d=40) and 110 (d=10)
+            (3, s(100), "tie"),            # rights at 80 and 120 (d=20 both)
+            (4, s(100), "equal-ts"),       # right exactly at 100
+            (5, s(100), "out-of-window"),  # rights at 0 and 500, tol=60
+            (6, s(100), "no-rights"),
+        ],
+        "k long, lts timestamp, label string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, s(90), 190), (1, s(130), 1130),
+            (2, s(60), 260), (2, s(110), 2110),
+            (3, s(80), 380), (3, s(120), 3120),
+            (4, s(100), 4100),
+            (5, s(0), 500), (5, s(500), 5500),
+        ],
+        "k long, rts timestamp, rid long",
+    )
+    out = {
+        r.label: (r.rid, r._asof_ts)
+        for r in asof_nearest(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_payload=["rid"], tolerance_seconds=60,
+        ).collect()
+    }
+    assert out["back-closer"] == (190, s(90))
+    assert out["fwd-closer"] == (2110, s(110))
+    assert out["tie"] == (380, s(80))          # earlier (backward) wins
+    assert out["equal-ts"] == (4100, s(100))   # distance 0
+    assert out["out-of-window"] == (None, None)
+    assert out["no-rights"] == (None, None)
+
+
+def test_asof_nearest_plan_single_sort_no_join(spark):
+    """The nearest join must keep j6's plan shape: one union, one
+    window sort computing BOTH direction frames, and no join node
+    anywhere."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.asof import (
+        asof_nearest,
+    )
+
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1), "x")],
+                                 "k long, lts timestamp, p string")
+    right = spark.createDataFrame([(1, dt.datetime(2024, 1, 1), 5)],
+                                  "k long, rts timestamp, rid long")
+    plan = asof_nearest(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["rid"], tolerance_seconds=60,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Window") <= 2  # both frames share one sort
