@@ -2037,3 +2037,65 @@ def er4_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_completeness"),
         )
     )
+
+
+@probe(
+    "x2y_neardup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_PORTABLE_SIMHASH_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+    ),
+    comp AS (SELECT node AS doc_id, min(reach) AS canonical_id
+             FROM walk GROUP BY node),
+    clusters AS (
+      SELECT c.canonical_id,
+             count(*) AS cluster_size,
+             sum(CASE WHEN c.doc_id <> c.canonical_id
+                      THEN length(d.text) ELSE 0 END) AS chars_saved
+      FROM comp c JOIN documents d USING (doc_id)
+      GROUP BY c.canonical_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS dup_docs,
+           CAST(sum(chars_saved) AS BIGINT) AS chars_saved
+    FROM clusters GROUP BY cluster_size
+    """,
+)
+def x2y_neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2y — the dedup ACCOUNTING panel every corpus-curation run
+    reports: near-dup cluster size histogram with, per size, the
+    cluster count, the documents a keep-the-minimum survivorship drops
+    (size − 1 each), and the characters those drops save. Composes the
+    x2i component pass (simhash pairs → min-label CC) with one join to
+    the documents table — the panel itself is two metadata-sized
+    aggregations over the (dup-cluster-sized, corpus-small) label
+    frame. The oracle recomputes components via the recursive closure
+    and the identical rollup, so the hash certifies membership AND the
+    savings arithmetic."""
+    comp = connected_components(
+        simhash_pairs(_corpus_simhash(spark, sf_dir)), pin=True
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_len")
+    )
+    clusters = (
+        comp.join(docs, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("canonical_id"), F.col("_len"))
+                .otherwise(F.lit(0))
+            ).alias("chars_saved"),
+        )
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("dup_docs"),
+        F.sum("chars_saved").alias("chars_saved"),
+    )

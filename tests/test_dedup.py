@@ -596,3 +596,41 @@ def test_er4_blocking_metrics_semantics(spark):
     )
     assert abs(row.reduction_ratio - expect_rr) < 1e-9
     assert 0.9 < row.reduction_ratio < 1.0  # blocks prune >90% of pairs
+
+
+def test_x2y_cluster_stats_accounting(spark):
+    """Planted clusters: sizes {3, 2, 2} plus singletons (singletons
+    never appear — only docs in a near-dup edge are clustered). The
+    histogram, dup counts, and chars_saved must match hand arithmetic."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame(
+        [(i, "x" * (i * 10)) for i in (1, 2, 3, 10, 11, 20, 21, 99)],
+        ["doc_id", "text"],
+    )
+    comp = connected_components(pairs, pin=True)
+    joined = comp.join(docs.select("doc_id", F.length("text").alias("_len")), "doc_id")
+    clusters = joined.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("canonical_id"), F.col("_len")).otherwise(0)
+        ).alias("chars_saved"),
+    )
+    hist = {
+        r.cluster_size: (r.n_clusters, r.dup_docs, r.chars_saved)
+        for r in clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("dup_docs"),
+            F.sum("chars_saved").alias("chars_saved"),
+        )
+        .collect()
+    }
+    # size 3: {1,2,3} canonical 1, saves len(2)+len(3) = 20+30 = 50
+    # size 2: {10,11} saves 110; {20,21} saves 210 -> total 320, 2 dups
+    assert hist == {3: (1, 2, 50), 2: (2, 2, 320)}
