@@ -3006,3 +3006,181 @@ def a20_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O9 — WEIGHTED median: the robust central-tendency statistic percentile
+# functions don't give you (each row counts by its weight — "median
+# price per UNIT SOLD", not per line item). Construction: collapse to
+# per-(group, value) weight sums, one cumulative-weight window per
+# group, pick the smallest value whose cumulative weight reaches half
+# the total (the lower weighted median). All comparisons are on exact
+# integer-valued weight sums (TPC-H quantities are whole numbers), and
+# the output value is carried verbatim — no float arithmetic anywhere,
+# so the hash is engine-exact by construction.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "o9_weighted_median",
+    oracle="""
+    WITH per AS (SELECT l_returnflag, l_extendedprice AS v,
+                        sum(l_quantity) AS w
+                 FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT l_returnflag, sum(w) AS tw,
+                   CAST(count(*) AS BIGINT) AS n_values
+            FROM per GROUP BY 1),
+    cum AS (SELECT per.*, sum(w) OVER (PARTITION BY l_returnflag
+                                       ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS cw
+            FROM per)
+    SELECT cum.l_returnflag,
+           min(v) AS weighted_median,
+           CAST(min(tot.tw) AS BIGINT) AS total_weight,
+           min(tot.n_values) AS n_values
+    FROM cum JOIN tot USING (l_returnflag)
+    WHERE 2 * cw >= tot.tw
+    GROUP BY cum.l_returnflag
+    """,
+)
+def o9_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 — quantity-weighted median extended price per return flag
+    (block comment above): the lower weighted median via one
+    per-group cumulative-weight window over the collapsed
+    (group, value) relation — never a per-row sort of the raw fact.
+    The oracle states the identical construction; both engines compare
+    exact integer-valued weight sums, and the median value itself is
+    selected, not computed."""
+    from pyspark.sql import Window
+
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("v"))
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    tot = per.groupBy("l_returnflag").agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("n_values")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.withColumn("cw", F.sum("w").over(wcum))
+    return (
+        cum.join(tot, "l_returnflag")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("tw").cast("long").alias("total_weight"),
+            F.min("n_values").alias("n_values"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A23 — revenue concentration panel: Gini coefficient + top-decile
+# share of per-customer revenue, by region — the inequality statistics
+# behind "how concentrated is our revenue" dashboards. All sums run on
+# EXACT INTEGER CENTS (the a11 idiom: round(price*100)::long — TPC-H
+# prices carry two decimals, so the cast is exact), the rank-weighted
+# Gini numerator Σ i·xᵢ is a bigint, and only the two final ratios are
+# floating (rounded to 6). Ranks come from a per-region window over
+# the customer-revenue relation (customers-per-region sized, not
+# fact-sized); ties break by customer key, so both engines rank
+# identically.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a23_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, c.c_custkey,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2),
+    ranked AS (SELECT region, cents,
+                      row_number() OVER (PARTITION BY region
+                                         ORDER BY cents, c_custkey) AS i,
+                      count(*) OVER (PARTITION BY region) AS n,
+                      sum(cents) OVER (PARTITION BY region) AS s
+               FROM rev),
+    g AS (SELECT region, max(n) AS n_customers, max(s) AS total_cents,
+                 sum(i * cents) AS num
+          FROM ranked GROUP BY region),
+    topd AS (SELECT region, sum(cents) AS top_cents
+             FROM ranked
+             WHERE i > n - CAST(ceil(n / 10.0) AS BIGINT)
+             GROUP BY region)
+    SELECT g.region,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           total_cents,
+           round(2.0 * num / (n_customers * CAST(total_cents AS DOUBLE))
+                 - (n_customers + 1.0) / n_customers, 6) AS gini,
+           round(topd.top_cents / CAST(total_cents AS DOUBLE), 6)
+             AS top_decile_share
+    FROM g JOIN topd USING (region)
+    """,
+)
+def a23_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — per-region Gini coefficient and top-decile revenue share
+    over per-customer order totals (block comment above). Gini from
+    the rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n on ascending-ranked
+    exact cents; the top decile is the highest ceil(n/10) customers.
+    The oracle replays ranks, integer sums, and both ratios."""
+    from pyspark.sql import Window
+
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wr = Window.partitionBy("region").orderBy("cents", "c_custkey")
+    wall = Window.partitionBy("region")
+    ranked = (
+        rev.withColumn("i", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("s", F.sum("cents").over(wall))
+    )
+    g = ranked.groupBy("region").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("s").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("num"),
+    )
+    topd = (
+        ranked.filter(
+            F.col("i") > F.col("n") - F.ceil(F.col("n") / 10.0).cast("long")
+        )
+        .groupBy("region")
+        .agg(F.sum("cents").alias("top_cents"))
+    )
+    return g.join(topd, "region").select(
+        "region",
+        "n_customers",
+        "total_cents",
+        dround(
+            2.0 * F.col("num") / (F.col("n_customers") * F.col("total_cents").cast("double"))
+            - (F.col("n_customers") + 1.0) / F.col("n_customers"),
+            6,
+        ).alias("gini"),
+        dround(
+            F.col("top_cents") / F.col("total_cents").cast("double"), 6
+        ).alias("top_decile_share"),
+    )

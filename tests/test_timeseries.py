@@ -421,3 +421,77 @@ def test_a21_percentile_bands_match_numpy(spark):
         for r in days.values():
             assert abs(r.series_median_p95 - med) < 1e-9
             assert r.p95_spike == (r.p95 > 1.5 * med)
+
+
+def test_o9_weighted_median_semantics(spark, monkeypatch):
+    """Lower weighted median on a hand frame: weights pull the median
+    away from the unweighted one, a dominant weight IS the median, and
+    the exact-half boundary picks the lower value (2*cw >= W at the
+    first value crossing half)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators import relational
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table as real_load
+
+    rows = [
+        # flag A: values 1(w=1), 2(w=1), 100(w=6) -> half of 8 is 4,
+        # cum at 100 first reaches >= 4 -> median 100 (dominant weight)
+        ("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 100.0, 6.0),
+        # flag B: 1(w=2), 2(w=2) -> W=4, cum(1)=2, 2*2>=4 -> lower value 1
+        ("B", 1.0, 2.0), ("B", 2.0, 2.0),
+        # flag C: repeated value rows collapse: 5 appears twice w=1 each
+        ("C", 5.0, 1.0), ("C", 5.0, 1.0), ("C", 9.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+    monkeypatch.setattr(
+        relational, "load_table", lambda s, d, t: df if t == "lineitem" else real_load(s, d, t)
+    )
+    got = {
+        r.l_returnflag: (r.weighted_median, r.total_weight, r.n_values)
+        for r in relational.o9_weighted_median(spark, "unused").collect()
+    }
+    assert got == {"A": (100.0, 8, 3), "B": (1.0, 4, 2), "C": (5.0, 3, 2)}
+
+
+def test_a23_gini_closed_forms(spark, monkeypatch):
+    """Gini closed forms on planted distributions: perfect equality
+    -> 0; one customer holding everything -> (n-1)/n; top-decile share
+    = 1.0 in the monopoly case. Regions isolate the cases."""
+    import datetime as _dt
+
+    from realtime_financial_transactions_data_pipeline_spark.operators import relational
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table as real_load
+
+    # region EQ: 4 customers, 10.00 each -> gini 0, top decile = 1 cust = 0.25
+    # region MONO: 5 customers, one has 50.00, rest 0.00 -> gini 4/5
+    custs, nats, regs, orders = [], [], [], []
+    regs = [(0, "EQ"), (1, "MONO")]
+    nats = [(0, 0), (1, 1)]  # nationkey -> regionkey
+    oid = 0
+    for ck in range(1, 5):
+        custs.append((ck, 0))
+        oid += 1
+        orders.append((oid, ck, 10.0, _dt.datetime(2024, 1, 1)))
+    for ck in range(10, 15):
+        custs.append((ck, 1))
+        oid += 1
+        orders.append((oid, ck, 50.0 if ck == 10 else 0.0, _dt.datetime(2024, 1, 1)))
+    frames = {
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+        ),
+        "customer": spark.createDataFrame(custs, "c_custkey long, c_nationkey int"),
+        "nation": spark.createDataFrame(nats, "n_nationkey int, n_regionkey int"),
+        "region": spark.createDataFrame(regs, "r_regionkey int, r_name string"),
+    }
+    monkeypatch.setattr(
+        relational, "load_table", lambda s, d, t: frames.get(t) or real_load(s, d, t)
+    )
+    got = {
+        r.region: r for r in relational.a23_revenue_concentration(spark, "unused").collect()
+    }
+    assert got["EQ"].gini == 0.0
+    assert abs(got["EQ"].top_decile_share - 0.25) < 1e-9
+    assert abs(got["MONO"].gini - 4 / 5) < 1e-9
+    assert got["MONO"].top_decile_share == 1.0
+    assert got["EQ"].total_cents == 4000 and got["MONO"].total_cents == 5000
