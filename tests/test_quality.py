@@ -254,3 +254,4 @@ def test_dq5_freshness_matches_pandas(spark):
         assert g.max_gap_days == (max(gaps) if gaps else 0)
         assert abs(g.completeness - round(len(days) / span, 4)) < 1e-9
         assert g.freshness_ok == (g.max_gap_days <= 2)
+
