@@ -910,3 +910,82 @@ def k12_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
             dround(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_dynamic_pruning — DYNAMIC partition pruning (DPP), the runtime
+# half of partition pruning: when the pruning predicate lives on a
+# JOINED dimension (not on the fact's partition column itself), static
+# listing can't prune — Spark instead evaluates the dim's broadcast at
+# runtime and injects its day set into the fact scan's
+# PartitionFilters (`dynamicpruningexpression(day IN …)`), so
+# non-matching partitions are never opened. This is THE mechanism that
+# makes "fact JOIN filtered dim" dashboards cheap on a date-partitioned
+# 100 TB fact table; l1b covers the static case, this probe covers the
+# runtime case. Plan-pinned in tests/test_plans.py; the result is
+# hash-checked so the pruning is also proven lossless.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "scale_dynamic_pruning",
+    oracle="""
+    WITH f AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+    dim AS (SELECT DISTINCT day, dayofweek(day) AS dow FROM f)
+    SELECT CAST(f.day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(f.value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_mills
+    FROM f JOIN dim USING (day)
+    WHERE dim.dow = 1
+    GROUP BY 1
+    """,
+)
+def scale_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondays-only daily rollup where 'Monday' is only knowable from
+    the joined calendar dim (block comment above): the fact is a
+    day-partitioned parquet fixture of events, the dim a separate
+    (day, dow) table, and the filter sits on the DIM's dow column —
+    static pruning is impossible, so the plan must carry a
+    dynamicpruningexpression on the fact scan. Value sums run on exact
+    integer mills (events.value carries 3 decimals). Spark's
+    dayofweek() is 1=Sunday…7; DuckDB's is 0=Sunday…6 — the dim stores
+    Spark's value minus 1 so both engines filter dow = 1 = Monday."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+
+    fp = source_fingerprint(sf_dir, "events")
+
+    def build_fact(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 1000, 0).cast("long").alias("mills"),
+        )
+        write_date_partitioned(ev, tmp, date_col="day")
+
+    fact_dir = disk_fixture("events-day-partitioned", fp, build_fact)
+
+    def build_dim(tmp: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .select(F.col("ts").cast("date").alias("day"))
+            .distinct()
+            .withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    dim_dir = disk_fixture("events-day-dim", fp, build_dim)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("dow") == 1)
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("mills").alias("value_mills"),
+        )
+    )

@@ -233,3 +233,20 @@ def test_j8_band_join_is_hash_not_nested_loop(spark, sf_dir):
     plan = inspect.formatted_plan(j8_band_join_bucketed(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scale_dynamic_pruning_plan_carries_dpp(spark, sf_dir):
+    """The DPP probe's fact scan must carry a dynamicpruningexpression
+    in its PartitionFilters — runtime pruning injected from the
+    broadcast dim, the case static listing cannot prune (the filter
+    lives on the dim's dow column, not the fact's partition column) —
+    and the dim side must broadcast."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        scale_dynamic_pruning,
+    )
+
+    df = scale_dynamic_pruning(spark, sf_dir)
+    pf = inspect.partition_filters(df)
+    assert "dynamicpruning" in pf.lower(), pf
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
