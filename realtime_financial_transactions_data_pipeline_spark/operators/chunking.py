@@ -214,3 +214,113 @@ def x15_chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph-dedup pattern re-expressed for a newline-free corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_chunks_rebuild(docs)
+
+
+# ---------------------------------------------------------------------------
+# X21 — CONTENT-DEFINED chunking (the rolling-hash boundary pattern of
+# rsync/LBFS/FastCDC, word-granular): a position ends a chunk when the
+# hash of its trailing 3-word window hits a divisor condition. Unlike
+# x14's fixed windows, boundaries are SHIFT-ROBUST — inserting one word
+# at the front of a document re-chunks only the prefix up to the first
+# surviving boundary, so chunk-level dedup still matches everything
+# after it (the property storage dedup and incremental-sync systems
+# exist for; unit-pinned). Engine-portable hashing: the boundary hash
+# is md5-derived (the x2d portable construction), so DuckDB replays
+# boundaries, chunk ids, digests, and word counts bit-for-bit.
+#
+# Scale shape: posexplode → two window passes per doc (trailing-gram
+# boundary flag, then a running boundary count as the chunk id) → one
+# groupBy (doc, chunk) with a sorted-struct fold for the chunk text.
+# Everything partitions on doc_id; no Python anywhere.
+# ---------------------------------------------------------------------------
+
+#: Boundary divisor: expected chunk length = _X21_DIV words (plus the
+#: 2-word warmup in which no full trailing gram exists).
+_X21_DIV = 8
+
+
+@probe(
+    "x21_content_defined_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, tok.tok AS word,
+             CAST(tok.pos AS INTEGER) AS pos
+      FROM (SELECT doc_id,
+                   unnest(list_transform(string_split(lower(text), ' '),
+                          (x, i) -> {{'tok': x, 'pos': i - 1}})) AS tok
+            FROM documents)),
+    g AS (SELECT doc_id, word, pos,
+                 CASE WHEN pos >= 2 AND
+                      CAST(('0x' || substr(md5(
+                        lag(word, 2) OVER d || ' ' ||
+                        lag(word, 1) OVER d || ' ' || word), 1, 8))
+                        AS BIGINT) % {_X21_DIV} = 0
+                      THEN 1 ELSE 0 END AS is_boundary
+          FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY pos)),
+    c AS (SELECT doc_id, word, pos,
+                 sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+                   - is_boundary AS chunk_id
+          FROM g)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_digest
+    FROM c GROUP BY doc_id, chunk_id
+    """,
+)
+def x21_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 — rolling-hash content-defined chunks of every document
+    (block comment above): a word ENDS a chunk when its trailing
+    3-word gram's md5-derived hash ≡ 0 (mod {_X21_DIV}); the next word
+    starts the next chunk. Output is one row per chunk with its word
+    count and md5 digest — the dedup-able unit. The oracle replays the
+    identical lag-window boundary rule, running-count chunk ids, and
+    ordered digest fold."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    )
+    d = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.lag("word", 2).over(d), F.lag("word", 1).over(d), F.col("word")
+    )
+    # Portable hash: first 8 hex chars of md5 as an integer (the x2d
+    # construction) — engine-identical, no xxhash dependency in the
+    # oracle.
+    hash8 = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    g = w.withColumn(
+        "is_boundary",
+        F.when(
+            (F.col("pos") >= 2) & (F.pmod(hash8, F.lit(_X21_DIV)) == 0), 1
+        ).otherwise(0),
+    )
+    c = g.withColumn(
+        "chunk_id",
+        (
+            F.sum("is_boundary").over(
+                d.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("is_boundary")
+        ).cast("long"),
+    )
+    return (
+        c.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s["word"],
+                    ),
+                )
+            ).alias("chunk_digest"),
+        )
+    )

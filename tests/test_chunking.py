@@ -98,3 +98,40 @@ def test_chunking_plan_is_python_free(spark):
     d = _docs(spark, [(1, "a b c")])
     plan = chunk_documents(d)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_x21_content_defined_chunks_are_shift_robust(spark, monkeypatch):
+    """THE property content-defined chunking exists for: prepending one
+    word re-chunks only the prefix before the first surviving boundary
+    — every later chunk digest is unchanged — whereas x14-style fixed
+    windows shift EVERY chunk. Verified on a 400-word deterministic
+    doc: the original and shifted chunk-digest multisets must share all
+    but a handful of leading chunks."""
+    from realtime_financial_transactions_data_pipeline_spark.operators import chunking
+
+    words = ["w%02d" % (i * 7919 % 97) for i in range(400)]
+    base = " ".join(words)
+    shifted = "zzz " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], ["doc_id", "text"]
+    )
+    monkeypatch.setattr(chunking, "load_table", lambda s, d, t: docs)
+    rows = chunking.x21_content_defined_chunking(spark, "unused").collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r.doc_id].append((r.chunk_id, r.n_words, r.chunk_digest))
+    for v in by_doc.values():
+        v.sort()
+    d1 = [c[2] for c in by_doc[1]]
+    d2 = [c[2] for c in by_doc[2]]
+    # All chunks after the first boundary must realign: the tail of the
+    # shifted doc's digest list equals the tail of the original's.
+    n_common = 0
+    while n_common < min(len(d1), len(d2)) and d1[-1 - n_common] == d2[-1 - n_common]:
+        n_common += 1
+    assert n_common >= len(d1) - 2, (len(d1), len(d2), n_common)
+    # Word conservation: chunks partition each doc exactly.
+    assert sum(c[1] for c in by_doc[1]) == 400
+    assert sum(c[1] for c in by_doc[2]) == 401
+    # And the boundary rule actually fires (more than one chunk).
+    assert len(d1) > 5
