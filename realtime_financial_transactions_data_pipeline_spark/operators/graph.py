@@ -250,10 +250,31 @@ def coengagement_edges(
     return coengagement_pair_counts(events, floor=min_shared).select("u", "v")
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, strategy: str = "auto") -> DataFrame:
     """Per-node triangle participation counts over undirected edges
-    (u < v). Degree-ordered enumeration (module docstring); each
-    triangle increments all three of its nodes."""
+    (u < v); each triangle increments all three of its nodes. Two
+    strategies, same exact output (only nodes with ≥1 triangle):
+
+    - ``broadcast`` (auto under the membership guard): the EDGE
+      ITERATOR — broadcast the CSR-packed adjacency (2E ints, the same
+      build side as the pair kernel) and compute each edge's
+      |N(u) ∩ N(v)| map-side; a node's triangle count is half the sum
+      over its incident edges. NOTHING wedge-shaped ever materializes
+      or shuffles — the only exchange is the 2-rows-per-edge node
+      rollup (measured at sf0.1: 8.7 s of wedge explode + closure SMJ
+      → ~1.5 s).
+    - ``shuffle`` (fallback above the guard): degree-ordered wedge
+      enumeration (module docstring) closed against the canonical edge
+      set — fully distributed, out-degree bounded O(sqrt E)."""
+    if strategy == "auto":
+        # Edge count IS the membership size (2E adjacency ints).
+        strategy = (
+            "broadcast"
+            if edges.count() * 2 <= _BITMAP_MAX_MEMBERSHIPS
+            else "shuffle"
+        )
+    if strategy == "broadcast":
+        return _triangle_counts_broadcast(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -287,6 +308,64 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         tri.select(F.explode(F.array("src", "u", "v")).alias("user_id"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _triangle_counts_broadcast(edges: DataFrame) -> DataFrame:
+    """Edge-iterator triangle counting (triangle_counts docstring):
+    per-edge sorted-adjacency intersection against a broadcast CSR;
+    tri(x) = ½ Σ over x's incident edges of |N(u) ∩ N(v)| (a triangle
+    at x has exactly two incident edges, so the sum double-counts)."""
+    import numpy as np
+
+    spark = edges.sparkSession
+    e = edges.select("u", "v").localCheckpoint(eager=True)
+    bi = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    members = (
+        bi.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("ns"))
+        .collect()
+    )
+    if not members:
+        return spark.createDataFrame([], "user_id long, n_triangles long")
+    members.sort(key=lambda r: r.u)
+    nodes = np.array([r.u for r in members], dtype=np.int64)
+    lens = np.array([len(r.ns) for r in members], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat = np.concatenate([np.asarray(r.ns, dtype=np.int64) for r in members])
+    bc = spark.sparkContext.broadcast((nodes, offs, flat))
+
+    def gen(batches):
+        import pandas as pd
+
+        nd, of, fl = bc.value
+
+        def neigh(x):
+            i = np.searchsorted(nd, x)
+            return fl[of[i]: of[i + 1]]
+
+        for pdf in batches:
+            common = np.fromiter(
+                (
+                    np.intersect1d(neigh(a), neigh(b), assume_unique=True).size
+                    for a, b in zip(pdf["u"], pdf["v"])
+                ),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            yield pd.DataFrame(
+                {"u": pdf["u"], "v": pdf["v"], "common": common}
+            )
+
+    per_edge = e.mapInPandas(gen, "u long, v long, common long").filter(
+        F.col("common") > 0
+    )
+    return (
+        per_edge.select(
+            F.explode(F.array("u", "v")).alias("user_id"), "common"
+        )
+        .groupBy("user_id")
+        .agg((F.sum("common") / 2).cast("long").alias("n_triangles"))
     )
 
 

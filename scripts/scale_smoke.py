@@ -71,6 +71,7 @@ MATRIX = {
     "g5_connected_components": ("events", (1, 10)),
     "g6_weighted_pagerank": ("events", (1, 10)),
     "g7_graph_summary": ("events", (1, 10)),
+    "g8_star_components": ("events", (1, 10)),
     "x2s_ivf_pq_search": ("embeddings", (1, 10)),
     "x2t_ivfpq_residual_search": ("embeddings", (1, 10)),
     "x2v_ivfpq_refine": ("embeddings", (1, 10)),
