@@ -518,3 +518,96 @@ def u8_dp_bounded_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(noise, 6).alias("noise"),
         dround(F.col("n_bounded") + noise, 6).alias("n_released"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U9 — right-to-erasure CASCADE audit: u4's sweep handles tables that
+# CARRY the subject key directly; u9 is the other half of a real DSR
+# job — rows reachable only THROUGH foreign keys. Customers erase
+# directly, their orders via o_custkey, their line items via the
+# erased orders' keys (two hops: lineitem carries no customer key, so
+# u4's single-hop anti-join would strand them — the exact residue this
+# audit exists to catch). Scale shape: the deletion cohort and the
+# cascaded order-key set are semi-join build sides (cohort-sized, the
+# broadcast pattern); each table contributes one semi-join count and
+# one total count, all metadata-sized outputs.
+# Reference counterpart: none (the reference retains all facts);
+# pattern per DSR tooling on lakehouse tables.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "u9_erasure_cascade",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_orders AS (SELECT o_orderkey FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM del)),
+    t AS (
+      SELECT 'customer' AS table_name,
+             (SELECT count(*) FROM customer) AS rows_before,
+             (SELECT count(*) FROM del) AS rows_erased
+      UNION ALL
+      SELECT 'orders',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM del_orders)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+    )
+    SELECT table_name, CAST(rows_before AS BIGINT) AS rows_before,
+           CAST(rows_erased AS BIGINT) AS rows_erased,
+           CAST(rows_before - rows_erased AS BIGINT) AS rows_after,
+           round(rows_erased / CAST(rows_before AS DOUBLE), 6) AS erased_frac
+    FROM t
+    """,
+)
+def u9_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9 — erasure accounting for the deletion cohort (every 97th
+    customer) cascaded customer → orders → lineitem (block comment
+    above): per table, rows before, rows the cascade erases, rows
+    after, and the erased fraction. The hash certifies the two-hop
+    cascade — lineitem's count can only be right if the order-key hop
+    resolved — and the arithmetic."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_c = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_o = o.join(
+        F.broadcast(del_c), o.o_custkey == del_c.c_custkey, "semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "semi"
+    )
+    panels = []
+    for name, full, erased in (
+        ("customer", c, del_c),
+        ("orders", o, del_o),
+        ("lineitem", li, del_li),
+    ):
+        panels.append(
+            full.agg(F.count(F.lit(1)).alias("rows_before")).crossJoin(
+                F.broadcast(
+                    erased.agg(F.count(F.lit(1)).alias("rows_erased"))
+                )
+            ).select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_erased",
+                (F.col("rows_before") - F.col("rows_erased")).alias(
+                    "rows_after"
+                ),
+                dround(
+                    F.col("rows_erased")
+                    / F.col("rows_before").cast("double"),
+                    6,
+                ).alias("erased_frac"),
+            )
+        )
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return out

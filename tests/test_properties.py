@@ -431,6 +431,46 @@ def test_coengagement_edges_match_brute_force(spark, rows, min_shared):
     assert got == expected
 
 
+@given(rows=_event_rows, floor=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_pair_count_kernel_strategies_agree(spark, rows, floor):
+    """r14 kernel property: the broadcast-bitmap intersection path
+    (matmul counts + prefix-matmul leader election) and the
+    explode+groupBy shuffle path must emit the IDENTICAL exact
+    (u, v, n_shared) set — counts included — for ANY event set and
+    floor, and match the brute-force bucket counting."""
+    import datetime as dt
+    from collections import Counter
+    from itertools import combinations
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        coengagement_pair_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ev = [(u, et, base + dt.timedelta(hours=h)) for u, et, h in rows]
+    buckets = {}
+    for u, et, h in rows:
+        buckets.setdefault((et, h), set()).add(u)
+    shared = Counter()
+    for users in buckets.values():
+        if len(users) < 2:
+            continue
+        for a, b in combinations(sorted(users), 2):
+            shared[(a, b)] += 1
+    expected = {(a, b, n) for (a, b), n in shared.items() if n >= floor}
+    df = spark.createDataFrame(ev, "user_id long, event_type string, ts timestamp")
+    bcast = {
+        tuple(r)
+        for r in coengagement_pair_counts(df, floor=floor, strategy="broadcast").collect()
+    }
+    shuf = {
+        tuple(r)
+        for r in coengagement_pair_counts(df, floor=floor, strategy="shuffle").collect()
+    }
+    assert bcast == shuf == expected
+
+
 # BFS frontier iteration must produce exact min hop distances from the
 # lowest-id node on ANY random graph — verified against a driver-side
 # brute-force Dijkstra-on-unit-weights.

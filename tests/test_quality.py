@@ -255,3 +255,40 @@ def test_dq5_freshness_matches_pandas(spark):
         assert abs(g.completeness - round(len(days) / span, 4)) < 1e-9
         assert g.freshness_ok == (g.max_gap_days <= 2)
 
+
+
+def test_u9_erasure_cascade_two_hops(spark, monkeypatch):
+    """The cascade must reach lineitem THROUGH orders (lineitem has no
+    customer key): plant a cohort customer whose order owns 3 line
+    items plus a non-cohort customer, and verify counts per table —
+    including the stranded-residue case the two-hop join prevents."""
+    from realtime_financial_transactions_data_pipeline_spark.operators import (
+        tokenization,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import (
+        load_table as real_load,
+    )
+
+    frames = {
+        "customer": spark.createDataFrame(
+            [(97,), (98,), (194,)], "c_custkey long"
+        ),  # 97 and 194 are cohort (x % 97 == 0)
+        "orders": spark.createDataFrame(
+            [(1, 97), (2, 98), (3, 194)], "o_orderkey long, o_custkey long"
+        ),
+        "lineitem": spark.createDataFrame(
+            [(1,), (1,), (1,), (2,), (3,)], "l_orderkey long"
+        ),
+    }
+    monkeypatch.setattr(
+        tokenization, "load_table", lambda s, d, t: frames.get(t) or real_load(s, d, t)
+    )
+    got = {
+        r.table_name: (r.rows_before, r.rows_erased, r.rows_after)
+        for r in tokenization.u9_erasure_cascade(spark, "unused").collect()
+    }
+    assert got == {
+        "customer": (3, 2, 1),
+        "orders": (3, 2, 1),
+        "lineitem": (5, 4, 1),  # 3 items of order 1 + 1 item of order 3
+    }
