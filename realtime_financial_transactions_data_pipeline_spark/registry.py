@@ -129,8 +129,13 @@ DRIVER_WINDOW = 50
 #: x9, x11). NINE candidates wait for cohort 9 (family-redundant,
 #: deferred: q1b, q1sql, a14, a15, x4_binary_columns, x3g,
 #: scale_salted_agg, scale_time_travel, t2c) — after cohort 8 the
-#: lifetime ledger is 177/231 driver-verified with 9 hash-checkable
-#: stragglers left.
+#: lifetime ledger is 177/239 driver-verified. Cohort 9's pool is
+#: those nine plus the EIGHT round-14 newcomers registered after this
+#: rotation was rehearsed (g8 star components, j9 nearest as-of, x2y
+#: cluster accounting, o9 weighted median, a23 revenue concentration,
+#: scale_dynamic_pruning, x21 content-defined chunking, u9 erasure
+#: cascade): 17 candidates, so cohort 9 closes lifetime coverage with
+#: ~31 slots to spare for re-verification keeps.
 #: ROWS-ONLY EXCLUSION (VERDICT_r13 item #7, permanent policy): the
 #: three rows-only-by-nature probes — u1_fpe_tokenize (keyed PRF),
 #: t5_rate_source (throughput), x5_approx_sketches (approximate) —
