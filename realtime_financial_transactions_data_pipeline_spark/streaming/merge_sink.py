@@ -166,13 +166,23 @@ def run_cdc_merge_stream(
             fh.write(f"gen={gen}\n")
         os.replace(tmp, os.path.join(snap_root, "CURRENT"))
 
-    q = (
-        stream.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Probe-scale conf window (the x2n action-count lesson): each
+    # micro-batch's merge joins a few hundred rows — one shuffle
+    # partition per stage, not the session's 32. Stateless foreachBatch
+    # pins nothing in the checkpoint; production sizes this to batch
+    # volume.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return current_table_path(snap_root)
 
 
@@ -339,13 +349,22 @@ def run_cdc_merge_stream_bucketed(
         finally:
             tagged.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Same probe-scale conf window as run_cdc_merge_stream — but 4,
+    # not 1: the bucketed runner's per-batch partitionBy(_bkt) write
+    # parallelizes across shuffle tasks, and a single task serializes
+    # the touched buckets (measured slower).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return snap_root
 
 

@@ -365,17 +365,27 @@ def t11_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .json(flat)
     )
-    q = (
-        stream.withWatermark("et", "1 hour")
-        .dropDuplicatesWithinWatermark(["k"])
-        .writeStream.format("parquet")
-        .option("path", f"{root}/out")
-        .option("checkpointLocation", f"{root}/_cp")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 120)
+    # One state partition for the toy-scale probe: at the session's 32
+    # the five micro-batches pay 160 state-store open/commit cycles for
+    # a few hundred keys (the x2n action-count lesson). The partition
+    # count is pinned in the checkpoint, which this probe wipes per
+    # run; production sizes it to key volume.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        q = (
+            stream.withWatermark("et", "1 hour")
+            .dropDuplicatesWithinWatermark(["k"])
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/_cp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.read.schema(
         "k LONG, et TIMESTAMP, value DOUBLE, b LONG"
     ).parquet(f"{root}/out")
