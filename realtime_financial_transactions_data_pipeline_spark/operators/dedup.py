@@ -1424,9 +1424,12 @@ def pruned_index_state(
     keys = (
         batch_bands.select("band_id", "band_hash", "bg").distinct().collect()
     )
+    # Plain empty local relation — a coalesce(1)'d empty side makes a
+    # downstream union's checkpoint task hang ~5.5 s (r14 x2n bisect;
+    # same fix as the batch-0 empty state below).
     empty = spark.createDataFrame(
         [], "doc_id long, lang string, grams array<string>, sig array<bigint>"
-    ).coalesce(1)
+    )
     if not keys:
         return empty
     bgs = sorted({r.bg for r in keys})
@@ -1622,52 +1625,52 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # back empty — the committed rows must be left untouched.
             already_applied = hfs.exists(hpath) and admitted.limit(1).count() == 0
             if not already_applied:
-                    admitted.select("doc_id", "lang").write.mode(
-                        "overwrite"
-                    ).parquet(part_dir)
-                    # Append-only index growth: this batch's state rows
-                    # land in their own batch= subdir — doc-state
-                    # partitioned by doc group, band index by band
-                    # group — and a replay overwrites the same subdirs
-                    # idempotently.
-                    # repartition on the partition column first: one
-                    # file per touched group instead of one per task
-                    # per group (the many-executor small-file guard).
-                    # The two index writes run CONCURRENTLY (driver
-                    # threads; both read the persisted `admitted`) —
-                    # they are commit-latency-bound at batch scale, and
-                    # every crash window stays replay-safe: a missing
-                    # bg subdir means the batch's docs surface no band
-                    # candidates, a missing dg subdir drops their grams
-                    # from verification — either way `admitted` comes
-                    # back NON-empty on replay and all three sinks are
-                    # rewritten idempotently (r14 x2n trim).
-                    from concurrent.futures import ThreadPoolExecutor
+                admitted.select("doc_id", "lang").write.mode(
+                    "overwrite"
+                ).parquet(part_dir)
+                # Append-only index growth: this batch's state rows
+                # land in their own batch= subdir — doc-state
+                # partitioned by doc group, band index by band
+                # group — and a replay overwrites the same subdirs
+                # idempotently.
+                # repartition on the partition column first: one
+                # file per touched group instead of one per task
+                # per group (the many-executor small-file guard).
+                # The two index writes run CONCURRENTLY (driver
+                # threads; both read the persisted `admitted`) —
+                # they are commit-latency-bound at batch scale, and
+                # every crash window stays replay-safe: a missing
+                # bg subdir means the batch's docs surface no band
+                # candidates, a missing dg subdir drops their grams
+                # from verification — either way `admitted` comes
+                # back NON-empty on replay and all three sinks are
+                # rewritten idempotently (r14 x2n trim).
+                from concurrent.futures import ThreadPoolExecutor
 
-                    def _write_dg() -> None:
-                        admitted.withColumn(
-                            "dg",
-                            F.pmod(F.hash("doc_id"), F.lit(_X2N_STATE_GROUPS)),
-                        ).repartition("dg").write.mode("overwrite").partitionBy(
-                            "dg"
-                        ).parquet(f"{state_dir}/batch={batch_id}")
+                def _write_dg() -> None:
+                    admitted.withColumn(
+                        "dg",
+                        F.pmod(F.hash("doc_id"), F.lit(_X2N_STATE_GROUPS)),
+                    ).repartition("dg").write.mode("overwrite").partitionBy(
+                        "dg"
+                    ).parquet(f"{state_dir}/batch={batch_id}")
 
-                    def _write_bg() -> None:
-                        banded_keys(admitted, "doc_id").select(
-                            F.col("_id").alias("doc_id"),
-                            "band_id",
-                            "band_hash",
-                            F.pmod(
-                                F.hash("band_id", "band_hash"),
-                                F.lit(_X2N_STATE_GROUPS),
-                            ).alias("bg"),
-                        ).repartition("bg").write.mode("overwrite").partitionBy(
-                            "bg"
-                        ).parquet(f"{bands_dir}/batch={batch_id}")
+                def _write_bg() -> None:
+                    banded_keys(admitted, "doc_id").select(
+                        F.col("_id").alias("doc_id"),
+                        "band_id",
+                        "band_hash",
+                        F.pmod(
+                            F.hash("band_id", "band_hash"),
+                            F.lit(_X2N_STATE_GROUPS),
+                        ).alias("bg"),
+                    ).repartition("bg").write.mode("overwrite").partitionBy(
+                        "bg"
+                    ).parquet(f"{bands_dir}/batch={batch_id}")
 
-                    with ThreadPoolExecutor(2) as pool:
-                        for fut in [pool.submit(_write_dg), pool.submit(_write_bg)]:
-                            fut.result()
+                with ThreadPoolExecutor(2) as pool:
+                    for fut in [pool.submit(_write_dg), pool.submit(_write_bg)]:
+                        fut.result()
         finally:
             b.unpersist()
             try:

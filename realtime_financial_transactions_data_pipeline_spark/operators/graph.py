@@ -266,6 +266,11 @@ def triangle_counts(edges: DataFrame, strategy: str = "auto") -> DataFrame:
     - ``shuffle`` (fallback above the guard): degree-ordered wedge
       enumeration (module docstring) closed against the canonical edge
       set — fully distributed, out-degree bounded O(sqrt E)."""
+    # Checkpoint the (possibly memoized-pair-derived) edge plan ONCE so
+    # the auto decision count and the chosen strategy share a single
+    # materialization — the _pair_counts_auto pattern (r14 ADVICE: the
+    # old shape computed the edge derivation twice per call).
+    edges = edges.select("u", "v").localCheckpoint(eager=True)
     if strategy == "auto":
         # Edge count IS the membership size (2E adjacency ints).
         strategy = (
@@ -319,7 +324,7 @@ def _triangle_counts_broadcast(edges: DataFrame) -> DataFrame:
     import numpy as np
 
     spark = edges.sparkSession
-    e = edges.select("u", "v").localCheckpoint(eager=True)
+    e = edges.select("u", "v")  # caller (triangle_counts) checkpointed
     bi = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     members = (
         bi.groupBy("u")

@@ -136,78 +136,95 @@ DRIVER_WINDOW = 50
 #: scale_dynamic_pruning, x21 content-defined chunking, u9 erasure
 #: cascade): 17 candidates, so cohort 9 closes lifetime coverage with
 #: ~31 slots to spare for re-verification keeps.
+#: Cohort-9 rotation (round 15, VERDICT_r14 item #2 — CLOSES lifetime
+#: first-exposure coverage): anchors stay (q1, t1_t6); EIGHTEEN
+#: never-driver-verified probes enter — the nine family-redundant
+#: deferrals (q1b, q1sql, a14, a15, x4_binary_columns, x3g,
+#: scale_salted_agg, scale_time_travel, t2c), the eight round-14
+#: newcomers (g8, j9, x2y, o9, a23, scale_dynamic_pruning, x21, u9),
+#: plus u1_fpe_tokenize, NEWLY ELIGIBLE this round: the pyffx-compat
+#: rework (VERDICT r14 #1) gave it a hash-checked precomputed-token
+#: oracle, ending its rows-only exclusion. THIRTY re-verification
+#: keeps fill the rest — the least-recently-verified oracled probes
+#: repo-wide (last green round 2: f9, j4, j4b, a10b, o5b, rollup,
+#: x1b, x3a/b/c/d/e/f; round 6: f15, a10, o3, o4, x2b, x2e, x2f, f14,
+#: x3bcf, x2g; round 7: p3, s6) plus five family-coverage keeps
+#: for the families those leave unrepresented (dq1 r10, er1 r12,
+#: k9 r10, l1_l3 r13, x5c r12). After cohort 9
+#: every oracled probe has ≥1 lifetime driver-window green; future
+#: rotations are pure re-verification, oldest-green-first.
 #: ROWS-ONLY EXCLUSION (VERDICT_r13 item #7, permanent policy): the
-#: three rows-only-by-nature probes — u1_fpe_tokenize (keyed PRF),
-#: t5_rate_source (throughput), x5_approx_sketches (approximate) —
-#: NEVER enter the window: a window slot spent on a rows-only check
-#: is a wasted hash slot (test_driver_window_contract enforces that
-#: every member carries an oracle). Each has hash-checked twins
-#: (u1b/u1c, t9/t10, x5b/x5c/x5d) covering its semantics.
+#: rows-only-by-nature probes — t5_rate_source (throughput),
+#: x5_approx_sketches (approximate); u1_fpe_tokenize LEFT this set in
+#: round 15 when it gained its pyffx-compat oracle — NEVER enter the
+#: window: a window slot spent on a rows-only check is a wasted hash
+#: slot (test_driver_window_contract enforces that every member
+#: carries an oracle). Each has hash-checked twins (t9/t10,
+#: x5b/x5c/x5d) covering its semantics.
 _DRIVER_ORDER = [
     # anchors (stability): the flagship star join (also entry()'s smoke
     # every round) and the streaming pipeline covering S1/S2/S4/K1/K2/
     # T1/T2/T3/T6 in one probe.
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
-    # family-coverage keeps (least-recently-verified per family):
-    "s3b_json_path_extract",         # S3 twin (last green r2)
-    "p2_column_drop",                # P2 (last green r2)
-    "f11_f12_arithmetic_round",      # F11/F12 (last green r2)
-    "l1b_partition_pruned_slice",    # L slicer, pruned (last green r12)
-    "cube_segment_status",           # O cube (last green r2)
-    "x5b_exact_percentiles",         # X5 twin (last green r12)
-    # first exposure (42): analytics extensions...
-    "a1_a6_generated_star",
-    "a8b_generated_dashboard_charts",
-    "a20_touch_attribution",
-    "a21_daily_percentile_bands",
-    # ...governance/quality...
-    "dq5_freshness_audit",
-    "er3_golden_record",
-    "er4_blocking_quality",
-    # ...round-13 graph family...
-    "g3_link_prediction",
-    "g4_bfs_hops",
-    "g5_connected_components",
-    "g6_weighted_pagerank",
-    "g7_graph_summary",
-    # ...joins, sinks, views...
-    "j8_band_join_bucketed",
-    "k12_dynamic_partition_overwrite",
-    "mv3_aggregate_navigation",
-    # ...TPC-H stragglers...
-    "q3_unshipped_orders_topk",
-    "q4_late_shipment_exists",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q22_idle_customers",
-    # ...scale ops, streaming, time series...
-    "scale_compaction_plan",
-    "t4b_sessionization",
-    "ts4_autocorrelation",
-    "ts5_cusum_changepoint",
-    "ts6_trend_forecast",
-    # ...privacy...
-    "u7_l_diversity_audit",
-    "u8_dp_bounded_contribution",
-    # ...dedup, retrieval...
-    "x1e_stream_dedup_ingest",
-    "x2rb_refine_recall",
-    "x2v_ivfpq_refine",
-    "x2w_matryoshka_prefix_search",
-    # ...text...
-    "x3h_repetition_metrics",
-    "x3j_bigram_xentropy",
-    "x3k_normalize",
-    "x3m_vocab_zipf",
-    # ...multimodal, curation...
-    "x4c_real_decode",
-    "x4d_bmp_decode",
-    "x4f_png_resize",
-    "x9_token_sharding",
-    "x11_deterministic_shuffle",
+    # first exposure (18): the cohort-8 deferrals...
+    "q1b_pricing_summary",
+    "q1sql_shared_text",
+    "a14_daily_anomalies",
+    "a15_value_histogram",
+    "x4_binary_columns",
+    "x3g_pii_redaction",
+    "scale_salted_agg",
+    "scale_time_travel",
+    "t2c_hopping_windows",
+    # ...the round-14 newcomers...
+    "g8_star_components",
+    "j9_asof_nearest",
+    "x2y_neardup_cluster_stats",
+    "o9_weighted_median",
+    "a23_revenue_concentration",
+    "scale_dynamic_pruning",
+    "x21_content_defined_chunking",
+    "u9_erasure_cascade",
+    # ...and the round-15 oracle upgrade (pyffx-compat tokens):
+    "u1_fpe_tokenize",
+    # re-verification keeps (30), least-recently-verified first:
+    # last green round 2 —
+    "f9_date_arithmetic",
+    "j4_anti_join_new_rows",
+    "j4b_semi_join",
+    "a10b_count_distinct",
+    "o5b_window_running",
+    "rollup_region_nation",
+    "x1b_dedup_dropduplicates",
+    "x3a_token_stats",
+    "x3b_language_id",
+    "x3c_quality_score",
+    "x3d_fingerprint",
+    "x3e_bpe_pretokenize",
+    "x3f_unigram_xentropy",
+    # last green round 6 —
+    "f15_risk_threshold",
+    "a10_distinct_slicer_values",
+    "o3_union",
+    "o4_intersect_except",
+    "x2b_ngram_jaccard",
+    "x2e_cosine_topk",
+    "x2f_cosine_threshold_pairs",
+    "f14_surrogate_ids",
+    "x3bcf_doc_quality",
+    "x2g_ann_lsh_bucketed",
+    # last green round 7 —
+    "p3_filter_eq",
+    "s6_json_read",
+    # family-coverage keeps (test_driver_window_family_coverage):
+    # least-recently-verified member of each family left unrepresented
+    # above — dq/er/k/l/x5.
+    "dq1_expectation_metrics",       # last green r10
+    "er1_entity_resolution",         # last green r12
+    "k9_scd2_build",                 # last green r10
+    "l1_l3_slicer_stack",            # last green r13
+    "x5c_heavy_hitters",             # last green r12
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
     # Not assert: these invariants must hold under ``python -O`` too,

@@ -506,7 +506,7 @@ def test_x2w_prefix_shortlist_and_rerank_contract(spark):
         assert dists == sorted(dists)
 
 
-def test_x2rb_refine_never_hurts_and_lifts_at_sf01(spark):
+def test_x2rb_refine_never_hurts_and_lifts_at_sf001(spark):
     """Refinement reorders within the ADC shortlist by EXACT distance,
     so against the exact reference its mean recall must be >= the raw
     ADC ranking's on any corpus; at sf0.01 the lift is strict (the
