@@ -1576,11 +1576,18 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The micro-batch arrives as ONE json file = one partition;
         # spread it before the shingle+signature pass or the whole
         # minhash computation runs on a single task.
+        # Eager localCheckpoint, not persist (r15 trim, the r14
+        # `admitted` lesson applied to the batch frame itself): every
+        # downstream plan — the banded-keys collect, the pruned-probe
+        # joins, the admit DAG, the sink writes — analyzes a LogicalRDD
+        # leaf instead of re-walking the minhash lineage, and the
+        # batch-0 cache race (three uni subtrees racing an un-filled
+        # persist into ~3 concurrent minhash passes) cannot exist:
+        # the checkpoint materializes exactly once, up front.
         b = minhash_signature(
             batch.repartition(8).withColumn("grams", word_shingles("text")),
             grams_col="grams",
-        ).select("doc_id", "lang", "grams", "sig")
-        b.persist()
+        ).select("doc_id", "lang", "grams", "sig").localCheckpoint(eager=True)
         try:
             bpath = jvm.org.apache.hadoop.fs.Path(bands_dir)
             if bpath.getFileSystem(hconf).exists(bpath):
@@ -1600,23 +1607,16 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # downstream union's checkpoint task hang ~5.5 s (6.0 s
                 # vs 0.49 s for the plain form; r14 x2n trim bisect).
                 state = s.createDataFrame([], state_schema)
-                # Pin b's cache BEFORE the admit action: on the first
-                # batch nothing upstream has materialized it, and the
-                # admit job's three uni subtrees (banding, ga, gb) race
-                # the un-filled cache into ~3 concurrent minhash passes
-                # (measured 6.6 s -> 2.5 s for batch 0 at sf0.1). Later
-                # batches materialize b inside the pruned probe's key
-                # collect, so the pin is batch-0-only.
-                b.count()
-            # Eager localCheckpoint, NOT persist: the three sink writes
-            # and the replay check each re-ANALYZE the frame's full
-            # lineage (cache substitution happens after analysis), and
-            # the admit DAG is the most analysis-heavy plan in the
-            # probe. Checkpointing makes every downstream plan a
-            # LogicalRDD leaf — one heavy analysis per batch instead of
-            # four (r14 x2n trim; the neardup_admit docstring's
-            # plan-size-dominates observation, applied).
-            admitted = neardup_admit(state, b).localCheckpoint(eager=True)
+            # Write-first, NO admit checkpoint (r15 trim): the accepted
+            # write itself executes the admit DAG — one heavy
+            # analysis+job — and the two index writes re-derive their
+            # rows as b-leaf ⋈ accepted-parquet semi-joins, so every
+            # downstream plan is leaf-sized without paying a separate
+            # localCheckpoint action per batch (the r14 shape spent one;
+            # measured ~0.4 s/trigger here). The replay check only
+            # evaluates the admit plan on the rare replay path — the
+            # normal path short-circuits on dir absence.
+            admitted = neardup_admit(state, b)
             part_dir = f"{accepted_dir}/batch={batch_id}"
             hpath = jvm.org.apache.hadoop.fs.Path(part_dir)
             hfs = hpath.getFileSystem(hconf)
@@ -1625,30 +1625,41 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # back empty — the committed rows must be left untouched.
             already_applied = hfs.exists(hpath) and admitted.limit(1).count() == 0
             if not already_applied:
+                # ORDER IS LOAD-BEARING: accepted commits BEFORE the
+                # index subdirs. Crash after accepted, before index →
+                # replay recomputes `admitted` against an index without
+                # this batch, gets it NON-empty, and rewrites all three
+                # sinks idempotently. (The reverse order would leave a
+                # window where the index already contains the batch, so
+                # a replay's `admitted` comes back EMPTY while the
+                # accepted rows were never committed — data loss.)
                 admitted.select("doc_id", "lang").write.mode(
                     "overwrite"
                 ).parquet(part_dir)
                 # Append-only index growth: this batch's state rows
                 # land in their own batch= subdir — doc-state
-                # partitioned by doc group, band index by band
-                # group — and a replay overwrites the same subdirs
-                # idempotently.
-                # repartition on the partition column first: one
-                # file per touched group instead of one per task
-                # per group (the many-executor small-file guard).
-                # The two index writes run CONCURRENTLY (driver
-                # threads; both read the persisted `admitted`) —
-                # they are commit-latency-bound at batch scale, and
-                # every crash window stays replay-safe: a missing
-                # bg subdir means the batch's docs surface no band
-                # candidates, a missing dg subdir drops their grams
-                # from verification — either way `admitted` comes
-                # back NON-empty on replay and all three sinks are
-                # rewritten idempotently (r14 x2n trim).
+                # partitioned by doc group, band index by band group —
+                # and a replay overwrites the same subdirs idempotently.
+                # repartition on the partition column first: one file
+                # per touched group instead of one per task per group
+                # (the many-executor small-file guard). The two index
+                # writes run CONCURRENTLY (driver threads) — they are
+                # commit-latency-bound at batch scale, and every crash
+                # window stays replay-safe: a missing bg subdir means
+                # the batch's docs surface no band candidates, a
+                # missing dg subdir drops their grams from verification
+                # — either way `admitted` comes back NON-empty on
+                # replay and all three sinks are rewritten (r14 trim).
                 from concurrent.futures import ThreadPoolExecutor
 
+                adm = b.join(
+                    s.read.parquet(part_dir).select("doc_id"),
+                    "doc_id",
+                    "semi",
+                )
+
                 def _write_dg() -> None:
-                    admitted.withColumn(
+                    adm.withColumn(
                         "dg",
                         F.pmod(F.hash("doc_id"), F.lit(_X2N_STATE_GROUPS)),
                     ).repartition("dg").write.mode("overwrite").partitionBy(
@@ -1656,7 +1667,7 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).parquet(f"{state_dir}/batch={batch_id}")
 
                 def _write_bg() -> None:
-                    banded_keys(admitted, "doc_id").select(
+                    banded_keys(adm, "doc_id").select(
                         F.col("_id").alias("doc_id"),
                         "band_id",
                         "band_hash",
@@ -1672,7 +1683,6 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for fut in [pool.submit(_write_dg), pool.submit(_write_bg)]:
                         fut.result()
         finally:
-            b.unpersist()
             try:
                 state.unpersist()
             except NameError:  # pruned-read failed before `state` bound
