@@ -81,6 +81,19 @@ MATRIX = {
     # connected_components(pin=False), distributed labels end to end —
     # at scale (VERDICT r13 weak #1 done-criterion).
     "cc_default_nopin": ("events", (1, 10)),
+    # The over-guard shuffle fallback, forced (VERDICT r14 #4): the
+    # broadcast-CSR kernel is measured above; this row certifies the
+    # path that takes over when the membership guard trips. 100x is
+    # deliberately ABSENT: the bucket space is fixed (event_type x
+    # ~2160 hours), so at 10 M events every bucket exceeds
+    # _G1_BUCKET_CAP and is dropped — 0 pairs survive (measured:
+    # 9.4 s wall, 0 rows). That is the cap doing its designed job
+    # (mega-buckets are collision pathology, not signal), not a
+    # measurement of the pair path; at real 100x scale the bucket
+    # key gets finer (day->minute, or +geo), keeping bucket sizes
+    # bounded while Σ buckets grows — which is exactly the 10x
+    # regime measured here, repeated.
+    "pairs_shuffle_fallback": ("events", (1, 10)),
 }
 
 
@@ -103,8 +116,32 @@ def _cc_default_nopin(spark: SparkSession, sf_dir: str):
     return connected_components(edges, a_col="u", b_col="v")
 
 
+def _pairs_shuffle_fallback(spark: SparkSession, sf_dir: str):
+    """The graph family's OVER-GUARD fallback (VERDICT r14 #4): force
+    strategy='shuffle' so the explode+groupBy pair path — what
+    _pair_counts_auto dispatches to when Σ memberships exceeds
+    _BITMAP_MAX_MEMBERSHIPS and the CSR build side no longer
+    broadcasts — gets its own scale row instead of riding the
+    broadcast kernel's. Same floor as the family's memoized pass so
+    the rows are comparable to the g1-g8 entries."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        _G1_MIN_SHARED,
+        coengagement_pair_counts,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    return coengagement_pair_counts(
+        load_table(spark, sf_dir, "events"),
+        floor=_G1_MIN_SHARED,
+        strategy="shuffle",
+    )
+
+
 #: smoke-only entries that are not registry probes
-CUSTOM = {"cc_default_nopin": _cc_default_nopin}
+CUSTOM = {
+    "cc_default_nopin": _cc_default_nopin,
+    "pairs_shuffle_fallback": _pairs_shuffle_fallback,
+}
 
 
 def gen_documents(spark: SparkSession, n: int, path: str) -> None:

@@ -181,6 +181,57 @@ def test_pair_count_strategies_agree_on_adversarial_layout(spark):
         g._G1_BUCKET_CAP = old_cap
 
 
+def test_pair_counts_auto_dispatch_pins_guard(spark):
+    """Which path 'auto' actually runs, pinned with strategy spies
+    (VERDICT r14 #4): under _BITMAP_MAX_MEMBERSHIPS the broadcast-CSR
+    kernel must run (never the pair shuffle); with the guard forced
+    below the frame's membership count the shuffle fallback must run
+    (never a driver-side CSR build). Both spies wrap the real
+    functions, so the dispatched path also still produces the right
+    pairs."""
+    import datetime as dt
+
+    import realtime_financial_transactions_data_pipeline_spark.operators.graph as g
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in (1, 2, 3):
+        for u in (1, 2):
+            rows.append((u, "click", base + dt.timedelta(hours=h)))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    calls: list[str] = []
+    real_b, real_s = g._pair_counts_broadcast, g._pair_counts_shuffle
+
+    def spy_b(*a, **k):
+        calls.append("broadcast")
+        return real_b(*a, **k)
+
+    def spy_s(*a, **k):
+        calls.append("shuffle")
+        return real_s(*a, **k)
+
+    old_guard = g._BITMAP_MAX_MEMBERSHIPS
+    g._pair_counts_broadcast, g._pair_counts_shuffle = spy_b, spy_s
+    try:
+        got = sorted(
+            map(tuple, g.coengagement_pair_counts(ev, floor=1).collect())
+        )
+        assert got == [(1, 2, 3)]
+        assert calls == ["broadcast"], calls
+        calls.clear()
+        g._BITMAP_MAX_MEMBERSHIPS = 1  # 6 memberships > 1 → over-guard
+        got = sorted(
+            map(tuple, g.coengagement_pair_counts(ev, floor=1).collect())
+        )
+        assert got == [(1, 2, 3)]
+        assert calls == ["shuffle"], calls
+    finally:
+        g._BITMAP_MAX_MEMBERSHIPS = old_guard
+        g._pair_counts_broadcast, g._pair_counts_shuffle = real_b, real_s
+
+
 def test_pagerank_known_values(spark):
     """Hand-checkable graph: path 1-2-3. Symmetric under 1<->3, ranks
     sum to 1 every iteration (no dangling mass), center outranks ends."""
