@@ -86,6 +86,23 @@ def _sched_calib(spark) -> float:
     return sec
 
 
+def _shuffle_written_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across executors, read from the
+    always-on JVM AppStatusStore (works with spark.ui.enabled=false, so
+    bench needs no UI server and pass-1 walls keep their composition).
+    Constant-time — one small py4j call per probe, not a stage-list
+    walk that grows with suite length. Returns -1 if the (package-
+    private, stable-since-2.3) accessor ever disappears; callers treat
+    deltas involving -1 as unknown."""
+    try:
+        execs = spark.sparkContext._jsc.sc().statusStore().executorList(False)
+        return sum(
+            execs.apply(i).totalShuffleWrite() for i in range(execs.size())
+        )
+    except Exception:  # noqa: BLE001 — accounting must never fail bench
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -140,6 +157,24 @@ def main() -> None:
             shutil.rmtree(wroot, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001 — never fail the suite
             print(f"bench: stream warm-up failed: {exc}", file=sys.stderr)
+    # Python-worker pool pre-warm (VERDICT r14 #5): the first pandas-UDF
+    # probe used to absorb the fork+import cost of spawning the Arrow
+    # worker pool (pandas+pyarrow imports, ~1-2 s per worker, paid once
+    # per core under worker reuse) — r14's x4j read 12.1 s pass-1 vs
+    # 2.4 s min-of-2 purely from this. One no-op mapInPandas across 2x
+    # the core count spawns and retains the pool BEFORE the suite
+    # clock, so pass-1 measures the probe, not interpreter cold-start.
+    # (Documented series break: r15+ pass-1 walls for pandas-UDF probes
+    # drop to their warm cost; min-of-2 values are unaffected.)
+    try:
+        import multiprocessing
+
+        _ncores = multiprocessing.cpu_count()
+        spark.range(0, _ncores * 2, 1, _ncores * 2).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception as exc:  # noqa: BLE001 — never fail the suite
+        print(f"bench: python-worker warm-up failed: {exc}", file=sys.stderr)
     t_suite = time.time()
     # JVM/codegen warm-up so the alphabetically-first probe doesn't
     # absorb session startup; counted in the suite total, not per-query.
@@ -155,7 +190,9 @@ def main() -> None:
         "sum(id * 2654435761 % 1000003)"
     ).collect()
     calib_sec = round(time.time() - t_cal, 3)
+    shuffle_mb: dict[str, float] = {}
     for name, p in probes.items():
+        sh0 = _shuffle_written_bytes(spark)
         t0 = time.time()
         try:
             p.fn(spark, sf_dir).count()
@@ -163,6 +200,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        sh1 = _shuffle_written_bytes(spark)
+        # Pass-1 shuffle-write delta (VERDICT r14 stretch #8): a plan
+        # regression shows up as a shuffle jump even when wall noise
+        # hides it — bench_compare flags >2x growth. -1 = unknown.
+        shuffle_mb[name] = (
+            round((sh1 - sh0) / 1e6, 3) if sh0 >= 0 and sh1 >= 0 else -1.0
+        )
         if name == "t1_t6_streaming_pipeline" and timings[name] > 0:
             # Snapshot the flagship probe's streaming window now — other
             # probes (j3) also call run_pipeline and would overwrite it.
@@ -224,6 +268,7 @@ def main() -> None:
                    "rerun_sec": rerun_sec,
                    "queries": timings, "queries_rerun": timings2,
                    "queries_min": min2,
+                   "queries_shuffle_mb": shuffle_mb,
                    "tpch_suite_sec": tpch_suite_sec}, fh,
                   indent=1, sort_keys=True)
 

@@ -64,6 +64,9 @@ def _load(path: str) -> dict:
         "stream_def": d.get("stream_window_def", "unlabeled(pre-r13: v1 thru r11, v2 in r12)"),
         "queries": d.get("queries_min") or d.get("queries") or {},
         "min_of_2": "queries_min" in d,
+        # per-probe pass-1 shuffle-write MB (r15+ BENCH_DETAIL records);
+        # absent or -1 entries mean unknown.
+        "shuffle": d.get("queries_shuffle_mb") or {},
     }
     return out
 
@@ -111,6 +114,23 @@ def main() -> None:
         )
     if not flagged:
         print(f"no probe moved past {args.threshold}x after normalization")
+
+    # Shuffle-delta adjudication (VERDICT r14 stretch #8): wall noise
+    # normalizes away, but shuffle bytes are deterministic per plan —
+    # >2x growth at the same sf means the PLAN changed, not the host.
+    sh_flagged = []
+    for name, s0 in sorted(b["shuffle"].items()):
+        s1 = n["shuffle"].get(name)
+        if s1 is None or s0 < 0 or s1 < 0:
+            continue
+        base = max(s0, 0.05)  # ignore sub-50 kB jitter denominators
+        if s1 / base >= 2.0 and s1 - s0 >= 1.0:
+            sh_flagged.append((s1 / base, name, s0, s1))
+    for ratio, name, s0, s1 in sorted(sh_flagged, reverse=True):
+        print(
+            f"SHUFFLE {ratio:5.1f}x {name}: {s0:.1f} -> {s1:.1f} MB "
+            "shuffle-write (plan change, not host noise)"
+        )
 
     gone = sorted(set(b["queries"]) - set(n["queries"]))
     new_probes = sorted(set(n["queries"]) - set(b["queries"]))
