@@ -404,6 +404,24 @@ def _memo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _memo_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized triangle pass over the default edge set (the
+    _memo_pairs pattern), shared by g1 and g1b. Root cause of the r14
+    g1b drift (1.05 → 1.58 s, bisected r15): the r13 wedge path
+    effectively shared its shuffle stages through the persisted pair
+    memo, but the r14 edge-iterator kernel re-collects and re-broadcasts
+    the CSR adjacency per CALL — so the second consumer must share via
+    an explicit memo, not plan reuse. Node-sized output; keyed like
+    _memo_pairs so a cap/floor change invalidates it."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
+
+    return memo_persist(
+        spark,
+        ("g_triangles", sf_dir, _G1_BUCKET_CAP, _G1_MIN_SHARED),
+        lambda: triangle_counts(_memo_edges(spark, sf_dir)),
+    )
+
+
 @probe(
     "g1_triangle_count",
     oracle=f"""
@@ -436,7 +454,7 @@ def g1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably the same triangle set, so the hash certifies the
     orientation machinery end-to-end. See module docstring for why the
     orientation is the 100 TB-scale point."""
-    return triangle_counts(_memo_edges(spark, sf_dir))
+    return _memo_triangles(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -597,7 +615,7 @@ def g1b_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    tc = triangle_counts(edges)
+    tc = _memo_triangles(spark, sf_dir)
     coeff = F.when(
         F.col("deg") >= 2,
         dround(
