@@ -531,3 +531,164 @@ def j9_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("offset_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J10 — point-in-time (PIT) join against SCD2 validity intervals with
+# EXPIRING versions: the feature-store read (Feast/Tecton's
+# point_in_time_join, Databricks FS's training-set build) that j6's
+# plain as-of cannot express — an as-of match is wrong when the
+# matched version has lapsed (consent snapshots, KYC attestations,
+# rate locks: the reference's financial domain is full of attributes
+# that are only valid for a bounded window). Same union+window plan as
+# j6 — one shuffle, no join node, no pair blow-up — plus a carried
+# valid_to so each fact checks the matched version's expiry instead of
+# blindly taking the most recent one (the feature-leakage guard).
+# ---------------------------------------------------------------------------
+
+_J10_TTL_DAYS = 7
+_J10_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def pit_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str,
+    valid_to: str,
+    version_cols: list[str],
+) -> DataFrame:
+    """Generic PIT join: every fact row gains ``version_cols`` from the
+    version whose [valid_from, valid_to) interval contains its
+    timestamp, or NULLs when none does — including when the most
+    recent version has EXPIRED (the feature-leakage case a plain as-of
+    gets wrong). Requires disjoint intervals per key (SCD2 invariant).
+    Union + one window pass per key (j10 block comment): version rows
+    sort before same-instant facts for >= semantics; fact rows check
+    the carried valid_to before surfacing the match."""
+    vcols = [c for c in version_cols if c != valid_from] + [valid_from]
+    dimu = versions.select(
+        F.col(key).alias("_k"),
+        F.col(valid_from).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(valid_to).alias("_vt"),
+        *[F.col(c).alias(f"_v_{c}") for c in vcols],
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+          for c in facts.columns if c != key],
+    )
+    factu = facts.select(
+        F.col(key).alias("_k"),
+        F.col(fact_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(versions.schema[valid_to].dataType).alias("_vt"),
+        *[F.lit(None).cast(versions.schema[c].dataType).alias(f"_v_{c}")
+          for c in vcols],
+        *[F.col(c) for c in facts.columns if c != key],
+    )
+    wu = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = dimu.unionByName(factu).select(
+        "*",
+        F.last("_vt", ignorenulls=True).over(wu).alias("_cur_vt"),
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(wu).alias(f"_cur_{c}")
+            for c in vcols
+        ],
+    )
+    live = F.col("_t") < F.col("_cur_vt")  # NULL _cur_vt ⇒ no match
+    return carried.filter(F.col("_side") == 1).select(
+        F.col("_k").alias(key),
+        F.col("_t").alias(fact_ts),
+        *[F.col(c) for c in facts.columns if c not in (key, fact_ts)],
+        *[
+            F.when(live, F.col(f"_cur_{c}")).alias(c)
+            for c in version_cols
+        ],
+    )
+
+
+@probe(
+    "j10_pit_join",
+    oracle=f"""
+    WITH ch0 AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS vf
+      FROM events
+      WHERE user_id % 5 = 3 AND event_type IN ('signup', 'error')),
+    ch AS (
+      SELECT user_id, max(event_id) AS ver_id, vf
+      FROM ch0 GROUP BY user_id, vf),
+    v AS (
+      SELECT user_id, ver_id, vf,
+             least(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                   vf + INTERVAL {_J10_TTL_DAYS} DAY) AS vt
+      FROM ch),
+    f AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE user_id % 5 = 3 AND event_type = 'purchase')
+    SELECT f.event_id, f.user_id,
+           strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS fact_ts,
+           CAST(v.ver_id AS BIGINT) AS version_id,
+           strftime(v.vf, '%Y-%m-%d %H:%M:%S') AS version_valid_from
+    FROM f LEFT JOIN v
+      ON v.user_id = f.user_id AND v.vf <= f.ts AND f.ts < v.vt
+    """,
+)
+def j10_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — PIT-join purchases to the profile version valid AT the
+    purchase instant. Versions come from each user's signup/error
+    change events (k9's SCD2 recipe: same-second dedupe, lead() close)
+    but additionally EXPIRE after {_J10_TTL_DAYS} days without a new
+    change — so validity intervals have real gaps, and a purchase
+    landing in a gap must yield NULLs, never the stale version (the
+    leakage case a plain as-of silently gets wrong; DuckDB's interval
+    LEFT JOIN is the independent oracle, exactly one row per fact
+    because intervals are disjoint by construction). Plan: union the
+    version starts with the facts, ONE window pass per user carrying
+    (version id, valid_from, valid_to) via last(ignorenulls) ordered
+    by (t, side) — version rows sort before same-instant facts for >=
+    semantics — then fact rows null the match out when t >= the
+    carried valid_to. One shuffle total; at 100 TB this is the j6
+    economics with a two-column wider carry, and AQE handles hot keys
+    as ordinary window skew."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 3)
+    ch = (
+        e.filter(F.col("event_type").isin("signup", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            F.date_trunc("second", "ts").alias("vf"),
+        )
+        .groupBy("user_id", "vf")
+        .agg(F.max("event_id").alias("ver_id"))
+    )
+    w = Window.partitionBy("user_id").orderBy("vf")
+    v = ch.withColumn(
+        "vt",
+        F.least(
+            F.lead("vf").over(w),
+            F.col("vf") + F.expr(f"INTERVAL {_J10_TTL_DAYS} DAYS"),
+        ),
+    )
+    f = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = pit_join(
+        f,
+        v,
+        key="user_id",
+        fact_ts="ts",
+        valid_from="vf",
+        valid_to="vt",
+        version_cols=["ver_id", "vf"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _J10_FMT).alias("fact_ts"),
+        F.col("ver_id").alias("version_id"),
+        F.date_format("vf", _J10_FMT).alias("version_valid_from"),
+    )

@@ -532,3 +532,86 @@ def dq5_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("completeness"),
         (F.col("max_gap_days") <= _DQ5_MAX_GAP_DAYS).alias("freshness_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq6 — functional-dependency audit: does determinant → dependent hold?
+# The profiling question behind key discovery, denormalization checks,
+# and silent-corruption alarms (a dependency that held for years
+# breaking is usually an upstream join gone wrong). One groupBy per
+# candidate FD, each partial-aggregable; nothing row-wise.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "dq6_functional_dependency_audit",
+    oracle="""
+    WITH fds AS (
+      SELECT 'o_custkey->custkey_bucket' AS fd,
+             CAST(o_custkey AS VARCHAR) AS det,
+             CAST(o_custkey % 5 AS VARCHAR) AS dep
+      FROM orders
+      UNION ALL
+      SELECT 'c_nationkey->c_mktsegment',
+             CAST(c_nationkey AS VARCHAR), c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT 'o_custkey->o_orderpriority',
+             CAST(o_custkey AS VARCHAR), o_orderpriority
+      FROM orders),
+    per_key AS (
+      SELECT fd, det, count(DISTINCT dep) AS nd FROM fds GROUP BY 1, 2)
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT)
+             AS n_violating_keys,
+           CAST(max(nd) AS BIGINT) AS max_distinct_dependents,
+           count(*) FILTER (WHERE nd > 1) = 0 AS holds
+    FROM per_key GROUP BY fd
+    """,
+)
+def dq6_functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dq6 — audit three candidate functional dependencies: a
+    derived-bucket dependency `o_custkey → o_custkey % 5` that holds by
+    construction over MULTI-row determinant groups (~10 orders per
+    customer — the non-trivial shape; a unique-key FD would hold
+    vacuously), plus two that genuinely fail
+    (`nationkey → mktsegment`, `custkey → orderpriority`), pinning the
+    violation arithmetic on both sides of the boundary. Per FD: key
+    count, violating-key count (determinants with >1 distinct
+    dependent), worst fan-out, and the holds flag. Each audit is one
+    groupBy + one global agg — both partial-aggregable, so at 100 TB
+    this is three scan-shaped passes (or one, if the optimizer shares
+    the customer scan) with no row-wise machinery."""
+
+    def _audit(df: DataFrame, det: Column, dep: Column, name: str) -> DataFrame:
+        per_key = df.select(det.alias("det"), dep.alias("dep")).groupBy(
+            "det"
+        ).agg(F.countDistinct("dep").alias("nd"))
+        return per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count(F.when(F.col("nd") > 1, F.lit(1))).alias(
+                "n_violating_keys"
+            ),
+            F.max("nd").alias("max_distinct_dependents"),
+        ).withColumn("holds", F.col("n_violating_keys") == 0)
+
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        _audit(o, F.col("o_custkey"), F.col("o_custkey") % 5,
+               "o_custkey->custkey_bucket")
+        .unionByName(
+            _audit(c, F.col("c_nationkey"), F.col("c_mktsegment"),
+                   "c_nationkey->c_mktsegment")
+        )
+        .unionByName(
+            _audit(o, F.col("o_custkey"), F.col("o_orderpriority"),
+                   "o_custkey->o_orderpriority")
+        )
+    )

