@@ -2308,3 +2308,79 @@ def x2rb_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_against(
         "ivfpq_residual_x2t", raw, pexact, _PQ_TOPK
     ).unionAll(_recall_against("ivfpq_refined_x2v", ref, pexact, _PQ_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# x2z — per-dimension embedding statistics: the "fit" half of every
+# feature scaler (z-score, min-max, robust) and the corpus-health
+# panel behind it (dimension collapse, dead dims, scale drift between
+# snapshots — what you check BEFORE trusting cosine distances). The
+# plan is the 100 TB point: 4·_DIM named aggregates over array
+# subscripts — one scan, fully partial-aggregable, NO posexplode (the
+# naive shape multiplies the row count by _DIM and shuffles it; this
+# one shuffles a single combine row).
+# ---------------------------------------------------------------------------
+
+
+def _x2z_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT embedding FROM embeddings),
+    v AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM e, LATERAL unnest(range(1, {_DIM + 1})) AS t(i)),
+    a AS (
+      SELECT dim, count(*) AS n, sum(x) AS s, sum(x * x) AS ss,
+             min(x) AS mn, max(x) AS mx
+      FROM v GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(n AS BIGINT) AS n,
+           round(s / n, 4) AS mean,
+           round(sqrt(greatest(0.0, ss / n - (s / n) * (s / n))), 4) AS std,
+           round(mn, 4) AS vmin,
+           round(mx, 4) AS vmax
+    FROM a
+    """
+
+
+@probe("x2z_embedding_dim_stats", oracle=_x2z_oracle())
+def x2z_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2z — per-dimension (n, mean, population std, min, max) over the
+    embedding corpus, the scaler-fit / dimension-health pass. Spark
+    side computes 4·{_DIM} subscript aggregates in ONE scan (sum,
+    sum-of-squares, min, max per dimension — all partial-aggregable
+    Catalyst expressions), then pivots the single combine row to
+    {_DIM} output rows with posexplode of the zipped aggregate arrays
+    — the explode happens AFTER aggregation, on one row, not on the
+    corpus. Std is explicit E[x²]−E[x]² arithmetic (identical literal
+    in both engines, clamped at 0 for fp) rather than an engine
+    stddev whose sample/population convention could differ. Floats
+    widen to double before summing on both sides; 4-dp rounding
+    absorbs partial-aggregation order (the established double-sum
+    pairing, SURVEY §5)."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    d = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(F.col("v")[i]) for i in range(_DIM)]).alias("s"),
+        F.array(
+            *[F.sum(F.col("v")[i] * F.col("v")[i]) for i in range(_DIM)]
+        ).alias("ss"),
+        F.array(*[F.min(F.col("v")[i]) for i in range(_DIM)]).alias("mn"),
+        F.array(*[F.max(F.col("v")[i]) for i in range(_DIM)]).alias("mx"),
+    )
+    z = d.select(
+        "n", F.posexplode(F.arrays_zip("s", "ss", "mn", "mx"))
+    )
+    mean = F.col("col.s") / F.col("n")
+    var = F.greatest(
+        F.lit(0.0), F.col("col.ss") / F.col("n") - mean * mean
+    )
+    return z.select(
+        F.col("pos").cast("int").alias("dim"),
+        F.col("n").alias("n"),
+        dround(mean, 4).alias("mean"),
+        dround(F.sqrt(var), 4).alias("std"),
+        dround(F.col("col.mn"), 4).alias("vmin"),
+        dround(F.col("col.mx"), 4).alias("vmax"),
+    )

@@ -529,3 +529,46 @@ def test_x2rb_refine_never_hurts_and_lifts_at_sf001(spark):
         by_method["ivfpq_refined_x2v"]
     )
     assert ref > raw, (raw, ref)
+
+
+def test_x2z_dim_stats_numpy_parity(spark):
+    """x2z parity against numpy at sf0.001 (population std, per-dim
+    min/max) and the plan contract: the corpus is never exploded —
+    exactly one aggregate over the scan, with the 64-way pivot
+    happening on the single combine row."""
+    import duckdb
+    import numpy as np
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        x2z_embedding_dim_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    m = np.array(
+        duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet')"
+        ).fetchnumpy()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    df = x2z_embedding_dim_stats(spark, sf)
+    rows = {r.dim: r for r in df.collect()}
+    assert len(rows) == m.shape[1] == 64
+    for d in range(m.shape[1]):
+        c = m[:, d]
+        r = rows[d]
+        assert r.n == len(c)
+        assert abs(r.mean - round(float(c.mean()), 4)) <= 1e-9, d
+        assert abs(r.std - round(float(c.std()), 4)) <= 1e-4, d
+        assert abs(r.vmin - round(float(c.min()), 4)) <= 1e-9, d
+        assert abs(r.vmax - round(float(c.max()), 4)) <= 1e-9, d
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    # the pivot Generate must sit ABOVE the aggregate (printed first),
+    # i.e. the corpus is aggregated un-exploded.
+    gen = plan.index("Generate")
+    agg = min(
+        i for i in (plan.find("HashAggregate"), plan.find("SortAggregate"))
+        if i >= 0
+    )
+    assert gen < agg, plan
+    assert "Generate" not in plan[agg:], plan
