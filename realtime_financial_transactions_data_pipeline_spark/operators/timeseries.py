@@ -1271,3 +1271,109 @@ def a21_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("med95"), 4).alias("series_median_p95"),
         (F.col("p95") > 1.5 * F.col("med95")).alias("p95_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a24 — RFM segmentation: the classic financial-customer panel
+# (recency / frequency / monetary quartile scores → segment code) the
+# reference's Power BI layer would build from the star schema. Two
+# shuffles total: the per-customer order rollup and the three ntile
+# windows, which all ride ONE global sort partition set because the
+# quartile is over the whole customer base (a production variant
+# pre-buckets by approx quantile edges to avoid the global sort; at
+# this output size — one row per CUSTOMER, not per order — the exact
+# form is the right default).
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a24_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, c_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary, c_custkey) AS m_score
+      FROM base)
+    SELECT c_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm_code,
+           CASE WHEN r_score = 4 AND f_score = 4 AND m_score = 4
+                  THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 1 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 1 AND f_score <= 1 THEN 'lost'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def a24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a24 — per-customer RFM panel: recency (days since last order,
+    against the corpus max date so the panel is reproducible),
+    frequency (order count), monetary (total spend), each quartiled by
+    ntile(4) with the unique-custkey tiebreak that keeps assignment
+    deterministic across engines (the o6 discipline; recency sorts
+    DESC so 'bought most recently' earns score 4 like the other two),
+    plus the concatenated RFM code and the standard segment ladder.
+    The hash certifies all three orderings, the quartile boundaries,
+    and the CASE ladder at once."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dround(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    base = base.crossJoin(F.broadcast(maxd)).select(
+        "c_custkey",
+        F.datediff("maxd", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
+    wf = Window.orderBy("frequency", "c_custkey")
+    wm = Window.orderBy("monetary", "c_custkey")
+    scored = base.select(
+        "*",
+        F.ntile(4).over(wr).alias("r_score"),
+        F.ntile(4).over(wf).alias("f_score"),
+        F.ntile(4).over(wm).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 4) & (F.col("f_score") == 4)
+            & (F.col("m_score") == 4),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), F.lit("loyal"))
+        .when((F.col("r_score") <= 1) & (F.col("f_score") >= 3), F.lit("at_risk"))
+        .when((F.col("r_score") <= 1) & (F.col("f_score") <= 1), F.lit("lost"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_code"),
+        seg.alias("segment"),
+    )

@@ -47,13 +47,16 @@ BASE = {"documents": BASE_DOCS, "events": BASE_EVENTS, "embeddings": BASE_EMB}
 
 #: probe -> (table it scales with, scales to run)
 MATRIX = {
-    "x2a_minhash_lsh_neardup": ("documents", (1, 10)),
+    # r15: x2a and x2n join x2i at 100x (500 k docs) — the banding +
+    # exact-verify probe and the incremental-ingest probe measured at
+    # two orders of magnitude, not just the label-propagation chain.
+    "x2a_minhash_lsh_neardup": ("documents", (1, 10, 100)),
     # 100x = 500 k docs (VERDICT r13 stretch #8): one family measured
     # at two orders of magnitude, turning the "survives 100x" claim
     # from extrapolation into measurement for the banding + label-
     # propagation chain.
     "x2i_neardup_components": ("documents", (1, 10, 100)),
-    "x2n_stream_neardup_ingest": ("documents", (1, 10)),
+    "x2n_stream_neardup_ingest": ("documents", (1, 10, 100)),
     "k8b_bucketed_merge_sink": ("events", (1, 10, 60)),
     "ts1b_series_similarity_blocked": ("events", (1, 10)),
     # round 13 (VERDICT r12 #3): the new heavy families. g1's in-bucket

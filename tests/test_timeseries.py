@@ -495,3 +495,69 @@ def test_a23_gini_closed_forms(spark, monkeypatch):
     assert abs(got["MONO"].gini - 4 / 5) < 1e-9
     assert got["MONO"].top_decile_share == 1.0
     assert got["EQ"].total_cents == 4000 and got["MONO"].total_cents == 5000
+
+
+def test_a24_rfm_python_parity(spark):
+    """a24 parity against a from-scratch Python recompute at sf0.001,
+    including exact ntile bucket-size semantics (first n%4 buckets get
+    the extra row) and the segment ladder."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        a24_rfm_segmentation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = duckdb.sql(
+        f"SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice "
+        f"FROM read_parquet('{sf}/orders.parquet')"
+    ).fetchall()
+    agg: dict[int, list] = {}
+    maxd = max(r[1] for r in orders)
+    for ck, d, tp in orders:
+        a = agg.setdefault(ck, [d, 0, 0.0])
+        a[0] = max(a[0], d)
+        a[1] += 1
+        a[2] += tp
+    base = {
+        ck: ((maxd - a[0]).days, a[1], round(a[2], 2))
+        for ck, a in agg.items()
+    }
+
+    def ntile4(order):  # order: list of custkeys already sorted
+        n = len(order)
+        size, extra = divmod(n, 4)
+        out, i = {}, 0
+        for b in range(1, 5):
+            cnt = size + (1 if b <= extra else 0)
+            for ck in order[i : i + cnt]:
+                out[ck] = b
+            i += cnt
+        return out
+
+    r_s = ntile4(sorted(base, key=lambda c: (-base[c][0], c)))
+    f_s = ntile4(sorted(base, key=lambda c: (base[c][1], c)))
+    m_s = ntile4(sorted(base, key=lambda c: (base[c][2], c)))
+
+    def seg(r, f, m):
+        if r == 4 and f == 4 and m == 4:
+            return "champion"
+        if r >= 3 and f >= 3:
+            return "loyal"
+        if r <= 1 and f >= 3:
+            return "at_risk"
+        if r <= 1 and f <= 1:
+            return "lost"
+        return "regular"
+
+    rows = a24_rfm_segmentation(spark, sf).collect()
+    assert len(rows) == len(base)
+    for row in rows:
+        ck = row.c_custkey
+        rec, freq, mon = base[ck]
+        assert (row.recency_days, row.frequency) == (rec, freq)
+        assert abs(row.monetary - mon) < 1e-6
+        r, f, m = r_s[ck], f_s[ck], m_s[ck]
+        assert (row.r_score, row.f_score, row.m_score) == (r, f, m), ck
+        assert row.rfm_code == f"{r}{f}{m}"
+        assert row.segment == seg(r, f, m)
