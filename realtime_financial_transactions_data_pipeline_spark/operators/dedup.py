@@ -1365,11 +1365,20 @@ def _candidate_ids(
     """The lazy bg-pruned candidate-doc plan — extracted so the plan
     test can assert the band-group partition filter BEFORE
     :func:`pruned_index_state` checkpoints it away."""
+    # Explicit broadcast of the batch's own key relation (r15 100x
+    # smoke): at 500 k docs the ~1 M-row key set outgrew the
+    # auto-broadcast estimate and the equi-join degraded to shuffling
+    # the ACCUMULATED index every trigger (272x shuffle for 100x
+    # input). The keys are batch-bounded by construction — broadcast
+    # them and the index side is filtered map-side: per-trigger
+    # shuffle returns to O(batch), and the only index cost is the
+    # bg-pruned READ. (At batch sizes where even the key broadcast
+    # hurts, shrink the trigger — the documented production knob.)
     return (
         spark.read.parquet(bands_dir)
         .filter(F.col("bg").isin(bgs))
         .join(
-            batch_bands.select("band_id", "band_hash").distinct(),
+            F.broadcast(batch_bands.select("band_id", "band_hash").distinct()),
             ["band_id", "band_hash"],
         )
         .select("doc_id")
@@ -1444,7 +1453,7 @@ def pruned_index_state(
     return (
         spark.read.parquet(state_dir)
         .filter(F.col("dg").isin(dgs))
-        .join(ids_df, "doc_id", "semi")
+        .join(F.broadcast(ids_df), "doc_id", "semi")
         .select("doc_id", "lang", "grams", "sig")
     )
 
