@@ -989,3 +989,107 @@ def scale_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mills").alias("value_mills"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_cbo_stats — table/column statistics collection (ANALYZE TABLE)
+# and the audit that they are TRUSTWORTHY inputs to Spark's cost-based
+# optimizer: exact row counts must round-trip through the catalog, and
+# the HLL column NDV must sit within 10 % of the exact distinct count
+# (spark.sql.statistics.ndv.maxError=0.05 is a STANDARD error, not a
+# bound — measured 6.7 % on a 1,500-key column — so the audit band is
+# ~2σ).
+# This is the missing member of the scale family: layout, pruning,
+# salting, Z-order, time travel, compaction are all write/read-side —
+# statistics are what let Catalyst pick join ORDER and build sides at
+# 100 TB, and stale or wildly-off stats are how clusters end up
+# broadcasting a terabyte. tests/test_scale.py pins the propagation:
+# with spark.sql.cbo.enabled, optimizedPlan().stats.rowCount equals
+# the ANALYZE count.
+# ---------------------------------------------------------------------------
+
+
+def _catalog_row_count(spark: SparkSession, table: str) -> int:
+    """Row count from `DESC EXTENDED` ('Statistics: N bytes, M rows')
+    — metadata only, no scan."""
+    for r in spark.sql(f"DESC EXTENDED {table}").collect():
+        if r.col_name == "Statistics":
+            return int(r.data_type.split(",")[1].strip().split(" ")[0])
+    raise RuntimeError(f"no Statistics row for {table} — ANALYZE missing?")
+
+
+def _catalog_ndv(spark: SparkSession, table: str, col: str) -> int:
+    for r in spark.sql(f"DESC EXTENDED {table} {col}").collect():
+        if r.info_name == "distinct_count":
+            return int(r.info_value)
+    raise RuntimeError(f"no distinct_count for {table}.{col}")
+
+
+@probe(
+    "scale_cbo_stats",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS exact_rows,
+           CAST(count(*) AS BIGINT) AS analyzed_rows,
+           TRUE AS rows_match,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_key_ndv,
+           TRUE AS ndv_within_10pct
+    FROM orders
+    UNION ALL
+    SELECT 'customer',
+           CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT), TRUE,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT), TRUE
+    FROM customer
+    """,
+)
+def scale_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-collection audit (block comment above): copy orders/
+    customer into managed tables, `ANALYZE TABLE ... COMPUTE
+    STATISTICS` (+ `FOR COLUMNS` on the join keys), then read the
+    numbers BACK from the catalog and emit a panel comparing them to
+    exact recomputation. The oracle pins `analyzed_rows` to the exact
+    count and both flags to TRUE — so a Spark release whose ANALYZE
+    miscounts, or whose HLL NDV drifts past 10 %, fails the hash
+    honestly. All catalog reads are metadata-only; the two exact
+    aggregates are the only scans."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    panel = []
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_nationkey")):
+        name = f"sg_cbo_{tbl}_{tag}"
+        # The default in-memory catalog forgets tables across sessions
+        # while their warehouse directories persist — clear both so the
+        # probe is idempotent under fresh sessions (LOCATION_ALREADY_
+        # EXISTS otherwise).
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+        if wh:
+            import shutil
+
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        load_table(spark, sf_dir, tbl).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {key}")
+        exact_rows, exact_ndv = (
+            spark.table(name)
+            .agg(F.count(F.lit(1)), F.countDistinct(key))
+            .collect()[0]
+        )
+        analyzed = _catalog_row_count(spark, name)
+        ndv = _catalog_ndv(spark, name, key)
+        panel.append(
+            (
+                tbl,
+                int(exact_rows),
+                int(analyzed),
+                analyzed == exact_rows,
+                int(exact_ndv),
+                abs(ndv / exact_ndv - 1.0) <= 0.10,
+            )
+        )
+    return spark.createDataFrame(
+        panel,
+        "tbl string, exact_rows long, analyzed_rows long, rows_match boolean,"
+        " exact_key_ndv long, ndv_within_10pct boolean",
+    )

@@ -510,3 +510,41 @@ def test_k12_dynamic_overwrite_replaces_only_incoming_partitions(spark):
     b = live.filter(F.col("day") == "2024-01-02")
     assert a.count() == 10 and sorted(r.id for r in a.collect()) == list(range(10))
     assert b.count() == 3 and {r.v for r in b.collect()} == {99.0}
+
+
+def test_cbo_stats_propagate_to_optimizer(spark):
+    """The point of ANALYZE (scale_cbo_stats block comment): catalog
+    statistics must reach Catalyst's costing. With CBO enabled, the
+    optimized plan of a scan over the analyzed table reports exactly
+    the ANALYZE row count, and a filtered projection reports a
+    row-count ESTIMATE no larger than the table's (selectivity
+    applied) — the inputs join reordering and build-side choice run
+    on. Also pins the probe's own audit: both flags true at sf0.001."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        scale_cbo_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.tbl: r for r in scale_cbo_stats(spark, sf).collect()}
+    assert rows["orders"].rows_match and rows["customer"].rows_match
+    assert rows["orders"].ndv_within_10pct and rows["customer"].ndv_within_10pct
+
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        t = spark.table("sg_cbo_orders_sf0_001")
+        stats = t._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        assert rc.isDefined(), "ANALYZE row count did not reach the optimizer"
+        assert int(str(rc.get())) == rows["orders"].exact_rows
+        fstats = (
+            t.filter("o_custkey = 1")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        frc = fstats.rowCount()
+        assert frc.isDefined()
+        assert int(str(frc.get())) < rows["orders"].exact_rows
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
