@@ -115,10 +115,16 @@ def run_attribution_outer_stream(
     horizon: str = "1 hour",
     watermark: str = "30 minutes",
     timeout_s: int = 120,
+    how: str = "leftOuter",
 ) -> None:
-    """Drive the LEFT-OUTER attribution join over JSON-lines directories
-    (one file per micro-batch). Unmatched clicks land with null
-    purchase columns once the watermark passes their horizon."""
+    """Drive the LEFT-OUTER (or, with ``how="fullOuter"``, FULL-OUTER)
+    attribution join over JSON-lines directories (one file per
+    micro-batch). Unmatched clicks land with null purchase columns
+    once the watermark passes their horizon; under fullOuter,
+    unmatched purchases symmetrically land with null click columns —
+    both null sides require BOTH time bounds in the join condition so
+    Spark can bound each side's state and know when either side's row
+    is provably unmatched."""
     from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
         await_or_raise,
     )
@@ -146,7 +152,7 @@ def run_attribution_outer_stream(
         (F.col("c_key") == F.col("p_key"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
-        "leftOuter",
+        how,
     )
     # A stream-stream join commits FOUR state stores per shuffle
     # partition per micro-batch; with the session's 32 partitions and
@@ -286,3 +292,112 @@ def t8_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.select("click_id"), on="click_id", how="left_anti"
     ).select("user_id", "click_id", F.lit(None).cast("string").alias("purchase_id"))
     return pin_result(matched.unionByName(unmatched))
+
+
+@probe(
+    "t13_stream_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
+               FROM events WHERE event_type = 'click' AND user_id % 10 = 7),
+         p AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
+               FROM events WHERE event_type = 'purchase' AND user_id % 10 = 7)
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           c.event_id::VARCHAR AS click_id,
+           p.event_id::VARCHAR AS purchase_id
+    FROM c FULL JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def t13_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-outer stream-stream join, completing the trio (t7 inner,
+    t8 left-outer): clicks and purchases stream against each other and
+    BOTH unmatched sides must surface — clicks that never converted
+    AND purchases with no preceding click inside the horizon (the
+    orphan-conversion rows a fraud/attribution pipeline has to
+    surface, not drop). Same watermark-pusher protocol and the t8
+    determinism discipline: matched rows come from the streamed join,
+    both null sides are re-derived by anti-joining against the matched
+    ids so the hash is eviction-timing-independent, while the streamed
+    output is asserted to contain null rows on EACH side — the two
+    eviction paths must really have fired end-to-end. A disjoint user
+    subset (% 10 = 7) keeps fixtures and state independent of t8's."""
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
+
+    root = "/tmp/spark_graft_streaming/t13"
+    shutil.rmtree(root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 7)
+    base = e.select(
+        "user_id",
+        F.col("event_id").cast("string").alias("event_id"),
+        F.date_trunc("second", "ts").alias("ts"),
+        "event_type",
+    )
+
+    def pusher_line(name: str, ts: str) -> str:
+        return f'{{"user_id": -1, "event_id": "{name}", "ts": "{ts}"}}'
+
+    fp = source_fingerprint(sf_dir, "events")
+    flats = {}
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        flats[side] = disk_fixture(
+            f"t13-{side}",
+            fp,
+            lambda tmp, etype=etype: spark_json_slices(
+                base.filter(F.col("event_type") == etype).drop("event_type"),
+                tmp,
+                1,
+                extra_lines={
+                    0: [pusher_line("push1", "2030-01-01T00:00:00")],
+                    1: [pusher_line("push2", "2030-01-02T00:00:00")],
+                },
+            ),
+        )
+    run_attribution_outer_stream(
+        spark,
+        flats["clicks"],
+        flats["purchases"],
+        f"{root}/out",
+        f"{root}/_cp",
+        how="fullOuter",
+    )
+    out = spark.read.parquet(f"{root}/out").filter(
+        (F.coalesce("c_key", "p_key") >= 0)  # drop the watermark pushers
+    )
+    # Capability proof for BOTH eviction paths.
+    for col, side in (("purchase_id", "left"), ("click_id", "right")):
+        if out.filter(F.col(col).isNull()).limit(1).count() == 0:
+            raise RuntimeError(
+                f"full-outer eviction emitted no {side}-side null rows — "
+                "watermark-pusher protocol failed"
+            )
+    matched = out.filter(
+        F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull()
+    ).select(F.col("c_key").alias("user_id"), "click_id", "purchase_id")
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id")
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id")
+    )
+    un_clicks = clicks.join(
+        matched.select("click_id"), "click_id", "left_anti"
+    ).select(
+        "user_id", "click_id", F.lit(None).cast("string").alias("purchase_id")
+    )
+    un_purch = purchases.join(
+        matched.select("purchase_id"), "purchase_id", "left_anti"
+    ).select(
+        "user_id",
+        F.lit(None).cast("string").alias("click_id"),
+        "purchase_id",
+    )
+    return pin_result(
+        matched.unionByName(un_clicks).unionByName(un_purch)
+    )

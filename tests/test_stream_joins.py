@@ -89,3 +89,48 @@ def test_outer_join_emits_unmatched_clicks(spark, tmp_path):
     out = {r.click_id: r.purchase_id
            for r in spark.read.parquet(f"{root}/out").filter("c_key >= 0").collect()}
     assert out == {"c1": "p1", "c2": None}
+
+
+def test_t13_full_outer_crafted_orphans(spark):
+    """Crafted corpus for the full-outer semantics: a matched pair, a
+    click with no purchase in horizon (left-null), a purchase with no
+    click before it (right-null: the orphan conversion), and a
+    purchase 61 min after its click (outside the 1 h horizon — BOTH
+    sides must surface unmatched). Runs the same join expression the
+    streamed runner uses, in batch mode, so the condition itself is
+    pinned independent of the pusher protocol."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    c = spark.createDataFrame(
+        [(1, "c1", t0), (2, "c2", t0), (4, "c4", t0)],
+        "c_key long, click_id string, click_ts timestamp",
+    )
+    p = spark.createDataFrame(
+        [
+            (1, "p1", t0 + dt.timedelta(minutes=30)),
+            (3, "p3", t0),
+            (4, "p4", t0 + dt.timedelta(minutes=61)),
+        ],
+        "p_key long, purchase_id string, purchase_ts timestamp",
+    )
+    j = c.join(
+        p,
+        (F.col("c_key") == F.col("p_key"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 hour")
+        ),
+        "fullOuter",
+    ).select("click_id", "purchase_id")
+    got = {(r.click_id, r.purchase_id) for r in j.collect()}
+    assert got == {
+        ("c1", "p1"),
+        ("c2", None),
+        ("c4", None),
+        (None, "p3"),
+        (None, "p4"),
+    }
