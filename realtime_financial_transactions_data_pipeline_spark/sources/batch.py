@@ -377,3 +377,96 @@ def s12_fixed_width_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s12-nation-fixedwidth", source_fingerprint(sf_dir, "nation"), build
     )
     return read_fixed_width(spark, path, FIXED_WIDTH_NATION_LAYOUT)
+
+
+# ---------------------------------------------------------------------------
+# S13 — PERMISSIVE parse with corrupt-record routing: the batch cousin
+# of the streaming dead-letter (K2 / reference pipeline.py:108-139 —
+# parse failures go to an error table, never abort the load). S5's
+# FAILFAST CSV is the schema-drift tripwire; S13 is the posture for
+# feeds where individual malformed records are EXPECTED and must be
+# quarantined with their raw bytes while the valid rows load.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "s13_corrupt_record_routing",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 <> 3
+    """,
+)
+def s13_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — a JSON-lines feed derived from `customer` where every
+    custkey ≡ 3 (mod 7) line is TRUNCATED by five bytes (always
+    severing the closing quote+brace, so it is unparseable by
+    construction); the reader is text → `from_json` in PERMISSIVE mode
+    with `columnNameOfCorruptRecord`, the streaming-compatible shape
+    the pipeline's parse stage uses. Valid rows route to the load,
+    corrupt lines to quarantine CARRYING THEIR RAW BYTES. The oracle
+    is the uncorrupted complement of the base table, so ANY mis-route
+    — a corrupt line parsing, a valid line quarantined — changes the
+    row set and fails the hash; the quarantine count and raw-bytes
+    integrity are additionally asserted in-probe and unit-tested. At
+    100 TB this is scan-shaped: parse + one boolean route, no
+    shuffle."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+
+    def _build(tmp: str) -> None:
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        line = F.to_json(F.struct("c_custkey", "c_mktsegment"))
+        # truncate by five bytes: substring(line, 1, length-5)
+        corrupted = F.when(
+            F.col("c_custkey") % 7 == 3,
+            line.substr(F.lit(1), F.length(line) - 5),
+        ).otherwise(line)
+        c.select(corrupted.alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(tmp)
+
+    path = disk_fixture(
+        "s13-corrupt-feed", source_fingerprint(sf_dir, "customer"), _build
+    )
+    schema = "c_custkey LONG, c_mktsegment STRING, _corrupt_record STRING"
+    parsed = (
+        spark.read.text(path)
+        .select(
+            F.col("value").alias("raw"),
+            F.from_json(
+                "value",
+                schema,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt_record",
+                },
+            ).alias("j"),
+        )
+        .select("raw", "j.*")
+    )
+    quarantine = parsed.filter(F.col("_corrupt_record").isNotNull())
+    valid = parsed.filter(F.col("_corrupt_record").isNull())
+    # Routing audit (metadata-scale aggregates): exactly the planted
+    # corruption count lands in quarantine, every quarantined row still
+    # carries its raw bytes verbatim, and no parsed field leaks out of
+    # a corrupt line.
+    n_corrupt, n_bad_raw, n_leak = quarantine.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("_corrupt_record") != F.col("raw"), 1)),
+        F.count(F.when(F.col("c_custkey").isNotNull(), 1)),
+    ).collect()[0]
+    expected = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 3)
+        .count()
+    )
+    if n_corrupt != expected or n_bad_raw or n_leak:
+        raise RuntimeError(
+            f"corrupt-record routing broken: quarantined {n_corrupt} "
+            f"(expected {expected}), raw-bytes mismatches {n_bad_raw}, "
+            f"parsed-field leaks {n_leak}"
+        )
+    return valid.select("c_custkey", "c_mktsegment")

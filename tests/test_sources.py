@@ -89,3 +89,37 @@ def test_orc_roundtrip_partition_pruned(spark, sf_dir):
     assert pf, plan
     assert "event_type" in pf[0] and "PartitionFilters: []" not in pf[0], pf[0]
     assert back.count() > 0
+
+
+def test_s13_corrupt_routing_boundaries(spark):
+    """s13 boundary semantics on a crafted feed: a fully valid line
+    parses; a truncated line quarantines with its raw bytes verbatim
+    and ALL parsed fields null; a wrong-TYPE field (string where the
+    schema wants long) also quarantines under PERMISSIVE from_json —
+    type drift is corruption, not coercion."""
+    from pyspark.sql import functions as F
+
+    lines = [
+        '{"c_custkey": 7, "c_mktsegment": "BUILDING"}',
+        '{"c_custkey": 8, "c_mktsegment": "AUTOMOB',      # truncated
+        '{"c_custkey": "x", "c_mktsegment": "MACHINERY"}',  # bad type
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    schema = "c_custkey LONG, c_mktsegment STRING, _corrupt_record STRING"
+    parsed = df.select(
+        F.col("value").alias("raw"),
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    ).select("raw", "j.*")
+    rows = {r.raw: r for r in parsed.collect()}
+    ok = rows[lines[0]]
+    assert ok._corrupt_record is None and ok.c_custkey == 7
+    trunc = rows[lines[1]]
+    assert trunc._corrupt_record == lines[1]
+    assert trunc.c_custkey is None and trunc.c_mktsegment is None
+    badtype = rows[lines[2]]
+    assert badtype._corrupt_record == lines[2]
+    assert badtype.c_custkey is None
