@@ -2384,3 +2384,103 @@ def x2z_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("col.mn"), 4).alias("vmin"),
         dround(F.col("col.mx"), 4).alias("vmax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x2ab — embedding drift between two corpus snapshots: per-dimension
+# standardized mean difference (SMD = |mean_a − mean_b| / pooled std),
+# the two-sample check that tells you an ANN index built on snapshot A
+# is stale for snapshot B BEFORE recall silently decays (dq3 is this
+# audit for tabular columns; x2ab is the embedding-space version).
+# Same one-pass, no-explode plan as x2z: conditional subscript
+# aggregates — the snapshot split is a WHEN inside each aggregate, so
+# both snapshots' moments come from a single scan.
+# ---------------------------------------------------------------------------
+
+_X2AB_SMD = 0.25  # drift flag threshold (small-effect boundary)
+
+
+def _x2ab_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id % 2 AS snap, i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL unnest(range(1, {_DIM + 1})) AS t(i)),
+    a AS (
+      SELECT dim,
+             count(*) FILTER (snap = 0) AS na,
+             sum(x) FILTER (snap = 0) AS sa,
+             sum(x * x) FILTER (snap = 0) AS ssa,
+             count(*) FILTER (snap = 1) AS nb,
+             sum(x) FILTER (snap = 1) AS sb,
+             sum(x * x) FILTER (snap = 1) AS ssb
+      FROM v GROUP BY dim),
+    m AS (
+      SELECT dim, na, nb, sa / na AS ma, sb / nb AS mb,
+             sqrt(greatest(0.0, (ssa / na - (sa / na) * (sa / na)
+                                 + ssb / nb - (sb / nb) * (sb / nb)) / 2.0))
+               AS pooled_std
+      FROM a)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+           round(pooled_std, 4) AS pooled_std,
+           round(abs(ma - mb) / pooled_std, 4) AS smd,
+           abs(ma - mb) / pooled_std > {_X2AB_SMD} AS drifted
+    FROM m
+    """
+
+
+@probe("x2ab_embedding_drift", oracle=_x2ab_oracle())
+def x2ab_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2ab — per-dimension SMD between the even- and odd-vec_id
+    halves of the embedding corpus (the deterministic stand-in for
+    time-ordered snapshots). One un-exploded scan computes BOTH
+    snapshots' count/sum/sum-of-squares per dimension via conditional
+    subscript aggregates; SMD and the small-effect drift flag
+    (> {_X2AB_SMD}) are arithmetic on the combine row. Population
+    variances, explicit E[x²]−E[x]² arithmetic, float→double widening
+    and 4-dp rounding — the x2z determinism pairing."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("snap"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+    def side(tag: str, cond):
+        return (
+            [F.count(F.when(cond, 1)).alias(f"n{tag}")]
+            + [
+                F.array(
+                    *[F.sum(F.when(cond, F.col("v")[i])) for i in range(_DIM)]
+                ).alias(f"s{tag}")
+            ]
+            + [
+                F.array(
+                    *[
+                        F.sum(F.when(cond, F.col("v")[i] * F.col("v")[i]))
+                        for i in range(_DIM)
+                    ]
+                ).alias(f"ss{tag}")
+            ]
+        )
+
+    d = v.agg(*side("a", F.col("snap") == 0), *side("b", F.col("snap") == 1))
+    z = d.select(
+        "na", "nb", F.posexplode(F.arrays_zip("sa", "ssa", "sb", "ssb"))
+    )
+    ma = F.col("col.sa") / F.col("na")
+    mb = F.col("col.sb") / F.col("nb")
+    var_a = F.col("col.ssa") / F.col("na") - ma * ma
+    var_b = F.col("col.ssb") / F.col("nb") - mb * mb
+    pooled = F.sqrt(F.greatest(F.lit(0.0), (var_a + var_b) / 2.0))
+    smd = F.abs(ma - mb) / pooled
+    return z.select(
+        F.col("pos").cast("int").alias("dim"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        dround(ma, 4).alias("mean_a"),
+        dround(mb, 4).alias("mean_b"),
+        dround(pooled, 4).alias("pooled_std"),
+        dround(smd, 4).alias("smd"),
+        (smd > _X2AB_SMD).alias("drifted"),
+    )

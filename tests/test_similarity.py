@@ -572,3 +572,42 @@ def test_x2z_dim_stats_numpy_parity(spark):
     )
     assert gen < agg, plan
     assert "Generate" not in plan[agg:], plan
+
+
+def test_x2ab_drift_planted_shift(spark):
+    """x2ab semantics on a crafted corpus: dimension 0 carries a
+    planted +1.0 mean shift between snapshots (SMD >> 0.25 → drifted),
+    dimension 1 is identically distributed (SMD ~ 0 → not drifted);
+    numbers match a numpy recompute."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    import realtime_financial_transactions_data_pipeline_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(200):
+        base = rng.randn(64) * 0.1
+        if i % 2 == 1:
+            base[0] += 1.0  # planted drift in dim 0 for snapshot B
+        rows.append((i, [float(x) for x in base]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(sim, "load_table", lambda s, d, t: df):
+        got = {r.dim: r for r in sim.x2ab_embedding_drift(spark, "x").collect()}
+    assert got[0].drifted and got[0].smd > 2.0
+    assert not got[1].drifted and got[1].smd < 0.25
+    m = np.array([r[1] for r in rows])
+    a, b = m[::2], m[1::2]
+    for d in (0, 1, 7):
+        pooled = np.sqrt((a[:, d].std() ** 2 + b[:, d].std() ** 2) / 2)
+        smd = abs(a[:, d].mean() - b[:, d].mean()) / pooled
+        assert abs(got[d].smd - round(float(smd), 4)) <= 2e-4, d
