@@ -1377,3 +1377,107 @@ def a24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rfm_code"),
         seg.alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts7 — Holt double-exponential smoothing (level + trend), the
+# recursive forecaster ts6's closed-form OLS line cannot express: each
+# step's state depends on the previous step's, so the computation is a
+# SEQUENTIAL fold. The Spark-native shape for that at scale: collect
+# each series into an ordered array (per-key, bounded — a daily series
+# is metadata-sized) and run the recursion as a JVM `aggregate` lambda
+# fold — shuffle-free per series after the daily rollup, no Python,
+# no window tricks pretending recursion is associative. DuckDB replays
+# the identical fold via list_reduce with a [level, trend]-encoded
+# accumulator, so the hash certifies every step of the recursion.
+# Inputs are EXACT integer mills (the scale_dynamic_pruning pairing),
+# making the double fold bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_TS7_ALPHA = 0.5
+_TS7_BETA = 0.3
+_TS7_H = 7  # forecast horizon, days
+
+
+def _ts7_oracle() -> str:
+    a, b, h = _TS7_ALPHA, _TS7_BETA, _TS7_H
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 1000) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type,
+             list(CAST(y AS DOUBLE) ORDER BY day) AS ys
+      FROM daily GROUP BY event_type),
+    fitted AS (
+      SELECT event_type, len(ys) AS n_days,
+             list_reduce(
+               list_concat([[ys[1], ys[2] - ys[1]]],
+                           list_transform(ys[3:], y -> [y, 0.0])),
+               (acc, e) -> [
+                 {a} * e[1] + {1 - a} * (acc[1] + acc[2]),
+                 {b} * (({a} * e[1] + {1 - a} * (acc[1] + acc[2])) - acc[1])
+                   + {1 - b} * acc[2]
+               ]
+             ) AS st
+      FROM series)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(st[1], 4) AS level_mills,
+           round(st[2], 4) AS trend_mills,
+           round(st[1] + {h} * st[2], 4) AS forecast_{h}d_mills
+    FROM fitted
+    """
+
+
+@probe("ts7_holt_forecast", oracle=_ts7_oracle())
+def ts7_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts7 — Holt's linear method per event type over the daily
+    value-mills series: l_t = αy_t + (1−α)(l+b), b_t = β(l_t−l) +
+    (1−β)b, initialized l₀=y₀, b₀=y₁−y₀, folded from the third point
+    on; forecast = l + {_TS7_H}·b. One daily-rollup shuffle, one
+    per-key collect_list (array_sort by day pins the fold order), then
+    the whole recursion is a single codegen'd `aggregate` expression.
+    α/β literals bind to the same nearest-double in both engines, and
+    the exact-mills inputs make every fold step IEEE-identical — an
+    inherently sequential model under a bit-exact cross-engine
+    hash."""
+    a, b, h = _TS7_ALPHA, _TS7_BETA, _TS7_H
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("y")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, y))),"
+            " p -> CAST(p.y AS DOUBLE))"
+        ).alias("ys")
+    )
+    fold = (
+        f"aggregate("
+        f"  slice(ys, 3, greatest(size(ys) - 2, 0)),"
+        f"  named_struct('l', element_at(ys, 1),"
+        f"               'b', element_at(ys, 2) - element_at(ys, 1)),"
+        f"  (acc, y) -> named_struct("
+        f"    'l', {a}D * y + {1 - a}D * (acc.l + acc.b),"
+        f"    'b', {b}D * (({a}D * y + {1 - a}D * (acc.l + acc.b)) - acc.l)"
+        f"         + {1 - b}D * acc.b))"
+    )
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        dround(F.col("st.l"), 4).alias("level_mills"),
+        dround(F.col("st.b"), 4).alias("trend_mills"),
+        dround(F.col("st.l") + h * F.col("st.b"), 4).alias(
+            f"forecast_{h}d_mills"
+        ),
+    )

@@ -561,3 +561,42 @@ def test_a24_rfm_python_parity(spark):
         assert (row.r_score, row.f_score, row.m_score) == (r, f, m), ck
         assert row.rfm_code == f"{r}{f}{m}"
         assert row.segment == seg(r, f, m)
+
+
+def test_ts7_holt_python_parity(spark):
+    """ts7 parity against a from-scratch Python Holt recursion at
+    sf0.001 — every fold step, the init convention (l0=y0, b0=y1-y0,
+    fold from the third point), and the 7-day forecast."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        _TS7_ALPHA,
+        _TS7_BETA,
+        _TS7_H,
+        ts7_holt_forecast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    daily = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 1000) AS BIGINT)) AS y
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2
+            ORDER BY event_type, day"""
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for et, _, y in daily:
+        series.setdefault(et, []).append(float(y))
+    rows = {r.event_type: r for r in ts7_holt_forecast(spark, sf).collect()}
+    assert set(rows) == set(series)
+    a, b = _TS7_ALPHA, _TS7_BETA
+    for et, ys in series.items():
+        l, t = ys[0], ys[1] - ys[0]
+        for y in ys[2:]:
+            nl = a * y + (1 - a) * (l + t)
+            t = b * (nl - l) + (1 - b) * t
+            l = nl
+        r = rows[et]
+        assert r.n_days == len(ys)
+        assert abs(r.level_mills - round(l, 4)) < 1e-6, et
+        assert abs(r.trend_mills - round(t, 4)) < 1e-6, et
+        assert abs(r.forecast_7d_mills - round(l + _TS7_H * t, 4)) < 1e-6, et
