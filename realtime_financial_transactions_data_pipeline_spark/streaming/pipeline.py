@@ -105,13 +105,37 @@ def parse_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def route_and_tokenize(parsed: DataFrame, key: bytes | None = None) -> tuple[DataFrame, DataFrame]:
+def _token_col(pan, key: bytes | None, tokenizer: str):
+    if tokenizer == "pyffx":
+        from realtime_financial_transactions_data_pipeline_spark.functions.fpe import (
+            _load_key,
+            make_pyffx_tokenizer,
+        )
+
+        return make_pyffx_tokenizer(key if key is not None else _load_key())(pan)
+    if tokenizer != "blake2b":
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    return fpe_token_col(pan, key=key)
+
+
+def route_and_tokenize(
+    parsed: DataFrame,
+    key: bytes | None = None,
+    tokenizer: str = "blake2b",
+) -> tuple[DataFrame, DataFrame]:
     """P4 validation routing + F1/U1 mask-and-tokenize + P1/P2 projection.
 
     Returns ``(valid, errors)``. Validation precedes the FPE UDF in the
     plan (predicates never sit behind the optimization barrier,
     SURVEY §4). Reference semantics: null PAN → valid row with null card
-    columns; non-null PAN with length outside 13..19 → dead-letter."""
+    columns; non-null PAN with length outside 13..19 → dead-letter.
+
+    ``tokenizer``: ``"blake2b"`` (default) is the keyed-BLAKE2b Feistel
+    throughput core; ``"pyffx"`` emits REFERENCE-EXACT tokens (the
+    stdlib pyffx transcription, r15) so a deployment migrating from the
+    reference can keep every existing token join bit-for-bit — at the
+    cost of HMAC-SHA1 rounds per distinct PAN. Both are deterministic
+    per key, so either choice preserves token-join semantics."""
     has_pan = F.col("card_number").isNotNull()
     ok = pan_is_valid(F.col("card_number"))
 
@@ -127,7 +151,7 @@ def route_and_tokenize(parsed: DataFrame, key: bytes | None = None) -> tuple[Dat
     tokenized = (
         parsed.filter(~has_pan | ok)
         .withColumn("masked_card_number", F.when(has_pan, mask_pan(F.col("card_number"))))
-        .withColumn("card_token", F.when(has_pan, fpe_token_col(F.col("card_number"), key=key)))
+        .withColumn("card_token", F.when(has_pan, _token_col(F.col("card_number"), key, tokenizer)))
         .withColumn("card_bin", F.when(has_pan, card_bin(F.col("card_number"))))
         .drop("card_number", "_raw")  # P2: PII never reaches a sink
         .withColumn("merchant_id", F.col("merchant_id").cast("long"))

@@ -763,3 +763,38 @@ def test_kafka_wire_end_to_end_or_named_skip(spark, fresh_root):
     rows = spark.sql("SELECT * FROM kafka_wire_valid").collect()
     assert [r.transaction_id for r in rows] == ["kwire-1"]
     assert rows[0].masked_card_number == "400012******1234"
+
+
+def test_pipeline_reference_exact_tokenizer_option(spark, tmp_path):
+    """route_and_tokenize(tokenizer='pyffx') pushes REFERENCE-EXACT
+    tokens through the full stream (parse → validate → tokenize → dual
+    sink): every emitted card_token equals the stdlib pyffx
+    transcription of its PAN, the 13–19 gate still dead-letters, and
+    the default blake2b path is untouched."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.functions.fpe import (
+        TEST_KEY,
+        pyffx_compat_token,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.streaming import (
+        pipeline as pl,
+    )
+
+    wire = pl.synth_wire_messages(spark, "/root/testdata/sf0.001", copies=1,
+                                  max_custkey=40)
+    parsed = pl.parse_stream(wire)
+    valid, errors = pl.route_and_tokenize(parsed, key=TEST_KEY,
+                                          tokenizer="pyffx")
+    rows = valid.filter(F.col("card_token").isNotNull()).collect()
+    assert rows, "no tokenized rows"
+    # recompute each PAN from the parsed side to compare tokens
+    pans = {
+        r.transaction_id: r.card_number
+        for r in parsed.select("transaction_id", "card_number").collect()
+        if r.card_number
+    }
+    for r in rows:
+        pan = pans[r.transaction_id]
+        assert r.card_token == pyffx_compat_token(TEST_KEY, pan), r.transaction_id
+        assert r.masked_card_number == pan[:6] + "******" + pan[-4:]
