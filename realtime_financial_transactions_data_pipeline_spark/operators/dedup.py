@@ -2121,3 +2121,84 @@ def x2y_neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cluster_size") - 1).alias("dup_docs"),
         F.sum("chars_saved").alias("chars_saved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x22 — cluster-safe train/val/test split: x17's md5-uniform holdout is
+# leakage-safe against RE-RUNS, but it splits by doc_id — a near-dup
+# pair can land one twin in train and one in test, which for LLM eval
+# is contamination by construction. The fix every serious corpus
+# pipeline ships: split by the near-dup CLUSTER representative, so an
+# entire cluster moves as one unit. Composition of existing machinery
+# (simhash pairs → connected components → canonical_id), plus the
+# same counter-based md5 uniform — still partitioning-independent and
+# re-run stable, now also twin-safe.
+# ---------------------------------------------------------------------------
+
+_X22_SEED = 77
+
+
+@probe(
+    "x22_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_PORTABLE_SIMHASH_PAIRS_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+    ),
+    cc AS (SELECT node AS doc_id, min(reach) AS canonical_id
+           FROM walk GROUP BY node),
+    reps AS (
+      SELECT d.doc_id,
+             coalesce(cc.canonical_id, d.doc_id) AS cluster_rep,
+             cc.doc_id IS NOT NULL AS is_clustered
+      FROM documents d LEFT JOIN cc USING (doc_id)),
+    u AS (
+      SELECT *,
+             (('0x' || substr(md5('{_X22_SEED}-' || CAST(cluster_rep AS VARCHAR)), 1, 8))::UINTEGER
+              / 4294967296.0) AS uu
+      FROM reps)
+    SELECT doc_id, CAST(cluster_rep AS BIGINT) AS cluster_rep, is_clustered,
+           CASE WHEN uu < 0.90 THEN 'train'
+                WHEN uu < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def x22_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x22 — per-document (cluster_rep, split) under the cluster-safe
+    holdout (block comment above): near-dup components give each doc
+    its cluster's smallest id as representative (singletons represent
+    themselves), and the 90/5/5 split is the counter-based md5 uniform
+    of the REPRESENTATIVE — so split membership is a pure function of
+    (seed, cluster), twins can never straddle an eval boundary, and
+    adding documents never re-deals existing ones (they either join an
+    existing cluster and inherit its side, or form a new one). The
+    label side is x2i's measured-linear-to-100x component pass; the
+    split itself is shuffle-free arithmetic."""
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        hash_uniform,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    cc = connected_components(
+        simhash_pairs(_corpus_simhash(spark, sf_dir)), pin=True
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    reps = d.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").alias("cluster_rep"),
+        F.col("canonical_id").isNotNull().alias("is_clustered"),
+    )
+    u = hash_uniform(_X22_SEED, "cluster_rep")
+    return reps.select(
+        "doc_id",
+        "cluster_rep",
+        "is_clustered",
+        F.when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )

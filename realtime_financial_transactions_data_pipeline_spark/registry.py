@@ -156,7 +156,8 @@ DRIVER_WINDOW = 50
 #: dq6_functional_dependency_audit, x3n_boilerplate_ngram_scrub,
 #: x2z_embedding_dim_stats, a24_rfm_segmentation, scale_cbo_stats,
 #: t13_stream_full_outer_join, s13_corrupt_record_routing,
-#: x2ab_embedding_drift, ts7_holt_forecast) were
+#: x2ab_embedding_drift, ts7_holt_forecast, x22_cluster_safe_split)
+#: were
 #: added after this rotation was rehearsed and wait for cohort 10,
 #: after which rotations are pure re-verification, oldest-green-first.
 #: ROWS-ONLY EXCLUSION (VERDICT_r13 item #7, permanent policy): the

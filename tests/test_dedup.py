@@ -634,3 +634,57 @@ def test_x2y_cluster_stats_accounting(spark):
     # size 3: {1,2,3} canonical 1, saves len(2)+len(3) = 20+30 = 50
     # size 2: {10,11} saves 110; {20,21} saves 210 -> total 320, 2 dups
     assert hist == {3: (1, 2, 50), 2: (2, 2, 320)}
+
+
+def test_x22_cluster_safe_split_no_straddle(spark):
+    """The point of x22 (vs x17's doc-id split): every near-dup
+    cluster sits entirely on one side. At sf0.01, assert (a) no
+    cluster_rep maps to two splits — structurally guaranteed, checked
+    anyway as a regression tripwire; (b) the NAIVE doc-id split WOULD
+    have straddled at least one multi-doc cluster on this corpus, so
+    the op prevents real leakage here, not hypothetical; (c) split
+    shares land near 90/5/5."""
+    from collections import defaultdict
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _X22_SEED,
+        x22_cluster_safe_split,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        hash_uniform,
+    )
+
+    rows = x22_cluster_safe_split(spark, "/root/testdata/sf0.01").collect()
+    by_rep = defaultdict(set)
+    clusters = defaultdict(list)
+    for r in rows:
+        by_rep[r.cluster_rep].add(r.split)
+        if r.is_clustered:
+            clusters[r.cluster_rep].append(r.doc_id)
+    assert all(len(s) == 1 for s in by_rep.values())
+    multi = [docs for docs in clusters.values() if len(docs) >= 2]
+    assert multi, "fixture has no multi-doc near-dup clusters"
+
+    # naive doc-id split of the same seed: would it straddle a cluster?
+    df = spark.createDataFrame([(d,) for c in multi for d in c], ["doc_id"])
+    from pyspark.sql import functions as F
+
+    u = hash_uniform(_X22_SEED, "doc_id")
+    naive = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            F.when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test").alias("s"),
+        ).collect()
+    }
+    straddled = sum(
+        1 for docs in multi if len({naive[d] for d in docs}) > 1
+    )
+    assert straddled >= 1, "corpus too small to demonstrate the leakage fix"
+
+    n = len(rows)
+    shares = defaultdict(int)
+    for r in rows:
+        shares[r.split] += 1
+    assert 0.80 <= shares["train"] / n <= 0.97
+    assert shares["val"] > 0 and shares["test"] > 0
