@@ -838,3 +838,84 @@ def x20_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x23 — probability-proportional-to-size (Poisson PPS) sampling: the
+# importance-sampling primitive behind "sample the corpus with
+# inclusion probability ∝ quality weight" (upweighting long/high-value
+# documents without duplicating them). Each doc draws its
+# counter-based md5 uniform and is kept iff u < w/max(w) — one scan,
+# no shuffle for the decision itself (max(w) is a 1-row broadcast),
+# reproducible across engines/partitionings like every sampler here.
+# The panel reports exact-integer accounting per source (counts, kept
+# weight mass, an id checksum that pins the exact inclusion SET) plus
+# the expected draw count Σw/max(w) — a single division of exact
+# bigints, so the whole panel is bit-deterministic.
+# ---------------------------------------------------------------------------
+
+_PPS_SEED = 4242
+
+
+def _x23_oracle() -> str:
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        sql_uniform,
+    )
+
+    return f"""
+    WITH mx AS (SELECT max(n_chars) AS mw FROM documents),
+    s AS (SELECT d.source, d.doc_id, d.n_chars, mx.mw,
+                 {sql_uniform(_PPS_SEED, 'd.doc_id')} AS u
+          FROM documents d CROSS JOIN mx),
+    f AS (SELECT source, doc_id, n_chars, mw,
+                 u < (n_chars * 1.0 / mw) AS take
+          FROM s)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(sum(n_chars) * 1.0 / max(mw), 4) AS expected_sampled,
+           CAST(count(*) FILTER (WHERE take) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE take), 0) AS BIGINT)
+             AS sum_chars_sampled,
+           CAST(coalesce(sum(doc_id) FILTER (WHERE take), 0) AS BIGINT)
+             AS id_checksum
+    FROM f GROUP BY source
+    """
+
+
+@probe("x23_pps_sample", oracle=_x23_oracle())
+def x23_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x23 — Poisson PPS sample of `documents` with weight = n_chars
+    (block comment above): keep each doc iff its md5 uniform falls
+    under w/max(w). Per source the panel carries total and kept doc
+    counts, total and kept weight mass, the expected draw count, and a
+    doc-id checksum over the kept set — the checksum (plus count and
+    mass) pins the exact membership of the sample, so a single flipped
+    inclusion anywhere fails the hash. At 100 TB: the max(w) scalar
+    broadcasts, the decision is a scan-level predicate, and the panel
+    is one partial-aggregable groupBy."""
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        hash_uniform,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("mw"))
+    s = d.crossJoin(F.broadcast(mx)).withColumn(
+        "u", hash_uniform(_PPS_SEED, "doc_id")
+    )
+    take = F.col("u") < F.col("n_chars") / F.col("mw").cast("double")
+    f = s.withColumn("take", take)
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        dround(
+            F.sum("n_chars") / F.max("mw").cast("double"), 4
+        ).alias("expected_sampled"),
+        F.count(F.when(F.col("take"), F.lit(1))).alias("n_sampled"),
+        F.coalesce(
+            F.sum(F.when(F.col("take"), F.col("n_chars"))), F.lit(0)
+        ).cast("long").alias("sum_chars_sampled"),
+        F.coalesce(
+            F.sum(F.when(F.col("take"), F.col("doc_id"))), F.lit(0)
+        ).cast("long").alias("id_checksum"),
+    )

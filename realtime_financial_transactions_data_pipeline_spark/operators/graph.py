@@ -43,6 +43,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+    dround,
+)
 from realtime_financial_transactions_data_pipeline_spark.registry import probe
 from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
@@ -1254,3 +1257,107 @@ def g8_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.max("doc_id").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g9 — degree assortativity + average-neighbor-degree curve: the
+# standard "do hubs attach to hubs?" structure panel (Newman's
+# assortativity coefficient, the knn(k) curve). Every moment the
+# Pearson formula needs is an EXACT bigint sum over the symmetrized
+# edge list (degrees are small ints, so Σd, Σd², Σdu·dv and their
+# M-scaled products all sit far inside int64) — only the two final
+# ratios are floating, so the probe is bit-deterministic with no
+# ordered-fold machinery. Cost: the family's memoized pair pass, one
+# node-sized degree aggregate, two degree joins (node-bounded sides —
+# AQE broadcasts them at any realistic scale), one global agg + one
+# per-degree agg. Nothing is pair-of-pairs; at 100 TB the edge list is
+# the largest relation touched.
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Per-degree panel over an undirected edge list (u < v, distinct):
+    for each degree class k — node count, endpoint count, average
+    neighbor degree — plus the global assortativity coefficient
+    r = (M·Σxy − Σx·Σy) / (M·Σx² − Σx·Σy) on the symmetrized list
+    (x = du, y = dv; symmetric, so Σy = Σx and Σy² = Σx²)."""
+    bi = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        bi.join(deg, "u")
+        .withColumnRenamed("d", "du")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("du").alias("sx"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).alias("sx2"),
+    ).select(
+        dround(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            / (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("assortativity")
+    )
+    knn = j.groupBy(F.col("du").alias("degree")).agg(
+        F.countDistinct("u").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_endpoints"),
+        F.sum("dv").alias("sdv"),
+    )
+    return knn.select(
+        "degree",
+        "n_nodes",
+        "n_endpoints",
+        dround(F.col("sdv") / F.col("n_endpoints").cast("double"), 6).alias(
+            "avg_neighbor_degree"
+        ),
+    ).crossJoin(F.broadcast(g))
+
+
+@probe(
+    "g9_degree_assortativity",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G1_MIN_SHARED}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY u),
+    j AS (SELECT bi.u, bi.v, du.d AS du, dv.d AS dv
+          FROM bi JOIN deg du ON du.u = bi.u JOIN deg dv ON dv.u = bi.v),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(du) AS BIGINT) AS sx,
+                 CAST(sum(du * dv) AS BIGINT) AS sxy,
+                 CAST(sum(du * du) AS BIGINT) AS sx2 FROM j),
+    r AS (SELECT round((m * sxy - sx * sx)
+                       / CAST(m * sx2 - sx * sx AS DOUBLE), 6)
+                   AS assortativity FROM g)
+    SELECT du AS degree,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_endpoints,
+           round(sum(dv) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_neighbor_degree,
+           assortativity
+    FROM j CROSS JOIN r
+    GROUP BY du, assortativity
+    """,
+)
+def g9_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g9 — assortativity panel over the family's co-engagement graph
+    (block comment above): per degree class, the node count, endpoint
+    count, and average neighbor degree (the knn(k) curve — falling
+    means hubs attach to leaves), with the global Newman coefficient
+    repeated as a certifying column. The oracle replays the exact
+    integer moments, so the hash pins the symmetrization, both degree
+    joins, and every sum."""
+    return degree_assortativity(_memo_edges(spark, sf_dir))

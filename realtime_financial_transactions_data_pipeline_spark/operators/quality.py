@@ -615,3 +615,117 @@ def dq6_functional_dependency_audit(
                    "o_custkey->o_orderpriority")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq7 — Benford first-digit audit: the classic forensic-accounting
+# screen for fabricated or truncated financial amounts (Nigrini's
+# digit-frequency test — exactly the alarm a transaction-pipeline
+# owner wants on a new upstream feed). The first significant digit is
+# extracted on the EXACT integer-cents route (substr of the bigint's
+# decimal string — no log10 on doubles, whose edge behavior at powers
+# of ten differs per libm), the nine Benford probabilities bind as
+# shortest-roundtrip double literals identical in both engines, and
+# every χ² term is computed per digit from exact bigint counts, so the
+# whole panel is bit-deterministic. One scan per measure + one 18-group
+# aggregate; partial-aggregable, scan-shaped at 100 TB.
+# ---------------------------------------------------------------------------
+
+#: digit -> log10(1 + 1/d), shortest-roundtrip literals (both engines
+#: parse these to the identical IEEE double).
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+def _dq7_oracle() -> str:
+    case = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    return f"""
+    WITH src AS (
+      SELECT 'o_totalprice' AS measure,
+             CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      UNION ALL
+      SELECT 'l_extendedprice',
+             CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT)
+      FROM lineitem),
+    counts AS (SELECT measure, digit, count(*) AS n_obs
+               FROM src GROUP BY 1, 2),
+    tot AS (SELECT measure, CAST(sum(n_obs) AS BIGINT) AS n_total
+            FROM counts GROUP BY 1),
+    j AS (SELECT c.measure, c.digit, c.n_obs, t.n_total,
+                 CAST(CASE c.digit {case} END AS DOUBLE) AS p
+          FROM counts c JOIN tot t USING (measure))
+    SELECT measure, digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n_total AS BIGINT) AS n_total,
+           p AS benford_p,
+           round(n_total * p, 4) AS expected_n,
+           round(n_obs * 1.0 / n_total, 6) AS obs_share,
+           round((n_obs - n_total * p) * (n_obs - n_total * p)
+                 / (n_total * p), 6) AS chi2_term
+    FROM j
+    """
+
+
+@probe("dq7_benford_audit", oracle=_dq7_oracle())
+def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq7 — Benford's-law conformance of the two price measures
+    (orders.o_totalprice, lineitem.l_extendedprice): per first digit,
+    the observed count, Benford expectation n·log10(1+1/d), observed
+    share, and the χ² contribution (block comment above for the
+    exact-arithmetic discipline). TPC-H prices are sums of uniform
+    part costs — NOT Benford-distributed — so the χ² terms are large
+    and the probe certifies the arithmetic on a failing screen, the
+    shape a real alarm fires on."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import (
+        dround,
+    )
+
+    def digits(df: DataFrame, col: str, label: str) -> DataFrame:
+        cents = F.round(F.col(col) * 100, 0).cast("long")
+        return df.select(
+            F.lit(label).alias("measure"),
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+        )
+
+    src = digits(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_totalprice"
+    ).unionByName(
+        digits(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_extendedprice",
+            "l_extendedprice",
+        )
+    )
+    counts = src.groupBy("measure", "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = counts.groupBy("measure").agg(F.sum("n_obs").alias("n_total"))
+    p = F.col("digit")
+    pexpr = None
+    for d, lit in _BENFORD_P.items():
+        pexpr = (F.when if pexpr is None else pexpr.when)(p == d, F.lit(float(lit)))
+    j = counts.join(F.broadcast(tot), "measure").withColumn("p", pexpr)
+    nt = F.col("n_total").cast("double")
+    dev = F.col("n_obs") - nt * F.col("p")
+    return j.select(
+        "measure",
+        "digit",
+        "n_obs",
+        "n_total",
+        F.col("p").alias("benford_p"),
+        dround(nt * F.col("p"), 4).alias("expected_n"),
+        dround(F.col("n_obs") / nt, 6).alias("obs_share"),
+        dround(dev * dev / (nt * F.col("p")), 6).alias("chi2_term"),
+    )
