@@ -1481,3 +1481,128 @@ def ts7_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"forecast_{h}d_mills"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts8 — Holt-Winters additive triple-exponential smoothing (level +
+# trend + weekly seasonality), completing the ts6 (closed-form OLS) →
+# ts7 (double-exponential fold) ladder with the model production
+# demand forecasts actually use. Same Spark-native shape as ts7: the
+# recursion is inherently sequential, so each bounded daily series
+# collects into an ordered array and the whole fit runs as ONE
+# codegen'd `aggregate` fold — the accumulator carries (level, trend,
+# 7-slot seasonal ring) and each step consumes the ring head and
+# appends the refreshed seasonal. DuckDB replays the identical fold
+# via list_reduce over a flat 9-double accumulator. Smoothing
+# constants are written as plain decimal literals ("0.4", "0.6" — not
+# Python-computed 1-α, which would print 0.6000000000000001) so both
+# engines bind the identical doubles, and the exact-mills inputs make
+# every step IEEE-identical: a 9-state recursive model under a
+# bit-exact cross-engine hash.
+# ---------------------------------------------------------------------------
+
+_TS8_M = 7  # season length (weekly), also the forecast horizon
+#: (alpha, one_minus_alpha, beta, one_minus_beta, gamma, one_minus_gamma)
+#: as DECIMAL-EXACT literal strings — both engines parse each to the
+#: same nearest double; never compute the complements in Python.
+_TS8_CONST = ("0.4", "0.6", "0.2", "0.8", "0.3", "0.7")
+
+
+def _ts8_oracle() -> str:
+    a, na, b, nb, g, ng, m = *_TS8_CONST, _TS8_M
+    l0 = "((ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7])/7.0)"
+    w2 = "((ys[8]+ys[9]+ys[10]+ys[11]+ys[12]+ys[13]+ys[14])/7.0)"
+    lnew = f"({a}*(e[1] - acc[3]) + {na}*(acc[1] + acc[2]))"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 1000) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type,
+             list(CAST(y AS DOUBLE) ORDER BY day) AS ys
+      FROM daily GROUP BY event_type HAVING count(*) >= 2 * {m}),
+    init AS (
+      SELECT event_type, ys, len(ys) AS n_days,
+             list_concat(
+               list_concat([{l0}, (({w2} - {l0})/7.0)],
+                           list_transform(ys[1:7], y -> y - {l0})),
+               []) AS acc0
+      FROM series),
+    fitted AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_concat([acc0], list_transform(ys[8:], y -> [y])),
+               (acc, e) -> list_concat(
+                 list_concat(
+                   [{lnew},
+                    {b}*({lnew} - acc[1]) + {nb}*acc[2]],
+                   acc[4:9]),
+                 [{g}*(e[1] - {lnew}) + {ng}*acc[3]])
+             ) AS st
+      FROM init)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(st[1], 4) AS level_mills,
+           round(st[2], 4) AS trend_mills,
+           round(st[9], 4) AS season_mills,
+           round(st[1] + {m} * st[2] + st[9], 4) AS forecast_{m}d_mills
+    FROM fitted
+    """
+
+
+@probe("ts8_holt_winters_forecast", oracle=_ts8_oracle())
+def ts8_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts8 — additive Holt-Winters per event type over the daily
+    value-mills series (block comment above): l₀ = mean of week 1,
+    b₀ = (mean of week 2 − mean of week 1)/7, s₁..₇ = week-1
+    deviations; then from day 8 on,
+    lₜ = α(yₜ−sₜ₋₇) + (1−α)(l+b), bₜ = β(lₜ−l) + (1−β)b,
+    sₜ = γ(yₜ−lₜ) + (1−γ)sₜ₋₇, folded in one `aggregate` expression
+    whose accumulator rotates the 7-slot seasonal ring. Forecast at
+    horizon m=7 reuses the freshest seasonal (t+7−7 = t). The oracle
+    replays all three recurrences step-for-step, so the hash certifies
+    the full 9-dimensional state trajectory."""
+    a, na, b, nb, g, ng, m = *_TS8_CONST, _TS8_M
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, y))),"
+            " p -> CAST(p.y AS DOUBLE))"
+        ).alias("ys")
+    ).filter(F.size("ys") >= 2 * m)
+    el = "element_at(ys, {})".format
+    l0 = f"(({'+'.join(el(i) for i in range(1, 8))})/7.0)"
+    w2 = f"(({'+'.join(el(i) for i in range(8, 15))})/7.0)"
+    lnew = f"({a}D*(y - element_at(acc.s, 1)) + {na}D*(acc.l + acc.b))"
+    fold = (
+        f"aggregate("
+        f"  slice(ys, 8, size(ys) - 7),"
+        f"  named_struct("
+        f"    'l', {l0},"
+        f"    'b', ({w2} - {l0})/7.0,"
+        f"    's', transform(slice(ys, 1, 7), y -> y - {l0})),"
+        f"  (acc, y) -> named_struct("
+        f"    'l', {lnew},"
+        f"    'b', {b}D*({lnew} - acc.l) + {nb}D*acc.b,"
+        f"    's', concat(slice(acc.s, 2, 6),"
+        f"                array({g}D*(y - {lnew}) + {ng}D*element_at(acc.s, 1)))))"
+    )
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        dround(F.col("st.l"), 4).alias("level_mills"),
+        dround(F.col("st.b"), 4).alias("trend_mills"),
+        dround(F.expr("element_at(st.s, 7)"), 4).alias("season_mills"),
+        dround(
+            F.col("st.l") + m * F.col("st.b") + F.expr("element_at(st.s, 7)"),
+            4,
+        ).alias(f"forecast_{m}d_mills"),
+    )

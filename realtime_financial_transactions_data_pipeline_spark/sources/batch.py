@@ -470,3 +470,92 @@ def s13_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"parsed-field leaks {n_leak}"
         )
     return valid.select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# S14 — XML record source: the other legacy-feed format (ISO 20022
+# payment messages, vendor exports) a financial pipeline inevitably
+# ingests. Spark has no built-in XML reader (spark-xml is an external
+# package), so the idiomatic in-repo shape is spark.read.text over
+# line-delimited record elements + an Arrow-batched mapInPandas parse
+# with stdlib xml.etree — real XML semantics (attribute access,
+# child-element text, entity unescaping), never a regex pretending to
+# be a parser. Scan + embarrassingly-parallel batch parse; no shuffle.
+# ---------------------------------------------------------------------------
+
+_S14_SCHEMA = (
+    "c_custkey long, c_name string, c_mktsegment string, c_acctbal double"
+)
+
+
+def read_xml_records(spark: SparkSession, path: str) -> DataFrame:
+    """Parse line-delimited ``<customer>`` record elements: key and
+    acctbal ride as attributes, name and segment as child elements —
+    both access paths exercised. ElementTree unescapes entities, so
+    the reader round-trips any escaped payload the writer produced."""
+    import pandas as pd
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = [
+                (
+                    int(el.attrib["key"]),
+                    el.findtext("name"),
+                    el.findtext("segment"),
+                    float(el.attrib["acctbal"]),
+                )
+                for el in (ET.fromstring(line) for line in pdf["value"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+            )
+
+    lines = spark.read.text(path).filter(F.length("value") > 0)
+    return lines.mapInPandas(parse, _S14_SCHEMA)
+
+
+@probe(
+    "s14_xml_source",
+    oracle="SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer",
+)
+def s14_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — XML round-trip: customer serialized as one record element
+    per line (attributes + child elements, XML-escaped JVM-side) and
+    parsed back with the stdlib ElementTree reader. The oracle is the
+    table itself, so the hash certifies escaping, attribute/element
+    routing, and the double round-trip (Spark's shortest-roundtrip
+    double→string cast re-parses to the identical IEEE value)."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+
+    def esc(c: F.Column) -> F.Column:
+        # &, <, > — the three characters XML text/attribute content
+        # must escape (quotes stay: attribute values here are numeric).
+        c = F.regexp_replace(c, "&", "&amp;")
+        c = F.regexp_replace(c, "<", "&lt;")
+        return F.regexp_replace(c, ">", "&gt;")
+
+    def build(tmp: str) -> None:
+        load_table(spark, sf_dir, "customer").select(
+            F.concat(
+                F.lit('<customer key="'),
+                F.col("c_custkey").cast("string"),
+                F.lit('" acctbal="'),
+                F.col("c_acctbal").cast("string"),
+                F.lit('"><name>'),
+                esc(F.col("c_name")),
+                F.lit("</name><segment>"),
+                esc(F.col("c_mktsegment")),
+                F.lit("</segment></customer>"),
+            ).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+
+    path = disk_fixture(
+        "s14-customer-xml", source_fingerprint(sf_dir, "customer"), build
+    )
+    return read_xml_records(spark, path)

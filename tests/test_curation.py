@@ -112,3 +112,47 @@ def test_cap_per_domain_deterministic_and_capped(spark):
     # A different seed keeps a different subset (caps still hold)
     ids3 = sorted(r.doc_id for r in cap_per_domain(docs, cap=4, seed=10).collect())
     assert ids1 != ids3 and len(ids3) == 12
+
+
+def test_x23_pps_inclusion_rule(spark):
+    """x23 parity against a from-scratch Python replay of the PPS
+    rule (md5 counter uniform < w/max_w) at sf0.001: per-source kept
+    counts, kept mass, and the id checksum."""
+    import hashlib
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+        _PPS_SEED,
+        x23_pps_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT source, doc_id, n_chars"
+        f" FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    mw = max(n for _, _, n in docs)
+    agg: dict[str, list[int]] = {}
+    for src, doc_id, n in docs:
+        u = (
+            int(
+                hashlib.md5(f"{_PPS_SEED}-{doc_id}".encode()).hexdigest()[:8],
+                16,
+            )
+            / 4294967296.0
+        )
+        a = agg.setdefault(src, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        if u < n / mw:
+            a[2] += 1
+            a[3] += n
+            a[4] += doc_id
+    rows = {r.source: r for r in x23_pps_sample(spark, sf).collect()}
+    assert set(rows) == set(agg)
+    for src, (nd, sc, ns, scs, ck) in agg.items():
+        r = rows[src]
+        assert (r.n_docs, r.sum_chars, r.n_sampled) == (nd, sc, ns), src
+        assert (r.sum_chars_sampled, r.id_checksum) == (scs, ck), src
+        assert abs(r.expected_sampled - round(sc / mw, 4)) < 1e-9

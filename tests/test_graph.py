@@ -472,3 +472,51 @@ def test_g7_summary_known_graphs(spark):
         4, 6, 3, 3,
     )
     assert row.assortativity is None  # 0/0: constant degree
+
+
+def test_g9_assortativity_star_graph(spark):
+    """degree_assortativity on a 5-leaf star: every edge pairs degree
+    5 with degree 1, so r = -1 exactly and the knn curve is two rows
+    (leaves see the hub's degree 5; the hub sees 1.0)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "u long, v long"
+    )
+    rows = {r.degree: r for r in degree_assortativity(edges).collect()}
+    assert set(rows) == {1, 5}
+    assert rows[1].n_nodes == 5 and rows[1].n_endpoints == 5
+    assert rows[1].avg_neighbor_degree == 5.0
+    assert rows[5].n_nodes == 1 and rows[5].n_endpoints == 5
+    assert rows[5].avg_neighbor_degree == 1.0
+    assert rows[1].assortativity == -1.0 == rows[5].assortativity
+
+
+def test_g9_assortativity_matches_numpy(spark):
+    """g9 coefficient equals numpy's Pearson correlation of the
+    symmetrized endpoint-degree pairs on the sf0.001 graph."""
+    import numpy as np
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        _memo_edges,
+        g9_degree_assortativity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = [(r.u, r.v) for r in _memo_edges(spark, sf).collect()]
+    deg: dict[int, int] = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs = np.array([deg[u] for u, v in e] + [deg[v] for u, v in e], float)
+    ys = np.array([deg[v] for u, v in e] + [deg[u] for u, v in e], float)
+    r_np = np.corrcoef(xs, ys)[0, 1]
+    rows = g9_degree_assortativity(spark, sf).collect()
+    assert rows, "graph should be non-empty at sf0.001"
+    got = rows[0].assortativity
+    assert abs(got - round(float(r_np), 6)) < 1e-5
+    by_deg = {r.degree: r for r in rows}
+    ks = sorted({deg[u] for u, _ in e} | {deg[v] for _, v in e})
+    assert set(by_deg) == set(ks)

@@ -339,3 +339,38 @@ def test_dq6_fd_audit_brute_force(spark):
     assert len(orders) > by["o_custkey->custkey_bucket"].n_keys
     assert not by["c_nationkey->c_mktsegment"].holds
     assert not by["o_custkey->o_orderpriority"].holds
+
+
+def test_dq7_benford_brute_force(spark):
+    """dq7 parity against a from-scratch Python first-digit count at
+    sf0.001: exact counts, the literal Benford probabilities, and the
+    chi-square terms."""
+    import math
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        dq7_benford_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    expected: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for table, col in (("orders", "o_totalprice"), ("lineitem", "l_extendedprice")):
+        vals = duckdb.sql(
+            f"SELECT {col} FROM read_parquet('{sf}/{table}.parquet')"
+        ).fetchall()
+        for (v,) in vals:
+            d = int(str(int(round(v * 100)))[0])
+            expected[(col, d)] = expected.get((col, d), 0) + 1
+            totals[col] = totals.get(col, 0) + 1
+    rows = dq7_benford_audit(spark, sf).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n = expected[(r.measure, r.digit)]
+        assert r.n_obs == n, (r.measure, r.digit)
+        assert r.n_total == totals[r.measure]
+        p = math.log10(1 + 1 / r.digit)
+        assert abs(r.benford_p - p) < 1e-15
+        exp_n = r.n_total * p
+        assert abs(r.chi2_term - round((n - exp_n) ** 2 / exp_n, 6)) < 1e-5

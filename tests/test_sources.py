@@ -123,3 +123,30 @@ def test_s13_corrupt_routing_boundaries(spark):
     badtype = rows[lines[2]]
     assert badtype._corrupt_record == lines[2]
     assert badtype.c_custkey is None
+
+
+def test_s14_xml_reader_escaping(spark, tmp_path):
+    """The XML reader round-trips entity-escaped payloads — including
+    &, <, > in element text — and both attribute and child-element
+    access paths."""
+    from realtime_financial_transactions_data_pipeline_spark.sources.batch import (
+        read_xml_records,
+    )
+
+    p = tmp_path / "recs.xml"
+    p.write_text(
+        '<customer key="7" acctbal="-12.5">'
+        "<name>A &amp; B &lt;Ltd&gt;</name>"
+        "<segment>MACHINERY</segment></customer>\n"
+        '<customer key="8" acctbal="0.1">'
+        "<name>plain</name><segment>AUTOMOBILE</segment></customer>\n"
+    )
+    rows = {
+        r.c_custkey: r
+        for r in read_xml_records(spark, str(p)).collect()
+    }
+    assert set(rows) == {7, 8}
+    assert rows[7].c_name == "A & B <Ltd>"
+    assert rows[7].c_acctbal == -12.5
+    assert rows[8].c_acctbal == 0.1
+    assert rows[8].c_mktsegment == "AUTOMOBILE"

@@ -600,3 +600,52 @@ def test_ts7_holt_python_parity(spark):
         assert abs(r.level_mills - round(l, 4)) < 1e-6, et
         assert abs(r.trend_mills - round(t, 4)) < 1e-6, et
         assert abs(r.forecast_7d_mills - round(l + _TS7_H * t, 4)) < 1e-6, et
+
+
+def test_ts8_holt_winters_python_parity(spark):
+    """ts8 parity against a from-scratch Python Holt-Winters additive
+    recursion at sf0.001 — the week-1/week-2 init convention, every
+    fold step of the 9-dimensional state, and the 7-day forecast."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        _TS8_M,
+        ts8_holt_winters_forecast,
+    )
+
+    a, na, b, nb, g, ng = 0.4, 0.6, 0.2, 0.8, 0.3, 0.7
+    sf = "/root/testdata/sf0.001"
+    daily = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 1000) AS BIGINT)) AS y
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2
+            ORDER BY event_type, day"""
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for et, _, y in daily:
+        series.setdefault(et, []).append(float(y))
+    rows = {
+        r.event_type: r
+        for r in ts8_holt_winters_forecast(spark, sf).collect()
+    }
+    assert set(rows) == {et for et, ys in series.items() if len(ys) >= 14}
+    for et, ys in series.items():
+        if len(ys) < 14:
+            continue
+        l = sum(ys[:7]) / 7.0
+        t = (sum(ys[7:14]) / 7.0 - l) / 7.0
+        s = [y - l for y in ys[:7]]
+        for y in ys[7:]:
+            s0 = s.pop(0)
+            nl = a * (y - s0) + na * (l + t)
+            t = b * (nl - l) + nb * t
+            s.append(g * (y - nl) + ng * s0)
+            l = nl
+        r = rows[et]
+        assert r.n_days == len(ys)
+        assert abs(r.level_mills - round(l, 4)) < 1e-5, et
+        assert abs(r.trend_mills - round(t, 4)) < 1e-5, et
+        assert abs(r.season_mills - round(s[-1], 4)) < 1e-5, et
+        assert (
+            abs(r.forecast_7d_mills - round(l + _TS8_M * t + s[-1], 4)) < 1e-5
+        ), et
