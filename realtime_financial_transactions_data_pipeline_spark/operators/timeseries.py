@@ -1606,3 +1606,148 @@ def ts8_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias(f"forecast_{m}d_mills"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts9 — forecast accuracy backtest (MASE panel): the evaluation half
+# of the ts6/ts7/ts8 forecasting ladder — fit on a truncated series,
+# score on a 7-day holdout, report MAE and MASE (Hyndman's
+# scale-free accuracy metric: model MAE over the in-sample one-step
+# seasonal-naive MAE). Determinism inventory: every seasonal-naive
+# error is a difference of integer-valued mills (exact in doubles, so
+# their sums are order-independent); only the Holt forecast errors are
+# inexact, and THEIR sum runs as an ordered left fold over the 7-slot
+# error array, identical in both engines. Same scale shape as ts7:
+# one daily rollup + per-series bounded-array folds, shuffle-free
+# after the rollup.
+# ---------------------------------------------------------------------------
+
+_TS9_H = 7  # holdout length (days) = seasonal period
+
+
+def _ts9_oracle() -> str:
+    a, b, m = _TS7_ALPHA, _TS7_BETA, _TS9_H
+    lnew = f"({a} * e[1] + {1 - a} * (acc[1] + acc[2]))"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 1000) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type,
+             list(CAST(y AS DOUBLE) ORDER BY day) AS ys,
+             len(list(y)) AS n
+      FROM daily GROUP BY event_type HAVING count(*) >= 3 * {m}),
+    fitted AS (
+      SELECT event_type, ys, n,
+             list_reduce(
+               list_concat([[ys[1], ys[2] - ys[1]]],
+                           list_transform(ys[3:n-{m}], y -> [y, 0.0])),
+               (acc, e) -> [
+                 {lnew},
+                 {b} * ({lnew} - acc[1]) + {1 - b} * acc[2]
+               ]
+             ) AS st
+      FROM series),
+    errs AS (
+      SELECT event_type, n, st,
+             list_transform(range(1, {m} + 1),
+               h -> abs(ys[n - {m} + h] - (st[1] + h * st[2]))) AS e_holt,
+             list_transform(range(1, {m} + 1),
+               h -> abs(ys[n - {m} + h] - ys[n - 2 * {m} + h])) AS e_naive,
+             list_transform(range({m} + 1, n - {m} + 1),
+               t -> abs(ys[t] - ys[t - {m}])) AS e_insample
+      FROM fitted),
+    mae AS (
+      SELECT event_type,
+             CAST(n - {m} AS BIGINT) AS n_train,
+             CAST({m} AS BIGINT) AS n_test,
+             list_reduce(e_insample, (x, y) -> x + y)
+               / CAST(len(e_insample) AS DOUBLE) AS d,
+             list_reduce(e_naive, (x, y) -> x + y) / {m}.0 AS naive_mae,
+             list_reduce(e_holt, (x, y) -> x + y) / {m}.0 AS holt_mae
+      FROM errs)
+    SELECT event_type, n_train, n_test,
+           round(d, 4) AS insample_naive_mae_mills,
+           round(naive_mae, 4) AS naive_mae_mills,
+           round(holt_mae, 4) AS holt_mae_mills,
+           round(naive_mae / d, 4) AS naive_mase,
+           round(holt_mae / d, 4) AS holt_mase,
+           holt_mae < naive_mae AS holt_beats_naive
+    FROM mae
+    """
+
+
+@probe("ts9_forecast_backtest", oracle=_ts9_oracle())
+def ts9_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts9 — 7-day-holdout backtest per event type (block comment
+    above): Holt (ts7's fold, fit on the truncated series) against the
+    seasonal-naive baseline ŷₜ = yₜ₋₇, scored by MAE over the holdout
+    and MASE against the in-sample one-step seasonal-naive MAE. The
+    oracle replays the truncated fit, all three error arrays, and both
+    ordered fold-sums — so the hash certifies fit, forecast, and
+    metric arithmetic together."""
+    a, b, m = _TS7_ALPHA, _TS7_BETA, _TS9_H
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, y))),"
+            " p -> CAST(p.y AS DOUBLE))"
+        ).alias("ys")
+    ).filter(F.size("ys") >= 3 * m)
+    lnew = f"({a}D * y + {1 - a}D * (acc.l + acc.b))"
+    fold = (
+        f"aggregate("
+        f"  slice(ys, 3, greatest(size(ys) - 2 - {m}, 0)),"
+        f"  named_struct('l', element_at(ys, 1),"
+        f"               'b', element_at(ys, 2) - element_at(ys, 1)),"
+        f"  (acc, y) -> named_struct("
+        f"    'l', {lnew},"
+        f"    'b', {b}D * ({lnew} - acc.l) + {1 - b}D * acc.b))"
+    )
+    errs = series.select(
+        "event_type",
+        F.size("ys").alias("n"),
+        F.expr(fold).alias("st"),
+        F.expr(
+            f"transform(sequence(1, {m}), h -> "
+            f"abs(element_at(ys, size(ys) - {m} + h)"
+            f"    - (st.l + h * st.b)))"
+        ).alias("e_holt"),
+        F.expr(
+            f"transform(sequence(1, {m}), h -> "
+            f"abs(element_at(ys, size(ys) - {m} + h)"
+            f"    - element_at(ys, size(ys) - {2 * m} + h)))"
+        ).alias("e_naive"),
+        F.expr(
+            f"transform(sequence({m} + 1, size(ys) - {m}), t -> "
+            f"abs(element_at(ys, t) - element_at(ys, t - {m})))"
+        ).alias("e_insample"),
+    )
+    fsum = "aggregate({0}, 0.0D, (x, y) -> x + y)".format
+    mae = errs.select(
+        "event_type",
+        (F.col("n") - m).cast("long").alias("n_train"),
+        F.lit(m).cast("long").alias("n_test"),
+        (
+            F.expr(fsum("e_insample"))
+            / F.size("e_insample").cast("double")
+        ).alias("d"),
+        (F.expr(fsum("e_naive")) / float(m)).alias("naive_mae"),
+        (F.expr(fsum("e_holt")) / float(m)).alias("holt_mae"),
+    )
+    return mae.select(
+        "event_type",
+        "n_train",
+        "n_test",
+        dround(F.col("d"), 4).alias("insample_naive_mae_mills"),
+        dround(F.col("naive_mae"), 4).alias("naive_mae_mills"),
+        dround(F.col("holt_mae"), 4).alias("holt_mae_mills"),
+        dround(F.col("naive_mae") / F.col("d"), 4).alias("naive_mase"),
+        dround(F.col("holt_mae") / F.col("d"), 4).alias("holt_mase"),
+        (F.col("holt_mae") < F.col("naive_mae")).alias("holt_beats_naive"),
+    )

@@ -649,3 +649,59 @@ def test_ts8_holt_winters_python_parity(spark):
         assert (
             abs(r.forecast_7d_mills - round(l + _TS8_M * t + s[-1], 4)) < 1e-5
         ), et
+
+
+def test_ts9_backtest_python_parity(spark):
+    """ts9 parity against a from-scratch Python backtest at sf0.001:
+    the truncated Holt fit, both holdout error sets, the in-sample
+    seasonal-naive denominator, and the MASE ratios."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        _TS7_ALPHA,
+        _TS7_BETA,
+        _TS9_H,
+        ts9_forecast_backtest,
+    )
+
+    a, b, m = _TS7_ALPHA, _TS7_BETA, _TS9_H
+    sf = "/root/testdata/sf0.001"
+    daily = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 1000) AS BIGINT)) AS y
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2
+            ORDER BY event_type, day"""
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for et, _, y in daily:
+        series.setdefault(et, []).append(float(y))
+    rows = {
+        r.event_type: r for r in ts9_forecast_backtest(spark, sf).collect()
+    }
+    assert set(rows) == {et for et, ys in series.items() if len(ys) >= 3 * m}
+    for et, ys in series.items():
+        if len(ys) < 3 * m:
+            continue
+        n = len(ys)
+        train = ys[: n - m]
+        l, t = train[0], train[1] - train[0]
+        for y in train[2:]:
+            nl = a * y + (1 - a) * (l + t)
+            t = b * (nl - l) + (1 - b) * t
+            l = nl
+        e_holt = [abs(ys[n - m + h - 1] - (l + h * t)) for h in range(1, m + 1)]
+        e_naive = [
+            abs(ys[n - m + h - 1] - ys[n - 2 * m + h - 1])
+            for h in range(1, m + 1)
+        ]
+        e_ins = [abs(ys[i] - ys[i - m]) for i in range(m, n - m)]
+        d = sum(e_ins) / len(e_ins)
+        naive_mae, holt_mae = sum(e_naive) / m, sum(e_holt) / m
+        r = rows[et]
+        assert r.n_train == n - m and r.n_test == m
+        assert abs(r.insample_naive_mae_mills - round(d, 4)) < 1e-6, et
+        assert abs(r.naive_mae_mills - round(naive_mae, 4)) < 1e-6, et
+        assert abs(r.holt_mae_mills - round(holt_mae, 4)) < 1e-5, et
+        assert abs(r.naive_mase - round(naive_mae / d, 4)) < 1e-6, et
+        assert abs(r.holt_mase - round(holt_mae / d, 4)) < 1e-5, et
+        assert r.holt_beats_naive == (holt_mae < naive_mae), et
