@@ -3184,3 +3184,114 @@ def a23_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_cents") / F.col("total_cents").cast("double"), 6
         ).alias("top_decile_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A25 — price-volume-mix bridge: decompose the month-over-month
+# revenue change per brand into a volume effect (quantity change at
+# old unit price) and a price effect (unit-price change at new
+# quantity) — the waterfall chart every finance review opens with.
+# The Laspeyres/Paasche split used here is an exact identity:
+# (q₂−q₁)·p₁ + (p₂−p₁)·q₂ = r₂−r₁ with p = r/q. Revenue accumulates
+# as exact deci-mills bigints (extprice and discount both carry two
+# decimals, so price·(1−disc) has exactly four), quantities as exact
+# bigints; only the two per-brand unit-price ratios and effect
+# products are floating. ONE scan with conditional aggregation — both
+# months come out of a single partial-aggregable groupBy, no join, no
+# window; at 100 TB the month predicate prunes partitions and the
+# brand dimension broadcasts.
+# ---------------------------------------------------------------------------
+
+_A25_M1 = ("1995-03-01", "1995-04-01")
+_A25_M2 = ("1995-04-01", "1995-05-01")
+
+
+@probe(
+    "a25_price_volume_mix",
+    oracle=f"""
+    WITH li AS (
+      SELECT p.p_brand,
+             l.l_shipdate >= DATE '{_A25_M2[0]}' AS in_m2,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) AS rev_dm
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= DATE '{_A25_M1[0]}'
+        AND l.l_shipdate < DATE '{_A25_M2[1]}'),
+    agg AS (
+      SELECT p_brand,
+             CAST(coalesce(sum(qty) FILTER (WHERE NOT in_m2), 0) AS BIGINT)
+               AS qty_m1,
+             CAST(coalesce(sum(rev_dm) FILTER (WHERE NOT in_m2), 0) AS BIGINT)
+               AS rev_m1_dm,
+             CAST(coalesce(sum(qty) FILTER (WHERE in_m2), 0) AS BIGINT)
+               AS qty_m2,
+             CAST(coalesce(sum(rev_dm) FILTER (WHERE in_m2), 0) AS BIGINT)
+               AS rev_m2_dm
+      FROM li GROUP BY p_brand
+      HAVING sum(qty) FILTER (WHERE NOT in_m2) > 0
+         AND sum(qty) FILTER (WHERE in_m2) > 0)
+    SELECT p_brand, qty_m1, rev_m1_dm, qty_m2, rev_m2_dm,
+           rev_m2_dm - rev_m1_dm AS delta_dm,
+           round((qty_m2 - qty_m1)
+                 * (rev_m1_dm / CAST(qty_m1 AS DOUBLE)), 4)
+             AS volume_effect_dm,
+           round((rev_m2_dm / CAST(qty_m2 AS DOUBLE)
+                  - rev_m1_dm / CAST(qty_m1 AS DOUBLE)) * qty_m2, 4)
+             AS price_effect_dm
+    FROM agg
+    """,
+)
+def a25_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 — per-brand revenue bridge between two adjacent ship months
+    (block comment above): exact-integer month totals from one
+    conditional aggregation, then the volume/price split whose two
+    terms reconstruct the exact delta by construction. Brands active
+    in both months only (a unit price needs a nonzero quantity). The
+    oracle replays the deci-mills rounding, both FILTER aggregates,
+    and the effect arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_A25_M1[0]))
+        & (F.col("l_shipdate") < F.lit(_A25_M2[1]))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    in_m2 = F.col("l_shipdate") >= F.lit(_A25_M2[0])
+    rev_dm = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", in_m2.alias("in_m2"), qty.alias("qty"),
+                rev_dm.alias("rev_dm"))
+        .groupBy("p_brand")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("in_m2"), F.col("qty"))), F.lit(0)
+            ).alias("qty_m1"),
+            F.coalesce(
+                F.sum(F.when(~F.col("in_m2"), F.col("rev_dm"))), F.lit(0)
+            ).alias("rev_m1_dm"),
+            F.coalesce(
+                F.sum(F.when(F.col("in_m2"), F.col("qty"))), F.lit(0)
+            ).alias("qty_m2"),
+            F.coalesce(
+                F.sum(F.when(F.col("in_m2"), F.col("rev_dm"))), F.lit(0)
+            ).alias("rev_m2_dm"),
+        )
+        .filter((F.col("qty_m1") > 0) & (F.col("qty_m2") > 0))
+    )
+    p1 = F.col("rev_m1_dm") / F.col("qty_m1").cast("double")
+    p2 = F.col("rev_m2_dm") / F.col("qty_m2").cast("double")
+    return agg.select(
+        "p_brand",
+        "qty_m1",
+        "rev_m1_dm",
+        "qty_m2",
+        "rev_m2_dm",
+        (F.col("rev_m2_dm") - F.col("rev_m1_dm")).alias("delta_dm"),
+        dround((F.col("qty_m2") - F.col("qty_m1")) * p1, 4).alias(
+            "volume_effect_dm"
+        ),
+        dround((p2 - p1) * F.col("qty_m2"), 4).alias("price_effect_dm"),
+    )

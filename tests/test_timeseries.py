@@ -705,3 +705,55 @@ def test_ts9_backtest_python_parity(spark):
         assert abs(r.naive_mase - round(naive_mae / d, 4)) < 1e-6, et
         assert abs(r.holt_mase - round(holt_mae / d, 4)) < 1e-5, et
         assert r.holt_beats_naive == (holt_mae < naive_mae), et
+
+
+def test_a25_pvm_bridge_identity(spark):
+    """a25: the Laspeyres/Paasche split reconstructs the exact revenue
+    delta per brand, and totals match a DuckDB brute-force replay at
+    sf0.001."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        _A25_M1,
+        _A25_M2,
+        a25_price_volume_mix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = a25_price_volume_mix(spark, sf).collect()
+    assert rows, "both months must have activity at sf0.001"
+    exp = {
+        b: (q1, r1, q2, r2)
+        for b, q1, r1, q2, r2 in duckdb.sql(
+            f"""SELECT p_brand,
+                       sum(CASE WHEN l_shipdate < DATE '{_A25_M2[0]}'
+                                THEN l_quantity ELSE 0 END),
+                       sum(CASE WHEN l_shipdate < DATE '{_A25_M2[0]}'
+                           THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 10000) AS BIGINT) ELSE 0 END),
+                       sum(CASE WHEN l_shipdate >= DATE '{_A25_M2[0]}'
+                                THEN l_quantity ELSE 0 END),
+                       sum(CASE WHEN l_shipdate >= DATE '{_A25_M2[0]}'
+                           THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 10000) AS BIGINT) ELSE 0 END)
+                FROM read_parquet('{sf}/lineitem.parquet') l
+                JOIN read_parquet('{sf}/part.parquet') p
+                  ON l.l_partkey = p.p_partkey
+                WHERE l_shipdate >= DATE '{_A25_M1[0]}'
+                  AND l_shipdate < DATE '{_A25_M2[1]}'
+                GROUP BY 1"""
+        ).fetchall()
+    }
+    for r in rows:
+        q1, r1, q2, r2 = exp[r.p_brand]
+        assert (r.qty_m1, r.rev_m1_dm, r.qty_m2, r.rev_m2_dm) == (
+            q1, r1, q2, r2,
+        ), r.p_brand
+        assert r.delta_dm == r2 - r1
+        # exact identity: volume + price effect = delta (pre-rounding)
+        assert (
+            abs(r.volume_effect_dm + r.price_effect_dm - r.delta_dm) < 0.01
+        ), r.p_brand
+    # every brand active in only one month is excluded
+    active_both = {b for b, (q1, _, q2, _) in exp.items() if q1 > 0 and q2 > 0}
+    assert {r.p_brand for r in rows} == active_both
