@@ -373,3 +373,138 @@ def t2c_hopping_windows(spark, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t12 — batch/stream unification certificate: the Structured
+# Streaming promise the reference's Beam pipeline can't make — ONE
+# transformation definition (withWatermark is a no-op in batch, so the
+# literal same function compiles both ways) executed over the same
+# records as a static read AND as an availableNow file stream, with
+# the probe raising unless the two results are row-for-row identical.
+# This is the operational property that lets a 100 TB backfill reuse
+# the streaming job's code verbatim. Streamed via the t10
+# watermark-pusher protocol (far-future rows close every real window
+# inside one run); the oracle replays the day-window aggregate, so the
+# hash certifies the streamed output AND (via the in-probe equality
+# gate) the batch twin at once.
+# ---------------------------------------------------------------------------
+
+
+def _t12_transform(df: DataFrame) -> DataFrame:
+    """The ONE definition both execution modes share: day tumbling
+    windows per event type — counts and rounded value totals."""
+    return (
+        df.withWatermark("event_time", "30 minutes")
+        .groupBy(
+            F.window("event_time", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@probe(
+    "t12_batch_stream_unification",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 DAY, date_trunc('second', ts))
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE user_id % 10 = 4
+    GROUP BY 1, 2
+    """,
+)
+def t12_batch_stream_unification(spark, sf_dir: str) -> DataFrame:
+    """t12 — run `_t12_transform` once over a static DataFrame and once
+    over an availableNow stream of the same JSON slices, certify the
+    outputs identical in-probe (sorted-row equality; any divergence
+    raises), and return the STREAMED result. Block comment above for
+    why this is the unification property worth a certificate."""
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+    from realtime_financial_transactions_data_pipeline_spark.streaming.pipeline import (
+        await_or_raise,
+    )
+
+    root = "/tmp/spark_graft_streaming/t12"
+    shutil.rmtree(root, ignore_errors=True)
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 4)
+        .select(
+            F.date_trunc("second", "ts").alias("event_time"),
+            "event_type",
+            "value",
+        )
+    )
+    flat = disk_fixture(
+        "t12-events",
+        source_fingerprint(sf_dir, "events"),
+        lambda tmp: spark_json_slices(
+            src,
+            tmp,
+            2,
+            slice_col=F.dayofmonth("event_time"),
+            extra_lines={
+                2: [
+                    '{"event_time": "2030-01-01T00:00:00",'
+                    ' "event_type": "click", "value": 0.0}'
+                ],
+            },
+        ),
+    )
+    schema = "event_time TIMESTAMP, event_type STRING, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(flat)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            _t12_transform(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/_cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    streamed = spark.read.parquet(f"{root}/out").filter(
+        F.col("window_start") < F.lit("2029-01-01").cast("timestamp")
+    )
+    # The certificate: the SAME function over the SAME records as a
+    # plain batch DataFrame (reading the identical JSON slices the
+    # stream consumed, pusher excluded) must agree row-for-row.
+    batch = _t12_transform(
+        spark.read.schema(schema).json(flat)
+    ).filter(F.col("window_start") < F.lit("2029-01-01").cast("timestamp"))
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    if got != want:
+        raise RuntimeError(
+            f"batch/stream divergence: {len(got)} streamed rows vs "
+            f"{len(want)} batch rows (first diff: "
+            f"{next((a, b) for a, b in zip(got, want) if a != b)})"
+        )
+    return pin_result(streamed)

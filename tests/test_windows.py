@@ -141,3 +141,31 @@ def test_batch_and_streaming_window_exprs_agree(spark, sf_dir):
     batch = windowed_revenue(e, streaming=False)
     assert batch.count() > 0
     assert batch.filter(F.col("n_events") <= 0).count() == 0
+
+
+def test_t12_unification_matches_duckdb(spark):
+    """t12's streamed-and-certified output equals an independent DuckDB
+    day rollup at sf0.001 (the in-probe gate already pins stream ==
+    batch; this pins both against a third engine)."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.streaming.windows import (
+        t12_batch_stream_unification,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.total_value)
+        for r in t12_batch_stream_unification(spark, sf).collect()
+    }
+    want = {
+        (ws.isoformat(), et): (n, tv)
+        for ws, et, n, tv in duckdb.sql(
+            f"""SELECT time_bucket(INTERVAL 1 DAY, date_trunc('second', ts)),
+                       event_type, count(*),
+                       round(sum(value), 2)
+                FROM read_parquet('{sf}/events.parquet')
+                WHERE user_id % 10 = 4 GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    assert got == want
