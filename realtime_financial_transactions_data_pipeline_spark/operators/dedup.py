@@ -408,6 +408,44 @@ def _corpus_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_persist(spark, ("corpus_simhash", sf_dir), build)
 
 
+def _pair_intersection_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    sized: DataFrame | None = None,
+) -> DataFrame:
+    """Shared inverted-index core of the exact set-similarity joins
+    (x2b Jaccard, x24 containment): (id_a, id_b, n_a, n_b, c) per
+    unordered candidate pair, where c = |grams_a ∩ grams_b|. One
+    shuffle keyed by shingle, one by pair; pairs generate INSIDE each
+    posting list, so df=1 shingles (the vast majority) never reach a
+    join."""
+    if sized is None:
+        sized = docs.select(
+            F.col(id_col).alias("_id"), word_shingles(text_col).alias("grams")
+        ).withColumn("n", F.size("grams"))
+    else:
+        sized = sized.select(F.col(id_col).alias("_id"), "grams", "n")
+    posting = sized.select("_id", "n", F.explode("grams").alias("gram"))
+    by_gram = posting.groupBy("gram").agg(
+        F.array_sort(F.collect_list(F.struct("_id", "n"))).alias("ids")
+    )
+    cap = F.lit(max_df) if max_df is not None else F.size("ids")
+    bounded = by_gram.filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
+    pair_gen = (
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), b -> "
+        "struct(a._id AS id_a, b._id AS id_b, a.n AS n_a, b.n AS n_b))))"
+    )
+    return (
+        bounded.select(F.explode(F.expr(pair_gen)).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def jaccard_pairs_exact(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -428,32 +466,8 @@ def jaccard_pairs_exact(
     the exact result). ``sized`` optionally supplies a pre-shingled
     (id, grams, n) frame (id column named ``id_col``) so callers can
     share one shingling pass across operators."""
-    if sized is None:
-        sized = docs.select(
-            F.col(id_col).alias("_id"), word_shingles(text_col).alias("grams")
-        ).withColumn("n", F.size("grams"))
-    else:
-        sized = sized.select(F.col(id_col).alias("_id"), "grams", "n")
-    posting = sized.select("_id", "n", F.explode("grams").alias("gram"))
-    by_gram = posting.groupBy("gram").agg(
-        F.array_sort(F.collect_list(F.struct("_id", "n"))).alias("ids")
-    )
-    # One shuffle keyed by shingle; pairs are generated *inside* each
-    # posting list, so shingles with df=1 (the vast majority of word
-    # 3-grams) never reach a join at all, and there is no second
-    # shuffle of the full posting table.
-    cap = F.lit(max_df) if max_df is not None else F.size("ids")
-    bounded = by_gram.filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
-    pair_gen = (
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), b -> "
-        "struct(a._id AS id_a, b._id AS id_b, a.n AS n_a, b.n AS n_b))))"
-    )
-    inter = (
-        bounded.select(F.explode(F.expr(pair_gen)).alias("p"))
-        .select("p.*")
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    inter = _pair_intersection_counts(
+        docs, id_col, text_col, max_df=max_df, sized=sized
     )
     jac = F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c")).cast("double")
     return (
@@ -470,6 +484,67 @@ def x2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no quadratic join anywhere."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_exact(d, sized=_corpus_grams(spark, sf_dir))
+
+
+#: x24 containment threshold: a pair reports when either doc's shingle
+#: set is >= 70 % covered by the other — the asymmetric regime
+#: (quotation, partial copy, doc-inside-doc) that symmetric Jaccard
+#: scores below its threshold whenever the containing doc is large.
+_CONTAIN_T = 0.7
+
+
+@probe(
+    "x24_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.grams, b.grams)) AS c,
+                 len(a.grams) AS n_a, len(b.grams) AS n_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(c AS DOUBLE) / n_a, 4) AS containment_a_in_b,
+           round(CAST(c AS DOUBLE) / n_b, 4) AS containment_b_in_a,
+           CASE WHEN CAST(c AS DOUBLE) / n_a >= CAST(c AS DOUBLE) / n_b
+                THEN id_a ELSE id_b END AS contained_doc
+    FROM p
+    WHERE greatest(CAST(c AS DOUBLE) / n_a, CAST(c AS DOUBLE) / n_b)
+          >= {_CONTAIN_T}
+    """,
+)
+def x24_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x24 — exact shingle CONTAINMENT join (Broder's containment
+    coefficient |A∩B|/|A|): the asymmetric near-dup detector for
+    sub-document duplication — a short doc quoted inside a long one
+    sits far below any Jaccard threshold (the union is dominated by
+    the long doc) but at containment ~1. Same inverted-index core as
+    x2b (shared `_pair_intersection_counts`: one shingle-keyed shuffle,
+    one pair-keyed, df=1 shingles never join), so the corpus-scale
+    posture is identical; only the scoring changes. Reports both
+    directions plus which doc is the contained one (ties to the
+    smaller id, matching the oracle's CASE)."""
+    d = load_table(spark, sf_dir, "documents")
+    inter = _pair_intersection_counts(
+        d, sized=_corpus_grams(spark, sf_dir)
+    )
+    ca = F.col("c").cast("double") / F.col("n_a")
+    cb = F.col("c").cast("double") / F.col("n_b")
+    return (
+        inter.filter(F.greatest(ca, cb) >= _CONTAIN_T)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("c").alias("n_common"),
+            "n_a",
+            "n_b",
+            dround(ca, 4).alias("containment_a_in_b"),
+            dround(cb, 4).alias("containment_b_in_a"),
+            F.when(ca >= cb, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_doc"),
+        )
+    )
 
 
 def minhash_signature(

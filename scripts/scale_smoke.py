@@ -75,6 +75,10 @@ MATRIX = {
     "g6_weighted_pagerank": ("events", (1, 10)),
     "g7_graph_summary": ("events", (1, 10)),
     "g8_star_components": ("events", (1, 10)),
+    # r15 late addition: the assortativity panel's marginal cost over
+    # the shared pair pass is the two node-bounded degree joins —
+    # measure that they track edge growth, not node².
+    "g9_degree_assortativity": ("events", (1, 10)),
     "x2s_ivf_pq_search": ("embeddings", (1, 10)),
     "x2t_ivfpq_residual_search": ("embeddings", (1, 10)),
     "x2v_ivfpq_refine": ("embeddings", (1, 10)),

@@ -688,3 +688,52 @@ def test_x22_cluster_safe_split_no_straddle(spark):
         shares[r.split] += 1
     assert 0.80 <= shares["train"] / n <= 0.97
     assert shares["val"] > 0 and shares["test"] > 0
+
+
+def test_x24_containment_catches_subdocument_dup(spark):
+    """A short doc quoted verbatim inside a much longer one: Jaccard
+    sits far below the near-dup threshold (union dominated by the long
+    doc) while containment is exactly 1.0 — the regime x24 exists
+    for."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _CONTAIN_T,
+        _NEARDUP_T,
+        _pair_intersection_counts,
+        jaccard_pairs_exact,
+    )
+
+    short = " ".join(f"w{i}" for i in range(10))
+    long = short + " " + " ".join(f"z{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    jac = jaccard_pairs_exact(docs, threshold=_NEARDUP_T).collect()
+    assert jac == [], "Jaccard must miss the sub-document dup"
+    inter = {
+        (r.id_a, r.id_b): r for r in _pair_intersection_counts(docs).collect()
+    }
+    r = inter[(1, 2)]
+    # every shingle of the short doc appears in the long one
+    assert r.c == r.n_a
+    ca, cb = r.c / r.n_a, r.c / r.n_b
+    assert ca == 1.0 and cb < _CONTAIN_T
+
+
+def test_x24_direction_and_threshold(spark):
+    """Containment direction flags the contained doc; pairs under the
+    threshold in both directions are dropped."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        x24_containment_pairs,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators import dedup
+
+    # run the real probe at sf0.001 and cross-check every row's
+    # arithmetic + direction from its own counts
+    rows = x24_containment_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "planted near-dups guarantee pairs at sf0.001"
+    for r in rows:
+        ca, cb = r.n_common / r.n_a, r.n_common / r.n_b
+        assert max(ca, cb) >= dedup._CONTAIN_T
+        assert abs(r.containment_a_in_b - round(ca, 4)) < 1e-9
+        assert abs(r.containment_b_in_a - round(cb, 4)) < 1e-9
+        assert r.contained_doc == (r.id_a if ca >= cb else r.id_b)
