@@ -729,3 +729,98 @@ def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("n_obs") / nt, 6).alias("obs_share"),
         dround(dev * dev / (nt * F.col("p")), 6).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq8 — fact-vs-derived reconciliation: does the order header's total
+# equal the total recomputed from its lines (the TPC-H invariant
+# o_totalprice = Σ extprice·(1+tax)·(1−disc))? The canonical
+# finance-pipeline audit — a header/detail divergence is how silent
+# partial loads and double-applied discounts surface. All comparison
+# arithmetic is EXACT integer micros (price/tax/discount each carry
+# two decimals, so the per-line product has six), so match/mismatch
+# classification is bit-deterministic; tolerance is ±1 cent. On this
+# synthetic corpus the headers are independent draws and NOTHING
+# reconciles — the audit correctly reports that (the reconciling side
+# of the boundary is unit-pinned on a planted fixture). One lineitem
+# rollup + one orders join, both partial-aggregable/equi-keyed.
+# ---------------------------------------------------------------------------
+
+#: |header − Σlines| tolerance, in micros (= 1 cent).
+_DQ8_TOL_MICROS = 10_000
+
+
+@probe(
+    "dq8_order_reconciliation",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 + l_tax)
+                                 * (1 - l_discount) * 1000000) AS BIGINT))
+                  AS BIGINT) AS line_micros,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderstatus,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+               AS header_micros,
+             li.line_micros, li.n_lines
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(n_lines) AS BIGINT) AS n_with_lines,
+           CAST(count(*) FILTER (WHERE n_lines IS NULL) AS BIGINT)
+             AS n_orphan_headers,
+           CAST(count(*) FILTER (
+                  WHERE abs(header_micros - line_micros)
+                        <= {_DQ8_TOL_MICROS}) AS BIGINT) AS n_reconciled,
+           CAST(count(*) FILTER (
+                  WHERE abs(header_micros - line_micros)
+                        > {_DQ8_TOL_MICROS}) AS BIGINT) AS n_mismatched,
+           CAST(coalesce(max(abs(header_micros - line_micros)), 0)
+                AS BIGINT) AS max_abs_diff_micros
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def dq8_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq8 — header/detail reconciliation panel per order status
+    (block comment above): orphan headers, within-tolerance matches,
+    mismatches, and the worst divergence, all from exact-micros
+    integer arithmetic the oracle replays term for term."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 + F.col("l_tax"))
+                    * (1 - F.col("l_discount"))
+                    * 1000000,
+                    0,
+                ).cast("long")
+            ).alias("line_micros"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000).alias(
+            "header_micros"
+        ),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    diff = F.abs(F.col("header_micros") - F.col("line_micros"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("n_lines").alias("n_with_lines"),
+        F.count(F.when(F.col("n_lines").isNull(), 1)).alias(
+            "n_orphan_headers"
+        ),
+        F.count(F.when(diff <= _DQ8_TOL_MICROS, 1)).alias("n_reconciled"),
+        F.count(F.when(diff > _DQ8_TOL_MICROS, 1)).alias("n_mismatched"),
+        F.coalesce(F.max(diff), F.lit(0)).cast("long").alias(
+            "max_abs_diff_micros"
+        ),
+    )

@@ -374,3 +374,47 @@ def test_dq7_benford_brute_force(spark):
         assert abs(r.benford_p - p) < 1e-15
         exp_n = r.n_total * p
         assert abs(r.chi2_term - round((n - exp_n) ** 2 / exp_n, 6)) < 1e-5
+
+
+def test_dq8_reconciliation_boundary(spark):
+    """dq8 classification on a planted fixture covering all three
+    classes: exact match, off-by-one-cent (inside tolerance),
+    off-by-two-cents (mismatch), and an orphan header."""
+    from realtime_financial_transactions_data_pipeline_spark.operators import quality
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        dq8_order_reconciliation,
+    )
+    import realtime_financial_transactions_data_pipeline_spark.tables as tables
+
+    orders = spark.createDataFrame(
+        [
+            (1, "O", 100.00),  # exact
+            (2, "O", 100.01),  # +1 cent -> reconciled (tolerance)
+            (3, "O", 100.02),  # +2 cents -> mismatch
+            (4, "O", 50.00),   # orphan: no lines
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    # two lines of 50 with zero tax/discount -> 100.00 recomputed
+    lines = spark.createDataFrame(
+        [(k, 50.0, 0.0, 0.0) for k in (1, 2, 3) for _ in range(2)],
+        "l_orderkey long, l_extendedprice double, l_tax double,"
+        " l_discount double",
+    )
+    real_load = tables.load_table
+    fake = {"orders": orders, "lineitem": lines}
+
+    def load(spark_, sf_dir, name):
+        return fake.get(name) or real_load(spark_, sf_dir, name)
+
+    orig = quality.load_table
+    quality.load_table = load
+    try:
+        (r,) = dq8_order_reconciliation(spark, "ignored").collect()
+    finally:
+        quality.load_table = orig
+    assert r.n_orders == 4 and r.n_with_lines == 3
+    assert r.n_orphan_headers == 1
+    assert r.n_reconciled == 2  # exact + 1-cent
+    assert r.n_mismatched == 1  # 2-cent
+    assert r.max_abs_diff_micros == 20_000
