@@ -708,15 +708,20 @@ def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
         )
     )
+    from pyspark.sql import Window
+
     counts = src.groupBy("measure", "digit").agg(
         F.count(F.lit(1)).alias("n_obs")
     )
-    tot = counts.groupBy("measure").agg(F.sum("n_obs").alias("n_total"))
+    # n_total via a window over the 18-row aggregate — NOT a re-agg
+    # from source joined back, which would scan each table twice
+    # (exact bigint sum, so the window is deterministic).
+    tot = F.sum("n_obs").over(Window.partitionBy("measure"))
     p = F.col("digit")
     pexpr = None
     for d, lit in _BENFORD_P.items():
         pexpr = (F.when if pexpr is None else pexpr.when)(p == d, F.lit(float(lit)))
-    j = counts.join(F.broadcast(tot), "measure").withColumn("p", pexpr)
+    j = counts.withColumn("n_total", tot).withColumn("p", pexpr)
     nt = F.col("n_total").cast("double")
     dev = F.col("n_obs") - nt * F.col("p")
     return j.select(

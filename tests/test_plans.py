@@ -250,3 +250,59 @@ def test_scale_dynamic_pruning_plan_carries_dpp(spark, sf_dir):
     assert "dynamicpruning" in pf.lower(), pf
     plan = inspect.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_a25_pushes_month_filter_and_broadcasts_part(spark, sf_dir):
+    """a25's two-month window must reach the lineitem scan as a pushed
+    filter, the brand dim must broadcast, and the two-month split must
+    come from ONE aggregate (no self-join): exactly one Exchange below
+    the final project."""
+    import re
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        a25_price_volume_mix,
+    )
+
+    df = a25_price_volume_mix(spark, sf_dir)
+    assert "l_shipdate" in inspect.pushed_filters(df)
+    assert inspect.uses_broadcast_join(df)
+    plan = inspect.formatted_plan(df)
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"expected 1 shuffle, saw {n_exchange}"
+
+
+def test_dq7_single_scan_per_measure_partial_agg(spark, sf_dir):
+    """dq7 reads each price column once (pruned schema) and the digit
+    rollup partial-aggregates (HashAggregate below the exchange)."""
+    import re
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        dq7_benford_audit,
+    )
+
+    df = dq7_benford_audit(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 2  # orders + lineitem, once each
+    assert "l_comment" not in inspect.scan_read_schema(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_x23_sampling_is_scan_shaped(spark, sf_dir):
+    """x23's inclusion decision must not shuffle the corpus: the max(w)
+    scalar broadcasts (BroadcastNestedLoopJoin on a 1-row side is the
+    legal scalar-broadcast shape) and the only exchange feeds the
+    per-source panel aggregate."""
+    import re
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+        x23_pps_sample,
+    )
+
+    df = x23_pps_sample(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    # one shuffle for the groupBy(source) panel; the scalar max(w)
+    # reaches rows via broadcast, not a shuffle
+    assert n_exchange <= 2, plan
+    assert "BroadcastExchange" in plan
