@@ -3295,3 +3295,153 @@ def a25_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dround((p2 - p1) * F.col("qty_m2"), 4).alias("price_effect_dm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F17 — card-brand classification + Luhn round-trip: the dimension the
+# reference's PAN pipeline implies but never materializes (its
+# dashboards slice by gateway; a real card pipeline slices by brand,
+# derived from BIN ranges). The probe SYNTHESIZES a deterministic
+# multi-brand card population (prefix by customer-key residue, body
+# from the zero-padded key, check digit computed by the actual Luhn
+# fold), classifies it with the published BIN ladder — including
+# Mastercard's 2221-2720 four-digit range, the case a lazy two-digit
+# classifier gets wrong — and re-validates every full PAN with the
+# complementary Luhn fold. Both folds are integer arithmetic inside
+# one codegen'd aggregate; DuckDB replays generation, classification,
+# and validation, so the hash certifies the check-digit math from both
+# directions. Scan-shaped: zero joins, zero shuffles before the
+# probe's own output.
+# ---------------------------------------------------------------------------
+
+#: (selector residue, prefix, total PAN length, brand) — one row per
+#: synthesized brand family; '99' exercises the unknown fallback.
+_F17_FAMILIES = (
+    (0, "4", 16, "visa"),
+    (1, "52", 16, "mastercard"),
+    (2, "2345", 16, "mastercard"),  # the 2221-2720 range, not 51-55
+    (3, "34", 15, "amex"),
+    (4, "6011", 16, "discover"),
+    (5, "99", 16, "unknown"),
+)
+
+
+def _luhn_sum_spark(col: str, double_when: str) -> str:
+    """Σ over digits of ``col`` taken right-to-left (i = 1-based
+    position from the right), doubling (with 9-subtraction) where
+    ``double_when`` holds — the Luhn kernel as one aggregate fold."""
+    d = f"CAST(substring({col}, length({col}) - i + 1, 1) AS INT)"
+    return (
+        f"aggregate(transform(sequence(1, length({col})), i -> "
+        f"IF({double_when}, IF(2 * {d} > 9, 2 * {d} - 9, 2 * {d}), {d})), "
+        f"0, (a, x) -> a + x)"
+    )
+
+
+def _luhn_sum_sql(col: str, double_when: str) -> str:
+    d = f"CAST(substr({col}, len({col}) - i + 1, 1) AS INT)"
+    return (
+        f"list_sum(list_transform(range(1, len({col}) + 1), i -> "
+        f"CASE WHEN {double_when} THEN "
+        f"CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END "
+        f"ELSE {d} END))"
+    )
+
+
+def _f17_oracle() -> str:
+    pref = " ".join(
+        f"WHEN {r} THEN '{p}'" for r, p, _, _ in _F17_FAMILIES
+    )
+    blen = " ".join(
+        f"WHEN {r} THEN {ln - 1}" for r, p, ln, _ in _F17_FAMILIES
+    )
+    gen_sum = _luhn_sum_sql("body", "i % 2 = 1")
+    val_sum = _luhn_sum_sql("pan", "i % 2 = 0")
+    return f"""
+    WITH base AS (
+      SELECT c_custkey,
+             CASE c_custkey % 6 {pref} END AS prefix,
+             CASE c_custkey % 6 {blen} END AS body_len
+      FROM customer),
+    bodied AS (
+      SELECT c_custkey,
+             prefix || lpad(CAST(c_custkey AS VARCHAR),
+                            CAST(body_len - len(prefix) AS INTEGER),
+                            '0') AS body
+      FROM base),
+    panned AS (
+      SELECT c_custkey, body,
+             body || CAST((10 - ({gen_sum}) % 10) % 10 AS VARCHAR) AS pan
+      FROM bodied)
+    SELECT c_custkey, pan,
+           CAST(len(pan) AS BIGINT) AS pan_len,
+           CASE
+             WHEN substr(pan, 1, 1) = '4' AND len(pan) = 16 THEN 'visa'
+             WHEN CAST(substr(pan, 1, 2) AS INT) BETWEEN 51 AND 55
+                  AND len(pan) = 16 THEN 'mastercard'
+             WHEN CAST(substr(pan, 1, 4) AS INT) BETWEEN 2221 AND 2720
+                  AND len(pan) = 16 THEN 'mastercard'
+             WHEN substr(pan, 1, 2) IN ('34', '37') AND len(pan) = 15
+               THEN 'amex'
+             WHEN substr(pan, 1, 4) = '6011' AND len(pan) = 16
+               THEN 'discover'
+             ELSE 'unknown' END AS brand,
+           ({val_sum}) % 10 = 0 AS luhn_valid
+    FROM panned
+    """
+
+
+@probe("f17_card_brand_luhn", oracle=_f17_oracle())
+def f17_card_brand_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — synthesize, classify, and re-validate a deterministic
+    multi-brand card population (block comment above). luhn_valid must
+    be TRUE on every row — the generation fold (double odd
+    positions-from-right of the body) and the validation fold (double
+    even positions of the full PAN) are complementary, so a one-digit
+    slip in either direction flips the column and fails the hash."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    sel = F.col("c_custkey") % 6
+    prefix = None
+    blen = None
+    for r, p, ln, _ in _F17_FAMILIES:
+        prefix = (F.when if prefix is None else prefix.when)(sel == r, F.lit(p))
+        blen = (F.when if blen is None else blen.when)(sel == r, F.lit(ln - 1))
+    bodied = c.select(
+        "c_custkey",
+        F.concat(
+            prefix,
+            F.lpad(
+                F.col("c_custkey").cast("string"),
+                (blen - F.length(prefix)).cast("int"),
+                "0",
+            ),
+        ).alias("body"),
+    )
+    gen_sum = _luhn_sum_spark("body", "i % 2 = 1")
+    panned = bodied.select(
+        "c_custkey",
+        F.concat(
+            F.col("body"),
+            ((10 - F.expr(gen_sum) % 10) % 10).cast("string"),
+        ).alias("pan"),
+    )
+    p1 = F.substring("pan", 1, 1)
+    p2 = F.substring("pan", 1, 2).cast("int")
+    p4 = F.substring("pan", 1, 4).cast("int")
+    ln = F.length("pan")
+    brand = (
+        F.when((p1 == "4") & (ln == 16), "visa")
+        .when(p2.between(51, 55) & (ln == 16), "mastercard")
+        .when(p4.between(2221, 2720) & (ln == 16), "mastercard")
+        .when(F.substring("pan", 1, 2).isin("34", "37") & (ln == 15), "amex")
+        .when((F.substring("pan", 1, 4) == "6011") & (ln == 16), "discover")
+        .otherwise("unknown")
+    )
+    val_sum = _luhn_sum_spark("pan", "i % 2 = 0")
+    return panned.select(
+        "c_custkey",
+        "pan",
+        ln.cast("long").alias("pan_len"),
+        brand.alias("brand"),
+        (F.expr(val_sum) % 10 == 0).alias("luhn_valid"),
+    )

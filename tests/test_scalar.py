@@ -45,3 +45,40 @@ def test_mask_pan_null_safe(spark):
     vals = [r.m for r in df.collect()]
     assert vals[0] == "400012******9012"
     assert vals[1] is None
+
+
+def test_f17_luhn_against_stdlib_vectors(spark):
+    """f17's Luhn folds agree with a from-scratch Python Luhn on the
+    probe's own output at sf0.001, and every synthesized PAN is valid;
+    known published vectors pin the validator's polarity."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        f17_card_brand_luhn,
+    )
+
+    def luhn_ok(pan: str) -> bool:
+        s = 0
+        for i, ch in enumerate(reversed(pan), 1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return s % 10 == 0
+
+    # published vectors: a valid Visa test number and its corruption
+    assert luhn_ok("4539578763621486")
+    assert not luhn_ok("4539578763621487")
+    rows = f17_card_brand_luhn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    brands = {r.brand for r in rows}
+    assert brands == {"visa", "mastercard", "amex", "discover", "unknown"}
+    for r in rows:
+        assert r.luhn_valid, r.pan
+        assert luhn_ok(r.pan), r.pan
+        assert len(r.pan) == r.pan_len
+        if r.brand == "amex":
+            assert r.pan_len == 15
+        # the 2221-2720 family must classify as mastercard, not unknown
+        if r.c_custkey % 6 == 2:
+            assert r.brand == "mastercard" and r.pan.startswith("2345")
