@@ -3445,3 +3445,78 @@ def f17_card_brand_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand.alias("brand"),
         (F.expr(val_sum) % 10 == 0).alias("luhn_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S15 — VARIANT ingestion (Spark 4's semi-structured type): the modern
+# successor to S3's from_json-with-declared-schema — parse once into
+# the binary VARIANT encoding, extract typed paths lazily with
+# variant_get, no upfront schema. The probe builds a nested JSON
+# document from each event row (object + sub-object + array), parses
+# it to VARIANT, extracts every shape of path (top-level long, nested
+# long, array subscript string, and a MISSING path certifying
+# null-not-error semantics), and aggregates. The oracle recomputes the
+# extracted values from the raw columns — so the hash certifies the
+# whole JSON→VARIANT→path-extraction round-trip — and pins Spark's
+# inferred variant schema string as a literal. At 100 TB: VARIANT
+# shredding is scan-shaped columnar work; one groupBy exchange.
+# ---------------------------------------------------------------------------
+
+_S15_SCHEMA_LIT = (
+    "OBJECT<event_id: BIGINT, m: OBJECT<et: STRING, vm: BIGINT>,"
+    " tags: ARRAY<STRING>>"
+)
+
+
+@probe(
+    "s15_variant_shred",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_value_mills,
+           CAST(count(*) AS BIGINT) AS n_missing_null,
+           '{_S15_SCHEMA_LIT}' AS variant_schema
+    FROM events GROUP BY event_type
+    """,
+)
+def s15_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — events → nested JSON → VARIANT → typed path extraction
+    (block comment above). `n_missing_null` counts rows where the
+    deliberately-absent path `$.m.nope` extracted to NULL — it must
+    equal `n_events`, so a variant_get that errored or fabricated a
+    value breaks the hash; `variant_schema` pins schema_of_variant's
+    inference on every row via min() (all rows share one shape)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("vm"),
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.struct(F.col("event_type").alias("et"), F.col("vm")).alias("m"),
+            F.array(F.col("event_type"), F.lit("x")).alias("tags"),
+        )
+    )
+    v = e.select(F.parse_json(doc).alias("v"))
+    shredded = v.select(
+        F.expr("variant_get(v, '$.event_id', 'long')").alias("event_id"),
+        F.expr("variant_get(v, '$.m.et', 'string')").alias("event_type"),
+        F.expr("variant_get(v, '$.m.vm', 'long')").alias("vm"),
+        F.expr("variant_get(v, '$.tags[1]', 'string')").alias("tag1"),
+        F.expr("try_variant_get(v, '$.m.nope', 'string')").alias("missing"),
+        F.expr("schema_of_variant(v)").alias("vschema"),
+    )
+    # tag1 must be the literal 'x' on every row — fold it into the
+    # missing-null certification so a subscript error surfaces.
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("vm").alias("sum_value_mills"),
+        F.count(
+            F.when(F.col("missing").isNull() & (F.col("tag1") == "x"), 1)
+        ).alias("n_missing_null"),
+        F.min("vschema").alias("variant_schema"),
+    )

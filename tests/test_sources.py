@@ -150,3 +150,25 @@ def test_s14_xml_reader_escaping(spark, tmp_path):
     assert rows[7].c_acctbal == -12.5
     assert rows[8].c_acctbal == 0.1
     assert rows[8].c_mktsegment == "AUTOMOBILE"
+
+
+def test_s15_variant_extraction_semantics(spark):
+    """VARIANT path extraction: typed gets, array subscripts, missing
+    paths null under try_variant_get, and type coercion to the
+    requested target."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"a": 7, "b": {"c": [10, 20]}, "s": "hi"}',)], "j string"
+    ).select(F.parse_json("j").alias("v"))
+    row = df.select(
+        F.expr("variant_get(v, '$.a', 'long')").alias("a"),
+        F.expr("variant_get(v, '$.b.c[1]', 'long')").alias("c1"),
+        F.expr("variant_get(v, '$.a', 'string')").alias("a_str"),
+        F.expr("try_variant_get(v, '$.zzz', 'long')").alias("missing"),
+        F.expr("schema_of_variant(v)").alias("sch"),
+    ).collect()[0]
+    assert row.a == 7 and row.c1 == 20
+    assert row.a_str == "7"  # coercion to the requested type
+    assert row.missing is None
+    assert row.sch.startswith("OBJECT<")
