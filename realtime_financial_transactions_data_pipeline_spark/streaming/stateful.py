@@ -398,3 +398,95 @@ def t11_dedupe_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k") < 0, 1)).alias("n_pusher"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t14 — streaming-state inspection (Spark 4 statestore batch source):
+# the ops capability behind "what is my streaming job remembering?" —
+# read a completed dedupe query's state store back as a BATCH
+# DataFrame and certify it holds EXACTLY the distinct key set, no
+# more, no less. This is how a production team audits state growth,
+# debugs a leaking watermark, or sizes a migration, without touching
+# the running query. The oracle recomputes the key panel from the
+# source table, so the hash certifies the checkpoint format round-trip
+# end to end. State reads are partition-parallel (one state file per
+# shuffle partition) — scan-shaped at any state size.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "t14_state_store_inspection",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 6)
+    SELECT CAST(count(*) AS BIGINT) AS n_state_keys,
+           CAST(sum(user_id) AS BIGINT) AS key_checksum,
+           CAST(min(user_id) AS BIGINT) AS min_key,
+           CAST(max(user_id) AS BIGINT) AS max_key,
+           TRUE AS matches_input
+    FROM keys
+    """,
+)
+def t14_state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t14 — run a keyed dedupe stream (availableNow) over an events
+    slice, then batch-read its state store (block comment above):
+    `matches_input` compares the state key set against the input's
+    distinct keys inside the probe (exact set equality via counts +
+    checksum + an anti-join both ways), so any phantom or missing
+    state row flips it and fails the hash."""
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    root = "/tmp/spark_graft_streaming/t14"
+    shutil.rmtree(root, ignore_errors=True)
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 6)
+        .select("user_id", "event_id")
+    )
+    flat = disk_fixture(
+        "t14-events",
+        source_fingerprint(sf_dir, "events"),
+        lambda tmp: src.coalesce(1).write.mode("overwrite").json(tmp),
+    )
+    stream = (
+        spark.readStream.schema("user_id LONG, event_id LONG")
+        .json(flat)
+        .dropDuplicates(["user_id"])
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state_keys = (
+        spark.read.format("statestore")
+        .load(f"{root}/cp")
+        .select(F.col("key.user_id").alias("user_id"))
+    )
+    input_keys = src.select("user_id").distinct()
+    phantom = state_keys.join(input_keys, "user_id", "left_anti").count()
+    missing = input_keys.join(state_keys, "user_id", "left_anti").count()
+    return pin_result(
+        state_keys.agg(
+            F.count(F.lit(1)).alias("n_state_keys"),
+            F.sum("user_id").alias("key_checksum"),
+            F.min("user_id").alias("min_key"),
+            F.max("user_id").alias("max_key"),
+        ).withColumn(
+            "matches_input", F.lit(phantom == 0 and missing == 0)
+        )
+    )

@@ -92,3 +92,41 @@ def test_running_totals_accumulate_and_restart(spark, fresh_root):
     latest = {r.customer_id: (r.n_txns, r.total_amount) for r in w.collect()}
     assert latest[1] == (3, 16.0)
     assert latest[2] == (2, 10.0)
+
+
+def test_t14_statestore_reader_catches_phantoms(spark, tmp_path):
+    """The statestore batch source reads back exactly the dedupe keys
+    a query committed — verified on a crafted 4-key stream, including
+    that a duplicate never creates a second state row."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ss")
+    shutil.rmtree(root, ignore_errors=True)
+    src = spark.createDataFrame(
+        [(1,), (2,), (1,), (3,), (4,), (2,)], "k long"
+    )
+    src.coalesce(1).write.mode("overwrite").json(f"{root}/in")
+    q = (
+        spark.readStream.schema("k long")
+        .json(f"{root}/in")
+        .dropDuplicates(["k"])
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    keys = sorted(
+        r.k
+        for r in spark.read.format("statestore")
+        .load(f"{root}/cp")
+        .select(F.col("key.k").alias("k"))
+        .collect()
+    )
+    assert keys == [1, 2, 3, 4]
+    meta = spark.read.format("state-metadata").load(f"{root}/cp")
+    (op,) = meta.select("operatorName").distinct().collect()
+    assert op.operatorName == "dedupe"
