@@ -130,3 +130,36 @@ def test_t14_statestore_reader_catches_phantoms(spark, tmp_path):
     meta = spark.read.format("state-metadata").load(f"{root}/cp")
     (op,) = meta.select("operatorName").distinct().collect()
     assert op.operatorName == "dedupe"
+
+
+def test_t15_transform_with_state_e2e_or_named_skip(spark):
+    """The staged transformWithStateInPandas runner: runs the full
+    two-batch e2e against the DuckDB replay when the protobuf package
+    exists; otherwise SKIPS naming exactly that artifact (the
+    pyffx/Kafka discipline)."""
+    import pytest
+
+    from realtime_financial_transactions_data_pipeline_spark.streaming.stateful import (
+        T15_ORACLE,
+        _tws_available,
+        run_transform_with_state,
+    )
+
+    if not _tws_available():
+        pytest.skip(
+            "transformWithStateInPandas needs the `protobuf` Python "
+            "package (google.protobuf) for its state-server protocol; "
+            "not installed in this environment"
+        )
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, run_transform_with_state(spark, sf).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(T15_ORACLE).fetchall()))
+    assert got == want
