@@ -300,3 +300,74 @@ def s11_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dround(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S16 — the same codec as a FIRST-CLASS reader via Spark 4's Python
+# Data Source API (`sources/pyds.py`): `spark.read.format("avro_ocf")`
+# with one input partition per file and schema-on-read from the first
+# file's embedded header. The probe materializes a 4-file OCF dataset
+# (one deflate-coded container per user bucket), reads it back through
+# the registered format, and aggregates; the oracle recomputes from
+# parquet, so the hash certifies planner-driven partitioned reads of
+# the container format end to end.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "s16_python_datasource",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_mills
+    FROM events
+    WHERE user_id % 10 = 9
+    GROUP BY event_type
+    """,
+)
+def s16_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 — partition-parallel OCF reads through the registered Python
+    data source (block comment above). The fixture's four container
+    files come out of the SAME distributed packer s11 certifies
+    (`to_ocf_blobs`); only the bounded blob rows (4) touch the
+    driver."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.sources import pyds
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 9)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("user_id") % 4).alias("grp"),
+        )
+    )
+
+    def build(tmp: str) -> None:
+        import os
+
+        os.makedirs(tmp, exist_ok=True)
+        for row in to_ocf_blobs(e).collect():
+            with open(f"{tmp}/{row['grp']}.avro", "wb") as fh:
+                fh.write(bytes(row["content"]))
+
+    path = disk_fixture(
+        "s16-events-ocf", source_fingerprint(sf_dir, "events"), build
+    )
+    pyds.register(spark)
+    back = spark.read.format("avro_ocf").option("path", path).load()
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias(
+            "value_mills"
+        ),
+    )

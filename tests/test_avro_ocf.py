@@ -91,3 +91,41 @@ def test_multi_block_files_decode():
     spliced = blob1 + blob2[hdr_end:]
     out, _ = decode_ocf(spliced)
     assert out == _RECS
+
+
+def test_s16_pyds_partition_per_file(spark, tmp_path):
+    """The registered avro_ocf data source plans one input partition
+    per file (two files -> two partitions via spark_partition_id),
+    infers the schema from the embedded header, and round-trips
+    values."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.sources import pyds
+    from realtime_financial_transactions_data_pipeline_spark.sources.avro_ocf import (
+        EVENT_AVRO_SCHEMA,
+        encode_ocf,
+    )
+
+    recs_a = [
+        {"user_id": 1, "event_id": 10, "event_type": "click", "value": 1.5},
+        {"user_id": 2, "event_id": 11, "event_type": "view", "value": -2.0},
+    ]
+    recs_b = [
+        {"user_id": 3, "event_id": 12, "event_type": "click", "value": 0.25},
+    ]
+    for name, recs in (("a", recs_a), ("b", recs_b)):
+        (tmp_path / f"{name}.avro").write_bytes(
+            encode_ocf(recs, EVENT_AVRO_SCHEMA)
+        )
+    pyds.register(spark)
+    df = spark.read.format("avro_ocf").option("path", str(tmp_path)).load()
+    assert df.columns == ["user_id", "event_id", "event_type", "value"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == sorted(
+        tuple(r[k] for k in ("user_id", "event_id", "event_type", "value"))
+        for r in recs_a + recs_b
+    )
+    n_parts = df.select(
+        F.spark_partition_id().alias("p")
+    ).distinct().count()
+    assert n_parts == 2
