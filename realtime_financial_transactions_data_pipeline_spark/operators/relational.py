@@ -3520,3 +3520,68 @@ def s15_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_missing_null"),
         F.min("vschema").alias("variant_schema"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL1 — SQL scripting (Spark 4's BEGIN/END procedural dialect): the
+# orchestration surface that replaces driver-side Python glue for
+# multi-statement SQL procedures — variables, WHILE/IF control flow,
+# scalar-subquery assignment — all executing INSIDE the SQL layer.
+# The probe runs a data-driven binary search: the smallest integer
+# threshold T with fewer than N events above it, each iteration a real
+# aggregate over the events view (~8 probes of the table instead of a
+# 200-candidate scan). The oracle finds the same T by brute force, so
+# the hash certifies the loop's convergence, the scalar-subquery
+# assignments, and the IF branching. At 100 TB each iteration is one
+# scan-shaped aggregate; the script itself is driver-side control flow
+# exactly like a Python loop, minus the round-trip out of SQL.
+# ---------------------------------------------------------------------------
+
+_SQL1_N = 1000  # "fewer than N events above the threshold"
+
+
+@probe(
+    "sql1_scripting_threshold_search",
+    oracle=f"""
+    WITH cand AS (SELECT range AS t FROM range(0, 201)),
+    cnt AS (SELECT t,
+                   (SELECT count(*) FROM events WHERE value > t) AS c
+            FROM cand),
+    best AS (SELECT min(t) AS threshold FROM cnt WHERE c < {_SQL1_N})
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST((SELECT count(*) FROM events
+                 WHERE value > (SELECT threshold FROM best)) AS BIGINT)
+             AS n_above
+    FROM best
+    """,
+)
+def sql1_scripting_threshold_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL1 — binary-search the integer threshold inside a SQL script
+    (block comment above). The script brackets [0, 200], halves via
+    DIV, assigns the per-iteration count from a scalar subquery, and
+    branches with IF/ELSE; the final SELECT returns the converged
+    threshold plus the certifying count at that threshold."""
+    load_table(spark, sf_dir, "events").select("value").createOrReplaceTempView(
+        "ev_sql1"
+    )
+    return spark.sql(f"""
+    BEGIN
+      DECLARE lo BIGINT = 0;
+      DECLARE hi BIGINT = 200;
+      DECLARE mid BIGINT = 0;
+      DECLARE c BIGINT = 0;
+      WHILE lo < hi DO
+        SET mid = (lo + hi) DIV 2;
+        SET c = (SELECT count(*) FROM ev_sql1 WHERE value > mid);
+        IF c < {_SQL1_N} THEN
+          SET hi = mid;
+        ELSE
+          SET lo = mid + 1;
+        END IF;
+      END WHILE;
+      SELECT lo AS threshold,
+             (SELECT count(*) FROM ev_sql1 WHERE value > lo) AS n_above;
+    END
+    """)

@@ -82,3 +82,38 @@ def test_f17_luhn_against_stdlib_vectors(spark):
         # the 2221-2720 family must classify as mastercard, not unknown
         if r.c_custkey % 6 == 2:
             assert r.brand == "mastercard" and r.pan.startswith("2345")
+
+
+def test_sql1_scripting_binary_search_parity(spark):
+    """The SQL-script binary search converges to the same threshold a
+    Python bisection finds over the same data at sf0.001, and the
+    invariant holds on both sides of the answer."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        _SQL1_N,
+        sql1_scripting_threshold_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vals = [
+        v
+        for (v,) in duckdb.sql(
+            f"SELECT value FROM read_parquet('{sf}/events.parquet')"
+        ).fetchall()
+    ]
+
+    def above(t):
+        return sum(1 for v in vals if v > t)
+
+    lo, hi = 0, 200
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if above(mid) < _SQL1_N:
+            hi = mid
+        else:
+            lo = mid + 1
+    (row,) = sql1_scripting_threshold_search(spark, sf).collect()
+    assert row.threshold == lo
+    assert row.n_above == above(lo) < _SQL1_N
+    assert lo == 0 or above(lo - 1) >= _SQL1_N  # minimality
