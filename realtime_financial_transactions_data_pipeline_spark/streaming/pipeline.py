@@ -687,3 +687,110 @@ def k3_passthrough_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, incoming, f"{root}/out", f"{root}/_checkpoint", schema
     )
     return pin_result(spark.read.schema(schema).parquet(f"{root}/out"))
+
+
+# ---------------------------------------------------------------------------
+# S17 — custom streaming connector via the Python Data Source API: the
+# `replay_log` source (`sources/pyds.py`) fills the exact contract a
+# Kafka/PubSub connector fills — initialOffset / latestOffset /
+# partitions / read — with Structured Streaming's checkpoint owning
+# exactly-once delivery of every offset range. The probe drains an
+# ordered events log in ~4 offset-chunked micro-batches (parallel
+# input partitions per batch), stops when the committed end offset
+# reaches the log size, and certifies content: row count, DISTINCT
+# event ids (any replayed or dropped offset range breaks it), and two
+# checksums, all against the parquet source.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "s17_python_stream_source",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+           CAST(sum(event_id) AS BIGINT) AS event_checksum,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_mills
+    FROM events WHERE user_id % 10 = 3
+    """,
+)
+def s17_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 — drain the offset-tracked Python streaming source end to
+    end (block comment above) and aggregate the delivered rows; the
+    distinct-event count equals the row count only if every offset
+    range arrived exactly once."""
+    import glob
+    import shutil
+    import time
+
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+    from realtime_financial_transactions_data_pipeline_spark.sources.pyds import (
+        register_replay_log,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    root = "/tmp/spark_graft_streaming/s17"
+    shutil.rmtree(root, ignore_errors=True)
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 3)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 1000, 0).cast("long").alias("value_mills"),
+        )
+        .orderBy("event_id")
+    )
+    fdir = disk_fixture(
+        "s17-events-log",
+        source_fingerprint(sf_dir, "events"),
+        lambda tmp: src.coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
+    (logfile,) = glob.glob(f"{fdir}/part-*.parquet")
+    total = src.count()
+    chunk = max(1, total // 3)
+    register_replay_log(spark)
+    stream = (
+        spark.readStream.format("replay_log")
+        .option("path", logfile)
+        .option("chunk", chunk)
+        .option("parts", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/cp")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    import ast as _ast
+
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("sources"):
+            end = p["sources"][0].get("endOffset")
+            # endOffset is the reader dict's repr (single quotes), not
+            # strict JSON — literal_eval handles both.
+            if end and _ast.literal_eval(str(end)).get("row", 0) >= total:
+                break
+        time.sleep(0.2)
+    else:
+        q.stop()
+        raise RuntimeError("replay_log source never reached the log end")
+    q.stop()
+    q.awaitTermination()
+    out = spark.read.parquet(f"{root}/out")
+    return pin_result(
+        out.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_distinct_events"),
+            F.sum("event_id").alias("event_checksum"),
+            F.sum("value_mills").alias("value_mills"),
+        )
+    )

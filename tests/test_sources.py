@@ -172,3 +172,55 @@ def test_s15_variant_extraction_semantics(spark):
     assert row.a_str == "7"  # coercion to the requested type
     assert row.missing is None
     assert row.sch.startswith("OBJECT<")
+
+
+def test_s17_replay_log_exactly_once_across_batches(spark, tmp_path):
+    """The replay_log streaming source delivers every offset exactly
+    once across multiple chunked micro-batches, with parallel input
+    partitions inside each batch."""
+    import ast
+    import time
+
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.sources.pyds import (
+        register_replay_log,
+    )
+
+    n = 20
+    spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("user_id"),
+        (F.col("id") * 10).alias("value_mills"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "log"))
+    import glob
+
+    (logfile,) = glob.glob(str(tmp_path / "log" / "part-*.parquet"))
+    register_replay_log(spark)
+    q = (
+        spark.readStream.format("replay_log")
+        .option("path", logfile)
+        .option("chunk", 7)  # 20 rows -> 3 data batches
+        .option("parts", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("sources"):
+            end = p["sources"][0].get("endOffset")
+            if end and ast.literal_eval(str(end)).get("row", 0) >= n:
+                break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+    rows = sorted(
+        r.event_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert rows == list(range(n))  # every offset exactly once
