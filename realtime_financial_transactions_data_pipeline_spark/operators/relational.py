@@ -3537,17 +3537,23 @@ def s15_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly like a Python loop, minus the round-trip out of SQL.
 # ---------------------------------------------------------------------------
 
-_SQL1_N = 1000  # "fewer than N events above the threshold"
+#: the target is DATA-RELATIVE — "fewer than a tenth of the events
+#: above the threshold" — so the bracket [0, 200] stays satisfiable at
+#: every SF (the value tail above 200 is ~1.75 % of rows, scale-
+#: invariant; a fixed absolute N was unsatisfiable at sf0.1 and the
+#: script silently violated its own contract — caught in review).
+_SQL1_DIV = 10
 
 
 @probe(
     "sql1_scripting_threshold_search",
     oracle=f"""
-    WITH cand AS (SELECT range AS t FROM range(0, 201)),
+    WITH n AS (SELECT count(*) // {_SQL1_DIV} AS lim FROM events),
+    cand AS (SELECT range AS t FROM range(0, 201)),
     cnt AS (SELECT t,
                    (SELECT count(*) FROM events WHERE value > t) AS c
             FROM cand),
-    best AS (SELECT min(t) AS threshold FROM cnt WHERE c < {_SQL1_N})
+    best AS (SELECT min(t) AS threshold FROM cnt, n WHERE c < lim)
     SELECT CAST(threshold AS BIGINT) AS threshold,
            CAST((SELECT count(*) FROM events
                  WHERE value > (SELECT threshold FROM best)) AS BIGINT)
@@ -3572,10 +3578,12 @@ def sql1_scripting_threshold_search(
       DECLARE hi BIGINT = 200;
       DECLARE mid BIGINT = 0;
       DECLARE c BIGINT = 0;
+      DECLARE lim BIGINT = 0;
+      SET lim = (SELECT count(*) DIV {_SQL1_DIV} FROM ev_sql1);
       WHILE lo < hi DO
         SET mid = (lo + hi) DIV 2;
         SET c = (SELECT count(*) FROM ev_sql1 WHERE value > mid);
-        IF c < {_SQL1_N} THEN
+        IF c < lim THEN
           SET hi = mid;
         ELSE
           SET lo = mid + 1;

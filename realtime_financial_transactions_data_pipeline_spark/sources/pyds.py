@@ -150,7 +150,19 @@ class _ReplayLogReader(DataSourceStreamReader):
         self._cur = min(self._cur + self._chunk, self._total)
         return {"row": self._cur}
 
+    def commit(self, end):
+        # Restart correctness (review finding, reproduced): a fresh
+        # reader's cursor starts at 0, so after a checkpoint restart
+        # latestOffset could report an offset BEHIND the recovered
+        # progress and re-deliver ranges. Spark routes every planned
+        # range — including recovery replays — through partitions(),
+        # and every completed batch through commit(); both lift the
+        # cursor floor, making latestOffset monotone relative to
+        # whatever the checkpoint already holds.
+        self._cur = max(self._cur, end["row"])
+
     def partitions(self, start, end):
+        self._cur = max(self._cur, end["row"])
         s, e = start["row"], end["row"]
         step = max(1, (e - s + self._parts - 1) // self._parts)
         return [

@@ -772,6 +772,8 @@ def s17_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import ast as _ast
 
     while time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()  # surface the real failure, not a timeout
         p = q.lastProgress
         if p and p.get("sources"):
             end = p["sources"][0].get("endOffset")

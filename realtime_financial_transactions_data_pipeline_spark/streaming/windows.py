@@ -502,9 +502,12 @@ def t12_batch_stream_unification(spark, sf_dir: str) -> DataFrame:
     got = sorted(map(tuple, streamed.collect()))
     want = sorted(map(tuple, batch.collect()))
     if got != want:
+        first = next(
+            ((a, b) for a, b in zip(got, want) if a != b),
+            ("<one result is a prefix of the other>",),
+        )
         raise RuntimeError(
             f"batch/stream divergence: {len(got)} streamed rows vs "
-            f"{len(want)} batch rows (first diff: "
-            f"{next((a, b) for a, b in zip(got, want) if a != b)})"
+            f"{len(want)} batch rows (first diff: {first})"
         )
     return pin_result(streamed)

@@ -91,7 +91,7 @@ def test_sql1_scripting_binary_search_parity(spark):
     import duckdb
 
     from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
-        _SQL1_N,
+        _SQL1_DIV,
         sql1_scripting_threshold_search,
     )
 
@@ -106,14 +106,15 @@ def test_sql1_scripting_binary_search_parity(spark):
     def above(t):
         return sum(1 for v in vals if v > t)
 
+    lim = len(vals) // _SQL1_DIV
     lo, hi = 0, 200
     while lo < hi:
         mid = (lo + hi) // 2
-        if above(mid) < _SQL1_N:
+        if above(mid) < lim:
             hi = mid
         else:
             lo = mid + 1
     (row,) = sql1_scripting_threshold_search(spark, sf).collect()
     assert row.threshold == lo
-    assert row.n_above == above(lo) < _SQL1_N
-    assert lo == 0 or above(lo - 1) >= _SQL1_N  # minimality
+    assert row.n_above == above(lo) < lim
+    assert lo == 0 or above(lo - 1) >= lim  # minimality

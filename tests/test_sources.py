@@ -224,3 +224,63 @@ def test_s17_replay_log_exactly_once_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert rows == list(range(n))  # every offset exactly once
+
+
+def test_s17_replay_log_restart_exactly_once(spark, tmp_path):
+    """Checkpoint-restart correctness (review finding, reproduced
+    before the fix): a fresh reader's cursor must never report a
+    latest offset behind the recovered progress — stop mid-log,
+    restart from the same checkpoint, and every offset still arrives
+    exactly once."""
+    import ast
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.sources.pyds import (
+        register_replay_log,
+    )
+
+    n = 30
+    spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("user_id"),
+        (F.col("id") * 10).alias("value_mills"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "log"))
+    (logfile,) = glob.glob(str(tmp_path / "log" / "part-*.parquet"))
+    register_replay_log(spark)
+
+    def run(stop_at: int) -> None:
+        q = (
+            spark.readStream.format("replay_log")
+            .option("path", logfile)
+            .option("chunk", 10)
+            .option("parts", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            p = q.lastProgress
+            if p and p.get("sources"):
+                end = p["sources"][0].get("endOffset")
+                if end and ast.literal_eval(str(end)).get("row", 0) >= stop_at:
+                    break
+            time.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+
+    run(20)  # stop mid-log with ~2 batches committed
+    run(n)   # restart from the same checkpoint
+    rows = sorted(
+        r.event_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert rows == list(range(n))
