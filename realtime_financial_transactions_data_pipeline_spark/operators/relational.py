@@ -3593,3 +3593,79 @@ def sql1_scripting_threshold_search(
              (SELECT count(*) FROM ev_sql1 WHERE value > lo) AS n_above;
     END
     """)
+
+
+# ---------------------------------------------------------------------------
+# MV4 — Declarative Pipelines (Spark 4.1 `pyspark.pipelines`) executed
+# by the repo's local interpreter (`plans/declarative.py`): a medallion
+# bronze → silver → gold pipeline DECLARED with the official
+# @materialized_view decorators — in deliberately non-topological
+# order, so the hash also certifies the executor's dependency
+# fixed-point — and materialized to parquet-backed views. The gold
+# oracle recomputes from the raw table, certifying the whole chain.
+# This is the mv1/mv2 lineage taken to its modern endpoint: the
+# pipeline is a declared GRAPH, not orchestration code.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "mv4_declarative_pipeline",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_mills
+    FROM events
+    WHERE user_id % 10 = 5 AND event_type <> 'error' AND value >= 0
+    GROUP BY 1, 2
+    """,
+)
+def mv4_declarative_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV4 — the official pipelines decorators under the local
+    executor (block comment above): gold declared FIRST (its first
+    execution attempt fails analysis because silver does not exist
+    yet — the fixed-point retry is exercised on every run), silver
+    filters the quality gate, bronze ingests the slice."""
+    from pyspark import pipelines as dp
+
+    from realtime_financial_transactions_data_pipeline_spark.plans.declarative import (
+        run_pipeline,
+    )
+
+    def define() -> None:
+        @dp.materialized_view(name="gold_daily_panel")
+        def gold():
+            return (
+                spark.table("silver_events")
+                .groupBy(
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "event_type",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("value_mills").alias("value_mills"),
+                )
+            )
+
+        @dp.materialized_view(name="silver_events")
+        def silver():
+            return (
+                spark.table("bronze_events")
+                .filter((F.col("event_type") != "error") & (F.col("value") >= 0))
+                .select(
+                    F.col("ts").cast("date").alias("day"),
+                    "event_type",
+                    F.round(F.col("value") * 1000, 0)
+                    .cast("long")
+                    .alias("value_mills"),
+                )
+            )
+
+        @dp.materialized_view(name="bronze_events")
+        def bronze():
+            return load_table(spark, sf_dir, "events").filter(
+                F.col("user_id") % 10 == 5
+            )
+
+    done = run_pipeline(spark, define, "/tmp/spark_graft_probes/mv4")
+    return done["gold_daily_panel"]

@@ -306,3 +306,43 @@ def test_x23_sampling_is_scan_shaped(spark, sf_dir):
     # reaches rows via broadcast, not a shuffle
     assert n_exchange <= 2, plan
     assert "BroadcastExchange" in plan
+
+
+def test_mv4_local_pipeline_executor_semantics(spark, tmp_path):
+    """The local Declarative Pipelines executor: out-of-order
+    declarations resolve by fixed point, temporary views don't
+    materialize, and a genuine cycle raises with the stuck flow
+    names."""
+    import pytest
+
+    from pyspark import pipelines as dp
+
+    from realtime_financial_transactions_data_pipeline_spark.plans.declarative import (
+        run_pipeline,
+    )
+
+    def define():
+        @dp.materialized_view(name="downstream_mv")
+        def downstream():
+            return spark.table("upstream_tv").selectExpr("x * 2 AS y")
+
+        @dp.temporary_view(name="upstream_tv")
+        def upstream():
+            return spark.range(3).selectExpr("id AS x")
+
+    done = run_pipeline(spark, define, str(tmp_path / "p1"))
+    assert sorted(r.y for r in done["downstream_mv"].collect()) == [0, 2, 4]
+    assert not (tmp_path / "p1" / "upstream_tv").exists()  # TV: no files
+    assert (tmp_path / "p1" / "downstream_mv").exists()    # MV: parquet
+
+    def define_cycle():
+        @dp.materialized_view(name="a_mv")
+        def a():
+            return spark.table("b_mv")
+
+        @dp.materialized_view(name="b_mv")
+        def b():
+            return spark.table("a_mv")
+
+    with pytest.raises(RuntimeError, match="unresolvable"):
+        run_pipeline(spark, define_cycle, str(tmp_path / "p2"))
