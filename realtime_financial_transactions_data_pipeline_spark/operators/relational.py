@@ -3669,3 +3669,127 @@ def mv4_declarative_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     done = run_pipeline(spark, define, "/tmp/spark_graft_probes/mv4")
     return done["gold_daily_panel"]
+
+
+# ---------------------------------------------------------------------------
+# Q1P — the flagship in SQL PIPE SYNTAX (Spark 4's |> operator
+# chain): the same star join as q1/q1sql written as a linear dataflow
+# — FROM |> JOIN×4 |> WHERE |> AGGREGATE ... GROUP BY — the form that
+# reads like the DataFrame chain while staying pure SQL. Catalyst
+# plans the identical broadcast-star shape (pipe stages are sugar over
+# the same logical operators), and the oracle is q1's relational text,
+# so the hash certifies the dialect translation end to end.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q1p_pipe_syntax",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_txns,
+           round(avg(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND o_orderstatus IN ('O', 'F')
+    GROUP BY r_name, n_name
+    """,
+)
+def q1p_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1P — q1 as a pipe-syntax chain (block comment above)."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+    FROM lineitem
+    |> JOIN orders   ON l_orderkey = o_orderkey
+    |> JOIN customer ON o_custkey = c_custkey
+    |> JOIN nation   ON c_nationkey = n_nationkey
+    |> JOIN region   ON n_regionkey = r_regionkey
+    |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1998-01-01'
+         AND o_orderstatus IN ('O', 'F')
+    |> AGGREGATE round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue,
+                 count(*) AS n_txns,
+                 round(avg(l_extendedprice), 2) AS avg_price
+       GROUP BY r_name, n_name
+    |> SELECT r_name, n_name, revenue, n_txns, avg_price
+    """)
+
+
+# ---------------------------------------------------------------------------
+# F18 — collation-aware grouping (Spark 4 collated strings): the
+# engine-level answer to case-divergent dimension values (the
+# "BUILDING/Building/building are one segment" cleanup every BI team
+# hand-rolls with lower()). The probe synthesizes a deterministically
+# mixed-cased segment column, groups it under UTF8_LCASE collation —
+# the fold happens in the grouping machinery, not via per-row
+# normalization — and emits lower(key) as the deterministic
+# representative. The oracle folds with lower(), so the hash certifies
+# the collation's equivalence classes match the classic rewrite.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "f18_collation_groupby",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE c_custkey % 3
+               WHEN 0 THEN c_mktsegment
+               WHEN 1 THEN lower(c_mktsegment)
+               ELSE substr(c_mktsegment, 1, 1)
+                    || lower(substr(c_mktsegment, 2))
+             END AS seg,
+             c_acctbal
+      FROM customer)
+    SELECT lower(seg) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM mixed GROUP BY lower(seg)
+    """,
+)
+def f18_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — group mixed-case segments under UTF8_LCASE (block comment
+    above): `n_case_variants` = 3 per segment proves the input really
+    was case-divergent AND that the collated grouping folded the
+    variants the binary grouping would split."""
+    c = load_table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.expr(
+            "CASE c_custkey % 3"
+            " WHEN 0 THEN c_mktsegment"
+            " WHEN 1 THEN lower(c_mktsegment)"
+            " ELSE concat(substr(c_mktsegment, 1, 1),"
+            "             lower(substr(c_mktsegment, 2))) END"
+        ).alias("seg"),
+        "c_acctbal",
+    )
+    return (
+        mixed.withColumn(
+            "seg_ci", F.expr("seg COLLATE UTF8_LCASE")
+        )
+        .groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct(F.expr("seg COLLATE UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100, 0).cast("long")
+            ).alias("acctbal_cents"),
+        )
+        .select(
+            F.lower("seg_ci").alias("segment"),
+            "n_customers",
+            "n_case_variants",
+            "acctbal_cents",
+        )
+    )

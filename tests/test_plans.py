@@ -346,3 +346,18 @@ def test_mv4_local_pipeline_executor_semantics(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="unresolvable"):
         run_pipeline(spark, define_cycle, str(tmp_path / "p2"))
+
+
+def test_q1p_pipe_syntax_plans_broadcast_star(spark, sf_dir):
+    """Pipe-syntax stages are sugar over the same logical operators:
+    the |>-chained flagship must plan the identical broadcast-star
+    shape as the DataFrame form (no sort-merge join, pushed date
+    filter)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        q1p_pipe_syntax,
+    )
+
+    df = q1p_pipe_syntax(spark, sf_dir)
+    assert inspect.uses_broadcast_join(df)
+    assert not inspect.has_sort_merge_join(df)
+    assert "o_orderdate" in inspect.pushed_filters(df)

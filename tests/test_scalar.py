@@ -118,3 +118,30 @@ def test_sql1_scripting_binary_search_parity(spark):
     assert row.threshold == lo
     assert row.n_above == above(lo) < lim
     assert lo == 0 or above(lo - 1) >= lim  # minimality
+
+
+def test_f18_collation_folds_what_binary_splits(spark):
+    """UTF8_LCASE grouping folds the three planted case variants of
+    each segment into one group (5 groups), while binary grouping
+    splits them (15); every collated group reports exactly 3
+    variants."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        f18_collation_groupby,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = f18_collation_groupby(spark, sf).collect()
+    assert len(rows) == 5
+    assert all(r.n_case_variants == 3 for r in rows)
+    mixed = load_table(spark, sf, "customer").select(
+        F.expr(
+            "CASE c_custkey % 3 WHEN 0 THEN c_mktsegment"
+            " WHEN 1 THEN lower(c_mktsegment)"
+            " ELSE concat(substr(c_mktsegment, 1, 1),"
+            "             lower(substr(c_mktsegment, 2))) END"
+        ).alias("seg")
+    )
+    assert mixed.select("seg").distinct().count() == 15
