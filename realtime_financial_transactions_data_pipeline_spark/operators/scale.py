@@ -1093,3 +1093,94 @@ def scale_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl string, exact_rows long, analyzed_rows long, rows_match boolean,"
         " exact_key_ndv long, ndv_within_10pct boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_bucketed_star — the co-located big-big join, ORACLE-CHECKED:
+# the flagship's 100x transition (measured in scale_smoke: orders
+# outgrows broadcast at 60 M lineitem rows and the plain plan shuffles
+# 364 MB; the bucketed layout runs the same join with ZERO fact-side
+# exchange at 9.5 s vs 27.1 s) until now was pinned only by a plan
+# unit test and the smoke row. This probe closes the loop: write
+# lineitem+orders through `write_bucketed` (16-way on the join key),
+# run q1's join shape over `bucketed_join`, assert IN-PROBE that the
+# plan contains a SortMergeJoin with no Exchange below it, and hash
+# the result against the parquet-source oracle — so both the layout's
+# correctness AND its exchange-free plan are certified every round.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "scale_bucketed_star",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def scale_bucketed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale_bucketed_star — bucketed lineitem ⋈ orders with the
+    exchange-free plan asserted in-probe (block comment above)."""
+    import re
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    names = {}
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"sg_bkt_{tbl}_{tag}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+                "file:"
+            )
+            if wh:
+                shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            cols = (
+                ["l_orderkey", "l_extendedprice", "l_discount"]
+                if tbl == "lineitem"
+                else ["o_orderkey", "o_orderstatus", "o_orderdate"]
+            )
+            write_bucketed(
+                load_table(spark, sf_dir, tbl).select(*cols), name, key
+            )
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"]).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    # merge hint: at probe SF the filtered orders side fits the
+    # broadcast threshold and AQE would (correctly) broadcast — but
+    # this probe certifies the big-big regime where broadcast is off
+    # the table, so pin the strategy the 100x smoke measured.
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    # The layout contract, asserted where it matters: the join is a
+    # SortMergeJoin and NO shuffle exchange feeds it (bucket-aligned
+    # scans on both sides; the only Exchange in the full plan is the
+    # final aggregation's).
+    from realtime_financial_transactions_data_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    out = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("revenue_cents"),
+    )
+    plan = formatted_plan(out)
+    n_smj = len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    if n_smj != 1 or n_exchange > 1:
+        raise RuntimeError(
+            f"bucketed layout lost its exchange-free join: "
+            f"{n_smj} SMJ / {n_exchange} Exchange nodes"
+        )
+    return out

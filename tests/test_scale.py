@@ -548,3 +548,28 @@ def test_cbo_stats_propagate_to_optimizer(spark):
         assert int(str(frc.get())) < rows["orders"].exact_rows
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
+
+
+def test_scale_bucketed_star_guard_trips_on_unbucketed(spark, sf_dir):
+    """The probe's in-probe plan guard is real: the same join shape
+    over UNBUCKETED tables plans exchanges below the merge join, which
+    is exactly what the guard rejects."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    plan = formatted_plan(
+        joined.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange >= 2  # both join inputs shuffle without buckets
