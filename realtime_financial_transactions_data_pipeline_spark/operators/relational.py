@@ -3668,7 +3668,12 @@ def mv4_declarative_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     done = run_pipeline(spark, define, "/tmp/spark_graft_probes/mv4")
-    return done["gold_daily_panel"]
+    # pin: the gold frame reads probe-managed scratch that a second
+    # invocation overwrites (the driver's schema-pass/value-pass
+    # double call) — materialize before returning.
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    return pin_result(done["gold_daily_panel"])
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,11 @@ SIDE_EFFECTING = [
     "k8c_change_feed",
     "t10_stream_tumbling_windows",
     "x2n_stream_neardup_ingest",
+    # Round-15 continuation: the streaming/scratch-writing newcomers.
+    "t12_batch_stream_unification",
+    "t14_state_store_inspection",
+    "s17_python_stream_source",
+    "mv4_declarative_pipeline",
 ]
 
 
