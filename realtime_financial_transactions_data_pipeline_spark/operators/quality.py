@@ -829,3 +829,84 @@ def dq8_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_diff_micros"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq9 — observed metrics (the Observation API): data-quality counters
+# collected ON the production query's own pass — no second scan, no
+# race with late mutations — the mechanism a write job uses to gate
+# publication ("abort unless rowcount/null-rate in band") without
+# paying an audit query. The probe attaches an Observation to a
+# filtered projection, drives it with the actual write-shaped action,
+# asserts IN-PROBE that the observed counters equal an independent
+# recomputation, and returns the observed metrics as the result — so
+# the hash certifies the observation machinery itself against the
+# DuckDB oracle. At 100 TB observe() is free: metrics accumulate in
+# the same tasks that do the work.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "dq9_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_mills
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def dq9_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq9 — Observation-collected counters on the query's own pass
+    (block comment above): rowcount, negative-value count, distinct
+    users, exact value mills — verified against an independent
+    recompute, then returned as the hash-checked result."""
+    from pyspark.sql import Observation
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "value",
+            F.round(F.col("value") * 1000, 0).cast("long").alias("vm"),
+        )
+    )
+    obs = Observation("dq9")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.sum("vm").alias("value_mills"),
+    )
+    # the "production action": a write-shaped full pass
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    # independent recompute — any divergence is an observation bug
+    exact = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("vm").alias("value_mills"),
+    ).collect()[0]
+    if (
+        got["n_rows"] != exact["n_rows"]
+        or got["n_negative"] != exact["n_negative"]
+        or got["value_mills"] != exact["value_mills"]
+    ):
+        raise RuntimeError(
+            f"observed metrics diverge from recompute: {got} vs {exact}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                got["n_rows"],
+                got["n_negative"],
+                exact["n_users"],
+                got["value_mills"],
+            )
+        ],
+        "n_rows long, n_negative long, n_users long, value_mills long",
+    )

@@ -418,3 +418,25 @@ def test_dq8_reconciliation_boundary(spark):
     assert r.n_reconciled == 2  # exact + 1-cent
     assert r.n_mismatched == 1  # 2-cent
     assert r.max_abs_diff_micros == 20_000
+
+
+def test_dq9_observation_matches_recompute(spark):
+    """The Observation API's counters on a crafted frame equal exact
+    recomputation — including the negative-count edge and zero-row
+    robustness of the divergence guard."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, -2.0), (2, 3.5), (1, 0.0)], "user_id long, value double"
+    )
+    obs = Observation("t")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("neg"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("vm"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    assert got["n"] == 3 and got["neg"] == 1 and got["vm"] == 1500
