@@ -1751,3 +1751,210 @@ def ts9_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("holt_mae") / F.col("d"), 4).alias("holt_mase"),
         (F.col("holt_mae") < F.col("naive_mae")).alias("holt_beats_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a26 — cohort LTV curves: cumulative revenue per customer by cohort
+# age (the growth-analytics companion to a13's retention counts — "how
+# much has the average Jan-1996 customer spent by month 3?"). Exact
+# integer cents throughout; the cumulative window runs over the
+# cohort×age rollup (months × cohorts rows, metadata-sized), never the
+# fact table. One fact shuffle (per-customer first-month join), one
+# rollup, one tiny window.
+# ---------------------------------------------------------------------------
+
+_A26_MONTHS = ("1996-01-01", "1996-07-01")  # six cohort months
+
+
+@probe(
+    "a26_cohort_ltv",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    first_m AS (
+      SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+    j AS (
+      SELECT f.cohort, o.m, o.cents, o.o_custkey
+      FROM o JOIN first_m f USING (o_custkey)
+      WHERE f.cohort >= DATE '{_A26_MONTHS[0]}'
+        AND f.cohort < DATE '{_A26_MONTHS[1]}'),
+    sized AS (
+      SELECT cohort, count(DISTINCT o_custkey) AS n_customers
+      FROM j GROUP BY 1),
+    per_age AS (
+      SELECT cohort,
+             (EXTRACT(year FROM m) - EXTRACT(year FROM cohort)) * 12
+               + (EXTRACT(month FROM m) - EXTRACT(month FROM cohort))
+               AS age_months,
+             sum(cents) AS rev_cents
+      FROM j GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age_months,
+             sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age_months)
+               AS cum_cents
+      FROM per_age)
+    SELECT strftime(cohort, '%Y-%m') AS cohort,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(cum_cents AS BIGINT) AS cum_revenue_cents,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(cum_cents / CAST(n_customers AS DOUBLE) / 100.0, 4)
+             AS ltv_per_customer
+    FROM cum JOIN sized USING (cohort)
+    WHERE age_months <= 11
+    """,
+)
+def a26_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a26 — per-cohort cumulative-revenue (LTV) curves for six cohort
+    months, ages 0–11 (block comment above): exact-cents cumulative
+    sums per cohort age, cohort size, and the per-customer LTV ratio —
+    the oracle replays the first-month assignment, the age arithmetic,
+    and the cumulative window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    j = o.join(first_m, "o_custkey").filter(
+        (F.col("cohort") >= F.lit(_A26_MONTHS[0]))
+        & (F.col("cohort") < F.lit(_A26_MONTHS[1]))
+    )
+    sized = j.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+    age = (
+        (F.year("m") - F.year("cohort")) * 12
+        + (F.month("m") - F.month("cohort"))
+    ).alias("age_months")
+    per_age = j.groupBy("cohort", age).agg(F.sum("cents").alias("rev_cents"))
+    w = Window.partitionBy("cohort").orderBy("age_months")
+    cum = per_age.withColumn("cum_cents", F.sum("rev_cents").over(w))
+    return (
+        cum.join(F.broadcast(sized), "cohort")
+        .filter(F.col("age_months") <= 11)
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            F.col("age_months").cast("long").alias("age_months"),
+            F.col("cum_cents").alias("cum_revenue_cents"),
+            "n_customers",
+            dround(
+                F.col("cum_cents") / F.col("n_customers").cast("double") / 100.0,
+                4,
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a27 — growth accounting (the new/retained/resurrected/churned state
+# machine over monthly actives): the canonical "where did this month's
+# customers come from" panel. Per (customer, active-month), the lag of
+# the previous active month classifies NEW (no prior activity),
+# RETAINED (active last month), RESURRECTED (gap ≥ 2 months); CHURNED
+# for month M = customers active in M−1 but not M (a self-join of the
+# distinct actives against the next month, counted per month). All
+# classification happens on the per-customer distinct-month relation
+# (customers × active-months, far below fact size); exact counts only.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a27_growth_accounting",
+    oracle="""
+    WITH am AS (
+      SELECT DISTINCT o_custkey,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+      FROM orders),
+    lagged AS (
+      SELECT o_custkey, m,
+             lag(m) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_m
+      FROM am),
+    classed AS (
+      SELECT m,
+             CASE WHEN prev_m IS NULL THEN 'new'
+                  WHEN prev_m = m - INTERVAL 1 MONTH THEN 'retained'
+                  ELSE 'resurrected' END AS cls
+      FROM lagged),
+    inflow AS (
+      SELECT m, 
+             CAST(count(*) FILTER (WHERE cls = 'new') AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE cls = 'retained') AS BIGINT)
+               AS n_retained,
+             CAST(count(*) FILTER (WHERE cls = 'resurrected') AS BIGINT)
+               AS n_resurrected
+      FROM classed GROUP BY m),
+    churn AS (
+      SELECT a.m + INTERVAL 1 MONTH AS m,
+             CAST(count(*) AS BIGINT) AS n_churned
+      FROM am a LEFT JOIN am b
+        ON a.o_custkey = b.o_custkey AND b.m = a.m + INTERVAL 1 MONTH
+      WHERE b.o_custkey IS NULL
+      GROUP BY 1)
+    SELECT strftime(CAST(i.m AS DATE), '%Y-%m') AS month,
+           i.n_new, i.n_retained, i.n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM inflow i LEFT JOIN churn c ON c.m = i.m
+    """,
+)
+def a27_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a27 — monthly growth accounting over order activity (block
+    comment above): inflow classes from one lag window, churn from one
+    next-month anti-join, both over the distinct (customer, month)
+    relation. Months with inflow but no prior month report zero
+    churn (coalesce), matching the oracle's left join."""
+    am = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    lagged = am.withColumn("prev_m", F.lag("m").over(w))
+    cls = (
+        F.when(F.col("prev_m").isNull(), "new")
+        .when(F.col("prev_m") == F.add_months(F.col("m"), -1), "retained")
+        .otherwise("resurrected")
+    )
+    inflow = (
+        lagged.withColumn("cls", cls)
+        .groupBy("m")
+        .agg(
+            F.count(F.when(F.col("cls") == "new", 1)).alias("n_new"),
+            F.count(F.when(F.col("cls") == "retained", 1)).alias(
+                "n_retained"
+            ),
+            F.count(F.when(F.col("cls") == "resurrected", 1)).alias(
+                "n_resurrected"
+            ),
+        )
+    )
+    nxt = am.select(
+        F.col("o_custkey").alias("b_cust"),
+        F.col("m").alias("b_m"),
+    )
+    churn = (
+        am.join(
+            nxt,
+            (F.col("o_custkey") == F.col("b_cust"))
+            & (F.col("b_m") == F.add_months(F.col("m"), 1)),
+            "left",
+        )
+        .filter(F.col("b_cust").isNull())
+        .groupBy(F.add_months(F.col("m"), 1).alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        inflow.join(churn, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )

@@ -757,3 +757,86 @@ def test_a25_pvm_bridge_identity(spark):
     # every brand active in only one month is excluded
     active_both = {b for b, (q1, _, q2, _) in exp.items() if q1 > 0 and q2 > 0}
     assert {r.p_brand for r in rows} == active_both
+
+
+def test_a27_growth_accounting_conservation(spark):
+    """Growth-accounting identities at sf0.001: actives(M) = new +
+    retained + resurrected, and retained(M) + churned(M) =
+    actives(M-1) — the books must balance month over month."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        a27_growth_accounting,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    actives = {
+        m: n
+        for m, n in duckdb.sql(
+            f"""SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                               '%Y-%m'),
+                       count(DISTINCT o_custkey)
+                FROM read_parquet('{sf}/orders.parquet') GROUP BY 1"""
+        ).fetchall()
+    }
+    rows = {r.month: r for r in a27_growth_accounting(spark, sf).collect()}
+    assert set(rows) == set(actives)
+    months = sorted(actives)
+    for i, m in enumerate(months):
+        r = rows[m]
+        assert r.n_new + r.n_retained + r.n_resurrected == actives[m], m
+        if i > 0:
+            prev = months[i - 1]
+            # consecutive calendar months only — TPC-H orders span
+            # continuous months, so every step here is consecutive
+            assert r.n_retained + r.n_churned == actives[prev], m
+
+
+def test_a26_ltv_monotone_and_totals(spark):
+    """LTV curves are monotone in age, and each cohort's final
+    cumulative equals its total 12-month revenue recomputed in
+    DuckDB."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        _A26_MONTHS,
+        a26_cohort_ltv,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = a26_cohort_ltv(spark, sf).collect()
+    assert rows
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    want = {
+        c: t
+        for c, t in duckdb.sql(
+            f"""WITH o AS (SELECT o_custkey,
+                        date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM read_parquet('{sf}/orders.parquet')),
+            f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1)
+            SELECT strftime(f.cohort, '%Y-%m'), sum(o.cents)
+            FROM o JOIN f USING (o_custkey)
+            WHERE f.cohort >= DATE '{_A26_MONTHS[0]}'
+              AND f.cohort < DATE '{_A26_MONTHS[1]}'
+              AND (EXTRACT(year FROM o.m) - EXTRACT(year FROM f.cohort)) * 12
+                  + (EXTRACT(month FROM o.m) - EXTRACT(month FROM f.cohort))
+                  <= 11
+            GROUP BY 1"""
+        ).fetchall()
+    }
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_months)
+        cums = [r.cum_revenue_cents for r in rs]
+        assert cums == sorted(cums)  # monotone
+        assert cums[-1] == want[c], c
+        for r in rs:
+            assert (
+                abs(
+                    r.ltv_per_customer
+                    - round(r.cum_revenue_cents / r.n_customers / 100.0, 4)
+                )
+                < 1e-9
+            )
