@@ -1184,3 +1184,84 @@ def scale_bucketed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{n_smj} SMJ / {n_exchange} Exchange nodes"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# scale_vacuum — the retention horizon, oracle-checked: time travel
+# (scale_time_travel) certifies old generations stay readable; this
+# probe certifies the OTHER half of the contract — `vacuum_generations`
+# reclaims everything past the retention window, the reclaimed
+# generation becomes unreadable with a clean error (never a silent
+# empty read), and the surviving generations' contents are untouched
+# byte-for-byte. Publish 3 generations, vacuum keep_last=2, then panel:
+# per surviving generation the exact aggregate (oracle-replayed), plus
+# the certified count of swept generations and the is-gone flag for
+# gen 0 (probed via the read path's FileNotFoundError).
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "scale_vacuum",
+    oracle="""
+    SELECT 1 AS gen,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(1 AS BIGINT) AS n_swept,
+           TRUE AS expired_unreadable
+    FROM customer WHERE c_custkey % 3 <> 0
+    UNION ALL
+    SELECT 2,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT),
+           CAST(1 AS BIGINT), TRUE
+    FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 4 <> 1
+    """,
+)
+def scale_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale_vacuum — vacuum past the retention window and certify all
+    three contract halves (block comment above)."""
+    import shutil
+    import tempfile
+
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    root = f"{tempfile.gettempdir()}/spark_graft_scale/customer_vac"
+    shutil.rmtree(root, ignore_errors=True)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    init_pointer_table(base, root)                                   # gen 0
+    publish_generation(base.filter(F.col("c_custkey") % 3 != 0), root)  # 1
+    publish_generation(                                               # 2
+        base.filter(
+            (F.col("c_custkey") % 3 != 0) & (F.col("c_custkey") % 4 != 1)
+        ),
+        root,
+    )
+    swept = vacuum_generations(root, keep_last=2)
+    try:
+        read_generation(spark, root, 0).count()
+        expired_gone = False  # a readable swept generation is a bug
+    except FileNotFoundError:
+        expired_gone = True
+
+    def snap(gen: int) -> DataFrame:
+        return (
+            read_generation(spark, root, gen)
+            .agg(
+                F.lit(gen).alias("gen"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("bal_cents").alias("bal_cents"),
+            )
+            .select(
+                "gen",
+                "n_rows",
+                "bal_cents",
+                F.lit(len(swept)).cast("long").alias("n_swept"),
+                F.lit(expired_gone).alias("expired_unreadable"),
+            )
+        )
+
+    return pin_result(snap(1).unionByName(snap(2)))

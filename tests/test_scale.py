@@ -573,3 +573,19 @@ def test_scale_bucketed_star_guard_trips_on_unbucketed(spark, sf_dir):
     )
     n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchange >= 2  # both join inputs shuffle without buckets
+
+
+def test_scale_vacuum_probe_contract(spark, sf_dir):
+    """The vacuum probe's three contract halves on its own scratch
+    table: exactly gen 0 swept, gen 0 unreadable afterwards, gens 1-2
+    intact."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        scale_vacuum,
+    )
+
+    rows = {r.gen: r for r in scale_vacuum(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r.n_swept == 1
+        assert r.expired_unreadable
+    assert rows[1].n_rows > rows[2].n_rows > 0
