@@ -3798,3 +3798,60 @@ def f18_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# O10 — RANGE-frame trailing windows: the event-time sibling of o5b's
+# ROWS frame — "this event's trailing-24h total for its user" needs a
+# frame bounded by a TIME interval, not a row count (under bursty
+# activity the row frame is simply wrong). Spark expresses it as
+# rangeBetween over a numeric event-time (epoch seconds); DuckDB
+# replays with RANGE BETWEEN INTERVAL. Exact-mills sums inside the
+# frame keep every value integer, so the hash is bit-deterministic.
+# One shuffle (user partition), one sort — the standard window
+# economics at any scale.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "o10_range_frame_trailing",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+             AS mills_24h
+    FROM events
+    WHERE user_id % 20 = 11
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    """,
+)
+def o10_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 — per-event trailing-24h count and exact-mills total per
+    user via a RANGE frame (block comment above). Ties in event time
+    are handled identically by construction: a RANGE frame includes
+    ALL peers of the current ordering value on both engines, so no
+    tiebreak column is needed."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 11)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("long").alias("epoch_s"),
+            F.round(F.col("value") * 1000, 0).cast("long").alias("vm"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-24 * 3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum("vm").over(w).alias("mills_24h"),
+    )

@@ -152,7 +152,7 @@ DRIVER_WINDOW = 50
 #: for the families those leave unrepresented (dq1 r10, er1 r12,
 #: k9 r10, l1_l3 r13, x5c r12). After cohort 9
 #: every oracled probe registered before the rotation has ≥1 lifetime
-#: driver-window green; the thirty-five round-15 newcomers (j10_pit_join,
+#: driver-window green; the thirty-six round-15 newcomers (j10_pit_join,
 #: dq6_functional_dependency_audit, x3n_boilerplate_ngram_scrub,
 #: x2z_embedding_dim_stats, a24_rfm_segmentation, scale_cbo_stats,
 #: t13_stream_full_outer_join, s13_corrupt_record_routing,
@@ -165,7 +165,7 @@ DRIVER_WINDOW = 50
 #: sql1_scripting_threshold_search, s17_python_stream_source,
 #: mv4_declarative_pipeline, q1p_pipe_syntax, f18_collation_groupby,
 #: scale_bucketed_star, dq9_observed_metrics, a26_cohort_ltv,
-#: a27_growth_accounting, scale_vacuum)
+#: a27_growth_accounting, scale_vacuum, o10_range_frame_trailing)
 #: were
 #: added after this rotation was rehearsed and wait for cohort 10,
 #: after which rotations are pure re-verification, oldest-green-first.

@@ -145,3 +145,37 @@ def test_f18_collation_folds_what_binary_splits(spark):
         ).alias("seg")
     )
     assert mixed.select("seg").distinct().count() == 15
+
+
+def test_o10_range_frame_brute_force(spark):
+    """The RANGE frame's trailing-24h totals equal an O(n²) Python
+    replay at sf0.001, including event-time-tie peer inclusion."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        o10_range_frame_trailing,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = duckdb.sql(
+        f"""SELECT event_id, user_id, epoch(ts) AS s,
+                   CAST(round(value * 1000) AS BIGINT) AS vm
+            FROM read_parquet('{sf}/events.parquet')
+            WHERE user_id % 20 = 11"""
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for eid, uid, s, vm in events:
+        by_user.setdefault(uid, []).append((s, vm, eid))
+    want = {}
+    for uid, evs in by_user.items():
+        for s, vm, eid in evs:
+            inframe = [
+                (s2, vm2)
+                for s2, vm2, _ in evs
+                if s - 24 * 3600 <= s2 <= s
+            ]
+            want[eid] = (len(inframe), sum(v for _, v in inframe))
+    rows = o10_range_frame_trailing(spark, sf).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (r.n_24h, r.mills_24h) == want[r.event_id], r.event_id
