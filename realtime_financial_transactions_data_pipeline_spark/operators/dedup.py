@@ -565,6 +565,146 @@ def x24_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: x25 span-detection granularity: a cross-doc exact repeat must be at
+#: least this many tokens long to register (Lee et al., "Deduplicating
+#: Training Data Makes Language Models Better", ACL 2022, use 50 BPE
+#: tokens on open-web corpora; 5 fits the short synthetic docs while
+#: exercising the identical merge arithmetic).
+_SPAN_K = 5
+
+
+@probe(
+    "x25_repeated_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, t.i AS pos,
+             array_to_string(
+               w[CAST(t.i + 1 AS INTEGER):CAST(t.i + {_SPAN_K} AS INTEGER)],
+               ' ') AS gram
+      FROM toks, UNNEST(range(len(w) - {_SPAN_K} + 1)) AS t(i)
+      WHERE len(w) >= {_SPAN_K}),
+    rep AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+    hit AS (
+      SELECT g.doc_id, g.pos, g.pos + {_SPAN_K} - 1 AS e
+      FROM grams g JOIN rep USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER w IS NULL
+                    OR pos > max(e) OVER w + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hit
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(e) AS e
+      FROM (SELECT doc_id, pos, e,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+            FROM flagged)
+      GROUP BY doc_id, island),
+    panel AS (
+      SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS rep_toks
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS doc_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.rep_toks, 0) AS BIGINT) AS repeated_tokens,
+           round(CAST(coalesce(p.rep_toks, 0) AS DOUBLE)
+                 / len(string_split(d.text, ' ')), 4) AS repeated_frac
+    FROM documents d LEFT JOIN panel p USING (doc_id)
+    """,
+)
+def x25_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 — EXACT cross-document repeated-substring spans, the
+    span-level (not doc-level) dedup accounting of Lee et al. (ACL
+    2022): for every doc, every maximal token span whose length-K
+    windows ALL appear in at least one other document, plus the
+    per-doc repeated-token fraction a curation gate thresholds on.
+    Suffix arrays don't distribute; the Spark-first equivalent is a
+    posting-list pass — explode K-token windows with their start
+    positions, keep windows whose document frequency is >= 2
+    (groupBy(gram) + left-semi join back), and merge each doc's
+    surviving window intervals [pos, pos+K-1] into maximal spans with
+    one interval-union window pass (running max(e) over preceding
+    rows -> island ids). Detects exactly the spans whose every
+    K-window repeats elsewhere — the same guarantee a suffix array
+    gives for repeats of length >= 2K-1, without ever materializing a
+    pair: unlike x2b/x24 there is no Σ df(g)² term AT ALL, so the
+    shuffle is linear in corpus token count. At 100 TB: grams shuffle
+    as xxhash64 digests (8 B fixed-width, identical island arithmetic
+    — collisions only ever MERGE spans, never split), the df filter
+    is map-side-combined, and the per-doc window partitions by doc_id
+    so no executor ever holds more than one document's positions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = (
+        toks.filter(F.size("w") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(transform(sequence(0, size(w) - {_SPAN_K}),"
+                f" i -> struct(i AS pos,"
+                f" concat_ws(' ', slice(w, i + 1, {_SPAN_K})) AS gram)))"
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    hit = grams.join(rep, "gram", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + _SPAN_K - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hit.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("is_new").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+    )
+    panel = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + F.lit(1)).alias("repeated_tokens"),
+    )
+    return (
+        d.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("doc_tokens")
+        )
+        .join(panel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "doc_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("repeated_tokens", F.lit(0))
+            .cast("long")
+            .alias("repeated_tokens"),
+            dround(
+                F.coalesce("repeated_tokens", F.lit(0)).cast("double")
+                / F.col("doc_tokens"),
+                4,
+            ).alias("repeated_frac"),
+        )
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", grams_col: str | None = None
 ) -> DataFrame:

@@ -3855,3 +3855,140 @@ def o10_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_24h"),
         F.sum("vm").over(w).alias("mills_24h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O11 — gaps and islands (consecutive-period streaks)
+# ---------------------------------------------------------------------------
+# The classic tabulation the reference's dashboard family implies but
+# never names: "how many CONSECUTIVE months has this customer ordered?"
+# (reference pipeline.py:214-220 loads the per-customer fact the
+# BigQuery dashboard slices by month). The canonical SQL solution —
+# month_id - row_number() is constant within a run of consecutive
+# months — needs exactly one window pass and two aggregations, all
+# keyed by customer, so at 100 TB it shuffles once on o_custkey and
+# every partial aggregate map-side-combines. No self-join, no recursive
+# CTE, no per-customer loop.
+
+
+@probe(
+    "o11_gaps_islands",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mid
+      FROM orders),
+    isl AS (
+      SELECT o_custkey, mid,
+             mid - row_number() OVER (PARTITION BY o_custkey ORDER BY mid)
+               AS grp
+      FROM m),
+    streaks AS (
+      SELECT o_custkey, grp, count(*) AS len
+      FROM isl GROUP BY o_custkey, grp)
+    SELECT o_custkey AS custkey,
+           CAST(sum(len) AS BIGINT) AS active_months,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY o_custkey
+    """,
+)
+def o11_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 — per-customer activity streaks over calendar months
+    (gaps-and-islands): distinct active months, number of maximal
+    consecutive-month runs, and the longest run. Islands via the
+    row_number subtraction trick (block comment above); month ids are
+    year*12+month so consecutiveness survives year boundaries."""
+    from pyspark.sql import Window
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mid"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mid")
+    streaks = (
+        m.withColumn("grp", F.col("mid") - F.row_number().over(w))
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        streaks.groupBy("o_custkey")
+        .agg(
+            F.sum("len").alias("active_months"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "active_months",
+            "n_streaks",
+            "longest_streak",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A28 — event-path transition matrix
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a28_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    t AS (
+      SELECT src, dst, count(*) AS n_transitions
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / sum(n_transitions) OVER (PARTITION BY src), 4) AS p_transition
+    FROM t
+    """,
+)
+def a28_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 — first-order Markov transition matrix over each user's
+    event sequence: for every (current event_type -> next event_type)
+    pair, the transition count and the row-normalized probability.
+    The user-journey analytic behind funnel design (a12 checks ONE
+    declared path; this surfaces all of them). Sequencing is one
+    lead() window per user (ties broken by event_id, matching the
+    oracle's ORDER BY ts, event_id); the count is a map-side-combined
+    groupBy on the (src, dst) pair — at 100 TB the sequence pass
+    shuffles once on user_id and the matrix aggregation shuffles only
+    |event_type|² pair rows. Normalization partitions by src over the
+    already-tiny matrix."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_transitions"))
+    w_src = Window.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        "n_transitions",
+        dround(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_src),
+            4,
+        ).alias("p_transition"),
+    )

@@ -1265,3 +1265,119 @@ def scale_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return pin_result(snap(1).unionByName(snap(2)))
+
+
+# ---------------------------------------------------------------------------
+# scale_bloom_semijoin — Bloom-reduced semi join (runtime row-level
+# filtering, built by hand): the join-side application of the x1d/x1db
+# membership filter. A selective dim predicate (one market segment)
+# implies most fact rows will not survive the join — but a plain semi
+# join still SHUFFLES (or at best broadcast-probes) every fact row.
+# Packing the qualifying dim keys into the 2-KiB long[] Bloom bitmap
+# (dedup.bloom_bitmap_longs — the identical portable position law, so
+# the oracle replays every collision) turns "probably not joining"
+# into a codegen'd scan-side predicate: definitely-new fact rows die
+# at the scan, only the ~selectivity + FP fraction reaches the exact
+# broadcast join that removes false positives. This is what
+# spark.sql.optimizer.runtime.bloomFilter.* injects automatically on
+# shuffle joins; building it explicitly (a) works on broadcast joins
+# the optimizer skips, (b) makes the FP accounting a VERIFIED output
+# instead of an invisible runtime detail. At 100 TB: the bitmap is a
+# plan literal (no dim re-scan per task), the fact scan emits ~20 % of
+# rows, and the exact join's probe side shrinks by the same factor —
+# at 1000 executors that is the difference between shuffling 100 TB
+# and shuffling 20 TB.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEG = "BUILDING"
+
+
+def _bloom_semijoin_oracle() -> str:
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    return f"""
+    WITH dim AS (
+      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS h
+      FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'),
+    seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS s),
+    bits AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(h || ':' || CAST(s AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_BLOOM_M} AS pos
+      FROM dim, seeds),
+    o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_custkey AS VARCHAR) AS h
+      FROM orders),
+    bp AS (
+      SELECT o.o_orderkey,
+             CAST(('0x' || substr(md5(o.h || ':' || CAST(s AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_BLOOM_M} AS pos
+      FROM o, seeds),
+    hits AS (
+      SELECT bp.o_orderkey, count(bits.pos) AS nhit
+      FROM bp LEFT JOIN bits ON bp.pos = bits.pos
+      GROUP BY bp.o_orderkey),
+    flag AS (
+      SELECT o.o_orderpriority, o.cents,
+             (d.h IS NOT NULL) AS truly
+      FROM o
+      JOIN hits USING (o_orderkey)
+      LEFT JOIN dim d ON o.h = d.h
+      WHERE hits.nhit = {_BLOOM_K})
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN truly THEN 1 END) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN truly THEN cents ELSE 0 END) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_bloom_pass,
+           CAST(count(CASE WHEN NOT truly THEN 1 END) AS BIGINT)
+             AS n_false_positive
+    FROM flag GROUP BY o_orderpriority
+    """
+
+
+@probe("scale_bloom_semijoin", oracle=_bloom_semijoin_oracle())
+def scale_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-reduced fact→dim semi join (block comment above): orders
+    of one market segment's customers, where a 2-KiB long[] Bloom
+    bitmap over the qualifying customer keys prunes the fact SCAN
+    before the exact broadcast join removes the (deterministic,
+    oracle-replayed) false positives. Output per order priority:
+    exact surviving orders + revenue, plus the Bloom pass/FP
+    accounting that certifies the filter's zero-false-negative
+    guarantee (n_orders + n_false_positive = n_bloom_pass)."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        bloom_bitmap_longs,
+        bloom_maybe_seen,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEG)
+        .select(F.col("c_custkey").cast("string").alias("h"))
+        .distinct()
+    )
+    bmp = bloom_bitmap_longs(dim, "h")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_custkey").cast("string").alias("h"),
+    )
+    # Scan-side kill: rows failing the bitmap never reach the join.
+    passed = o.filter(bloom_maybe_seen(bmp, "h"))
+    exact = passed.join(
+        F.broadcast(dim.withColumn("_seen", F.lit(1))), "h", "left"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("_seen").isNotNull(), 1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("_seen").isNotNull(), F.col("cents")).otherwise(0)
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.count(F.when(F.col("_seen").isNull(), 1)).alias("n_false_positive"),
+    )

@@ -165,7 +165,9 @@ DRIVER_WINDOW = 50
 #: sql1_scripting_threshold_search, s17_python_stream_source,
 #: mv4_declarative_pipeline, q1p_pipe_syntax, f18_collation_groupby,
 #: scale_bucketed_star, dq9_observed_metrics, a26_cohort_ltv,
-#: a27_growth_accounting, scale_vacuum, o10_range_frame_trailing)
+#: a27_growth_accounting, scale_vacuum, o10_range_frame_trailing,
+#: x25_repeated_substring_spans, o11_gaps_islands,
+#: a28_path_transitions, scale_bloom_semijoin)
 #: were
 #: added after this rotation was rehearsed and wait for cohort 10,
 #: after which rotations are pure re-verification, oldest-green-first.

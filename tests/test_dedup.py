@@ -737,3 +737,58 @@ def test_x24_direction_and_threshold(spark):
         assert abs(r.containment_a_in_b - round(ca, 4)) < 1e-9
         assert abs(r.containment_b_in_a - round(cb, 4)) < 1e-9
         assert r.contained_doc == (r.id_a if ca >= cb else r.id_b)
+
+
+def test_x25_spans_brute_force(spark):
+    """The span panel equals a pure-Python replay at sf0.001: K-gram
+    document frequencies, the df>=2 keep, and interval-union merging
+    (touching-or-overlapping coverage fuses; a >=1-token clean gap
+    splits)."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _SPAN_K,
+        x25_repeated_substring_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    gram_docs: dict[str, set] = {}
+    per_doc: dict[int, list] = {}
+    toks_by_doc: dict[int, int] = {}
+    for did, text in docs:
+        w = text.split(" ")
+        toks_by_doc[did] = len(w)
+        per_doc[did] = []
+        for i in range(len(w) - _SPAN_K + 1):
+            g = " ".join(w[i : i + _SPAN_K])
+            gram_docs.setdefault(g, set()).add(did)
+            per_doc[did].append((i, g))
+    want = {}
+    for did, grams in per_doc.items():
+        hits = sorted(i for i, g in grams if len(gram_docs[g]) >= 2)
+        spans = []
+        for p in hits:
+            e = p + _SPAN_K - 1
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([p, e])
+        rep = sum(e - s + 1 for s, e in spans)
+        want[did] = (toks_by_doc[did], len(spans), rep)
+    rows = x25_repeated_substring_spans(spark, sf).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        dt, ns, rep = want[r.doc_id]
+        assert (r.doc_tokens, r.n_spans, r.repeated_tokens) == (dt, ns, rep), (
+            r.doc_id
+        )
+        assert abs(r.repeated_frac - round(rep / dt, 4)) < 1e-9
+    # the planted dups guarantee real spans, and the merge must have
+    # produced at least one span longer than a single K-window
+    assert any(r.n_spans >= 1 for r in rows)
+    assert any(
+        r.repeated_tokens > r.n_spans * _SPAN_K for r in rows if r.n_spans
+    )

@@ -179,3 +179,81 @@ def test_o10_range_frame_brute_force(spark):
     assert len(rows) == len(want)
     for r in rows:
         assert (r.n_24h, r.mills_24h) == want[r.event_id], r.event_id
+
+
+def test_o11_gaps_islands_brute_force(spark):
+    """Streak arithmetic equals a pure-Python replay over every
+    customer's sorted month set at sf0.001 — islands, counts, and the
+    year-boundary survival of the month-id encoding."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        o11_gaps_islands,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT o_custkey,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS mid
+            FROM read_parquet('{sf}/orders.parquet')"""
+    ).fetchall()
+    months: dict[int, set] = {}
+    for ck, m in rows:
+        months.setdefault(ck, set()).add(m)
+    want = {}
+    for ck, ms in months.items():
+        seq = sorted(ms)
+        streaks, cur = [], 1
+        for a, b in zip(seq, seq[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        want[ck] = (len(seq), len(streaks), max(streaks))
+    got = {
+        r.custkey: (r.active_months, r.n_streaks, r.longest_streak)
+        for r in o11_gaps_islands(spark, sf).collect()
+    }
+    assert got == want
+    # the corpus must actually exercise multi-month streaks
+    assert any(v[2] >= 2 for v in want.values())
+
+
+def test_a28_transitions_brute_force(spark):
+    """The transition matrix equals a pure-Python replay of each
+    user's (ts, event_id)-ordered sequence at sf0.001, and every
+    source row's probabilities sum to ~1."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        a28_path_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT user_id, epoch(ts) AS s, event_id, event_type
+            FROM read_parquet('{sf}/events.parquet')
+            ORDER BY user_id, s, event_id"""
+    ).fetchall()
+    seqs: dict[int, list] = defaultdict(list)
+    for uid, _, _, et in rows:
+        seqs[uid].append(et)
+    n: dict[tuple, int] = defaultdict(int)
+    for evs in seqs.values():
+        for a, b in zip(evs, evs[1:]):
+            n[(a, b)] += 1
+    src_tot: dict[str, int] = defaultdict(int)
+    for (a, _), c in n.items():
+        src_tot[a] += c
+    got = {(r.src, r.dst): r for r in a28_path_transitions(spark, sf).collect()}
+    assert set(got) == set(n)
+    for k, r in got.items():
+        assert r.n_transitions == n[k]
+        assert abs(r.p_transition - round(n[k] / src_tot[k[0]], 4)) < 1e-9
+    for src in src_tot:
+        s = sum(r.p_transition for k, r in got.items() if k[0] == src)
+        assert abs(s - 1.0) < 1e-2  # rounding slack, 4 dp per cell

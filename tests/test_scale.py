@@ -589,3 +589,42 @@ def test_scale_vacuum_probe_contract(spark, sf_dir):
         assert r.n_swept == 1
         assert r.expired_unreadable
     assert rows[1].n_rows > rows[2].n_rows > 0
+
+
+def test_bloom_semijoin_accounting_and_plan(spark):
+    """Zero false negatives (exact per-priority counts match an
+    independent semi-join replay), the FP ledger balances, and the
+    plan keeps the shape the probe exists for: the bitmap predicate
+    filters the fact BEFORE a broadcast join, with no sort-merge
+    join anywhere."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        _BLOOM_SEG,
+        scale_bloom_semijoin,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"""SELECT o_orderpriority, count(*) AS n,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM read_parquet('{sf}/orders.parquet') o
+                WHERE EXISTS (SELECT 1 FROM read_parquet('{sf}/customer.parquet') c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_mktsegment = '{_BLOOM_SEG}')
+                GROUP BY 1"""
+        ).fetchall()
+    }
+    df = scale_bloom_semijoin(spark, sf)
+    rows = df.collect()
+    got = {r.o_orderpriority: (r.n_orders, r.revenue_cents) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.n_orders + r.n_false_positive == r.n_bloom_pass
+    plan = inspect.formatted_plan(df)
+    assert "forall" in plan  # the literal-bitmap membership predicate
+    assert inspect.uses_broadcast_join(df)
+    assert not inspect.has_sort_merge_join(df)
