@@ -919,3 +919,182 @@ def x23_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("take"), F.col("doc_id"))), F.lit(0)
         ).cast("long").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X26 — span-level benchmark decontamination (the curation ACTION x7
+# only measures): x7 reports which docs overlap the benchmark; this
+# operator REMOVES the overlapping spans and emits the cleaned text —
+# the surgical alternative to dropping a whole document because one
+# quoted benchmark item contaminates it (the standard practice for
+# eval decontamination of pretraining corpora). Machinery is x25's
+# interval union pointed cross-corpus: a corpus token is contaminated
+# iff some K-window covering it appears verbatim in ANY benchmark doc.
+# ---------------------------------------------------------------------------
+
+_X26_BENCH_MOD = 7  # doc_id % 7 == 0 stands in for the benchmark set
+
+
+def _x26_oracle() -> str:
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _SPAN_K,
+    )
+
+    k = _SPAN_K
+    gram = (
+        f"array_to_string(w[CAST(t.i + 1 AS INTEGER):"
+        f"CAST(t.i + {k} AS INTEGER)], ' ')"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT DISTINCT {gram} AS gram
+      FROM toks, UNNEST(range(len(w) - {k} + 1)) AS t(i)
+      WHERE doc_id % {_X26_BENCH_MOD} = 0 AND len(w) >= {k}),
+    cg AS (
+      SELECT doc_id, t.i AS pos, {gram} AS gram
+      FROM toks, UNNEST(range(len(w) - {k} + 1)) AS t(i)
+      WHERE doc_id % {_X26_BENCH_MOD} <> 0 AND len(w) >= {k}),
+    hit AS (
+      SELECT cg.doc_id, cg.pos, cg.pos + {k} - 1 AS e
+      FROM cg JOIN bg USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER win IS NULL
+                    OR pos > max(e) OVER win + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM hit
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(e) AS e
+      FROM (SELECT doc_id, pos, e,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+            FROM flagged)
+      GROUP BY doc_id, island),
+    covered AS (
+      SELECT doc_id, u.pos FROM spans, UNNEST(range(s, e + 1)) AS u(pos)),
+    tok AS (
+      SELECT doc_id, t.i AS pos, w[CAST(t.i + 1 AS INTEGER)] AS tk
+      FROM toks, UNNEST(range(len(w))) AS t(i)
+      WHERE doc_id % {_X26_BENCH_MOD} <> 0),
+    clean AS (
+      SELECT t.doc_id, string_agg(t.tk, ' ' ORDER BY t.pos) AS clean_text
+      FROM tok t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+      GROUP BY t.doc_id),
+    panel AS (
+      SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS removed
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS doc_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.removed, 0) AS BIGINT) AS removed_tokens,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM toks d
+    LEFT JOIN panel p USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    WHERE d.doc_id % {_X26_BENCH_MOD} <> 0
+    """
+
+
+@probe("x26_span_decontamination", oracle=_x26_oracle())
+def x26_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26 — span-level benchmark decontamination (block comment
+    above): remove from every corpus doc exactly the maximal token
+    spans whose K-windows appear verbatim in the benchmark set
+    (doc_id % 7 == 0 stands in), and return the CLEANED TEXT itself
+    under the hash — reassembly is verified character-for-character,
+    not just counted. Plan shape: benchmark grams distinct (bounded
+    by benchmark size — broadcastable at any corpus scale, benchmarks
+    are small by nature), corpus grams left-semi against them, x25's
+    interval-union window per doc, covered positions exploded from
+    spans (linear in removed tokens), token-level anti join keyed
+    (doc_id, pos), and one per-doc sorted fold for reassembly. Every
+    shuffle is doc-keyed or benchmark-bounded; nothing is pairwise.
+    At 100 TB: grams travel as digests, and the reassembly fold
+    holds one document per group — the same bound every per-doc
+    operator in this engine lives under."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _SPAN_K,
+    )
+
+    k = _SPAN_K
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams_expr = F.expr(
+        f"explode(transform(sequence(0, size(w) - {k}),"
+        f" i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, {k})) AS gram)))"
+    )
+    bench = toks.filter(F.col("doc_id") % _X26_BENCH_MOD == 0)
+    corpus = toks.filter(F.col("doc_id") % _X26_BENCH_MOD != 0)
+    bg = (
+        bench.filter(F.size("w") >= k)
+        .select(grams_expr.alias("g"))
+        .select(F.col("g.gram").alias("gram"))
+        .distinct()
+    )
+    cg = (
+        corpus.filter(F.size("w") >= k)
+        .select("doc_id", grams_expr.alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    hit = cg.join(bg, "gram", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + k - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hit.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("is_new").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.expr("sequence(s, e)")).alias("pos")
+    )
+    tok = corpus.select(
+        "doc_id", F.posexplode("w").alias("pos", "tk")
+    )
+    clean = (
+        tok.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, tk))),"
+                    " x -> x.tk)"
+                ),
+            ).alias("clean_text")
+        )
+    )
+    panel = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + F.lit(1)).alias("removed"),
+    )
+    return (
+        corpus.select("doc_id", F.size("w").cast("long").alias("doc_tokens"))
+        .join(panel, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "doc_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed", F.lit(0)).cast("long").alias("removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -167,7 +167,8 @@ DRIVER_WINDOW = 50
 #: scale_bucketed_star, dq9_observed_metrics, a26_cohort_ltv,
 #: a27_growth_accounting, scale_vacuum, o10_range_frame_trailing,
 #: x25_repeated_substring_spans, o11_gaps_islands,
-#: a28_path_transitions, scale_bloom_semijoin)
+#: a28_path_transitions, scale_bloom_semijoin,
+#: x26_span_decontamination)
 #: were
 #: added after this rotation was rehearsed and wait for cohort 10,
 #: after which rotations are pure re-verification, oldest-green-first.

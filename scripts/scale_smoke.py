@@ -66,6 +66,12 @@ MATRIX = {
     # inverted-index floor — measure the floor's Σ df(g)² growth
     # directly instead of only documenting it.
     "x24_containment_pairs": ("documents", (1, 10)),
+    # r15 continuation: span-level exact-repeat accounting has NO pair
+    # term at all (posting-list keep + per-doc interval union) — its
+    # growth should track corpus token count, strictly below the x2b/
+    # x24 Σ df(g)² floor. 100x = 500 k docs joins the dedup chain's
+    # two-orders-of-magnitude club.
+    "x25_repeated_substring_spans": ("documents", (1, 10, 100)),
     # 100x = 500 k docs (VERDICT r13 stretch #8): one family measured
     # at two orders of magnitude, turning the "survives 100x" claim
     # from extrapolation into measurement for the banding + label-

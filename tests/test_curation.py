@@ -156,3 +156,56 @@ def test_x23_pps_inclusion_rule(spark):
         assert (r.n_docs, r.sum_chars, r.n_sampled) == (nd, sc, ns), src
         assert (r.sum_chars_sampled, r.id_checksum) == (scs, ck), src
         assert abs(r.expected_sampled - round(sc / mw, 4)) < 1e-9
+
+
+def test_x26_span_decontamination_brute_force(spark):
+    """Cleaned text equals a pure-Python replay at sf0.001 — benchmark
+    gram set, interval-union span merge, and character-exact
+    reassembly — and the planted dups guarantee real removals."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+        _X26_BENCH_MOD,
+        x26_span_decontamination,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _SPAN_K,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    bench_grams = set()
+    for did, text in docs:
+        if did % _X26_BENCH_MOD == 0:
+            w = text.split(" ")
+            for i in range(len(w) - _SPAN_K + 1):
+                bench_grams.add(" ".join(w[i : i + _SPAN_K]))
+    want = {}
+    for did, text in docs:
+        if did % _X26_BENCH_MOD == 0:
+            continue
+        w = text.split(" ")
+        hits = [
+            i
+            for i in range(len(w) - _SPAN_K + 1)
+            if " ".join(w[i : i + _SPAN_K]) in bench_grams
+        ]
+        spans = []
+        for p in hits:
+            e = p + _SPAN_K - 1
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([p, e])
+        covered = {i for s, e in spans for i in range(s, e + 1)}
+        clean = " ".join(t for i, t in enumerate(w) if i not in covered)
+        want[did] = (len(w), len(spans), len(covered), clean)
+    rows = x26_span_decontamination(spark, sf).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        dt, ns, rm, clean = want[r.doc_id]
+        assert (r.doc_tokens, r.n_spans, r.removed_tokens) == (dt, ns, rm)
+        assert r.clean_text == clean, r.doc_id
+    assert any(r.removed_tokens > 0 for r in rows), "planted dups must hit"
