@@ -1958,3 +1958,101 @@ def a27_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A29 — batch sessionization (the batch twin of the streaming t4b/t9
+# session windows): split each user's event stream on inactivity gaps
+# > 30 minutes and profile the resulting sessions. Same island
+# arithmetic as o11 — a lag() gap flag cumulative-summed into session
+# ids — so the whole operator is one user-keyed window pass plus two
+# map-side-combined aggregations; at 100 TB it shuffles once on
+# user_id and the session/user rollups aggregate partials locally.
+# Batch is where sessionization REPROCESSES (backfills, definition
+# changes — streaming state can't replay history); the two paths
+# sharing one gap rule is the t12 unification story at session grain.
+# ---------------------------------------------------------------------------
+
+_A29_GAP_S = 30 * 60
+
+
+@probe(
+    "a29_batch_sessionization",
+    oracle=f"""
+    WITH e AS (
+      -- epoch_ms // 1000 truncates like Spark's cast-to-long; plain
+      -- epoch() rounds fractional seconds and drifts spans by 1 s.
+      SELECT user_id, event_id, epoch_ms(ts) // 1000 AS s,
+             lag(epoch_ms(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ms(ts) // 1000,
+                                                      event_id) AS prev_s
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, s,
+             CASE WHEN prev_s IS NULL OR s - prev_s > {_A29_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    sess AS (
+      -- every window orders by (s, event_id): a tiebreak-free ORDER
+      -- BY s would let same-second peers land on either side of a
+      -- session boundary nondeterministically.
+      SELECT user_id, s,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             max(s) - min(s) AS span_s
+      FROM sess GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(max(span_s) AS BIGINT) AS max_session_span_s,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce_sessions
+    FROM per_session GROUP BY user_id
+    """,
+)
+def a29_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 — per-user session profile under a 30-minute inactivity
+    gap rule (block comment above): session count, event totals, the
+    largest session by events and by wall-clock span, and the bounce
+    (single-event-session) count. Ties in event time order by
+    event_id, matching the oracle; the session-id cumulative sum runs
+    over epoch seconds so the gap rule is integer-exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("s"), "event_id"
+    )
+    # Order matches the oracle's (ts, event_id) on the projected
+    # epoch-seconds column.
+    w_ord = Window.partitionBy("user_id").orderBy("s", "event_id")
+    flagged = e.withColumn("prev_s", F.lag("s").over(w_ord)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_s").isNull() | (F.col("s") - F.col("prev_s") > _A29_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("sid", F.sum("is_new").over(w_run))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("s") - F.min("s")).alias("span_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("span_s").alias("max_session_span_s"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounce_sessions"
+        ),
+    )

@@ -840,3 +840,53 @@ def test_a26_ltv_monotone_and_totals(spark):
                 )
                 < 1e-9
             )
+
+
+def test_a29_sessionization_brute_force(spark):
+    """Session splits, counts, spans, and bounce tallies equal a
+    pure-Python replay of the 30-minute gap rule at sf0.001."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        _A29_GAP_S,
+        a29_batch_sessionization,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT user_id, epoch_ms(ts) // 1000 AS s, event_id
+            FROM read_parquet('{sf}/events.parquet')
+            ORDER BY user_id, s, event_id"""
+    ).fetchall()
+    per_user: dict[int, list] = {}
+    for uid, s, _ in rows:
+        per_user.setdefault(uid, []).append(s)
+    want = {}
+    for uid, ss in per_user.items():
+        sessions = [[ss[0]]]
+        for prev, cur in zip(ss, ss[1:]):
+            if cur - prev > _A29_GAP_S:
+                sessions.append([cur])
+            else:
+                sessions[-1].append(cur)
+        want[uid] = (
+            len(sessions),
+            sum(len(x) for x in sessions),
+            max(len(x) for x in sessions),
+            max(x[-1] - x[0] for x in sessions),
+            sum(1 for x in sessions if len(x) == 1),
+        )
+    got = {
+        r.user_id: (
+            r.n_sessions,
+            r.n_events,
+            r.max_session_events,
+            r.max_session_span_s,
+            r.n_bounce_sessions,
+        )
+        for r in a29_batch_sessionization(spark, sf).collect()
+    }
+    assert got == want
+    # the corpus must exercise both regimes
+    assert any(v[0] > 1 for v in want.values())
+    assert any(v[4] > 0 for v in want.values())
