@@ -1381,3 +1381,92 @@ def scale_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bloom_pass"),
         F.count(F.when(F.col("_seen").isNull(), 1)).alias("n_false_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_salted_join — JOIN-side skew salting (scale_salted_agg's
+# companion: that one spreads a hot AGGREGATION key; this spreads a
+# hot JOIN key). When the build side is small you broadcast and skew
+# is moot — the pattern below is for the regime where the dim is too
+# big to broadcast and the fact's key distribution is skewed: salt the
+# fact with pmod(row-hash, S), REPLICATE each dim row S times (explode
+# a 0..S-1 sequence), and join on (key, salt) — the hot key's rows now
+# land on S reducers instead of one. The join is pinned to a shuffle
+# strategy with a plan-local hint (no session mutation), because an
+# auto-broadcast would silently erase the thing being demonstrated.
+# Salting a join is provably result-invariant: every fact row meets
+# exactly the one dim replica carrying its salt. At 100 TB with one
+# gateway owning a third of all rows, this is the difference between
+# one straggler task holding 33 % of the shuffle and S tasks holding
+# 4 % each (AQE skew-join split does this adaptively for sort-merge
+# joins; explicit salting also covers shuffled-hash joins and
+# pre-AQE engines, and makes the fan-out a testable constant).
+# ---------------------------------------------------------------------------
+
+_SALT_JOIN_S = 8
+
+
+@probe(
+    "scale_salted_join",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot_gateway'
+                  ELSE 'gw_' || CAST(l_orderkey % 97 AS VARCHAR) END AS gateway,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    dim AS (
+      SELECT gateway,
+             CAST(('0x' || substr(md5(gateway), 1, 4)) AS BIGINT) % 200 + 25
+               AS fee_bps
+      FROM (SELECT DISTINCT gateway FROM f))
+    SELECT f.gateway,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(f.cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(f.cents * d.fee_bps // 10000) AS BIGINT) AS fee_cents
+    FROM f JOIN dim d USING (gateway)
+    GROUP BY f.gateway
+    """,
+)
+def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join on a deliberately hot key (block comment
+    above): the hot_gateway fact rows (~1/3 of lineitem) spread over
+    ``_SALT_JOIN_S`` reducers by joining on (gateway, salt) against an
+    S-times-replicated fee dimension, under a shuffle-join hint so the
+    demonstration can't be broadcast away. Per-row fee arithmetic is
+    integer (cents × bps // 10000) so the hash is exact. The oracle is
+    the PLAIN unsalted join — result invariance is the whole claim."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot_gateway"))
+        .otherwise(
+            F.concat(F.lit("gw_"), (F.col("l_orderkey") % 97).cast("string"))
+        )
+        .alias("gateway"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.col("l_linenumber").alias("_ln"),
+    )
+    dim = (
+        li.select("gateway")
+        .distinct()
+        .withColumn(
+            "fee_bps",
+            (
+                F.conv(F.substring(F.md5("gateway"), 1, 4), 16, 10).cast("long")
+                % 200
+                + 25
+            ),
+        )
+    )
+    fact_s = li.withColumn(
+        "salt", F.pmod(F.xxhash64("cents", "_ln"), F.lit(_SALT_JOIN_S))
+    )
+    dim_s = dim.withColumn(
+        "salt", F.explode(F.expr(f"sequence(0, {_SALT_JOIN_S - 1})"))
+    ).hint("shuffle_hash")
+    joined = fact_s.join(dim_s, ["gateway", "salt"])
+    return joined.groupBy("gateway").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("cents").alias("revenue_cents"),
+        F.sum(
+            F.floor(F.col("cents") * F.col("fee_bps") / F.lit(10000))
+        ).alias("fee_cents"),
+    )

@@ -168,7 +168,8 @@ DRIVER_WINDOW = 50
 #: a27_growth_accounting, scale_vacuum, o10_range_frame_trailing,
 #: x25_repeated_substring_spans, o11_gaps_islands,
 #: a28_path_transitions, scale_bloom_semijoin,
-#: x26_span_decontamination, a29_batch_sessionization)
+#: x26_span_decontamination, a29_batch_sessionization,
+#: scale_salted_join)
 #: were
 #: added after this rotation was rehearsed and wait for cohort 10,
 #: after which rotations are pure re-verification, oldest-green-first.

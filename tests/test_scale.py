@@ -628,3 +628,61 @@ def test_bloom_semijoin_accounting_and_plan(spark):
     assert "forall" in plan  # the literal-bitmap membership predicate
     assert inspect.uses_broadcast_join(df)
     assert not inspect.has_sort_merge_join(df)
+
+
+def test_salted_join_invariance_and_plan(spark):
+    """The salted (gateway, salt) join returns exactly the plain
+    unsalted join's aggregates, the plan keeps the shuffle strategy
+    (no broadcast — a broadcast would erase the skew demonstration),
+    and the join keys carry the salt."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        scale_salted_join,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    df = scale_salted_join(spark, sf)
+    got = {r.gateway: (r.n_items, r.revenue_cents, r.fee_cents) for r in df.collect()}
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot_gateway"))
+        .otherwise(
+            F.concat(F.lit("gw_"), (F.col("l_orderkey") % 97).cast("string"))
+        )
+        .alias("gateway"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = (
+        li.select("gateway")
+        .distinct()
+        .withColumn(
+            "fee_bps",
+            (
+                F.conv(F.substring(F.md5("gateway"), 1, 4), 16, 10).cast("long")
+                % 200
+                + 25
+            ),
+        )
+    )
+    want = {
+        r.gateway: (r.n_items, r.revenue_cents, r.fee_cents)
+        for r in li.join(dim, "gateway")
+        .groupBy("gateway")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+            F.sum(
+                F.floor(F.col("cents") * F.col("fee_bps") / F.lit(10000))
+            ).alias("fee_cents"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the hot key must actually be hot, or the probe demonstrates nothing
+    assert want["hot_gateway"][0] > sum(v[0] for v in want.values()) / 10
+    plan = inspect.formatted_plan(df)
+    assert "salt" in plan
+    assert not inspect.uses_broadcast_join(df)
