@@ -1470,3 +1470,78 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cents") * F.col("fee_bps") / F.lit(10000))
         ).alias("fee_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_stable_row_ids — contiguous global row numbering WITHOUT the
+# single-partition collapse. `row_number() OVER (ORDER BY key)` with
+# no PARTITION BY funnels the entire table through ONE task — the
+# classic 100 TB killer (fine in DuckDB, fatal on a cluster).
+# monotonically_increasing_id() scales but is neither contiguous nor
+# stable across layouts. The scalable contiguous assignment is the
+# two-phase zipWithIndex pattern expressed in DataFrame terms:
+# range-repartition + sort within partitions, count rows per
+# partition (a #partitions-row aggregate — bounded collect, same
+# class as the Bloom bitmap's), prefix-sum the counts driver-side
+# into per-partition offsets, and id = offset[pid] + intra-partition
+# row_number. Every window partitions by pid, so no task ever sees
+# more than one partition's rows.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "scale_stable_row_ids",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_id,
+           o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    """,
+)
+def scale_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous, order-stable global row ids over orders (block
+    comment above): ids are exactly 1..N in o_orderkey order — the
+    oracle is the naive single-partition window, the implementation
+    never builds one. Range boundaries come from Spark's sampler, so
+    WHICH partition a row lands in may vary; the ids cannot — offsets
+    are prefix sums in partition-range order and o_orderkey is unique,
+    making the assignment a pure function of the data."""
+    from pyspark.sql import Window
+
+    n_parts = 32
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    # localCheckpoint pins ONE materialization of the range layout:
+    # the RangePartitioner resamples per action (seed varies with the
+    # RDD id), so without it the counts job and the id job can draw
+    # DIFFERENT boundaries and the offsets go stale — measured as
+    # off-by-dozens ids on first build.
+    parted = (
+        o.repartitionByRange(n_parts, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Bounded collect: one row per partition, never per data row.
+    counts = {
+        r._pid: r.n
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = "map(" + ",".join(
+        f"{pid}, {off}L" for pid, off in offsets.items()
+    ) + ")"
+    w = Window.partitionBy("_pid").orderBy("o_orderkey")
+    return parted.select(
+        (
+            F.element_at(F.expr(off_expr), F.col("_pid"))
+            + F.row_number().over(w)
+        ).alias("row_id"),
+        "o_orderkey",
+        "cents",
+    )

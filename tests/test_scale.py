@@ -686,3 +686,26 @@ def test_salted_join_invariance_and_plan(spark):
     plan = inspect.formatted_plan(df)
     assert "salt" in plan
     assert not inspect.uses_broadcast_join(df)
+
+
+def test_stable_row_ids_contiguous_no_single_partition(spark):
+    """Ids are exactly 1..N in key order, and no window in the plan
+    runs over a SinglePartition exchange — the whole point is that
+    the naive global-ORDER-BY row_number (which funnels the table
+    through one task) never appears."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        scale_stable_row_ids,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    df = scale_stable_row_ids(spark, "/root/testdata/sf0.001")
+    rows = sorted(
+        ((r.row_id, r.o_orderkey) for r in df.collect())
+    )
+    n = len(rows)
+    assert [rid for rid, _ in rows] == list(range(1, n + 1))
+    keys = [k for _, k in rows]
+    assert keys == sorted(keys)
+    plan = inspect.formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_pid" in plan
