@@ -635,10 +635,20 @@ def x25_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives for repeats of length >= 2K-1, without ever materializing a
     pair: unlike x2b/x24 there is no Σ df(g)² term AT ALL, so the
     shuffle is linear in corpus token count. At 100 TB: grams shuffle
-    as xxhash64 digests (8 B fixed-width, identical island arithmetic
-    — collisions only ever MERGE spans, never split), the df filter
-    is map-side-combined, and the per-doc window partitions by doc_id
-    so no executor ever holds more than one document's positions."""
+    as xxhash64 digests — (h, doc_id, pos) fixed-width rows in ONE
+    shuffle, the 44-char strings never leave the map side — and
+    "repeated across docs" is min(doc_id) != max(doc_id) over the
+    digest partition: one window, no groupBy+semi-join, no second
+    shingle pass (the naive two-pass string-keyed form measured
+    87 s / 466 MB at 10x vs ~12 s / ~270 MB for this shape). A 64-bit
+    collision needs two DIFFERENT grams in different docs sharing a
+    hash and can only spuriously MERGE coverage, never split it
+    (~n²/2^65 ≈ 2e-5 at 25 M grams, zero observed — the sf0.01
+    oracle replays the STRING-keyed law every round and would
+    hash-mismatch on any collision); at open-web gram counts widen
+    to a 128-bit digest the way x1 does. The island window
+    partitions by doc_id, so no executor ever holds more than one
+    document's positions."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     grams = (
@@ -648,19 +658,17 @@ def x25_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"explode(transform(sequence(0, size(w) - {_SPAN_K}),"
                 f" i -> struct(i AS pos,"
-                f" concat_ws(' ', slice(w, i + 1, {_SPAN_K})) AS gram)))"
+                f" xxhash64(concat_ws(' ', slice(w, i + 1, {_SPAN_K}))) AS h)))"
             ).alias("g"),
         )
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    rep = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("gram")
-    )
-    hit = grams.join(rep, "gram", "left_semi").select(
-        "doc_id", "pos", (F.col("pos") + _SPAN_K - 1).alias("e")
+    w_g = Window.partitionBy("h")
+    hit = (
+        grams.withColumn("_mn", F.min("doc_id").over(w_g))
+        .withColumn("_mx", F.max("doc_id").over(w_g))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "pos", (F.col("pos") + _SPAN_K - 1).alias("e"))
     )
     w_prev = (
         Window.partitionBy("doc_id")

@@ -231,8 +231,29 @@ def _q1_bucketed_star(spark: SparkSession, sf_dir: str):
     )
 
 
+def _x25_forced(spark: SparkSession, sf_dir: str):
+    """x25 with the evaluation FORCED: the probe's panel is a left
+    join back to `documents` on a distinct key, so `count()` lets
+    Catalyst eliminate the entire posting pass (distinct-key outer-
+    join elimination) and times an empty plan — the first smoke row
+    read 0.0 MB shuffle at every scale. Aggregating the computed
+    columns makes the runner time the real work."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        x25_repeated_substring_spans,
+    )
+
+    return x25_repeated_substring_spans(spark, sf_dir).agg(
+        F.sum("repeated_tokens").alias("rt"),
+        F.sum("n_spans").alias("ns"),
+        F.sum("doc_tokens").alias("dt"),
+    )
+
+
 #: smoke-only entries that are not registry probes
 CUSTOM = {
+    "x25_repeated_substring_spans": _x25_forced,
     "cc_default_nopin": _cc_default_nopin,
     "pairs_shuffle_fallback": _pairs_shuffle_fallback,
     "q1_bucketed_star": _q1_bucketed_star,
