@@ -11,8 +11,12 @@ small — rounds 1 and 2 both lost the bench gate to a fat line. Full
 per-query timings go to BENCH_DETAIL.json next to this script; the
 stdout line carries only the headline probes.
 
-Each probe is timed to a full materialization (count of the result) —
-the same work the driver's harness does, minus the pandas conversion.
+Each probe is timed to a FULL materialization — a noop-sink write that
+consumes every column of every row (r15.2 series break, JSON-marked
+``"eval": "noop"``; rounds 1-15.1 used ``count()``, which let Catalyst
+skip cardinality-preserving work: column projections at best, and for
+distinct-key left-join panels like x25 the ENTIRE plan). This is the
+same work the driver's value harness does, minus the pandas transfer.
 Failures are recorded as -1 for that query and never abort the suite.
 
 Host-variance hardening (VERDICT r08 #2): probes whose first timing is
@@ -190,12 +194,25 @@ def main() -> None:
         "sum(id * 2654435761 % 1000003)"
     ).collect()
     calib_sec = round(time.time() - t_cal, 3)
+
+    def _evaluate(df) -> None:
+        """FULL evaluation to the noop sink (r15.2 series break,
+        marked ``"eval": "noop"`` in the JSON line): ``count()`` lets
+        Catalyst skip anything cardinality-preserving — a column
+        projection at best, an ENTIRE posting pass at worst (x25's
+        distinct-key left-join panel measured 0.0 MB shuffle under
+        count vs 62 MB real at 10x — distinct-key outer-join
+        elimination benched an empty plan). The noop sink consumes
+        every column of every row JVM-side, the same work the
+        driver's value harness induces, minus the pandas transfer."""
+        df.write.format("noop").mode("overwrite").save()
+
     shuffle_mb: dict[str, float] = {}
     for name, p in probes.items():
         sh0 = _shuffle_written_bytes(spark)
         t0 = time.time()
         try:
-            p.fn(spark, sf_dir).count()
+            _evaluate(p.fn(spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -224,7 +241,7 @@ def main() -> None:
     for name in [n for n, t in timings.items() if t >= _RERUN_THRESHOLD]:
         t0 = time.time()
         try:
-            probes[name].fn(spark, sf_dir).count()
+            _evaluate(probes[name].fn(spark, sf_dir))
             timings2[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} rerun failed: {exc}", file=sys.stderr)
@@ -262,7 +279,8 @@ def main() -> None:
                                detail_name)
     with open(detail_path, "w") as fh:
         json.dump({"metric": "probe_suite_wall", "value": total,
-                   "unit": "sec", "sf": sf, "calib_sec": calib_sec,
+                   "unit": "sec", "sf": sf, "eval": "noop",
+                   "calib_sec": calib_sec,
                    "sched_calib": sched_calib,
                    "rerun_threshold": _RERUN_THRESHOLD,
                    "rerun_sec": rerun_sec,
@@ -284,6 +302,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "eval": "noop",
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "calib_sec": calib_sec,

@@ -1361,3 +1361,138 @@ def g9_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer moments, so the hash pins the symmetrization, both degree
     joins, and every sum."""
     return degree_assortativity(_memo_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# G10 — k-core decomposition (iterative peel): the densest-region
+# extractor behind community mining and spam/bot-ring detection — keep
+# the maximal subgraph where every node has degree >= k, computed by
+# repeatedly deleting under-degree nodes until fixpoint. The deletion
+# fixpoint is the one graph primitive the family lacked: g5's label
+# propagation ADDS information monotonically (recursive-CTE-friendly);
+# peeling REMOVES it, so the oracle unrolls a fixed round budget
+# (_G10_ROUNDS, > the measured convergence depth at sf0.01 — extra
+# rounds are no-ops once converged) while the Spark side iterates to
+# the actual fixpoint with the family's constant-plan discipline:
+# per-round localCheckpoint, metadata-only convergence check (edge
+# count is monotone non-increasing, so equality = fixpoint). Rounds
+# needed = peel depth, bounded by graph degeneracy — single digits on
+# real social/interaction graphs at any scale.
+# ---------------------------------------------------------------------------
+
+_G10_MIN_SHARED = 4  # the community regime with real core structure
+_G10_KS = (2, 3)
+_G10_ROUNDS = 6  # oracle unroll budget; measured convergence depth 2
+
+
+def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
+    """The k-core of an undirected (u < v) edge relation: iteratively
+    drop nodes with degree < k and their incident edges until stable.
+    Each round: one degree aggregate over the bi-directed view + two
+    semi joins, checkpointed so the plan never grows; the convergence
+    probe reads a count, not data."""
+    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    n_edges = cur.count()
+    while n_edges > 0:
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("n")
+        )
+        nxt = (
+            cur.join(deg.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(deg.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    return cur
+
+
+def _g10_oracle() -> str:
+    per_k = []
+    for k in _G10_KS:
+        prev = "e0"
+        chain = []
+        for r in range(1, _G10_ROUNDS + 1):
+            chain.append(
+                f"""d{k}_{r} AS MATERIALIZED (
+      SELECT n FROM (SELECT u AS n FROM {prev} UNION ALL
+                     SELECT v AS n FROM {prev})
+      GROUP BY n HAVING count(*) >= {k}),
+    e{k}_{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN d{k}_{r} a ON e.u = a.n
+      JOIN d{k}_{r} b ON e.v = b.n)"""
+            )
+            prev = f"e{k}_{r}"
+        per_k.append(
+            (
+                ",\n    ".join(chain),
+                f"""SELECT {k} AS k,
+           CAST((SELECT count(*) FROM (SELECT u AS n FROM {prev}
+                 UNION SELECT v FROM {prev})) AS BIGINT) AS n_core_nodes,
+           CAST((SELECT count(*) FROM {prev}) AS BIGINT) AS n_core_edges,
+           CAST((SELECT coalesce(sum(n), 0) FROM (SELECT u AS n FROM {prev}
+                 UNION SELECT v FROM {prev})) AS BIGINT) AS node_checksum""",
+            )
+        )
+    chains = ",\n    ".join(c for c, _ in per_k)
+    selects = "\n    UNION ALL\n    ".join(s for _, s in per_k)
+    return f"""
+    WITH b AS (SELECT DISTINCT user_id, event_type,
+                      date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e0 AS MATERIALIZED (SELECT a.user_id AS u, c.user_id AS v
+           FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                              AND a.user_id < c.user_id
+           GROUP BY 1, 2 HAVING count(*) >= {_G10_MIN_SHARED}),
+    {chains}
+    {selects}
+    """
+
+
+@probe("g10_kcore", oracle=_g10_oracle())
+def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 — k-core summary (k = 2, 3) of the co-engagement graph at
+    the {min_shared}-regime with real core structure: surviving node
+    and edge counts plus a node-id checksum pinning the exact core
+    membership. The Spark side peels to the TRUE fixpoint; the oracle
+    unrolls {rounds} rounds (> the measured depth, and idempotent
+    past convergence), so a hash match certifies the whole peel
+    sequence, not just the final counts.""".format(
+        min_shared=_G10_MIN_SHARED, rounds=_G10_ROUNDS
+    )
+    edges = (
+        _memo_pairs(spark, sf_dir)
+        .filter(F.col("n_shared") >= _G10_MIN_SHARED)
+        .select("u", "v")
+    )
+    parts = []
+    for k in _G10_KS:
+        core = kcore_edges(edges, k)
+        nodes = core.select(F.col("u").alias("n")).union(
+            core.select(F.col("v").alias("n"))
+        ).distinct()
+        parts.append(
+            nodes.agg(
+                F.lit(k).alias("k"),
+                F.count(F.lit(1)).alias("n_core_nodes"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("node_checksum"),
+            )
+            # scalar, bounded: the graph family's count discipline
+            .withColumn("n_core_edges", F.lit(core.count()).cast("long"))
+            .select("k", "n_core_nodes", "n_core_edges", "node_checksum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -67,6 +67,11 @@ def _load(path: str) -> dict:
         # per-probe pass-1 shuffle-write MB (r15+ BENCH_DETAIL records);
         # absent or -1 entries mean unknown.
         "shuffle": d.get("queries_shuffle_mb") or {},
+        # r15.2+: "noop" (full evaluation to the noop sink); absent =
+        # the count() method rounds 1-15.1 used, which let Catalyst
+        # skip cardinality-preserving work (projections; in the x25
+        # class, the whole plan).
+        "eval": d.get("eval", "count"),
     }
     return out
 
@@ -89,6 +94,14 @@ def main() -> None:
         f"sched {b['sched']:.3f} -> {n['sched']:.3f} "
         f"({n['sched'] / b['sched']:.2f}x scheduler)"
     )
+    if b["eval"] != n["eval"]:
+        print(
+            f"note: EVAL METHOD differs ({b['eval']} vs {n['eval']}) — "
+            "wall ratios below include the method delta (noop fully "
+            "evaluates what count() let Catalyst skip); shuffle deltas "
+            "for probes whose count-plan was elided (x25 class) will "
+            "show the REAL plan appearing, not a regression"
+        )
     for side, rec in (("base", b), ("new", n)):
         if not rec["min_of_2"]:
             print(

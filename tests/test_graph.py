@@ -520,3 +520,43 @@ def test_g9_assortativity_matches_numpy(spark):
     by_deg = {r.degree: r for r in rows}
     ks = sorted({deg[u] for u, _ in e} | {deg[v] for _, v in e})
     assert set(by_deg) == set(ks)
+
+
+def test_g10_kcore_peels_to_fixpoint(spark):
+    """Constructed graph: a triangle with a pendant tail. The 2-core
+    must peel the tail (and transitively nothing else), the 3-core
+    must peel everything (triangle nodes have degree 2), and a second
+    peel of an already-converged core is a no-op."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        kcore_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    core2 = sorted((r.u, r.v) for r in kcore_edges(edges, 2).collect())
+    assert core2 == [(1, 2), (1, 3), (2, 3)]
+    assert kcore_edges(edges, 3).count() == 0
+    again = sorted(
+        (r.u, r.v)
+        for r in kcore_edges(
+            spark.createDataFrame(core2, "u long, v long"), 2
+        ).collect()
+    )
+    assert again == core2
+
+
+def test_g10_probe_cores_nest(spark):
+    """On the real corpus the 3-core must be a subgraph of the 2-core
+    (counts and checksum can only shrink), and the probe's summary
+    row arithmetic must be internally consistent."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        g10_kcore,
+    )
+
+    rows = {r.k: r for r in g10_kcore(spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {2, 3}
+    assert rows[3].n_core_nodes <= rows[2].n_core_nodes
+    assert rows[3].n_core_edges <= rows[2].n_core_edges
+    assert rows[3].node_checksum <= rows[2].node_checksum
+    assert rows[2].n_core_nodes > 0, "ms=4 regime must have a real 2-core"
