@@ -3992,3 +3992,62 @@ def a28_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("p_transition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL2 — recursive CTE (Spark 4's WITH RECURSIVE), shared-text: the
+# iterative per-customer walk that sql1 does with scripting and the
+# graph family does with driver loops, expressed as ONE recursive SQL
+# statement both engines run verbatim. The walk is a UNIQUE-PATH
+# recursion — each step extends (custkey, rank) to (custkey, rank+1),
+# so row multiplicity never grows (Spark's recursive UNION is
+# UNION ALL-only; a multi-path propagation would blow up) — and the
+# depth is bounded by max orders per customer (25 on this corpus,
+# under Spark's default 100-level recursion limit). At 100 TB the
+# recursion plans like the hand-written loop: one equi-join per level
+# keyed (custkey, rank), partial-aggregated at the end.
+# ---------------------------------------------------------------------------
+
+#: Stop extending a customer's walk once cumulative spend reaches this
+#: many cents (~4 orders at the corpus mean) — some customers reach it,
+#: customers with few/cheap orders exhaust their history instead.
+_SQL2_STOP_CENTS = 100_000_000
+
+_SQL2_SHARED_SQL = f"""
+    WITH RECURSIVE seq AS (
+      SELECT o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rk,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    walk AS (
+      SELECT o_custkey, rk, cents AS cum_cents
+      FROM seq WHERE rk = 1
+      UNION ALL
+      SELECT s.o_custkey, s.rk, w.cum_cents + s.cents
+      FROM walk w JOIN seq s
+        ON s.o_custkey = w.o_custkey AND s.rk = w.rk + 1
+      WHERE w.cum_cents < {_SQL2_STOP_CENTS}
+    )
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders_walked,
+           CAST(max(cum_cents) AS BIGINT) AS cum_cents_at_stop,
+           CAST(CASE WHEN max(cum_cents) >= {_SQL2_STOP_CENTS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS reached
+    FROM walk GROUP BY o_custkey
+"""
+
+
+@probe("sql2_recursive_cte", oracle=_SQL2_SHARED_SQL)
+def sql2_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL2 — data-driven recursion via Spark 4's WITH RECURSIVE
+    (block comment above): per customer, walk orders in date order
+    accumulating exact cents until the stop threshold, and report how
+    many orders the walk consumed, the cumulative spend where it
+    stopped, and whether the threshold was reached. One dialect-
+    neutral SQL string runs verbatim on BOTH engines (the q1sql
+    discipline: floor(x*100 + 0.5) cents, ANSI text)."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL2_SHARED_SQL)

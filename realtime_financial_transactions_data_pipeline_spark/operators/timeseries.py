@@ -2056,3 +2056,81 @@ def a29_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bounce_sessions"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# T15 — the BUILT-IN session_window in batch mode (a29's manual-island
+# twin): Spark's streaming session operator groups batch rows too, and
+# running both against one corpus pins their boundary semantics
+# against each other. The rules differ at exactly gap: session_window
+# opens a NEW session when next - prev >= gap (the window closes at
+# last_ts + gap, exclusive), while a29's lag rule keeps next - prev ==
+# gap in-session. The oracle replays session_window's >= rule; the
+# unit test certifies the two probes agree everywhere except ==gap
+# adjacencies. Events truncate to whole seconds first — session_window
+# compares raw microseconds, the epoch-seconds oracle can't see them.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "t15_session_window_builtin",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) // 1000 AS s,
+             lag(epoch_ms(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ms(ts) // 1000,
+                                                      event_id) AS prev_s
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, s,
+             CASE WHEN prev_s IS NULL OR s - prev_s >= {_A29_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    sess AS (
+      SELECT user_id, s,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             max(s) - min(s) + {_A29_GAP_S} AS span_s
+      FROM sess GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(span_s) AS BIGINT) AS max_window_span_s
+    FROM per_session GROUP BY user_id
+    """,
+)
+def t15_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 — per-user session panel via the BUILT-IN
+    ``session_window`` aggregating a BATCH frame (block comment
+    above): session count, event total, and the widest session window
+    (window end = last event + gap, so span = last - first + gap).
+    Events truncate to whole epoch seconds before windowing so the
+    engine's microsecond comparisons and the oracle's integer ones
+    see identical gaps."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").cast("timestamp").alias("tss"),
+    )
+    per_session = e.groupBy(
+        "user_id", F.session_window("tss", f"{_A29_GAP_S} seconds")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_session.select(
+            "user_id",
+            "n_events",
+            (
+                F.col("session_window.end").cast("long")
+                - F.col("session_window.start").cast("long")
+            ).alias("span_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("span_s").alias("max_window_span_s"),
+        )
+    )

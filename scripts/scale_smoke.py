@@ -72,6 +72,19 @@ MATRIX = {
     # x24 Σ df(g)² floor. 100x = 500 k docs joins the dedup chain's
     # two-orders-of-magnitude club.
     "x25_repeated_substring_spans": ("documents", (1, 10, 100)),
+    # x26 rides x25's span machinery cross-corpus plus a (doc_id, pos)
+    # anti join and a per-doc reassembly fold — the removal path must
+    # track token count like the detection path does. Forced like x25
+    # (its panel is also a distinct-key left join).
+    "x26_span_decontamination": ("documents", (1, 10)),
+    # r15.2: the two new join-shaped scale probes measured on the
+    # TPC-H-shaped group. Bloom semi join: the bitmap is scale-
+    # invariant (2 KiB literal), so fact growth should be pure scan +
+    # surviving-fraction join. Salted join: the hot key (1/3 of all
+    # rows) spreads over 8 reducers; growth should track input, not
+    # the hot key's square.
+    "scale_bloom_semijoin": ("tpch", (1, 10, 100)),
+    "scale_salted_join": ("tpch", (1, 10)),
     # 100x = 500 k docs (VERDICT r13 stretch #8): one family measured
     # at two orders of magnitude, turning the "survives 100x" claim
     # from extrapolation into measurement for the banding + label-
@@ -251,9 +264,26 @@ def _x25_forced(spark: SparkSession, sf_dir: str):
     )
 
 
+def _x26_forced(spark: SparkSession, sf_dir: str):
+    """x26 forced the same way as x25 (distinct-key left-join panel):
+    sum of cleaned-text lengths consumes the reassembly fold too."""
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+        x26_span_decontamination,
+    )
+
+    return x26_span_decontamination(spark, sf_dir).agg(
+        F.sum(F.length("clean_text")).alias("clen"),
+        F.sum("removed_tokens").alias("rm"),
+        F.sum("n_spans").alias("ns"),
+    )
+
+
 #: smoke-only entries that are not registry probes
 CUSTOM = {
     "x25_repeated_substring_spans": _x25_forced,
+    "x26_span_decontamination": _x26_forced,
     "cc_default_nopin": _cc_default_nopin,
     "pairs_shuffle_fallback": _pairs_shuffle_fallback,
     "q1_bucketed_star": _q1_bucketed_star,

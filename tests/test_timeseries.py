@@ -890,3 +890,42 @@ def test_a29_sessionization_brute_force(spark):
     # the corpus must exercise both regimes
     assert any(v[0] > 1 for v in want.values())
     assert any(v[4] > 0 for v in want.values())
+
+
+def test_t15_builtin_agrees_with_a29_up_to_boundary(spark):
+    """The built-in session_window and a29's manual islands implement
+    the same gap rule except at EXACTLY gap-sized adjacencies (the
+    built-in splits, the lag rule merges), so per-user session counts
+    may differ only where such an adjacency exists — and event totals
+    must always match."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        _A29_GAP_S,
+        a29_batch_sessionization,
+        t15_session_window_builtin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.user_id: r for r in a29_batch_sessionization(spark, sf).collect()}
+    t = {r.user_id: r for r in t15_session_window_builtin(spark, sf).collect()}
+    assert set(a) == set(t)
+    exact_gap_users = {
+        row[0]
+        for row in duckdb.sql(
+            f"""WITH e AS (
+                  SELECT user_id, epoch_ms(ts) // 1000 AS s,
+                         lag(epoch_ms(ts) // 1000) OVER (
+                           PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000,
+                           event_id) AS prev_s
+                  FROM read_parquet('{sf}/events.parquet'))
+                SELECT DISTINCT user_id FROM e
+                WHERE s - prev_s = {_A29_GAP_S}"""
+        ).fetchall()
+    }
+    for uid in a:
+        assert a[uid].n_events == t[uid].n_events
+        if uid not in exact_gap_users:
+            assert a[uid].n_sessions == t[uid].n_sessions, uid
+        else:
+            assert t[uid].n_sessions >= a[uid].n_sessions, uid
