@@ -1545,3 +1545,49 @@ def scale_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_aqe_coalesce — AQE partition coalescing, the third leg of the
+# adaptive story this family measures (scale_dynamic_pruning = runtime
+# pruning, scale_salted_agg/join = skew): a grouped aggregate whose
+# output is tiny still inherits spark.sql.shuffle.partitions reduce
+# tasks — 32 here, 200 by default, THOUSANDS in a tuned 100 TB job —
+# and without AQE every one of them is scheduled, most to process a
+# few rows. With adaptive coalescing the runtime folds the post-
+# shuffle partitions down to the data's actual size after the map
+# stage reports real byte counts. The result is engine-invariant (the
+# oracle certifies that); what the probe EXISTS for is the executed
+# plan, which the test pins: AQEShuffleRead(coalesced) present,
+# final-plan flag true.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "scale_aqe_coalesce",
+    oracle="""
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_mills
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def scale_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly per-type event rollup (block comment above): ~tens of
+    output rows behind a 32-partition shuffle — the shape AQE
+    coalescing exists for. Value sums run on exact integer mills."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias(
+                "value_mills"
+            ),
+        )
+    )

@@ -462,8 +462,16 @@ def main() -> None:
             w0, r0 = shuffle_totals(app_id)
             t0 = time.time()
             fn = CUSTOM.get(name) or probes[name].fn
-            n_rows = fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            # noop-sink evaluation (the bench.py r15.2 doctrine):
+            # count() lets Catalyst skip cardinality-preserving work
+            # AND short-circuits global aggregates (count of an
+            # ungrouped agg is constant-1 — measured 3.1 s vs 13.0 s
+            # real on x26's forced sum). The noop write consumes
+            # every value.
+            df.write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
+            n_rows = df.count()  # untimed, for the report column
             w1, r1 = shuffle_totals(app_id)
             dw = (w1 - w0) / 1e6
             if base_wall is None:

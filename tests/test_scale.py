@@ -709,3 +709,23 @@ def test_stable_row_ids_contiguous_no_single_partition(spark):
     plan = inspect.formatted_plan(df)
     assert "SinglePartition" not in plan
     assert "hashpartitioning(_pid" in plan
+
+
+def test_aqe_coalesce_folds_reduce_partitions(spark):
+    """After execution the adaptive plan must show AQEShuffleRead in
+    coalesced mode with far fewer partitions than
+    spark.sql.shuffle.partitions — the scheduled-task count is the
+    thing the probe exists to shrink."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        scale_aqe_coalesce,
+    )
+
+    df = scale_aqe_coalesce(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert 0 < len(rows) < 200
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan
+    assert "isFinalPlan=true" in plan
