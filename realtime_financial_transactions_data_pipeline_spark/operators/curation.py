@@ -1025,24 +1025,36 @@ def x26_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _SPAN_K
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    # Grams travel as xxhash64 digests, the x25 discipline: the bench
+    # distinct and the semi join move 8-byte keys whether the join
+    # broadcasts or shuffles — the string-keyed form fell out of
+    # broadcast at the 10x smoke and shuffled 27x the gram bytes for
+    # 10x input. A collision can only ever over-REMOVE (mark a clean
+    # K-window contaminated, ~n²/2^65); the sf0.01 oracle replays the
+    # string-keyed law every round and would hash-mismatch on one.
     grams_expr = F.expr(
         f"explode(transform(sequence(0, size(w) - {k}),"
-        f" i -> struct(i AS pos, concat_ws(' ', slice(w, i + 1, {k})) AS gram)))"
+        f" i -> struct(i AS pos,"
+        f" xxhash64(concat_ws(' ', slice(w, i + 1, {k}))) AS h)))"
     )
     bench = toks.filter(F.col("doc_id") % _X26_BENCH_MOD == 0)
     corpus = toks.filter(F.col("doc_id") % _X26_BENCH_MOD != 0)
     bg = (
         bench.filter(F.size("w") >= k)
         .select(grams_expr.alias("g"))
-        .select(F.col("g.gram").alias("gram"))
+        .select(F.col("g.h").alias("h"))
         .distinct()
     )
     cg = (
         corpus.filter(F.size("w") >= k)
         .select("doc_id", grams_expr.alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    hit = cg.join(bg, "gram", "left_semi").select(
+    # Benchmarks are bounded by nature (eval suites, not corpora) —
+    # broadcast the digest set explicitly; on size ESTIMATES the
+    # planner dropped to a shuffle join at the 10x smoke and moved
+    # every corpus gram digest (153 MB) for a 3 MB build side.
+    hit = cg.join(F.broadcast(bg), "h", "left_semi").select(
         "doc_id", "pos", (F.col("pos") + k - 1).alias("e")
     )
     w_prev = (

@@ -4051,3 +4051,131 @@ def sql2_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL2_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL3 — LATERAL correlated subquery (shared-text): per-group top-K
+# expressed the way analysts write it — a correlated LATERAL derived
+# table instead of a window + filter. Catalyst decorrelates it into
+# the same join+window shape (DecorrelateInnerQuery), so the SQL
+# surface costs nothing physical; the probe pins that the SURFACE
+# parses and returns identical rows on both engines from one string.
+# ---------------------------------------------------------------------------
+
+_SQL3_SHARED_SQL = """
+    SELECT n_name, t.c_custkey AS custkey,
+           CAST(floor(t.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM nation,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) AS t
+"""
+
+
+@probe("sql3_lateral_topk", oracle=_SQL3_SHARED_SQL)
+def sql3_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL3 — top-2 customers by balance per nation via a correlated
+    LATERAL subquery (block comment above), one dialect-neutral string
+    run verbatim by both engines. Ties broken by c_custkey so the
+    LIMIT is deterministic."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL3_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# O12 — bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): o4
+# covers the DISTINCT variants; the ALL variants are different
+# operators with different physics — Spark plans them as aggregated
+# count-difference replications (no distinct collapse), and they are
+# what reconciliation actually needs (a row appearing 3 times in the
+# ledger and twice in the replica must surface ONCE, not vanish).
+# ---------------------------------------------------------------------------
+
+_O12_SHARED_SQL = """
+    WITH a AS (SELECT o_custkey, o_orderstatus FROM orders
+               WHERE o_orderkey % 3 <> 0),
+    b AS (SELECT o_custkey, o_orderstatus FROM orders
+          WHERE o_orderkey % 2 <> 0),
+    ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+    ic AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    SELECT 'except_all' AS op, o_custkey, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ex GROUP BY 2, 3
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ic GROUP BY 2, 3
+"""
+
+
+@probe("o12_set_ops_all", oracle=_O12_SHARED_SQL)
+def o12_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 — EXCEPT ALL and INTERSECT ALL between two overlapping
+    order slices, multiplicities preserved (block comment above),
+    grouped for a stable panel. Shared text: the identical string is
+    the DuckDB oracle."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_O12_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# O13 — UNPIVOT / melt, the inverse of the pivot this engine has had
+# since round 2: wide measure columns fold into (variable, value)
+# rows. The reference's dashboard tables are wide by construction
+# (A1-A6 stat cards); melt is how a generic charting layer consumes
+# them. Spark's Unpivot is a logical operator (Expand), zero shuffle —
+# the one exchange below belongs to the demonstration rollup.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "o13_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY o_orderpriority),
+    melted AS (
+      SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value
+      FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'n_customers', n_customers FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'revenue_cents', revenue_cents FROM wide)
+    SELECT o_orderpriority, measure, CAST(value AS BIGINT) AS value
+    FROM melted
+    """,
+)
+def o13_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 — melt a wide per-priority stat card into tidy
+    (dimension, measure, value) rows via DataFrame.unpivot (block
+    comment above). The oracle builds the same tidy relation as a
+    manual UNION ALL — engine-shape-independent semantics."""
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "n_customers", "revenue_cents"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

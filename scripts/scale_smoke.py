@@ -365,6 +365,10 @@ def gen_tpch(spark: SparkSession, n: int, path: str) -> None:
         (F.pmod(F.xxhash64("id", F.lit(13)), F.lit(11)) / 100.0).alias(
             "l_discount"
         ),
+        # r15.2: the join-shaped scale probes need these
+        (F.pmod(F.xxhash64("id", F.lit(17)), F.lit(7)) + 1)
+        .cast("int")
+        .alias("l_linenumber"),
     ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
     spark.range(n_orders).select(
         F.col("id").alias("o_orderkey"),
@@ -376,10 +380,22 @@ def gen_tpch(spark: SparkSession, n: int, path: str) -> None:
         F.expr(
             "element_at(array('O','F','P'), CAST(pmod(xxhash64(id, 16), 3) AS INT) + 1)"
         ).alias("o_orderstatus"),
+        ((F.pmod(F.xxhash64("id", F.lit(18)), F.lit(45_000_000)) + 100_000)
+         / 100.0).alias("o_totalprice"),
+        F.expr(
+            "element_at(array('1-URGENT','2-HIGH','3-MEDIUM',"
+            "'4-NOT SPECIFIED','5-LOW'),"
+            " CAST(pmod(xxhash64(id, 19), 5) AS INT) + 1)"
+        ).alias("o_orderpriority"),
     ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
     spark.range(n_cust).select(
         F.col("id").alias("c_custkey"),
         F.pmod("id", F.lit(25)).cast("long").alias("c_nationkey"),
+        F.expr(
+            "element_at(array('AUTOMOBILE','BUILDING','FURNITURE',"
+            "'HOUSEHOLD','MACHINERY'),"
+            " CAST(pmod(xxhash64(id, 20), 5) AS INT) + 1)"
+        ).alias("c_mktsegment"),
     ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
     spark.range(25).select(
         F.col("id").alias("n_nationkey"),
