@@ -171,7 +171,8 @@ DRIVER_WINDOW = 50
 #: x26_span_decontamination, a29_batch_sessionization,
 #: scale_salted_join, scale_stable_row_ids, g10_kcore,
 #: sql2_recursive_cte, t15_session_window_builtin,
-#: scale_aqe_coalesce)
+#: scale_aqe_coalesce, sql3_lateral_topk, o12_set_ops_all,
+#: o13_unpivot_melt)
 #: were
 #: added after this rotation was rehearsed and wait for cohort 10,
 #: after which rotations are pure re-verification, oldest-green-first.
