@@ -4179,3 +4179,88 @@ def o13_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# A30 — A/B assignment + sample-ratio-mismatch audit: deterministic
+# 50/50 hash assignment of users to arms (the counter-based md5
+# uniform x8 established — engine-portable, shuffle-free, stable
+# across reruns and backfills), then the chi-square SRM test every
+# experimentation platform runs before trusting a readout (an SRM is
+# the canonical sign of broken exposure logging). One distinct-user
+# shuffle, one 2-row aggregate; the statistic is plain arithmetic on
+# the counts, so the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+_A30_SEED = 1337
+#: chi-square critical value, df=1, alpha=0.05
+_A30_CHI2_CRIT = 3.841
+
+
+@probe(
+    "a30_ab_assignment_srm",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT user_id,
+             CASE WHEN (('0x' || substr(md5('{_A30_SEED}-' ||
+                         CAST(user_id AS VARCHAR)), 1, 8))::UINTEGER
+                        / 4294967296.0) < 0.5
+                  THEN 'treatment' ELSE 'control' END AS arm
+      FROM u),
+    c AS (SELECT
+            count(CASE WHEN arm = 'treatment' THEN 1 END) AS n_t,
+            count(CASE WHEN arm = 'control' THEN 1 END) AS n_c
+          FROM arms)
+    SELECT CAST(n_t AS BIGINT) AS n_treatment,
+           CAST(n_c AS BIGINT) AS n_control,
+           round(power(n_t - (n_t + n_c) / 2.0, 2) / ((n_t + n_c) / 2.0)
+                 + power(n_c - (n_t + n_c) / 2.0, 2) / ((n_t + n_c) / 2.0),
+                 4) AS chi2,
+           CAST(CASE WHEN
+                power(n_t - (n_t + n_c) / 2.0, 2) / ((n_t + n_c) / 2.0)
+                + power(n_c - (n_t + n_c) / 2.0, 2) / ((n_t + n_c) / 2.0)
+                > {_A30_CHI2_CRIT} THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM c
+    """,
+)
+def a30_ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 — deterministic A/B arm assignment with the
+    sample-ratio-mismatch chi-square audit (block comment above).
+    Assignment is the portable md5 uniform, so the identical users
+    land in the identical arms on both engines and across reruns."""
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    uniform = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{_A30_SEED}-"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    arms = u.select(
+        F.when(uniform < 0.5, F.lit("treatment"))
+        .otherwise(F.lit("control"))
+        .alias("arm")
+    )
+    c = arms.agg(
+        F.count(F.when(F.col("arm") == "treatment", 1)).alias("n_t"),
+        F.count(F.when(F.col("arm") == "control", 1)).alias("n_c"),
+    )
+    half = (F.col("n_t") + F.col("n_c")) / F.lit(2.0)
+    chi2 = (
+        F.pow(F.col("n_t") - half, 2) / half
+        + F.pow(F.col("n_c") - half, 2) / half
+    )
+    return c.select(
+        F.col("n_t").alias("n_treatment"),
+        F.col("n_c").alias("n_control"),
+        dround(chi2, 4).alias("chi2"),
+        F.when(chi2 > _A30_CHI2_CRIT, 1).otherwise(0).cast("long").alias(
+            "srm_flag"
+        ),
+    )

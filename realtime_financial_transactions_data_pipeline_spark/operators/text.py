@@ -1252,3 +1252,102 @@ def x3n_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X27 — vocabulary coverage curve (tokenizer sizing): for a frequency-
+# ranked vocabulary, the minimal vocab size whose cumulative frequency
+# covers 90 / 95 / 99 % of all token occurrences, plus the coverage a
+# fixed budget (top-1000) buys. THE sizing analytic for tokenizer and
+# embedding-table design — x3m fits the Zipf slope, this answers the
+# decision question the slope implies. One term-count shuffle, one
+# rank window over the (already tiny) vocab relation, one aggregate.
+# Ties in frequency rank by term so both engines walk the identical
+# cumulative order.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x27_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS term
+      FROM documents),
+    tc AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    ranked AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rnk,
+             sum(freq) OVER (ORDER BY freq DESC, term
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+      FROM tc),
+    tot AS (SELECT sum(freq) AS total FROM tc)
+    SELECT CAST(tot.total AS BIGINT) AS total_tokens,
+           CAST((SELECT count(*) FROM tc) AS BIGINT) AS vocab_size,
+           CAST(min(CASE WHEN cum >= 0.90 * tot.total THEN rnk END)
+                AS BIGINT) AS v90,
+           CAST(min(CASE WHEN cum >= 0.95 * tot.total THEN rnk END)
+                AS BIGINT) AS v95,
+           CAST(min(CASE WHEN cum >= 0.99 * tot.total THEN rnk END)
+                AS BIGINT) AS v99,
+           round(max(CASE WHEN rnk <= 1000 THEN cum ELSE 0 END)
+                 / CAST(tot.total AS DOUBLE), 4) AS top1000_coverage
+    FROM ranked, tot GROUP BY tot.total
+    """,
+)
+def x27_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 — vocabulary coverage curve (block comment above). The
+    global rank window runs over the VOCAB relation (unique terms —
+    thousands, not corpus-sized), so the unpartitioned window is a
+    bounded-input operation by construction, the same budget class as
+    a24's ntile quartiles."""
+    from pyspark.sql import Window
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0)
+        ).alias("term")
+    )
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    ranked = tc.select(
+        "freq",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("freq")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = tc.agg(
+        F.sum("freq").alias("total"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("total")
+        .agg(
+            F.max("vocab_size").alias("vocab_size"),
+            F.min(
+                F.when(F.col("cum") >= 0.90 * F.col("total"), F.col("rnk"))
+            ).cast("long").alias("v90"),
+            F.min(
+                F.when(F.col("cum") >= 0.95 * F.col("total"), F.col("rnk"))
+            ).cast("long").alias("v95"),
+            F.min(
+                F.when(F.col("cum") >= 0.99 * F.col("total"), F.col("rnk"))
+            ).cast("long").alias("v99"),
+            dround(
+                F.max(
+                    F.when(F.col("rnk") <= 1000, F.col("cum")).otherwise(0)
+                ).cast("double")
+                / F.col("total"),
+                4,
+            ).alias("top1000_coverage"),
+        )
+        .select(
+            F.col("total").alias("total_tokens"),
+            "vocab_size",
+            "v90",
+            "v95",
+            "v99",
+            "top1000_coverage",
+        )
+    )

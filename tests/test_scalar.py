@@ -257,3 +257,23 @@ def test_a28_transitions_brute_force(spark):
     for src in src_tot:
         s = sum(r.p_transition for k, r in got.items() if k[0] == src)
         assert abs(s - 1.0) < 1e-2  # rounding slack, 4 dp per cell
+
+
+def test_a30_assignment_deterministic_and_balanced(spark):
+    """The md5 arm assignment is a pure function of user_id (two runs
+    agree), the split is near-50/50 on this corpus, and the chi2
+    arithmetic matches a Python replay."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        a30_ab_assignment_srm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r1 = a30_ab_assignment_srm(spark, sf).collect()[0]
+    r2 = a30_ab_assignment_srm(spark, sf).collect()[0]
+    assert r1 == r2
+    n_t, n_c = r1.n_treatment, r1.n_control
+    assert n_t + n_c > 0
+    half = (n_t + n_c) / 2.0
+    chi2 = (n_t - half) ** 2 / half + (n_c - half) ** 2 / half
+    assert abs(r1.chi2 - round(chi2, 4)) < 1e-9
+    assert r1.srm_flag == (1 if chi2 > 3.841 else 0)

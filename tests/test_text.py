@@ -190,3 +190,39 @@ def test_x3n_boilerplate_brute_force(spark):
     # fully unique) — otherwise the hash couldn't certify the flag.
     ratios = [v[2] for v in got.values()]
     assert any(r > 0 for r in ratios) and any(r == 0 for r in ratios)
+
+
+def test_x27_coverage_monotone_and_bruteforce(spark):
+    """v90 <= v95 <= v99 <= vocab_size, and every number equals a
+    pure-Python frequency-rank replay at sf0.001."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import (
+        x27_vocab_coverage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    freq = Counter()
+    for (t,) in docs:
+        freq.update(re.findall(r"[a-zA-Z0-9]+", t.lower()))
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    cum, v, cov1000 = 0, {}, 0.0
+    for i, (term, f) in enumerate(ranked, 1):
+        cum += f
+        for q in (0.90, 0.95, 0.99):
+            if q not in v and cum >= q * total:
+                v[q] = i
+        if i <= 1000:
+            cov1000 = cum / total
+    r = x27_vocab_coverage(spark, sf).collect()[0]
+    assert (r.total_tokens, r.vocab_size) == (total, len(ranked))
+    assert (r.v90, r.v95, r.v99) == (v[0.90], v[0.95], v[0.99])
+    assert abs(r.top1000_coverage - round(cov1000, 4)) < 1e-9
+    assert r.v90 <= r.v95 <= r.v99 <= r.vocab_size
