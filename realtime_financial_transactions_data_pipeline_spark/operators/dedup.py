@@ -650,15 +650,22 @@ def x25_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by doc_id, so no executor ever holds more than one
     document's positions."""
     d = load_table(spark, sf_dir, "documents")
+    return repeated_spans_panel(d)
+
+
+def repeated_spans_panel(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """x25's core over any (doc_id, text) frame — exposed so property
+    tests can drive it with constructed corpora (hypothesis generates
+    token lists, a pure-Python interval union is the reference)."""
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     grams = (
-        toks.filter(F.size("w") >= _SPAN_K)
+        toks.filter(F.size("w") >= k)
         .select(
             "doc_id",
             F.expr(
-                f"explode(transform(sequence(0, size(w) - {_SPAN_K}),"
+                f"explode(transform(sequence(0, size(w) - {k}),"
                 f" i -> struct(i AS pos,"
-                f" xxhash64(concat_ws(' ', slice(w, i + 1, {_SPAN_K}))) AS h)))"
+                f" xxhash64(concat_ws(' ', slice(w, i + 1, {k}))) AS h)))"
             ).alias("g"),
         )
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
@@ -668,7 +675,7 @@ def x25_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.withColumn("_mn", F.min("doc_id").over(w_g))
         .withColumn("_mx", F.max("doc_id").over(w_g))
         .filter(F.col("_mn") != F.col("_mx"))
-        .select("doc_id", "pos", (F.col("pos") + _SPAN_K - 1).alias("e"))
+        .select("doc_id", "pos", (F.col("pos") + k - 1).alias("e"))
     )
     w_prev = (
         Window.partitionBy("doc_id")

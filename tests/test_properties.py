@@ -501,3 +501,71 @@ def test_bfs_hops_match_brute_force(spark, raw, max_hops):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r.u: r.hop for r in bfs_hops(df, max_hops=max_hops).collect()}
     assert got == expected
+
+
+def test_repeated_spans_panel_matches_python_reference(spark):
+    """Property: for arbitrary small corpora over a 3-token alphabet
+    (maximizing cross-doc repeats and merge edge cases), the
+    distributed span panel equals a pure-Python posting-list +
+    interval-union reference, at k=2. Drives the same law x25/x26/o11
+    share through adversarial shapes hypothesis finds: overlapping
+    repeats, back-to-back islands, whole-doc repeats, sub-k docs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        repeated_spans_panel,
+    )
+
+    K = 2
+
+    def reference(corpus):
+        gram_docs = {}
+        for did, words in enumerate(corpus):
+            for i in range(len(words) - K + 1):
+                gram_docs.setdefault(tuple(words[i : i + K]), set()).add(did)
+        out = {}
+        for did, words in enumerate(corpus):
+            hits = [
+                i
+                for i in range(len(words) - K + 1)
+                if len(gram_docs[tuple(words[i : i + K])]) >= 2
+            ]
+            spans = []
+            for p in hits:
+                e = p + K - 1
+                if spans and p <= spans[-1][1] + 1:
+                    spans[-1][1] = max(spans[-1][1], e)
+                else:
+                    spans.append([p, e])
+            out[did] = (
+                len(words),
+                len(spans),
+                sum(e - s + 1 for s, e in spans),
+            )
+        return out
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=8),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(corpus):
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.doc_tokens, r.n_spans, r.repeated_tokens)
+            for r in repeated_spans_panel(df, k=K).collect()
+        }
+        assert got == reference(corpus)
+
+    run()
