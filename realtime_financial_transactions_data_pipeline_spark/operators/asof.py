@@ -692,3 +692,129 @@ def j10_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ver_id").alias("version_id"),
         F.date_format("vf", _J10_FMT).alias("version_valid_from"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J12 — temporal FX conversion: the reference's domain (financial
+# transactions) applied to the as-of machinery — convert every order's
+# total into base currency at the rate IN EFFECT on its order date,
+# from a rate table that is deliberately SPARSE (rates publish every
+# third day, so the lookup is a genuine as-of, not an equi-join).
+# Rates are hash-derived integer basis points and the conversion is
+# cents × bps // 10000 — integer end-to-end, so the monthly rollup
+# hash has no float in it. The oracle runs DuckDB's native ASOF JOIN
+# against the identical derived rate relation: two engines, two as-of
+# IMPLEMENTATIONS (our union-window plan vs their range join), one
+# certified result.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "j12_temporal_fx",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS month,
+             (['USD','EUR','GBP','JPY','CHF'])[
+                        CAST(o_orderkey % 5 AS INTEGER) + 1] AS ccy,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    days AS (
+      SELECT DISTINCT d FROM o
+      WHERE CAST(epoch_ms(CAST(d AS TIMESTAMP)) // 86400000 AS BIGINT) % 3 = 0),
+    fx AS (
+      SELECT c.ccy, days.d AS fx_date,
+             5000 + CAST(('0x' || substr(md5(c.ccy || '@' ||
+                     strftime(days.d, '%Y-%m-%d')), 1, 8)) AS BIGINT) % 10000
+               AS rate_bps
+      FROM days, (SELECT unnest(['USD','EUR','GBP','JPY','CHF']) AS ccy) c),
+    conv AS (
+      SELECT o.month, o.ccy, o.cents,
+             fx.rate_bps,
+             o.cents * fx.rate_bps // 10000 AS base_cents
+      FROM o ASOF JOIN fx ON o.ccy = fx.ccy AND o.d >= fx.fx_date)
+    SELECT month, ccy,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS native_cents,
+           CAST(sum(base_cents) AS BIGINT) AS base_cents
+    FROM conv GROUP BY month, ccy
+    """,
+)
+def j12_temporal_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 — monthly revenue by currency converted at the as-of FX
+    rate (block comment above). Spark side: derive the sparse rate
+    relation with the same portable md5 bps law, reduce nothing (one
+    rate per (ccy, fx_date) by construction), and run the engine's
+    asof_join; orders whose date precedes the first rate publication
+    are excluded by the inner-asof semantics on BOTH engines (DuckDB
+    ASOF JOIN is inner by default; we filter the null matches)."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    ccys = ["USD", "EUR", "GBP", "JPY", "CHF"]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in ccys]),
+            (F.col("o_orderkey") % 5).cast("int") + 1,
+        ).alias("ccy"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    days = (
+        o.select("d")
+        .distinct()
+        .filter(
+            F.pmod(
+                (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400)
+                .cast("long"),
+                F.lit(3),
+            )
+            == 0
+        )
+    )
+    fx = days.crossJoin(
+        o.sparkSession.createDataFrame([(c,) for c in ccys], "ccy string")
+    ).select(
+        "ccy",
+        F.col("d").alias("fx_date"),
+        (
+            F.lit(5000)
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("ccy"),
+                            F.lit("@"),
+                            F.date_format("d", "yyyy-MM-dd"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ).alias("rate_bps"),
+    )
+    joined = asof_join(
+        o.withColumn("_ets", F.col("d").cast("timestamp")),
+        fx.withColumn("_fts", F.col("fx_date").cast("timestamp")),
+        key="ccy",
+        left_ts="_ets",
+        right_ts="_fts",
+        right_payload=["rate_bps"],
+    ).filter(F.col("rate_bps").isNotNull())
+    conv = joined.withColumn(
+        "base_cents",
+        F.floor(F.col("cents") * F.col("rate_bps") / F.lit(10000)).cast("long"),
+    )
+    return conv.groupBy("month", "ccy").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("native_cents"),
+        F.sum("base_cents").alias("base_cents"),
+    )

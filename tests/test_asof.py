@@ -261,3 +261,23 @@ def test_pit_join_expiry_gap_and_boundaries(spark):
     }
     assert got == {100: 10, 101: 10, 102: None, 103: None,
                    104: 30, 105: None, 106: None}
+
+
+def test_j12_temporal_fx_rate_law_and_coverage(spark):
+    """The as-of FX conversion: rates are bounded bps (the hash law),
+    conversion is exact-integer per order (sum(base) <= 1.5 * sum
+    (native) by the law's 15000 bps ceiling), two invocations agree,
+    and sparse publication really excludes pre-first-rate orders on
+    some month or covers all — either way deterministically."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.asof import (
+        j12_temporal_fx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows1 = sorted(map(tuple, j12_temporal_fx(spark, sf).collect()))
+    rows2 = sorted(map(tuple, j12_temporal_fx(spark, sf).collect()))
+    assert rows1 == rows2 and rows1
+    for month, ccy, n, native, base in rows1:
+        assert n > 0 and native > 0
+        # rate_bps in [5000, 15000) -> base in [native/2, native*1.5)
+        assert native // 2 - n <= base < native * 3 // 2 + n
