@@ -910,3 +910,119 @@ def dq9_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_negative long, n_users long, value_mills long",
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ11 — exact two-sample Kolmogorov–Smirnov drift (dq3's PSI is the
+# binned drift detector; KS is the EXACT, bin-free one: sup |F1 − F2|
+# over the pooled empirical CDFs). The textbook computation is a
+# global-sort cumulative window — a SinglePartition collapse at
+# corpus scale — so this uses the scale_stable_row_ids two-phase
+# pattern instead: range-repartition the pooled values (equal keys
+# land in one partition, so tie peers never straddle a boundary), pin
+# the layout with ONE localCheckpoint, take bounded per-partition
+# sample counts (one row per partition), prefix-sum them driver-side
+# into per-sample offsets, and evaluate both ECDFs with per-partition
+# RANGE windows (peers at equal v included — the ECDF's right-
+# continuous law, identical on both engines). The supremum is a plain
+# max aggregate.
+# ---------------------------------------------------------------------------
+
+#: KS critical coefficient at alpha = 0.05 (two-sided): c(α) = 1.358.
+_DQ11_C_ALPHA = 1.358
+
+
+def ks_two_sample(pooled: DataFrame, n_parts: int = 32) -> DataFrame:
+    """Exact KS D over a (v: long, s: 1|2) pooled frame, distributed
+    (block comment above). Returns one row: n1, n2, ks_d, drift_flag."""
+    from pyspark.sql import Window
+
+    parted = (
+        pooled.repartitionByRange(n_parts, "v")
+        .sortWithinPartitions("v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        (r._pid, r.s): r.n
+        for r in parted.groupBy("_pid", "s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pids = sorted({p for p, _ in counts})
+    off, acc = {}, {1: 0, 2: 0}
+    for pid in pids:
+        off[pid] = (acc[1], acc[2])
+        acc[1] += counts.get((pid, 1), 0)
+        acc[2] += counts.get((pid, 2), 0)
+    n1, n2 = acc[1], acc[2]
+    o1 = "map(" + ",".join(f"{p}, {v[0]}L" for p, v in off.items()) + ")"
+    o2 = "map(" + ",".join(f"{p}, {v[1]}L" for p, v in off.items()) + ")"
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    c1 = (
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).over(w)
+        + F.element_at(F.expr(o1), F.col("_pid"))
+    ).cast("double") / F.lit(float(n1))
+    c2 = (
+        F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).over(w)
+        + F.element_at(F.expr(o2), F.col("_pid"))
+    ).cast("double") / F.lit(float(n2))
+    crit = _DQ11_C_ALPHA * ((n1 + n2) / (n1 * n2)) ** 0.5
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+
+    return parted.select(F.abs(c1 - c2).alias("d")).agg(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        dround(F.max("d"), 4).alias("ks_d"),
+        F.when(F.max("d") > crit, 1).otherwise(0).cast("long").alias(
+            "drift_flag"
+        ),
+    )
+
+
+@probe(
+    "dq11_ks_drift",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 2 END AS s
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+    n AS (SELECT count(CASE WHEN s = 1 THEN 1 END) AS n1,
+                 count(CASE WHEN s = 2 THEN 1 END) AS n2 FROM p),
+    c AS (
+      SELECT
+        sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) OVER w AS c1,
+        sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) OVER w AS c2
+      FROM p
+      WINDOW w AS (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           round(max(abs(c1 / CAST(n.n1 AS DOUBLE)
+                         - c2 / CAST(n.n2 AS DOUBLE))), 4) AS ks_d,
+           CAST(CASE WHEN max(abs(c1 / CAST(n.n1 AS DOUBLE)
+                                  - c2 / CAST(n.n2 AS DOUBLE)))
+                     > {_DQ11_C_ALPHA} * sqrt((n.n1 + n.n2)
+                                              / (CAST(n.n1 AS DOUBLE) * n.n2))
+                THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+    FROM c, n GROUP BY n.n1, n.n2
+    """,
+)
+def dq11_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ11 — exact two-sample KS between the 1996 and 1997 order-
+    value distributions (block comment above): D, sample sizes, and
+    the alpha = 0.05 decision. The oracle is the textbook global
+    window; the implementation is the distributed two-phase ECDF —
+    same numbers, no SinglePartition."""
+    pooled = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+            F.when(F.year("o_orderdate") == 1996, 1).otherwise(2).alias("s"),
+        )
+    )
+    return ks_two_sample(pooled)

@@ -440,3 +440,50 @@ def test_dq9_observation_matches_recompute(spark):
     observed.write.mode("overwrite").format("noop").save()
     got = obs.get
     assert got["n"] == 3 and got["neg"] == 1 and got["vm"] == 1500
+
+
+def test_dq11_ks_matches_scipyless_reference_and_plan(spark):
+    """The distributed two-phase ECDF equals a pure-Python KS on the
+    same slices at sf0.001 (including tie handling via the pooled
+    right-continuous ECDF), and the plan has no SinglePartition —
+    the whole point of the two-phase form."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.quality import (
+        _DQ11_C_ALPHA,
+        dq11_ks_drift,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT) v,
+                   CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 2 END s
+            FROM read_parquet('{sf}/orders.parquet')
+            WHERE year(o_orderdate) IN (1996, 1997)"""
+    ).fetchall()
+    s1 = sorted(v for v, s in rows if s == 1)
+    s2 = sorted(v for v, s in rows if s == 2)
+    n1, n2 = len(s1), len(s2)
+    xs = sorted(set(s1) | set(s2))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(s1, x) / n1
+            - bisect.bisect_right(s2, x) / n2
+        )
+        for x in xs
+    )
+    df = dq11_ks_drift(spark, sf)
+    r = df.collect()[0]
+    assert (r.n1, r.n2) == (n1, n2)
+    assert abs(r.ks_d - round(d, 4)) < 1e-9
+    crit = _DQ11_C_ALPHA * ((n1 + n2) / (n1 * n2)) ** 0.5
+    assert r.drift_flag == (1 if d > crit else 0)
+    # The ECDF window must run per range-partition (hashpartitioning
+    # on _pid), never over one global sort. The only SinglePartition
+    # allowed is the final 1-row max collapse, so assert the window's
+    # exchange key rather than blanket-banning the string.
+    plan = inspect.formatted_plan(df)
+    assert "Window" in plan and "hashpartitioning(_pid" in plan
