@@ -559,3 +559,114 @@ def s14_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s14-customer-xml", source_fingerprint(sf_dir, "customer"), build
     )
     return read_xml_records(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# S18 — Debezium-shaped CDC envelope ingestion: the wire format every
+# log-based CDC connector emits — {"op": c|u|d, "ts_ms": N, "before":
+# {...}|null, "after": {...}|null} — parsed with a declared schema and
+# folded to current state. K6/K8 consume an already-relational
+# changelog; this is the step BEFORE them, where the envelope's
+# nullable before/after structs and op routing live. Envelopes are
+# synthesized deterministically from orders (create for every key,
+# update for key%3=0 a day later, delete for key%5=0 two days later),
+# serialized with to_json, and re-parsed with from_json — so the
+# parse is exercised against strings whose ground truth the oracle
+# derives relationally, never from JSON.
+# ---------------------------------------------------------------------------
+
+_S18_ENVELOPE_SCHEMA = (
+    "op string, ts_ms long, "
+    "before struct<o_orderkey:bigint, cents:bigint, status:string>, "
+    "after struct<o_orderkey:bigint, cents:bigint, status:string>"
+)
+
+
+@probe(
+    "s18_debezium_envelope",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 555
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+                  ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM final GROUP BY status
+    """,
+)
+def s18_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 — parse Debezium-shaped envelopes and fold to current state
+    (block comment above): the live table's per-status row count and
+    exact cents after applying creates, updates, and deletes in ts_ms
+    order. The fold is one latest-wins window per key (k6's law) over
+    the parsed relation; deletes drop the key. The oracle never sees
+    JSON — it derives the same final state relationally, so the hash
+    certifies serialization, the declared-schema parse, null-struct
+    handling, and the fold together."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+        (F.unix_timestamp("o_orderdate") * 1000).alias("ts0"),
+    )
+    row = F.struct("o_orderkey", "cents", "status")
+    creates = o.select(
+        F.lit("c").alias("op"),
+        F.col("ts0").alias("ts_ms"),
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,cents:bigint,status:string>")
+        .alias("before"),
+        row.alias("after"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.lit("u").alias("op"),
+            (F.col("ts0") + 86_400_000).alias("ts_ms"),
+            row.alias("before"),
+            F.struct(
+                "o_orderkey",
+                (F.col("cents") + 555).alias("cents"),
+                F.lit("U").alias("status"),
+            ).alias("after"),
+        )
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.lit("d").alias("op"),
+            (F.col("ts0") + 172_800_000).alias("ts_ms"),
+            row.alias("before"),
+            F.lit(None)
+            .cast("struct<o_orderkey:bigint,cents:bigint,status:string>")
+            .alias("after"),
+        )
+    )
+    wire = (
+        creates.unionByName(updates)
+        .unionByName(deletes)
+        .select(F.to_json(F.struct("op", "ts_ms", "before", "after")).alias("raw"))
+    )
+    parsed = wire.select(
+        F.from_json("raw", _S18_ENVELOPE_SCHEMA).alias("e")
+    ).select("e.op", "e.ts_ms", "e.before", "e.after")
+    keyed = parsed.withColumn(
+        "key", F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
+    )
+    w = Window.partitionBy("key").orderBy(F.col("ts_ms").desc())
+    live = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("after.cents", "after.status")
+    )
+    return live.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+    )

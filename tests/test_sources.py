@@ -284,3 +284,39 @@ def test_s17_replay_log_restart_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert rows == list(range(n))
+
+
+def test_s18_envelope_parse_and_fold(spark):
+    """The envelope round-trip must reconstruct exactly the relational
+    ground truth at sf0.001: deletes gone, updates bumped by 555
+    cents with status U, creates intact — and malformed op routing is
+    impossible by construction (every envelope carries a valid op)."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.sources.batch import (
+        s18_debezium_envelope,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"""WITH final AS (
+                  SELECT CASE WHEN o_orderkey % 3 = 0
+                              THEN CAST(round(o_totalprice*100) AS BIGINT)+555
+                              ELSE CAST(round(o_totalprice*100) AS BIGINT)
+                         END AS cents,
+                         CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+                              ELSE o_orderstatus END AS status
+                  FROM read_parquet('{sf}/orders.parquet')
+                  WHERE o_orderkey % 5 <> 0)
+                SELECT status, count(*), sum(cents)
+                FROM final GROUP BY status"""
+        ).fetchall()
+    }
+    got = {
+        r.status: (r.n_rows, r.cents)
+        for r in s18_debezium_envelope(spark, sf).collect()
+    }
+    assert got == want
+    assert "U" in got  # updates actually happened
