@@ -4264,3 +4264,47 @@ def a30_ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "srm_flag"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# API1 — pandas API on Spark (pyspark.pandas): the migration surface
+# for the largest population of potential users — pandas code runs
+# against the cluster by changing an import. The probe drives a real
+# ps chain (read_parquet → assign → groupby/agg → reset_index →
+# to_spark) and hash-checks it against plain SQL: the pandas facade
+# must produce EXACTLY the relational answer, not a lookalike.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "api1_pandas_on_spark",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def api1_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API1 — a pandas-dialect rollup via pyspark.pandas (block
+    comment above). The ps frame's groupby/agg runs on the same
+    engine (one hash-aggregate exchange — to_spark exposes the plan),
+    so the facade costs API familiarity, not physics."""
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    out = (
+        psdf.groupby(["o_orderstatus", "o_orderpriority"])
+        .agg(n_orders=("o_orderkey", "count"), revenue=("o_totalprice", "sum"))
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.floor(F.col("revenue") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

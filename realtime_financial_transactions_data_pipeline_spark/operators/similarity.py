@@ -2484,3 +2484,123 @@ def x2ab_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(smd, 4).alias("smd"),
         (smd > _X2AB_SMD).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X34 — Johnson–Lindenstrauss random projection: the remaining member
+# of the embedding-compression family (int8/binary quantize, PQ,
+# Matryoshka prefixes) — project d=64 floats onto k=16 dimensions
+# through a seeded ±1 sign matrix (Achlioptas 2003's database-friendly
+# JL construction) and MEASURE the distance distortion on a planted
+# pair sample instead of asserting the lemma. The sign matrix is the
+# portable md5 bit law, so it never materializes anywhere: both the
+# projection and the oracle derive R(j, i) from the hash inline, and
+# the whole operator is one codegen'd transform/aggregate expression
+# per vector — no shuffle at all until the tiny pair panel.
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_D = 64
+
+
+def _jl_sign_sql(j: str, i: str) -> str:
+    """±1 from the portable md5 bit law (engine-shared)."""
+    return (
+        f"IF(CAST(conv(substr(md5(concat(CAST({j} AS STRING), ':', "
+        f"CAST({i} AS STRING))), 1, 2), 16, 10) AS INT) % 2 = 0, 1.0D, -1.0D)"
+    )
+
+
+@probe(
+    "x34_jl_projection",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 29 = 0 OR vec_id % 31 = 0),
+    vj AS (
+      SELECT vec_id, j.j AS j,
+             embedding[CAST(j.j + 1 AS INTEGER)] AS v
+      FROM emb, UNNEST(range({_JL_D})) j(j)),
+    proj AS (
+      SELECT vec_id, i.i AS i,
+             sum(v * CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR)
+                    || ':' || CAST(i.i AS VARCHAR)), 1, 2)) AS INTEGER)
+                    % 2 = 0 THEN 1.0 ELSE -1.0 END) / sqrt({_JL_K}) AS p
+      FROM vj, UNNEST(range({_JL_K})) i(i)
+      GROUP BY vec_id, i.i),
+    pd AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, sum(power(a.p - b.p, 2)) AS pd2
+      FROM proj a JOIN proj b ON a.i = b.i
+      WHERE a.vec_id % 29 = 0 AND b.vec_id % 31 = 0 AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    od AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, sum(power(a.v - b.v, 2)) AS od2
+      FROM vj a JOIN vj b ON a.j = b.j
+      WHERE a.vec_id % 29 = 0 AND b.vec_id % 31 = 0 AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    r AS (SELECT pd2 / od2 AS ratio FROM pd JOIN od USING (qid, cid)
+          WHERE od2 > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(ratio), 4) AS mean_ratio,
+           round(min(ratio), 4) AS min_ratio,
+           round(max(ratio), 4) AS max_ratio,
+           round(count(CASE WHEN ratio BETWEEN 0.5 AND 1.5 THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS frac_in_band
+    FROM r
+    """,
+)
+def x34_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 — JL random projection with measured distortion (block
+    comment above): project every embedding 64 -> 16 through the
+    hash-derived sign matrix, then report squared-distance ratio
+    stats over the planted pair sample (mod-29 x mod-31 ids). The
+    lemma promises concentration around 1; the panel MEASURES it —
+    and the hash certifies the projection arithmetic itself, since
+    both engines derive the same matrix from the same md5 law."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj_expr = F.expr(
+        f"transform(sequence(0, {_JL_K - 1}), i -> "
+        f"aggregate(sequence(0, {_JL_D - 1}), 0.0D, (acc, j) -> "
+        f"acc + element_at(embedding, j + 1) * {_jl_sign_sql('j', 'i')}) "
+        f"/ sqrt({_JL_K}.0D))"
+    )
+    withp = emb.withColumn("p", proj_expr)
+    q = withp.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("p").alias("qp"),
+    )
+    c = withp.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("p").alias("cp"),
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("qid") < F.col("cid"))
+        .select(
+            F.expr(
+                f"aggregate(sequence(0, {_JL_D - 1}), 0.0D, (acc, j) -> "
+                "acc + pow(element_at(qe, j + 1) - element_at(ce, j + 1), 2))"
+            ).alias("od2"),
+            F.expr(
+                f"aggregate(sequence(0, {_JL_K - 1}), 0.0D, (acc, i) -> "
+                "acc + pow(element_at(qp, i + 1) - element_at(cp, i + 1), 2))"
+            ).alias("pd2"),
+        )
+        .filter(F.col("od2") > 0)
+        .withColumn("ratio", F.col("pd2") / F.col("od2"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dround(F.avg("ratio"), 4).alias("mean_ratio"),
+        dround(F.min("ratio"), 4).alias("min_ratio"),
+        dround(F.max("ratio"), 4).alias("max_ratio"),
+        dround(
+            F.count(F.when(F.col("ratio").between(0.5, 1.5), 1)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("frac_in_band"),
+    )

@@ -611,3 +611,22 @@ def test_x2ab_drift_planted_shift(spark):
         pooled = np.sqrt((a[:, d].std() ** 2 + b[:, d].std() ** 2) / 2)
         smd = abs(a[:, d].mean() - b[:, d].mean()) / pooled
         assert abs(got[d].smd - round(float(smd), 4)) <= 2e-4, d
+
+
+def test_x34_jl_distortion_concentrates(spark):
+    """JL with k=16 must keep the planted pair sample's distance
+    ratios concentrated near 1 (mean in [0.7, 1.3], all pairs
+    positive), and the projection must be deterministic across
+    invocations (the sign matrix is a pure hash law)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        x34_jl_projection,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    r1 = x34_jl_projection(spark, sf).collect()[0]
+    r2 = x34_jl_projection(spark, sf).collect()[0]
+    assert r1 == r2
+    assert r1.n_pairs > 100
+    assert 0.7 <= r1.mean_ratio <= 1.3
+    assert r1.min_ratio > 0
+    assert r1.frac_in_band >= 0.8
