@@ -4308,3 +4308,88 @@ def api1_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A31 — fulfillment-latency distribution: order date → line-item ship
+# date lag, profiled per order priority. The reference's order
+# lifecycle implies exactly this dashboard ("how fast do URGENT
+# orders actually ship?"); engines disagree on interpolated
+# percentile definitions, so the quantiles here are EXACT DISCRETE
+# ones pinned to one law both engines express identically: the
+# ceil(q*n)-th smallest lag via a per-group rank window. One join
+# (lineitem ⋈ orders on the key — broadcastable dim side at this
+# grain), one priority-keyed window over day-integers.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a31_fulfillment_latency",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    ranked AS (
+      SELECT priority, lag_days,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY lag_days, lag_days) AS rn,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM lag)
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(lag_days) AS BIGINT) AS min_days,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN lag_days END) AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN lag_days END) AS BIGINT) AS p95_days,
+           CAST(max(lag_days) AS BIGINT) AS max_days
+    FROM ranked GROUP BY priority
+    """,
+)
+def a31_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 — ship-lag percentiles per order priority (block comment
+    above): exact discrete p50/p95 as the ceil(q*n)-th smallest lag,
+    the one quantile law both engines express identically (row_number
+    over the integer lag — ties are interchangeable, any tie-order
+    yields the same ranked VALUE)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lag_days"),
+    )
+    w = Window.partitionBy("priority").orderBy("lag_days")
+    wn = Window.partitionBy("priority")
+    ranked = lag.select(
+        "priority",
+        "lag_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("priority").agg(
+        F.max("n").alias("n_lines"),
+        F.min("lag_days").alias("min_days"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                F.col("lag_days"),
+            )
+        ).alias("p50_days"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("lag_days"),
+            )
+        ).alias("p95_days"),
+        F.max("lag_days").alias("max_days"),
+    )

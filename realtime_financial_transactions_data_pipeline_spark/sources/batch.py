@@ -670,3 +670,90 @@ def s18_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S19 — multiline quoted CSV (the dialect corner every real CSV feed
+# eventually hits: embedded newlines inside quoted fields, embedded
+# quotes, embedded delimiters). A default line-split reader silently
+# SHREDS such rows into garbage records; Spark's multiLine=true mode
+# parses the quoting state machine across line boundaries. The probe
+# plants all three hazards into every customer name, round-trips the
+# file through write+read, and hash-checks against the RELATIONAL
+# derivation of the same planted strings — the oracle never touches
+# the file, so the hash certifies the writer's quoting/escaping and
+# the multiline reader's state machine as one contract. (multiLine
+# costs file-level parallelism — a file can't be split mid-quote —
+# so at 100 TB the feed ships many medium files, not one giant one;
+# per-file parallelism is unchanged.)
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "s19_multiline_csv",
+    oracle="""
+    WITH planted AS (
+      SELECT c_mktsegment,
+             c_name || ',' || chr(10) || '"' || c_mktsegment || '"'
+               AS tricky,
+             c_acctbal
+      FROM customer)
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(tricky)) AS BIGINT) AS name_chars,
+           CAST(count(CASE WHEN tricky LIKE '%' || chr(10) || '%'
+                      THEN 1 END) AS BIGINT) AS n_multiline,
+           CAST(floor(sum(c_acctbal) * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM planted GROUP BY c_mktsegment
+    """,
+)
+def s19_multiline_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 — multiline-quoted CSV round-trip (block comment above):
+    every customer name gets an embedded delimiter, newline, and
+    quoted token planted into it, the frame round-trips through
+    csv-write + multiLine csv-read, and the per-segment panel must
+    equal the relational derivation of the planted strings."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    fp = source_fingerprint(sf_dir, "customer")
+
+    def build(tmp: str) -> None:
+        (
+            load_table(spark, sf_dir, "customer")
+            .select(
+                "c_custkey",
+                F.concat(
+                    F.col("c_name"),
+                    F.lit(",\n\""),
+                    F.col("c_mktsegment"),
+                    F.lit("\""),
+                ).alias("tricky"),
+                "c_mktsegment",
+                "c_acctbal",
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(tmp)
+        )
+
+    path = disk_fixture("multiline-csv", fp, build)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("inferSchema", "false")
+        .schema("c_custkey long, tricky string, c_mktsegment string, c_acctbal double")
+        .csv(path)
+    )
+    return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("tricky")).alias("name_chars"),
+        F.count(F.when(F.col("tricky").contains("\n"), 1)).alias("n_multiline"),
+        F.floor(F.sum("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )

@@ -320,3 +320,43 @@ def test_s18_envelope_parse_and_fold(spark):
     }
     assert got == want
     assert "U" in got  # updates actually happened
+
+
+def test_s19_multiline_shreds_without_multiline_mode(spark):
+    """The hazard is real: reading the same fixture WITHOUT
+    multiLine=true yields a different (shredded) row count, while the
+    probe's multiline read reconstructs exactly one row per customer."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.sources.batch import (
+        s19_multiline_csv,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchone()[0]
+    rows = s19_multiline_csv(spark, sf).collect()
+    assert sum(r.n_rows for r in rows) == n_cust
+    assert all(r.n_multiline == r.n_rows for r in rows)
+    # negative control: the naive line-split reader sees MORE records.
+    # Locate the probe's own fixture by name prefix — calling
+    # disk_fixture with a different build lambda would mint a NEW key
+    # and delete the real fixture (the recipe-token law).
+    import glob
+    import os
+
+    from realtime_financial_transactions_data_pipeline_spark import caching
+
+    cands = [
+        p
+        for p in glob.glob(os.path.join(caching._FIXTURE_ROOT, "multiline-csv-*"))
+        if os.path.exists(os.path.join(p, "_FIXTURE_OK"))
+    ]
+    assert cands, "probe fixture must exist after the probe ran"
+    naive = (
+        spark.read.option("header", "true")
+        .schema("c_custkey string, tricky string, seg string, bal string")
+        .csv(cands[0])
+    )
+    assert naive.count() > n_cust
