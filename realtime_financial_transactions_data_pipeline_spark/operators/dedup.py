@@ -2450,3 +2450,65 @@ def x22_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+@probe(
+    "x35_cross_source_dup_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS h
+      FROM documents),
+    c AS (SELECT h, source, count(*) AS n FROM t GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CASE WHEN a.source = b.source THEN a.n * (a.n - 1) / 2
+                  ELSE a.n * b.n END AS np
+      FROM c a JOIN c b ON a.h = b.h AND a.source <= b.source
+      WHERE a.source < b.source OR (a.source = b.source AND a.n >= 2))
+    SELECT src_a, src_b,
+           CAST(sum(np) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY src_a, src_b
+    """,
+)
+def x35_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 — duplicate-pair matrix by source pair: for every ordered
+    source pair (src_a <= src_b), how many pairs of DISTINCT documents
+    share a content fingerprint — the curation diagnostic that tells
+    you WHERE duplication comes from (the diagonal = re-crawls within
+    one source, off-diagonal = mirrors/syndication across sources)
+    before x1/x2 remove it. The key is the ORDER-INSENSITIVE word-set
+    fingerprint (md5 of the sorted distinct words — x3d's family):
+    strict byte-equality finds nothing at sf0.01 (this corpus's
+    planted dups reorder words), while the set key surfaces both the
+    within-source and cross-source structure. Pair counts come from
+    per-(fingerprint, source) group sizes (C(n,2) on the diagonal,
+    n_a*n_b off it), so nothing pairwise ever materializes: one
+    digest-keyed aggregate and a self-join whose per-key width is the
+    number of SOURCES carrying the digest. Payloads never move."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    c = d.groupBy(fp.alias("h"), "source").agg(F.count(F.lit(1)).alias("n"))
+    a = c.select("h", F.col("source").alias("src_a"), F.col("n").alias("na"))
+    b = c.select("h", F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(
+            (F.col("src_a") < F.col("src_b"))
+            | ((F.col("src_a") == F.col("src_b")) & (F.col("na") >= 2))
+        )
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .withColumn(
+            "np",
+            F.when(
+                F.col("src_a") == F.col("src_b"),
+                F.col("na") * (F.col("na") - 1) / 2,
+            ).otherwise(F.col("na") * F.col("nb")),
+        )
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.sum("np").cast("long").alias("n_dup_pairs")
+    )

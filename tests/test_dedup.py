@@ -792,3 +792,39 @@ def test_x25_spans_brute_force(spark):
     assert any(
         r.repeated_tokens > r.n_spans * _SPAN_K for r in rows if r.n_spans
     )
+
+
+def test_x35_matrix_brute_force(spark):
+    """The source-pair matrix equals a pure-Python replay of the
+    word-set-fingerprint pair arithmetic at sf0.001, including the
+    C(n,2) diagonal and n_a*n_b off-diagonal laws."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        x35_cross_source_dup_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    groups: dict[str, Counter] = defaultdict(Counter)
+    for src, text in docs:
+        key = " ".join(sorted(set(text.split(" "))))
+        groups[key][src] += 1
+    want: dict[tuple, int] = defaultdict(int)
+    for cnt in groups.values():
+        srcs = sorted(cnt)
+        for i, sa in enumerate(srcs):
+            na = cnt[sa]
+            if na >= 2:
+                want[(sa, sa)] += na * (na - 1) // 2
+            for sb in srcs[i + 1 :]:
+                want[(sa, sb)] += na * cnt[sb]
+    got = {
+        (r.src_a, r.src_b): r.n_dup_pairs
+        for r in x35_cross_source_dup_matrix(spark, sf).collect()
+    }
+    assert got == dict(want)
