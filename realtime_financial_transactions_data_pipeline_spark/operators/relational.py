@@ -4393,3 +4393,103 @@ def a31_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_days"),
         F.max("lag_days").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F19 — 4-4-5 fiscal calendar + year-over-year alignment: retail/
+# finance reporting doesn't run on calendar months — it runs on 13
+# four-week periods (the 4-4-5 family's week-aligned variant), so
+# "this period vs the same period last year" compares equal trading-
+# day windows. The mapping is pure day arithmetic off a fixed fiscal
+# epoch (no calendar dim needed): fiscal_day = days since epoch,
+# fiscal_year = fiscal_day // 364, period = (fiscal_day % 364) // 28.
+# YoY then aligns on (period) across two adjacent fiscal years — an
+# equi-join of two 13-row aggregates. Every engine expresses integer
+# day arithmetic identically, so the whole law is hash-checkable.
+# ---------------------------------------------------------------------------
+
+#: Fiscal epoch: 1995-01-30, a Monday — fiscal years are exactly 52
+#: weeks (364 days) from here, so periods stay week-aligned forever
+#: (real 4-4-5 calendars insert a 53rd week every ~5 years; the probe
+#: uses the pure-364 variant to keep the law closed-form).
+_F19_EPOCH = "1995-01-30"
+
+
+@probe(
+    "f19_fiscal_445_yoy",
+    oracle=f"""
+    WITH f AS (
+      SELECT date_diff('day', DATE '{_F19_EPOCH}',
+                       CAST(o_orderdate AS DATE)) AS fd,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_F19_EPOCH}'),
+    tagged AS (
+      SELECT fd // 364 AS fy, (fd % 364) // 28 AS period, cents FROM f),
+    agg AS (
+      SELECT fy, period,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM tagged GROUP BY fy, period)
+    SELECT CAST(cur.fy AS BIGINT) AS fiscal_year,
+           CAST(cur.period AS BIGINT) AS period,
+           cur.n_orders, cur.revenue_cents,
+           CAST(coalesce(prior.revenue_cents, 0) AS BIGINT)
+             AS prior_year_cents,
+           CAST(cur.revenue_cents - coalesce(prior.revenue_cents, 0)
+                AS BIGINT) AS yoy_delta_cents
+    FROM agg cur LEFT JOIN agg prior
+      ON prior.fy = cur.fy - 1 AND prior.period = cur.period
+    """,
+)
+def f19_fiscal_445_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 — revenue by 4-4-5 fiscal period with year-over-year
+    alignment (block comment above): 13 week-aligned periods per
+    364-day fiscal year, each period joined to the SAME period one
+    fiscal year back. The YoY join runs over the 13-rows-per-year
+    aggregate — metadata-sized at any fact scale."""
+    f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_F19_EPOCH).cast("timestamp"))
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(_F19_EPOCH).cast("date")
+            ).alias("fd"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    tagged = f.select(
+        F.floor(F.col("fd") / 364).cast("long").alias("fy"),
+        F.floor(F.pmod(F.col("fd"), 364) / 28).cast("long").alias("period"),
+        "cents",
+    )
+    agg = tagged.groupBy("fy", "period").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    cur = agg.alias("cur")
+    prior = agg.select(
+        (F.col("fy") + 1).alias("pfy"),
+        F.col("period").alias("pperiod"),
+        F.col("revenue_cents").alias("prior_rev"),
+    ).alias("prior")
+    return (
+        cur.join(
+            prior,
+            (F.col("cur.fy") == F.col("prior.pfy"))
+            & (F.col("cur.period") == F.col("prior.pperiod")),
+            "left",
+        )
+        .select(
+            F.col("cur.fy").alias("fiscal_year"),
+            F.col("cur.period").alias("period"),
+            F.col("cur.n_orders").alias("n_orders"),
+            F.col("cur.revenue_cents").alias("revenue_cents"),
+            F.coalesce(F.col("prior_rev"), F.lit(0))
+            .cast("long")
+            .alias("prior_year_cents"),
+            (F.col("cur.revenue_cents") - F.coalesce(F.col("prior_rev"), F.lit(0)))
+            .cast("long")
+            .alias("yoy_delta_cents"),
+        )
+    )

@@ -277,3 +277,45 @@ def test_a30_assignment_deterministic_and_balanced(spark):
     chi2 = (n_t - half) ** 2 / half + (n_c - half) ** 2 / half
     assert abs(r1.chi2 - round(chi2, 4)) < 1e-9
     assert r1.srm_flag == (1 if chi2 > 3.841 else 0)
+
+
+def test_f19_fiscal_law_brute_force(spark):
+    """Period mapping and YoY alignment equal a pure-Python replay at
+    sf0.001: 364-day years from the Monday epoch, 13 28-day periods,
+    prior-year lookup on (fy-1, period)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        _F19_EPOCH,
+        f19_fiscal_445_yoy,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    epoch = dt.date.fromisoformat(_F19_EPOCH)
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) d,
+                   CAST(round(o_totalprice*100) AS BIGINT) cents
+            FROM read_parquet('{sf}/orders.parquet')
+            WHERE o_orderdate >= TIMESTAMP '{_F19_EPOCH}'"""
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0])
+    for d, cents in rows:
+        fd = (d - epoch).days
+        key = (fd // 364, (fd % 364) // 28)
+        agg[key][0] += 1
+        agg[key][1] += cents
+    got = {
+        (r.fiscal_year, r.period): r
+        for r in f19_fiscal_445_yoy(spark, sf).collect()
+    }
+    assert set(got) == set(agg)
+    for key, (n, cents) in agg.items():
+        r = got[key]
+        assert (r.n_orders, r.revenue_cents) == (n, cents)
+        prior = agg.get((key[0] - 1, key[1]))
+        assert r.prior_year_cents == (prior[1] if prior else 0)
+        assert r.yoy_delta_cents == r.revenue_cents - r.prior_year_cents
+    assert all(0 <= k[1] <= 12 for k in agg)
