@@ -85,6 +85,11 @@ MATRIX = {
     # the hot key's square.
     "scale_bloom_semijoin": ("tpch", (1, 10, 100)),
     "scale_salted_join": ("tpch", (1, 10)),
+    # r15.2 late: the two-phase exact-KS must scale like a sort, not a
+    # single-partition window — and the dup matrix's self-join width
+    # is |sources| per digest, so growth should track corpus size.
+    "dq11_ks_drift": ("tpch", (1, 10, 100)),
+    "x35_cross_source_dup_matrix": ("documents", (1, 10, 100)),
     # 100x = 500 k docs (VERDICT r13 stretch #8): one family measured
     # at two orders of magnitude, turning the "survives 100x" claim
     # from extrapolation into measurement for the banding + label-
