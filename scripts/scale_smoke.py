@@ -90,6 +90,11 @@ MATRIX = {
     # is |sources| per digest, so growth should track corpus size.
     "dq11_ks_drift": ("tpch", (1, 10, 100)),
     "x35_cross_source_dup_matrix": ("documents", (1, 10, 100)),
+    # Recursive-CTE scaling: depth is data-shaped (max orders per
+    # customer ≈ 25, constant across scales), so wall should track the
+    # per-level join volume, not explode with input.
+    "sql2_recursive_cte": ("tpch", (1, 10)),
+    "a29_batch_sessionization": ("events", (1, 10)),
     # 100x = 500 k docs (VERDICT r13 stretch #8): one family measured
     # at two orders of magnitude, turning the "survives 100x" claim
     # from extrapolation into measurement for the banding + label-
@@ -285,8 +290,22 @@ def _x26_forced(spark: SparkSession, sf_dir: str):
     )
 
 
+def _sql2_smoke(spark: SparkSession, sf_dir: str):
+    """sql2's shared SQL over the synthetic tpch group: register only
+    the table the statement reads (the probe's register_views wants
+    every corpus table, which the tpch smoke dir doesn't carry)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        _SQL2_SHARED_SQL,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL2_SHARED_SQL)
+
+
 #: smoke-only entries that are not registry probes
 CUSTOM = {
+    "sql2_recursive_cte": _sql2_smoke,
     "x25_repeated_substring_spans": _x25_forced,
     "x26_span_decontamination": _x26_forced,
     "cc_default_nopin": _cc_default_nopin,
