@@ -1057,24 +1057,11 @@ def x26_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = cg.join(F.broadcast(bg), "h", "left_semi").select(
         "doc_id", "pos", (F.col("pos") + k - 1).alias("e")
     )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        merge_covered_spans,
     )
-    w_run = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        hit.withColumn("prev_e", F.max("e").over(w_prev))
-        .withColumn(
-            "is_new",
-            F.when(
-                F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e") + 1), 1
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("is_new").over(w_run))
-        .groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
-    )
+
+    spans = merge_covered_spans(hit)
     covered = spans.select(
         "doc_id", F.explode(F.expr("sequence(s, e)")).alias("pos")
     )

@@ -653,6 +653,35 @@ def x25_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans_panel(d)
 
 
+def merge_covered_spans(hit: DataFrame) -> DataFrame:
+    """Interval-union span merge over a (doc_id, pos, e) hit frame —
+    THE law x25 (repeated spans), x26 (decontamination removal), and
+    o11's islands share: sort each doc's hits by pos, open a new
+    island when pos exceeds the running max(e) by more than 1
+    (touching-or-overlapping coverage fuses; a >=1-token clean gap
+    splits), and collapse islands to (doc_id, s, e) spans. One
+    doc-keyed window pass; extracted so the hypothesis property test
+    drives every consumer's copy, not just x25's."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hit.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("is_new").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+    )
+
+
 def repeated_spans_panel(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
     """x25's core over any (doc_id, text) frame — exposed so property
     tests can drive it with constructed corpora (hypothesis generates
@@ -677,24 +706,7 @@ def repeated_spans_panel(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
         .filter(F.col("_mn") != F.col("_mx"))
         .select("doc_id", "pos", (F.col("pos") + k - 1).alias("e"))
     )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        hit.withColumn("prev_e", F.max("e").over(w_prev))
-        .withColumn(
-            "is_new",
-            F.when(
-                F.col("prev_e").isNull() | (F.col("pos") > F.col("prev_e") + 1), 1
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("is_new").over(w_run))
-        .groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
-    )
+    spans = merge_covered_spans(hit)
     panel = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + F.lit(1)).alias("repeated_tokens"),
@@ -2500,7 +2512,6 @@ def x35_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("src_a") < F.col("src_b"))
             | ((F.col("src_a") == F.col("src_b")) & (F.col("na") >= 2))
         )
-        .filter(F.col("src_a") <= F.col("src_b"))
         .withColumn(
             "np",
             F.when(

@@ -1463,14 +1463,14 @@ def _g10_oracle() -> str:
 @probe("g10_kcore", oracle=_g10_oracle())
 def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G10 — k-core summary (k = 2, 3) of the co-engagement graph at
-    the {min_shared}-regime with real core structure: surviving node
+    the min_shared=4 regime with real core structure: surviving node
     and edge counts plus a node-id checksum pinning the exact core
     membership. The Spark side peels to the TRUE fixpoint; the oracle
-    unrolls {rounds} rounds (> the measured depth, and idempotent
-    past convergence), so a hash match certifies the whole peel
-    sequence, not just the final counts.""".format(
-        min_shared=_G10_MIN_SHARED, rounds=_G10_ROUNDS
-    )
+    unrolls _G10_ROUNDS = 6 rounds (> the measured depth of 2, and
+    idempotent past convergence), so a hash match certifies the whole
+    peel sequence, not just the final counts. (A ``.format()`` on this
+    literal would make it an expression, not a docstring — g10 was
+    briefly the only probe of 300 with ``__doc__ is None``.)"""
     edges = (
         _memo_pairs(spark, sf_dir)
         .filter(F.col("n_shared") >= _G10_MIN_SHARED)

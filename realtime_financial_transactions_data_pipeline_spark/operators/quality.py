@@ -937,27 +937,14 @@ def ks_two_sample(pooled: DataFrame, n_parts: int = 32) -> DataFrame:
     (block comment above). Returns one row: n1, n2, ks_d, drift_flag."""
     from pyspark.sql import Window
 
-    parted = (
-        pooled.repartitionByRange(n_parts, "v")
-        .sortWithinPartitions("v")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        pid_offset_map_expr,
+        pinned_range_layout,
     )
-    counts = {
-        (r._pid, r.s): r.n
-        for r in parted.groupBy("_pid", "s")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    pids = sorted({p for p, _ in counts})
-    off, acc = {}, {1: 0, 2: 0}
-    for pid in pids:
-        off[pid] = (acc[1], acc[2])
-        acc[1] += counts.get((pid, 1), 0)
-        acc[2] += counts.get((pid, 2), 0)
-    n1, n2 = acc[1], acc[2]
-    o1 = "map(" + ",".join(f"{p}, {v[0]}L" for p, v in off.items()) + ")"
-    o2 = "map(" + ",".join(f"{p}, {v[1]}L" for p, v in off.items()) + ")"
+
+    parted = pinned_range_layout(pooled, "v", n_parts)
+    per_sample = pid_offset_map_expr(parted, group_col="s")
+    (o1, n1), (o2, n2) = per_sample[1], per_sample[2]
     w = (
         Window.partitionBy("_pid")
         .orderBy("v")
@@ -965,11 +952,11 @@ def ks_two_sample(pooled: DataFrame, n_parts: int = 32) -> DataFrame:
     )
     c1 = (
         F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).over(w)
-        + F.element_at(F.expr(o1), F.col("_pid"))
+        + F.element_at(o1, F.col("_pid"))
     ).cast("double") / F.lit(float(n1))
     c2 = (
         F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).over(w)
-        + F.element_at(F.expr(o2), F.col("_pid"))
+        + F.element_at(o2, F.col("_pid"))
     ).cast("double") / F.lit(float(n2))
     crit = _DQ11_C_ALPHA * ((n1 + n2) / (n1 * n2)) ** 0.5
     from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround

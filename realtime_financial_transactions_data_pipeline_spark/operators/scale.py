@@ -1489,6 +1489,63 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def pinned_range_layout(df: DataFrame, sort_col: str, n_parts: int = 32) -> DataFrame:
+    """Range-repartition + in-partition sort + `_pid`, pinned by ONE
+    eager localCheckpoint. The pin is load-bearing: the
+    RangePartitioner resamples per action (its seed varies with the
+    RDD id), so without it a counts job and a later consumer job can
+    draw DIFFERENT boundaries and any driver-side offsets go stale —
+    measured as off-by-dozens row ids on scale_stable_row_ids' first
+    build. Shared by the two-phase prefix-sum consumers
+    (scale_stable_row_ids, dq11's distributed ECDF)."""
+    return (
+        df.repartitionByRange(n_parts, sort_col)
+        .sortWithinPartitions(sort_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+
+def pid_offset_map_expr(parted: DataFrame, group_col: str | None = None):
+    """Driver prefix-sums of per-partition row counts, returned as a
+    map-literal Column factory. The collect is bounded: one row per
+    (partition[, group]), never per data row. Without ``group_col``
+    returns one expression mapping _pid -> rows-before-this-partition;
+    with it, returns {group_value: expression} with per-group
+    prefix sums in partition-range order."""
+    if group_col is None:
+        counts = {
+            r._pid: r.n
+            for r in parted.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        lit = "map(" + ",".join(f"{p}, {o}L" for p, o in offsets.items()) + ")"
+        return F.expr(lit)
+    rows = (
+        parted.groupBy("_pid", group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {(r._pid, r[group_col]): r.n for r in rows}
+    groups = sorted({g for _, g in counts})
+    pids = sorted({p for p, _ in counts})
+    out = {}
+    for g in groups:
+        offsets, acc = {}, 0
+        for pid in pids:
+            offsets[pid] = acc
+            acc += counts.get((pid, g), 0)
+        lit = "map(" + ",".join(f"{p}, {o}L" for p, o in offsets.items()) + ")"
+        out[g] = (F.expr(lit), acc)  # (offset map, group total)
+    return out
+
+
+
 @probe(
     "scale_stable_row_ids",
     oracle="""
@@ -1513,33 +1570,12 @@ def scale_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    # localCheckpoint pins ONE materialization of the range layout:
-    # the RangePartitioner resamples per action (seed varies with the
-    # RDD id), so without it the counts job and the id job can draw
-    # DIFFERENT boundaries and the offsets go stale — measured as
-    # off-by-dozens ids on first build.
-    parted = (
-        o.repartitionByRange(n_parts, "o_orderkey")
-        .sortWithinPartitions("o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # Bounded collect: one row per partition, never per data row.
-    counts = {
-        r._pid: r.n
-        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = "map(" + ",".join(
-        f"{pid}, {off}L" for pid, off in offsets.items()
-    ) + ")"
+    parted = pinned_range_layout(o, "o_orderkey", n_parts)
+    off = pid_offset_map_expr(parted)
     w = Window.partitionBy("_pid").orderBy("o_orderkey")
     return parted.select(
         (
-            F.element_at(F.expr(off_expr), F.col("_pid"))
+            F.element_at(off, F.col("_pid"))
             + F.row_number().over(w)
         ).alias("row_id"),
         "o_orderkey",

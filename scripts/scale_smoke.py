@@ -511,8 +511,13 @@ def main() -> None:
             # every value.
             df.write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
-            n_rows = df.count()  # untimed, for the report column
+            # Shuffle totals BEFORE the report-column count: the count
+            # is a second QueryExecution whose exchanges re-run, and
+            # reading the REST totals after it polluted dw with up to
+            # a full extra plan execution (review finding — the first
+            # committed x26/bloom/salted/dq11/x35 rows carried it).
             w1, r1 = shuffle_totals(app_id)
+            n_rows = df.count()  # untimed, for the report column
             dw = (w1 - w0) / 1e6
             if base_wall is None:
                 base_wall, base_w = wall, max(dw, 1e-9)
