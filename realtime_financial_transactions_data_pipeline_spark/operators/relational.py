@@ -4493,3 +4493,52 @@ def f19_fiscal_445_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("yoy_delta_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# O14 — rolling DISTINCT count per entity (trailing distinct parts per
+# supplier over its last 20 shipments): the third mechanism in the
+# rolling-distinct family — a18 fans (day, user) pairs across a
+# calendar spine (global grain), x5d unions HLL sketches
+# (approximate), and THIS one keeps the exact set in window state:
+# Spark has no DISTINCT windowed aggregate, so the idiom is
+# size(collect_set(...)) OVER the frame — exact, per-entity, with
+# state bounded by frame length x value width (fine at 20; a 10^6-row
+# frame wants the HLL variant instead). The oracle runs DuckDB's
+# native count(DISTINCT) OVER the identical frame — two different
+# engine mechanisms, one law.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "o14_rolling_distinct",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(count(DISTINCT l_partkey) OVER w AS BIGINT)
+             AS distinct_parts_20
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def o14_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 — exact trailing-20-shipment distinct part count per
+    supplier (block comment above). The frame's order is totalized by
+    (shipdate, orderkey, linenumber), so both engines walk identical
+    windows."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-19, 0)
+    )
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.size(F.collect_set("l_partkey").over(w))
+        .cast("long")
+        .alias("distinct_parts_20"),
+    )
