@@ -1627,3 +1627,63 @@ def scale_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_exchange_reuse — common-subplan exchange reuse: a query that
+# references one aggregate TWICE (the daily rollup, and the maximum
+# over that same rollup) must compute the rollup's shuffle ONCE —
+# Catalyst's ReuseExchange rule dedupes identical exchanges, so the
+# second reference reads the first's shuffle files instead of
+# re-scanning the fact table. This is the optimizer feature behind
+# every "vs total / vs best" dashboard ratio; without it such queries
+# scan the fact twice. Plan-pinned: the executed plan must carry a
+# ReusedExchange node.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "scale_exchange_reuse",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+               AS mills
+      FROM events GROUP BY 1)
+    SELECT CAST(d AS VARCHAR) AS day, mills,
+           round(mills / CAST((SELECT max(mills) FROM daily) AS DOUBLE), 4)
+             AS share_of_best
+    FROM daily
+    WHERE mills * 10 >= (SELECT max(mills) FROM daily)
+    """,
+)
+def scale_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue is within 10x of the best day, with each
+    day's share of that best (block comment above): the daily rollup
+    feeds both the row stream and the scalar max, and the plan must
+    reuse the rollup's exchange rather than re-aggregate the fact.
+    tests/test_scale.py pins the ReusedExchange node."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("mills")
+        )
+    )
+    # Scalar attach: Catalyst lowers any spelling of this (crossJoin,
+    # constant-key equi-join, scalar subquery) to a 1-row-build-side
+    # BroadcastNestedLoopJoin — which is the CORRECT plan at that
+    # cardinality; the no-BNLJ discipline elsewhere guards against
+    # DATA-sized build sides.
+    mx = daily.agg(F.max("mills").alias("mx"))
+    return (
+        daily.crossJoin(F.broadcast(mx))
+        .filter(F.col("mills") * 10 >= F.col("mx"))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "mills",
+            dround(F.col("mills").cast("double") / F.col("mx"), 4).alias(
+                "share_of_best"
+            ),
+        )
+    )

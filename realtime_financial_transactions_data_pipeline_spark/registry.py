@@ -176,7 +176,7 @@ DRIVER_WINDOW = 50
 #: j12_temporal_fx, dq11_ks_drift, s18_debezium_envelope,
 #: api1_pandas_on_spark, x34_jl_projection, a31_fulfillment_latency,
 #: s19_multiline_csv, x35_cross_source_dup_matrix,
-#: f19_fiscal_445_yoy, o14_rolling_distinct)
+#: f19_fiscal_445_yoy, o14_rolling_distinct, scale_exchange_reuse)
 #: were
 #: added after this rotation was rehearsed and wait for cohort 10,
 #: after which rotations are pure re-verification, oldest-green-first.

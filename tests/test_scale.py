@@ -729,3 +729,28 @@ def test_aqe_coalesce_folds_reduce_partitions(spark):
     assert "AQEShuffleRead" in plan
     assert "coalesced" in plan
     assert "isFinalPlan=true" in plan
+
+
+def test_exchange_reuse_pinned(spark):
+    """The daily rollup referenced twice must shuffle once: the
+    executed plan carries a ReusedExchange (or AQE's reused stage) and
+    exactly ONE scan of the events fact feeds an aggregate exchange."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        scale_exchange_reuse,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    df = scale_exchange_reuse(spark, "/root/testdata/sf0.01")
+    assert len(df.collect()) > 0
+    # Reuse is visible in the EXECUTED adaptive plan, not the initial
+    # one (the dq9/aqe pattern): explain after the action.
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+    # Catalyst folds the constant-key scalar attach back to a
+    # BroadcastNestedLoopJoin no matter how it is spelled; with a
+    # 1-row build side that is the CORRECT plan (a scalar subquery in
+    # SQL lowers to the same shape), so it is allowed HERE and only
+    # here — the probes the no-BNLJ discipline protects have
+    # data-sized build sides.
