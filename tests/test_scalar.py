@@ -319,3 +319,33 @@ def test_f19_fiscal_law_brute_force(spark):
         assert r.prior_year_cents == (prior[1] if prior else 0)
         assert r.yoy_delta_cents == r.revenue_cents - r.prior_year_cents
     assert all(0 <= k[1] <= 12 for k in agg)
+
+
+def test_o14_rolling_distinct_brute_force(spark):
+    """The trailing-20 distinct part count equals a pure-Python sliding
+    set replay over each supplier's totalized shipment order at
+    sf0.001."""
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        o14_rolling_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey
+            FROM read_parquet('{sf}/lineitem.parquet')
+            ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
+    ).fetchall()
+    want = {}
+    hist: dict[int, list] = {}
+    for sk, ok, ln, pk in rows:
+        h = hist.setdefault(sk, [])
+        h.append(pk)
+        want[(sk, ok, ln)] = len(set(h[-20:]))
+    got = {
+        (r.l_suppkey, r.l_orderkey, r.l_linenumber): r.distinct_parts_20
+        for r in o14_rolling_distinct(spark, sf).collect()
+    }
+    assert got == want
+    assert max(want.values()) > 1
