@@ -735,6 +735,8 @@ def test_exchange_reuse_pinned(spark):
     """The daily rollup referenced twice must shuffle once: the
     executed plan carries a ReusedExchange (or AQE's reused stage) and
     exactly ONE scan of the events fact feeds an aggregate exchange."""
+    import re
+
     from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
         scale_exchange_reuse,
     )
@@ -743,11 +745,19 @@ def test_exchange_reuse_pinned(spark):
     df = scale_exchange_reuse(spark, "/root/testdata/sf0.01")
     assert len(df.collect()) > 0
     # Reuse is visible in the EXECUTED adaptive plan, not the initial
-    # one (the dq9/aqe pattern): explain after the action.
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    # one (the dq9/aqe pattern); formatted_plan re-explains the same
+    # queryExecution, now final.
+    plan = inspect.formatted_plan(df)
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+    # The one-scan contract itself. The executed adaptive format
+    # prints ids at the END of tree lines and appends an
+    # "== Initial Plan ==" section that repeats nodes — so count
+    # DISTINCT scan node ids in the final-plan region only (a shared
+    # subtree prints twice with the SAME id; a real second scan gets
+    # a new one).
+    final_region = plan.split("== Initial Plan ==")[0]
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", final_region))
+    assert len(scan_ids) == 1, plan
     # Catalyst folds the constant-key scalar attach back to a
     # BroadcastNestedLoopJoin no matter how it is spelled; with a
     # 1-row build side that is the CORRECT plan (a scalar subquery in
