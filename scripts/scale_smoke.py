@@ -95,6 +95,10 @@ MATRIX = {
     # per-level join volume, not explode with input.
     "sql2_recursive_cte": ("tpch", (1, 10)),
     "a29_batch_sessionization": ("events", (1, 10)),
+    # Set-valued window state (o14): frame length is constant (20), so
+    # memory per window is bounded and growth should be one linear
+    # supplier-keyed shuffle.
+    "o14_rolling_distinct": ("tpch", (1, 10)),
     # 100x = 500 k docs (VERDICT r13 stretch #8): one family measured
     # at two orders of magnitude, turning the "survives 100x" claim
     # from extrapolation into measurement for the banding + label-
@@ -393,6 +397,18 @@ def gen_tpch(spark: SparkSession, n: int, path: str) -> None:
         (F.pmod(F.xxhash64("id", F.lit(17)), F.lit(7)) + 1)
         .cast("int")
         .alias("l_linenumber"),
+        # o14's rolling-distinct inputs: ~100 shipments/supplier,
+        # part domain n/5, ship dates spanning the order window
+        F.pmod(F.xxhash64("id", F.lit(21)), F.lit(max(n // 100, 1))).alias(
+            "l_suppkey"
+        ),
+        F.pmod(F.xxhash64("id", F.lit(22)), F.lit(max(n // 5, 1))).alias(
+            "l_partkey"
+        ),
+        F.expr(
+            "timestamp'1992-01-01 00:00:00' + make_dt_interval("
+            "CAST(pmod(xxhash64(id, 23), 2555) AS INT), 0, 0, 0)"
+        ).alias("l_shipdate"),
     ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
     spark.range(n_orders).select(
         F.col("id").alias("o_orderkey"),
