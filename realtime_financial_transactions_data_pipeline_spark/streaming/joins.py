@@ -401,3 +401,88 @@ def t13_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pin_result(
         matched.unionByName(un_clicks).unionByName(un_purch)
     )
+
+
+@probe(
+    "t17_stream_semi_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(event_id AS VARCHAR) AS event_id,
+             date_trunc('second', ts) AS ts, event_type
+      FROM events WHERE user_id % 10 = 3),
+    c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id AS click_id
+    FROM c
+    WHERE EXISTS (SELECT 1 FROM p
+                  WHERE p.user_id = c.user_id
+                    AND p.ts >= c.ts
+                    AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    """,
+)
+def t17_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 — stream-stream LEFT SEMI join, completing the join-type
+    family (t7 inner, t8 left-outer, t13 full-outer): WHICH clicks
+    converted within the horizon, each emitted exactly once however
+    many purchases matched — the streaming EXISTS. Unlike the outer
+    variants there is no eviction-timed null side, so the output is
+    timing-independent by construction and the oracle is a plain
+    EXISTS; the probe's value is certifying that the engine's semi
+    semantics over watermarked state match the relational law (and
+    that duplicates-on-multi-match never appear). Disjoint user
+    subset (% 10 = 3) keeps fixtures and state independent of t8's
+    and t13's."""
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        disk_fixture,
+        source_fingerprint,
+        spark_json_slices,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    root = "/tmp/spark_graft_streaming/t17"
+    shutil.rmtree(root, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    base = e.select(
+        "user_id",
+        F.col("event_id").cast("string").alias("event_id"),
+        F.date_trunc("second", "ts").alias("ts"),
+        "event_type",
+    )
+
+    def pusher_line(name: str, ts: str) -> str:
+        return f'{{"user_id": -1, "event_id": "{name}", "ts": "{ts}"}}'
+
+    fp = source_fingerprint(sf_dir, "events")
+    flats = {}
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        flats[side] = disk_fixture(
+            f"t17-{side}",
+            fp,
+            lambda tmp, etype=etype: spark_json_slices(
+                base.filter(F.col("event_type") == etype).drop("event_type"),
+                tmp,
+                1,
+                extra_lines={
+                    0: [pusher_line("push1", "2030-01-01T00:00:00")],
+                    1: [pusher_line("push2", "2030-01-02T00:00:00")],
+                },
+            ),
+        )
+    run_attribution_outer_stream(
+        spark,
+        flats["clicks"],
+        flats["purchases"],
+        f"{root}/out",
+        f"{root}/_cp",
+        how="leftSemi",
+    )
+    out = spark.read.parquet(f"{root}/out").filter(F.col("c_key") >= 0)
+    # Exactly-once-per-click: a multi-match click must not duplicate.
+    dups = out.groupBy("click_id").count().filter(F.col("count") > 1)
+    if dups.limit(1).count() > 0:
+        raise RuntimeError("semi join emitted a click more than once")
+    return pin_result(
+        out.select(F.col("c_key").alias("user_id"), "click_id")
+    )

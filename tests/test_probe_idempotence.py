@@ -50,6 +50,9 @@ SIDE_EFFECTING = [
     "t14_state_store_inspection",
     "s17_python_stream_source",
     "mv4_declarative_pipeline",
+    # Second continuation: the stream-stream semi join (wipes + re-runs
+    # its /tmp root and checkpoint per call).
+    "t17_stream_semi_join",
 ]
 
 
