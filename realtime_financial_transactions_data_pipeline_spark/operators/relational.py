@@ -3119,7 +3119,11 @@ def o9_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              GROUP BY region)
     SELECT g.region,
            CAST(n_customers AS BIGINT) AS n_customers,
-           total_cents,
+           -- window sum over BIGINT types as HUGEINT in DuckDB; the
+           -- Spark side is a long. The driver's hasher is numeric-type-
+           -- tagged, so without this cast the values hash differently
+           -- even when identical (the round-15 a23 red).
+           CAST(total_cents AS BIGINT) AS total_cents,
            round(2.0 * num / (n_customers * CAST(total_cents AS DOUBLE))
                  - (n_customers + 1.0) / n_customers, 6) AS gini,
            round(topd.top_cents / CAST(total_cents AS DOUBLE), 6)

@@ -24,6 +24,68 @@ from realtime_financial_transactions_data_pipeline_spark.tables import TABLE_NAM
 SF_DIR = "/root/testdata/sf0.01"
 
 
+# --------------------------------------------------------------------
+# Declared-type strictness (round-15 a23): the driver's value hasher is
+# numeric-TYPE-tagged, so a Spark BIGINT column against a DuckDB
+# HUGEINT oracle column (what a window-sum over BIGINT silently widens
+# to) hashes red even when every value is identical. Cell-level canon
+# below can't see this — DuckDB's fetchdf lowers HUGEINT into the same
+# pandas dtypes as BIGINT-with-nulls — so rehearsal said green while
+# the driver said red. These helpers compare the ENGINE-DECLARED
+# numeric kind per column (Spark df.schema vs DuckDB DESCRIBE, binding
+# only), which is exactly the layer the driver tags.
+# --------------------------------------------------------------------
+
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _spark_kind(dtype: str) -> str | None:
+    d = dtype.lower()
+    if d in _SPARK_INT:
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    return None
+
+
+def _duck_kind(ctype: str) -> str | None:
+    c = ctype.upper()
+    if c in _DUCK_INT:
+        return "int"
+    if c in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if c in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if c.startswith("DECIMAL"):
+        return "decimal"
+    return None
+
+
+def numeric_kind_mismatches(spark_df, con, oracle_sql: str) -> list[str]:
+    """Per-column declared-numeric-kind diffs between a Spark DataFrame
+    and a DuckDB oracle query (empty list = driver-type-compatible)."""
+    kinds = {
+        f.name: _spark_kind(f.dataType.simpleString())
+        for f in spark_df.schema.fields
+    }
+    try:
+        rows = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    except Exception:  # noqa: BLE001 — binding errors surface via execute()
+        return []
+    out = []
+    for col, ctype, *_ in rows:
+        ok, sk = _duck_kind(str(ctype)), kinds.get(col)
+        if sk is not None and ok is not None and sk != ok:
+            out.append(f"numeric kind {col}: spark={sk} duckdb={ok} ({ctype})")
+    return out
+
+
 def canon_cell(v) -> str:
     if v is None:
         return "<null>"
@@ -73,7 +135,8 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
-            sdf = p.fn(spark, SF_DIR).toPandas()
+            df = p.fn(spark, SF_DIR)
+            sdf = df.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
@@ -94,6 +157,7 @@ def main() -> None:
             problems.append(f"rowcount spark={len(sdf)} duckdb={len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+        problems.extend(numeric_kind_mismatches(df, con, p.oracle))
         if not problems:
             s_rows, o_rows = canon_rows(sdf), canon_rows(odf)
             if s_rows != o_rows:

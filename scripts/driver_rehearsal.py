@@ -36,7 +36,7 @@ from realtime_financial_transactions_data_pipeline_spark.registry import (
     all_probes,
 )
 from realtime_financial_transactions_data_pipeline_spark.tables import TABLE_NAMES
-from scripts.check_oracle import canon_rows
+from scripts.check_oracle import canon_rows, numeric_kind_mismatches
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -75,7 +75,8 @@ def main() -> None:
         t0 = time.time()
         try:
             first = canon_rows(p.fn(spark, SF_DIR).toPandas())
-            second = canon_rows(p.fn(spark, SF_DIR).toPandas())
+            df2 = p.fn(spark, SF_DIR)
+            second = canon_rows(df2.toPandas())
         except Exception as exc:  # noqa: BLE001
             print(f"BAD   {name}: raised {type(exc).__name__}: {exc}")
             n_bad += 1
@@ -88,6 +89,10 @@ def main() -> None:
                 f"({len(first)} vs {len(second)} rows; first diffs {diffs})"
             )
         if p.oracle is not None:
+            # Declared-type strictness: the driver's hasher is numeric-
+            # type-tagged (round-15 a23 — identical values, HUGEINT
+            # oracle column, driver red while cell-canon said green).
+            problems.extend(numeric_kind_mismatches(df2, con, p.oracle))
             oracle = canon_rows(con.execute(p.oracle).fetchdf())
             if second != oracle:
                 diffs = [(a, b) for a, b in zip(second, oracle) if a != b][:2]
