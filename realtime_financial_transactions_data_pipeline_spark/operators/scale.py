@@ -1489,7 +1489,7 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def pinned_range_layout(df: DataFrame, sort_col: str, n_parts: int = 32) -> DataFrame:
+def pinned_range_layout(df: DataFrame, sort_col, n_parts: int = 32) -> DataFrame:
     """Range-repartition + in-partition sort + `_pid`, pinned by ONE
     eager localCheckpoint. The pin is load-bearing: the
     RangePartitioner resamples per action (its seed varies with the
@@ -1497,10 +1497,15 @@ def pinned_range_layout(df: DataFrame, sort_col: str, n_parts: int = 32) -> Data
     draw DIFFERENT boundaries and any driver-side offsets go stale —
     measured as off-by-dozens row ids on scale_stable_row_ids' first
     build. Shared by the two-phase prefix-sum consumers
-    (scale_stable_row_ids, dq11's distributed ECDF)."""
+    (scale_stable_row_ids, dq11's distributed ECDF, two_phase_rank).
+
+    ``sort_col`` may be a single name/Column or a list of them
+    (composite orderings, including ``.desc()`` columns — a24's
+    recency rank needs DESC-first range boundaries)."""
+    cols = list(sort_col) if isinstance(sort_col, (list, tuple)) else [sort_col]
     return (
-        df.repartitionByRange(n_parts, sort_col)
-        .sortWithinPartitions(sort_col)
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -1543,6 +1548,33 @@ def pid_offset_map_expr(parted: DataFrame, group_col: str | None = None):
         lit = "map(" + ",".join(f"{p}, {o}L" for p, o in offsets.items()) + ")"
         out[g] = (F.expr(lit), acc)  # (offset map, group total)
     return out
+
+
+def two_phase_rank(
+    df: DataFrame, sort_cols, rank_name: str, n_parts: int = 32
+) -> tuple[DataFrame, int]:
+    """Global unique 1..N rank over ``sort_cols`` WITHOUT the
+    SinglePartition window collapse — `row_number() OVER (ORDER BY …)`
+    with no PARTITION BY funnels the whole relation through one task,
+    the classic 100 TB killer. This is the scale_stable_row_ids
+    two-phase pattern packaged for reuse (a24's three RFM quartile
+    ranks, and any future global-order consumer): range-repartition on
+    the ordering, per-partition counts prefix-summed driver-side (a
+    #partitions-row collect, never data-sized), then
+    rank = offset[_pid] + in-partition row_number. The ordering must
+    be total (include a unique tiebreak column) or ranks at partition
+    boundaries are layout-dependent. Returns (ranked frame, N)."""
+    from pyspark.sql import Window
+
+    cols = list(sort_cols) if isinstance(sort_cols, (list, tuple)) else [sort_cols]
+    parted = pinned_range_layout(df, cols, n_parts)
+    off = pid_offset_map_expr(parted)
+    n_total = parted.count()  # checkpointed — a cheap bounded job
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    ranked = parted.withColumn(
+        rank_name, F.element_at(off, F.col("_pid")) + F.row_number().over(w)
+    ).drop("_pid")
+    return ranked, n_total
 
 
 

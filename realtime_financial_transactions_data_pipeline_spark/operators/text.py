@@ -1260,10 +1260,15 @@ def x3n_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers 90 / 95 / 99 % of all token occurrences, plus the coverage a
 # fixed budget (top-1000) buys. THE sizing analytic for tokenizer and
 # embedding-table design — x3m fits the Zipf slope, this answers the
-# decision question the slope implies. One term-count shuffle, one
-# rank window over the (already tiny) vocab relation, one aggregate.
-# Ties in frequency rank by term so both engines walk the identical
-# cumulative order.
+# decision question the slope implies. One term-count shuffle, then the
+# rank + running-sum ride the two-phase range-partitioned pattern
+# (scale.pinned_range_layout): per-partition row_number and freq-cumsum
+# plus driver prefix-summed offsets from ONE bounded #partitions-row
+# collect — no `OVER (ORDER BY …)` SinglePartition collapse anywhere.
+# The vocab relation is "only unique terms", but open-web corpora are
+# hapax-heavy (10⁸–10⁹ terms at 100 TB), so the global window the r15
+# form used is exactly the shape that dies at scale. Ties in frequency
+# rank by term so both engines walk the identical cumulative order.
 # ---------------------------------------------------------------------------
 
 
@@ -1297,11 +1302,17 @@ def x3n_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x27_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X27 — vocabulary coverage curve (block comment above). The
-    global rank window runs over the VOCAB relation (unique terms —
-    thousands, not corpus-sized), so the unpartitioned window is a
-    bounded-input operation by construction, the same budget class as
-    a24's ntile quartiles."""
+    rank + cumulative-frequency walk runs as the two-phase
+    range-partitioned pattern (in-partition windows keyed by _pid plus
+    driver prefix-summed offsets), so no task ever holds more than one
+    range partition of the vocab — hapax-heavy corpora make the vocab
+    relation corpus-scale, and the r15 global window collapsed it to
+    one task."""
     from pyspark.sql import Window
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        pinned_range_layout,
+    )
 
     tok = load_table(spark, sf_dir, "documents").select(
         F.explode(
@@ -1309,36 +1320,61 @@ def x27_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), "term")
-    ranked = tc.select(
+    order = [F.col("freq").desc(), F.col("term")]
+    parted = pinned_range_layout(tc, order, 32)
+    # ONE bounded collect (a row per partition, never per term) feeds
+    # BOTH prefix maps: rows-before-partition (rank offsets) and
+    # freq-before-partition (cumsum offsets) — plus the grand totals.
+    stats = sorted(
+        parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("freq").alias("s"))
+        .collect(),
+        key=lambda r: r._pid,
+    )
+    rank_off, cum_off, acc_n, acc_s = {}, {}, 0, 0
+    for row in stats:
+        rank_off[row._pid] = acc_n
+        cum_off[row._pid] = acc_s
+        acc_n += row.n
+        acc_s += row.s
+    rank_map = F.expr(
+        "map(" + ",".join(f"{p}, {o}L" for p, o in rank_off.items()) + ")"
+    )
+    cum_map = F.expr(
+        "map(" + ",".join(f"{p}, {o}L" for p, o in cum_off.items()) + ")"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    ranked = parted.select(
         "freq",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("freq")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
+        (F.element_at(rank_map, F.col("_pid")) + F.row_number().over(w)).alias(
+            "rnk"
+        ),
+        (
+            F.element_at(cum_map, F.col("_pid"))
+            + F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cum"),
     )
-    tot = tc.agg(
-        F.sum("freq").alias("total"), F.count(F.lit(1)).alias("vocab_size")
-    )
+    # Totals are the prefix-sum grand totals — already collected above;
+    # grouping by the literal keeps the empty-corpus shape (0 rows) the
+    # oracle's `FROM ranked, tot GROUP BY tot.total` produces.
     return (
-        ranked.crossJoin(F.broadcast(tot))
-        .groupBy("total")
+        ranked.groupBy(F.lit(acc_s).cast("long").alias("total"))
         .agg(
-            F.max("vocab_size").alias("vocab_size"),
+            F.max(F.lit(acc_n)).cast("long").alias("vocab_size"),
             F.min(
-                F.when(F.col("cum") >= 0.90 * F.col("total"), F.col("rnk"))
+                F.when(F.col("cum") >= 0.90 * F.lit(acc_s), F.col("rnk"))
             ).cast("long").alias("v90"),
             F.min(
-                F.when(F.col("cum") >= 0.95 * F.col("total"), F.col("rnk"))
+                F.when(F.col("cum") >= 0.95 * F.lit(acc_s), F.col("rnk"))
             ).cast("long").alias("v95"),
             F.min(
-                F.when(F.col("cum") >= 0.99 * F.col("total"), F.col("rnk"))
+                F.when(F.col("cum") >= 0.99 * F.lit(acc_s), F.col("rnk"))
             ).cast("long").alias("v99"),
             dround(
                 F.max(
                     F.when(F.col("rnk") <= 1000, F.col("cum")).otherwise(0)
                 ).cast("double")
-                / F.col("total"),
+                / F.lit(float(acc_s)),
                 4,
             ).alias("top1000_coverage"),
         )

@@ -1276,14 +1276,35 @@ def a21_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # a24 — RFM segmentation: the classic financial-customer panel
 # (recency / frequency / monetary quartile scores → segment code) the
-# reference's Power BI layer would build from the star schema. Two
-# shuffles total: the per-customer order rollup and the three ntile
-# windows, which all ride ONE global sort partition set because the
-# quartile is over the whole customer base (a production variant
-# pre-buckets by approx quantile edges to avoid the global sort; at
-# this output size — one row per CUSTOMER, not per order — the exact
-# form is the right default).
+# reference's Power BI layer would build from the star schema. The
+# quartiles are EXACT ntile(4) semantics (rank-split with unique
+# tiebreak, not value boundaries — ties at a quartile edge land in
+# different tiles by c_custkey order, which percentile boundaries
+# cannot express), but computed WITHOUT `ntile() OVER (ORDER BY …)`'s
+# SinglePartition collapse: each score rides the two-phase
+# range-partitioned rank (scale.two_phase_rank — per-partition
+# row_number + driver prefix-summed offsets), and ntile is then a pure
+# closed-form function of (rank, N): with q, r = divmod(N, 4), tiles
+# 1..r hold q+1 rows and tiles r+1..4 hold q. At 100 TB the
+# customer-grain rollup is hundreds of millions of rows; the r15 form
+# funneled them through ONE task three times — this form never builds
+# a partition larger than N/32.
 # ---------------------------------------------------------------------------
+
+
+def _ntile4_from_rank(rank, n: int):
+    """Closed-form ntile(4) from a unique 1..n rank (block comment
+    above); matches SQL NTILE exactly, including the n<4 degenerate
+    case where row i lands alone in tile i."""
+    q, r = divmod(n, 4)
+    if q == 0:
+        return rank.cast("int")
+    t = r * (q + 1)  # rows covered by the q+1-sized leading tiles
+    return (
+        F.when(rank <= t, F.floor((rank - 1) / (q + 1)))
+        .otherwise(r + F.floor((rank - t - 1) / q))
+        + 1
+    ).cast("int")
 
 
 @probe(
@@ -1322,13 +1343,17 @@ def a21_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a24 — per-customer RFM panel: recency (days since last order,
     against the corpus max date so the panel is reproducible),
-    frequency (order count), monetary (total spend), each quartiled by
-    ntile(4) with the unique-custkey tiebreak that keeps assignment
-    deterministic across engines (the o6 discipline; recency sorts
-    DESC so 'bought most recently' earns score 4 like the other two),
-    plus the concatenated RFM code and the standard segment ladder.
-    The hash certifies all three orderings, the quartile boundaries,
-    and the CASE ladder at once."""
+    frequency (order count), monetary (total spend), each quartiled
+    with exact ntile(4) semantics and the unique-custkey tiebreak that
+    keeps assignment deterministic across engines (the o6 discipline;
+    recency sorts DESC so 'bought most recently' earns score 4 like
+    the other two), plus the concatenated RFM code and the standard
+    segment ladder. The oracle stays the naive three-window ntile SQL;
+    the implementation computes each rank via the two-phase
+    range-partitioned pattern and maps rank→tile in closed form, so
+    the hash certifies all three orderings, the quartile boundaries,
+    and the CASE ladder — and the plan carries no SinglePartition
+    window (pinned in tests/test_plans.py)."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -1342,14 +1367,24 @@ def a24_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    wr = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
-    wf = Window.orderBy("frequency", "c_custkey")
-    wm = Window.orderBy("monetary", "c_custkey")
-    scored = base.select(
-        "*",
-        F.ntile(4).over(wr).alias("r_score"),
-        F.ntile(4).over(wf).alias("f_score"),
-        F.ntile(4).over(wm).alias("m_score"),
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import two_phase_rank
+
+    # One range-partitioned rank per ordering; the base rollup is
+    # checkpointed by the first pass, so the other two re-rank the
+    # pinned relation instead of recomputing the orders scan.
+    ranked, n = two_phase_rank(
+        base, [F.col("recency_days").desc(), F.col("c_custkey")], "_ri"
+    )
+    ranked, _ = two_phase_rank(ranked, ["frequency", "c_custkey"], "_fi")
+    ranked, _ = two_phase_rank(ranked, ["monetary", "c_custkey"], "_mi")
+    scored = ranked.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _ntile4_from_rank(F.col("_ri"), n).alias("r_score"),
+        _ntile4_from_rank(F.col("_fi"), n).alias("f_score"),
+        _ntile4_from_rank(F.col("_mi"), n).alias("m_score"),
     )
     seg = (
         F.when(

@@ -73,3 +73,50 @@ def has_python_row_udf(df: DataFrame) -> bool:
     """True if a row-at-a-time Python UDF (BatchEvalPython) is in the
     plan. Arrow-batched pandas UDFs show as ArrowEvalPython instead."""
     return "BatchEvalPython" in formatted_plan(df)
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Arguments lines of every Window node with NO partition spec —
+    the `OVER (ORDER BY …)` / `OVER ()` SinglePartition collapse that
+    funnels the whole relation through one task (the a24/x27 hazard
+    VERDICT r15 flagged). In formatted-plan detail a Window node's
+    Arguments hold top-level bracket groups:
+      [exprs], [partition], [order]  — partitioned (3 groups)
+      [exprs], [partition]           — partitioned, unordered
+      [exprs], [order]               — GLOBAL ordered
+      [exprs]                        — GLOBAL unordered (OVER ())
+    The 2-group cases disambiguate by the second group's content: an
+    order spec carries ASC/DESC markers, a partition spec never does.
+    WindowGroupLimit nodes are intentionally NOT matched — they are
+    per-partition top-k pruning, and every one rides a partitioned
+    Window above it. Returns the offending lines (empty = clean)."""
+    import re
+
+    out = []
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.fullmatch(r"\(\d+\) Window", line.strip()):
+            continue
+        for detail in lines[i + 1 : i + 6]:
+            if not detail.startswith("Arguments: "):
+                continue
+            depth, groups, spans, start = 0, 0, [], 0
+            for j, ch in enumerate(detail):
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                        start = j
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        spans.append(detail[start : j + 1])
+            is_global = groups == 1 or (
+                groups == 2
+                and re.search(r"\b(ASC|DESC)\b", spans[1]) is not None
+            )
+            if is_global:
+                out.append(detail[:200])
+            break
+    return out

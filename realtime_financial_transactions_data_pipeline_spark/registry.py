@@ -180,6 +180,22 @@ DRIVER_WINDOW = 50
 #: were
 #: added after this rotation was rehearsed and wait for cohort 10,
 #: after which rotations are pure re-verification, oldest-green-first.
+#: Cohort-10 rotation (round 16, VERDICT_r15 item #5): the backlog of
+#: never-driver-exposed oracled probes stood at 65 (the round-15
+#: newcomers above plus the second-continuation additions) against 48
+#: free slots, and the required families k/u/x1/x4/x5/er/l/p have no
+#: backlog member — so: anchors stay (q1, t1_t6); EIGHT family keeps
+#: (least-recently-green per family: k3 r11, u1b r8, x1_dedup_exact
+#: r11, x4_multimodal_decode r10, x5d r13, er2 r13, l1b r14, p1 r10);
+#: FORTY backlog probes enter — registration order #1-#37 (a24-a31,
+#: api1, dq6-dq9/dq11, f17-f19, g9/g10, j10/j12, mv4, o10-o14, q1p,
+#: s13-s19, scale_aqe_coalesce, scale_bloom_semijoin) plus three
+#: required-family pulls from the backlog tail (x2z for x2, x3n for
+#: x3, x27 for x6 — x27 doubling as driver certification of its r16
+#: two-phase rewrite, pairing with a24's). TWENTY-FIVE remain for
+#: cohort 11 (scale_bucketed_star/cbo_stats/exchange_reuse/salted_join/
+#: stable_row_ids/vacuum, sql1-sql3, t12-t15/t17, ts7-ts9, x22-x26,
+#: x2ab, x34, x35), after which rotations are pure re-verification.
 #: ROWS-ONLY EXCLUSION (VERDICT_r13 item #7, permanent policy): the
 #: rows-only-by-nature probes — t5_rate_source (throughput),
 #: x5_approx_sketches (approximate); u1_fpe_tokenize LEFT this set in
@@ -194,64 +210,63 @@ _DRIVER_ORDER = [
     # T1/T2/T3/T6 in one probe.
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
-    # first exposure (18): the cohort-8 deferrals...
-    "q1b_pricing_summary",
-    "q1sql_shared_text",
-    "a14_daily_anomalies",
-    "a15_value_histogram",
-    "x4_binary_columns",
-    "x3g_pii_redaction",
-    "scale_salted_agg",
-    "scale_time_travel",
-    "t2c_hopping_windows",
-    # ...the round-14 newcomers...
-    "g8_star_components",
-    "j9_asof_nearest",
-    "x2y_neardup_cluster_stats",
-    "o9_weighted_median",
-    "a23_revenue_concentration",
-    "scale_dynamic_pruning",
-    "x21_content_defined_chunking",
-    "u9_erasure_cascade",
-    # ...and the round-15 oracle upgrade (pyffx-compat tokens):
-    "u1_fpe_tokenize",
-    # re-verification keeps (30), least-recently-verified first:
-    # last green round 2 —
-    "f9_date_arithmetic",
-    "j4_anti_join_new_rows",
-    "j4b_semi_join",
-    "a10b_count_distinct",
-    "o5b_window_running",
-    "rollup_region_nation",
-    "x1b_dedup_dropduplicates",
-    "x3a_token_stats",
-    "x3b_language_id",
-    "x3c_quality_score",
-    "x3d_fingerprint",
-    "x3e_bpe_pretokenize",
-    "x3f_unigram_xentropy",
-    # last green round 6 —
-    "f15_risk_threshold",
-    "a10_distinct_slicer_values",
-    "o3_union",
-    "o4_intersect_except",
-    "x2b_ngram_jaccard",
-    "x2e_cosine_topk",
-    "x2f_cosine_threshold_pairs",
-    "f14_surrogate_ids",
-    "x3bcf_doc_quality",
-    "x2g_ann_lsh_bucketed",
-    # last green round 7 —
-    "p3_filter_eq",
-    "s6_json_read",
-    # family-coverage keeps (test_driver_window_family_coverage):
-    # least-recently-verified member of each family left unrepresented
-    # above — dq/er/k/l/x5.
-    "dq1_expectation_metrics",       # last green r10
-    "er1_entity_resolution",         # last green r12
-    "k9_scd2_build",                 # last green r10
-    "l1_l3_slicer_stack",            # last green r13
-    "x5c_heavy_hitters",             # last green r12
+    # first exposure (40): the cohort-10 backlog, oldest registration
+    # first (#1-#37), plus three required-family pulls from the tail of
+    # the backlog — x2z (x2), x3n (x3), and x27 (x6; ALSO the r16
+    # de-SinglePartition rewrite, so its driver hash certifies the
+    # two-phase rank+cumsum form). a24 (#1) is the other r16 rewrite —
+    # both rewritten probes get driver-hash certification this round.
+    "a24_rfm_segmentation",
+    "a25_price_volume_mix",
+    "a26_cohort_ltv",
+    "a27_growth_accounting",
+    "a28_path_transitions",
+    "a29_batch_sessionization",
+    "a30_ab_assignment_srm",
+    "a31_fulfillment_latency",
+    "api1_pandas_on_spark",
+    "dq11_ks_drift",
+    "dq6_functional_dependency_audit",
+    "dq7_benford_audit",
+    "dq8_order_reconciliation",
+    "dq9_observed_metrics",
+    "f17_card_brand_luhn",
+    "f18_collation_groupby",
+    "f19_fiscal_445_yoy",
+    "g10_kcore",
+    "g9_degree_assortativity",
+    "j10_pit_join",
+    "j12_temporal_fx",
+    "mv4_declarative_pipeline",
+    "o10_range_frame_trailing",
+    "o11_gaps_islands",
+    "o12_set_ops_all",
+    "o13_unpivot_melt",
+    "o14_rolling_distinct",
+    "q1p_pipe_syntax",
+    "s13_corrupt_record_routing",
+    "s14_xml_source",
+    "s15_variant_shred",
+    "s16_python_datasource",
+    "s17_python_stream_source",
+    "s18_debezium_envelope",
+    "s19_multiline_csv",
+    "scale_aqe_coalesce",
+    "scale_bloom_semijoin",
+    "x2z_embedding_dim_stats",
+    "x3n_boilerplate_ngram_scrub",
+    "x27_vocab_coverage",
+    # family-coverage keeps (test_driver_window_family_coverage): the
+    # cohort-10 backlog has no k/u/x1/x4/x5/er/l/p member, so each
+    # family keeps its least-recently-driver-verified oracled probe.
+    "k3_passthrough_stream",         # last green r11
+    "u1b_mask_and_bin",              # last green r8
+    "x1_dedup_exact",                # last green r11
+    "x4_multimodal_decode",          # last green r10
+    "x5d_hll_distinct",              # last green r13
+    "er2_fuzzy_match",               # last green r13
+    "l1b_partition_pruned_slice",    # last green r14
+    "p1_projection",                 # last green r10
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
     # Not assert: these invariants must hold under ``python -O`` too,

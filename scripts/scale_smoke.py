@@ -94,6 +94,13 @@ MATRIX = {
     # customer ≈ 25, constant across scales), so wall should track the
     # per-level join volume, not explode with input.
     "sql2_recursive_cte": ("tpch", (1, 10)),
+    # r16 (VERDICT r15 #2/#3): the two de-SinglePartitioned probes.
+    # a24's three RFM quartiles now ride two-phase range-partitioned
+    # ranks — growth should be three sort-class passes over the
+    # per-customer rollup, never a one-task funnel; x27's rank+cumsum
+    # walks the vocab in range partitions — growth tracks unique terms.
+    "a24_rfm_segmentation": ("tpch", (1, 10, 60)),
+    "x27_vocab_coverage": ("documents", (1, 10, 100)),
     "a29_batch_sessionization": ("events", (1, 10)),
     # Set-valued window state (o14): frame length is constant (20), so
     # memory per window is bounded and growth should be one linear

@@ -361,3 +361,50 @@ def test_q1p_pipe_syntax_plans_broadcast_star(spark, sf_dir):
     assert inspect.uses_broadcast_join(df)
     assert not inspect.has_sort_merge_join(df)
     assert "o_orderdate" in inspect.pushed_filters(df)
+
+
+def test_no_probe_has_unbounded_global_window(spark, sf_dir):
+    """VERDICT r15 #4 — closed-class tripwire (the BatchEvalPython/NLJ
+    discipline applied to windows): no probe plan may contain a Window
+    node with an EMPTY partition spec over an unbounded relation. A
+    partitionBy-less window funnels the whole input through ONE task —
+    fine at sf0.01, fatal at 100 TB (the r15 a24/x27 findings, both
+    since rewritten onto the two-phase range-partitioned rank). The
+    whitelist names every survivor and WHY its input is bounded by
+    construction; anything else that grows a global window fails here.
+    """
+    from realtime_financial_transactions_data_pipeline_spark.registry import all_probes
+
+    allowed = {
+        # ranks only the 100 survivors of a TakeOrderedAndProject
+        # (pinned by test_g3_ranking_has_no_global_window_over_candidates)
+        "g3_link_prediction",
+        # global row_number AFTER .limit(100) — bounded survivor set
+        "x11_deterministic_shuffle",
+        # Zipf fit over the top-100 of a TakeOrderedAndProject
+        "x3m_vocab_zipf",
+        # running cusum over the per-DAY rollup — calendar-bounded
+        # (rows = distinct days, not data-sized)
+        "ts5_cusum_changepoint",
+        # min(...) OVER () scalar attach on the nprobe-sweep summary —
+        # rows = sweep grid size, a config constant
+        "x2u_recall_tuned",
+    }
+    skip = {  # streaming probes run side-effecting pipelines, not single plans
+        "t1_t6_streaming_pipeline",
+        "j3_stream_lookup_refresh",
+        "k3_passthrough_stream",
+        "s5_k4_csv_overwrite_load",
+        "s6_json_read",
+    }
+    offenders = {}
+    for name, p in all_probes().items():
+        if name in skip or name in allowed:
+            continue
+        gw = inspect.global_windows(p.fn(spark, sf_dir))
+        if gw:
+            offenders[name] = gw[0]
+    assert not offenders, (
+        "unpartitioned Window over a non-whitelisted relation — the "
+        f"SinglePartition 100 TB collapse: {offenders}"
+    )
