@@ -4050,7 +4050,15 @@ def sql2_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     many orders the walk consumed, the cumulative spend where it
     stopped, and whether the threshold was reached. One dialect-
     neutral SQL string runs verbatim on BOTH engines (the q1sql
-    discipline: floor(x*100 + 0.5) cents, ANSI text)."""
+    discipline: floor(x*100 + 0.5) cents, ANSI text).
+
+    Shuffle bound (the suite's largest, 43 MB at sf0.1 — smoked at 10x,
+    PLANS.md): each recursion level extends only UNIQUE (customer,
+    prefix) paths — the anchor is one row per customer and every step
+    consumes the customer's next order by date — so total shuffled
+    volume is Σ_c min(orders_c, stop_c) ≤ |orders|, linear in input
+    (measured 10.2x shuffle at 10x); multiplicity cannot grow because
+    no level ever joins a path to more than one successor order."""
     from realtime_financial_transactions_data_pipeline_spark.tables import register_views
 
     register_views(spark, sf_dir)
