@@ -1097,3 +1097,123 @@ def x26_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X36 — priority sampling (Duffield–Lund–Thorup, CACM 2007): the exact-k
+# companion to x23's Poisson PPS. Each doc draws priority q = w/u with
+# w = n_chars and u the shared counter-based md5 uniform; the sample is
+# the k docs with the largest priorities and the threshold τ is the
+# (k+1)-th priority, giving the unbiased per-item mass estimator
+# max(w, τ). This is THE fixed-budget weighted subsample a training-data
+# pipeline draws when it wants exactly k quality-weighted documents, not
+# a Poisson-variable count. Scale shape: priorities are a scan-level
+# projection (u and the division are pure row functions), the top-(k+1)
+# is TakeOrderedAndProject — per-partition heaps of k+1 rows, driver
+# merges k+1, NO global sort, NO window — and the panel is a groupBy
+# over the k survivors joined to a partial-aggregated per-source rollup.
+# Determinism: u is bit-identical across engines (hash_uniform /
+# sql_uniform) and IEEE division is correctly rounded, so priorities,
+# the top-k membership, and τ match bit-for-bit; the estimator is
+# integer millis (floor(τ·1000 + 0.5) once, then integer greatest/sum)
+# so no order-dependent float accumulation touches the hash.
+# ---------------------------------------------------------------------------
+
+_X36_SEED = 9090
+_X36_K = 100
+
+
+def _x36_oracle() -> str:
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import sql_uniform
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             n_chars / {sql_uniform(_X36_SEED, "doc_id")} AS pri
+      FROM documents),
+    top AS (SELECT * FROM s ORDER BY pri DESC, doc_id LIMIT {_X36_K + 1}),
+    tau AS (SELECT CAST(floor(min(pri) * 1000 + 0.5) AS BIGINT)
+              AS tau_millis FROM top),
+    samp AS (SELECT * FROM top ORDER BY pri DESC, doc_id LIMIT {_X36_K}),
+    panel AS (
+      SELECT source,
+             count(*) AS n_sampled,
+             sum(n_chars) AS sum_chars_sampled,
+             sum(doc_id) AS id_checksum,
+             sum(greatest(n_chars * 1000, tau.tau_millis)) AS est_mass_millis
+      FROM samp, tau GROUP BY source),
+    tot AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY source)
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.sum_chars AS BIGINT) AS sum_chars,
+           CAST(coalesce(p.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(coalesce(p.sum_chars_sampled, 0) AS BIGINT)
+             AS sum_chars_sampled,
+           CAST(coalesce(p.id_checksum, 0) AS BIGINT) AS id_checksum,
+           CAST(coalesce(p.est_mass_millis, 0) AS BIGINT) AS est_mass_millis
+    FROM tot t LEFT JOIN panel p USING (source)
+    """
+
+
+@probe("x36_priority_sample", oracle=_x36_oracle())
+def x36_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x36 — exact-k priority sample of `documents` weighted by
+    n_chars (block comment above): q = w/u, keep the top k=100 by
+    (q desc, doc_id), τ = the 101st priority, per-source panel with
+    the DLT estimator Σ max(w·1000, τ_millis) plus the membership
+    checksum that pins the exact sample. The oracle replays priorities,
+    the top-k cut, τ, and the estimator from the same md5 uniforms."""
+    from realtime_financial_transactions_data_pipeline_spark.sources.datagen import (
+        hash_uniform,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.col("n_chars") / hash_uniform(_X36_SEED, "doc_id")
+        ).alias("pri"),
+    )
+    # TakeOrderedAndProject: per-partition (k+1)-heaps, driver merge.
+    top = s.orderBy(F.col("pri").desc(), "doc_id").limit(_X36_K + 1)
+    tau = top.agg(
+        F.floor(F.min("pri") * 1000 + F.lit(0.5)).cast("long").alias(
+            "tau_millis"
+        )
+    )
+    samp = top.orderBy(F.col("pri").desc(), "doc_id").limit(_X36_K)
+    panel = (
+        samp.crossJoin(F.broadcast(tau))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sum_chars_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum(
+                F.greatest(
+                    F.col("n_chars").cast("long") * 1000,
+                    F.col("tau_millis"),
+                )
+            ).cast("long").alias("est_mass_millis"),
+        )
+    )
+    tot = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return tot.join(F.broadcast(panel), "source", "left").select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        F.coalesce("sum_chars_sampled", F.lit(0)).cast("long").alias(
+            "sum_chars_sampled"
+        ),
+        F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
+        F.coalesce("est_mass_millis", F.lit(0)).cast("long").alias(
+            "est_mass_millis"
+        ),
+    )

@@ -4554,3 +4554,115 @@ def o14_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_parts_20"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A32 — backlog aging waterfall: the accounts-receivable-style panel
+# every operations dashboard carries — open (non-filled) orders as of a
+# fixed snapshot date, bucketed by age into 0-30 / 31-60 / 61-90 / 90+
+# days, per region, with order counts and EXACT INTEGER CENTS per
+# bucket (the a11 idiom). One conditional-aggregation pass: the age
+# CASE is a scan-level projection, the four buckets come out of a
+# single partial-aggregable groupBy (no per-bucket scans, no pivot
+# shuffle), and the customer→nation→region dims broadcast. At 100 TB
+# the o_orderdate < snapshot predicate is a pushed scan filter and the
+# fact shuffles once on ~5 region keys.
+# ---------------------------------------------------------------------------
+
+_A32_ASOF = "1997-01-01"
+
+
+def _a32_bucket_sql(lo: int, hi: int | None) -> str:
+    cond = f"age >= {lo}" + (f" AND age <= {hi}" if hi is not None else "")
+    return cond
+
+
+@probe(
+    "a32_backlog_aging",
+    oracle=f"""
+    WITH open_o AS (
+      SELECT r.r_name AS region,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       DATE '{_A32_ASOF}') AS age,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE o.o_orderstatus <> 'F'
+        AND CAST(o.o_orderdate AS DATE) < DATE '{_A32_ASOF}')
+    SELECT region,
+           CAST(count(*) FILTER (WHERE {_a32_bucket_sql(0, 30)}) AS BIGINT)
+             AS n_0_30,
+           CAST(coalesce(sum(cents) FILTER (WHERE {_a32_bucket_sql(0, 30)}), 0)
+                AS BIGINT) AS cents_0_30,
+           CAST(count(*) FILTER (WHERE {_a32_bucket_sql(31, 60)}) AS BIGINT)
+             AS n_31_60,
+           CAST(coalesce(sum(cents) FILTER (WHERE {_a32_bucket_sql(31, 60)}), 0)
+                AS BIGINT) AS cents_31_60,
+           CAST(count(*) FILTER (WHERE {_a32_bucket_sql(61, 90)}) AS BIGINT)
+             AS n_61_90,
+           CAST(coalesce(sum(cents) FILTER (WHERE {_a32_bucket_sql(61, 90)}), 0)
+                AS BIGINT) AS cents_61_90,
+           CAST(count(*) FILTER (WHERE age > 90) AS BIGINT) AS n_90_plus,
+           CAST(coalesce(sum(cents) FILTER (WHERE age > 90), 0) AS BIGINT)
+             AS cents_90_plus,
+           CAST(count(*) AS BIGINT) AS n_open,
+           CAST(sum(cents) AS BIGINT) AS cents_open
+    FROM open_o GROUP BY region
+    """,
+)
+def a32_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 — open-order backlog aging as of {_A32_ASOF} (block comment
+    above): age buckets 0-30/31-60/61-90/90+ days per region, order
+    counts and exact cents per bucket from ONE conditional aggregation.
+    The oracle replays the age arithmetic, the bucket edges, and every
+    integer sum."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asof = F.to_date(F.lit(_A32_ASOF))
+    base = (
+        o.filter(
+            (F.col("o_orderstatus") != "F")
+            & (F.to_date("o_orderdate") < asof)
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.datediff(asof, F.to_date("o_orderdate")).alias("age"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+                "cents"
+            ),
+        )
+    )
+
+    def _bucket(lo: int, hi: int | None) -> F.Column:
+        cond = F.col("age") >= lo
+        if hi is not None:
+            cond = cond & (F.col("age") <= hi)
+        return cond
+
+    def _n(cond: F.Column) -> F.Column:
+        return F.count(F.when(cond, F.lit(1))).cast("long")
+
+    def _cents(cond: F.Column) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("cents"))), F.lit(0)
+        ).cast("long")
+
+    return base.groupBy("region").agg(
+        _n(_bucket(0, 30)).alias("n_0_30"),
+        _cents(_bucket(0, 30)).alias("cents_0_30"),
+        _n(_bucket(31, 60)).alias("n_31_60"),
+        _cents(_bucket(31, 60)).alias("cents_31_60"),
+        _n(_bucket(61, 90)).alias("n_61_90"),
+        _cents(_bucket(61, 90)).alias("cents_61_90"),
+        _n(F.col("age") > 90).alias("n_90_plus"),
+        _cents(F.col("age") > 90).alias("cents_90_plus"),
+        F.count(F.lit(1)).alias("n_open"),
+        F.sum("cents").cast("long").alias("cents_open"),
+    )

@@ -245,3 +245,115 @@ def x5d_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(e, "user_id", out="hll_users")
     exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
     return est.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# X5E — Count-Min sketch (Cormode–Muthukrishnan 2005), portable replay:
+# the x5 family's HLL (x5d) covers distinct counting; this covers
+# frequency estimation — the sketch a 100 TB pipeline keeps when exact
+# per-term counts don't fit but "how often does THIS term occur" must
+# be answerable with a one-sided bound (estimate ≥ truth, always).
+# d=4 hash rows × w=512 buckets; bucket(r, term) = first 32 bits of
+# md5('r-term') mod 512 — the hash_uniform idiom, bit-identical in
+# DuckDB, so unlike x5/x5d's engine-native estimators the ENTIRE sketch
+# is oracle-replayable. Scale shape: the sketch builds from the
+# already-aggregated term-count relation (one token shuffle — the exact
+# pass any corpus profile runs anyway), explodes each term to its 4
+# (row, bucket) cells, and partial-aggregates into ≤ 2,048 cells — the
+# sketch itself is kilobytes regardless of corpus size, and the query
+# side broadcasts 40 probe keys against it. The probe estimates the
+# exact top-10 terms so the one-sided error (overestimate ≥ 0, bounded
+# by collisions) is visible in the output and pinned by the hash.
+# ---------------------------------------------------------------------------
+
+_X5E_D = 4
+_X5E_W = 512
+_X5E_TOPK = 10
+
+
+def _x5e_oracle() -> str:
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import _TOKEN_RE
+
+    b = (
+        "('0x' || substr(md5(CAST({r} AS VARCHAR) || '-' || {t}), 1, 8))"
+        f"::UINTEGER % {_X5E_W}"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS term
+      FROM documents),
+    tc AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    rows_ AS (SELECT unnest([{','.join(str(r) for r in range(_X5E_D))}]) AS r),
+    cells AS (
+      SELECT r, {b.format(r='r', t='term')} AS b, sum(freq) AS cell
+      FROM tc, rows_ GROUP BY 1, 2),
+    top AS (SELECT term, freq FROM tc
+            ORDER BY freq DESC, term LIMIT {_X5E_TOPK}),
+    est AS (
+      SELECT t.term, t.freq, min(c.cell) AS cm_est
+      FROM top t, rows_
+      JOIN cells c
+        ON c.r = rows_.r AND c.b = {b.format(r='rows_.r', t='t.term')}
+      GROUP BY 1, 2)
+    SELECT term,
+           CAST(freq AS BIGINT) AS true_freq,
+           CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(cm_est - freq AS BIGINT) AS overestimate
+    FROM est
+    """
+
+
+def _cm_bucket(r: int, term_col: str) -> F.Column:
+    """bucket(r, term): first 32 md5 bits of 'r-term' mod _X5E_W — the
+    hash_uniform idiom, bit-identical to the oracle's UINTEGER cast."""
+    h = F.md5(F.concat(F.lit(f"{r}-"), F.col(term_col)))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _X5E_W
+    )
+
+
+@probe("x5e_countmin_freq", oracle=_x5e_oracle())
+def x5e_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x5e — Count-Min frequency sketch over the documents token stream
+    (block comment above): build 4×512 cells from the term-count
+    relation, estimate the exact top-10 terms via min-over-rows, emit
+    (term, true_freq, cm_est, overestimate). The oracle replays
+    tokenization, the cell sums, the top-10 cut, and every bucket hash.
+    """
+    from realtime_financial_transactions_data_pipeline_spark.operators.text import _TOKEN_RE
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0)
+        ).alias("term")
+    )
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    # One (row, bucket) pair per term per hash row; ≤ d·w cells out.
+    cells = (
+        tc.select(
+            "freq",
+            F.posexplode(
+                F.array(*[_cm_bucket(r, "term") for r in range(_X5E_D)])
+            ).alias("r", "b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.sum("freq").alias("cell"))
+    )
+    top = tc.orderBy(F.col("freq").desc(), "term").limit(_X5E_TOPK)
+    probe_keys = top.select(
+        "term",
+        "freq",
+        F.posexplode(
+            F.array(*[_cm_bucket(r, "term") for r in range(_X5E_D)])
+        ).alias("r", "b"),
+    )
+    return (
+        cells.join(F.broadcast(probe_keys), ["r", "b"])
+        .groupBy("term")
+        .agg(
+            F.max("freq").cast("long").alias("true_freq"),
+            F.min("cell").cast("long").alias("cm_est"),
+            (F.min("cell") - F.max("freq")).cast("long").alias("overestimate"),
+        )
+        .select("term", "true_freq", "cm_est", "overestimate")
+    )

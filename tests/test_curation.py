@@ -209,3 +209,64 @@ def test_x26_span_decontamination_brute_force(spark):
         assert (r.doc_tokens, r.n_spans, r.removed_tokens) == (dt, ns, rm)
         assert r.clean_text == clean, r.doc_id
     assert any(r.removed_tokens > 0 for r in rows), "planted dups must hit"
+
+
+def test_x36_priority_sample_replay(spark):
+    """x36 parity against a from-scratch Python replay of DLT priority
+    sampling at sf0.001: priorities w/u from the md5 counter uniform,
+    top-k membership (via the per-source id checksum), τ as the
+    (k+1)-th priority in integer millis, and the max(w, τ) estimator."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+        _X36_K,
+        _X36_SEED,
+        x36_priority_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT source, doc_id, n_chars"
+        f" FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    pri = []
+    for src, doc_id, n in docs:
+        u = (
+            int(
+                hashlib.md5(f"{_X36_SEED}-{doc_id}".encode()).hexdigest()[:8],
+                16,
+            )
+            / 4294967296.0
+        )
+        pri.append((n / u, doc_id, src, n))
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    top = pri[: _X36_K + 1]
+    tau_millis = math.floor(min(p for p, *_ in top) * 1000 + 0.5)
+    samp = top[:_X36_K]
+    agg: dict[str, list[int]] = {}
+    for p, doc_id, src, n in samp:
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        a[2] += doc_id
+        a[3] += max(n * 1000, tau_millis)
+    rows = {r.source: r for r in x36_priority_sample(spark, sf).collect()}
+    total = {}
+    for src, _, n in docs:
+        t = total.setdefault(src, [0, 0])
+        t[0] += 1
+        t[1] += n
+    assert set(rows) == set(total)
+    for src, r in rows.items():
+        assert (r.n_docs, r.sum_chars) == tuple(total[src]), src
+        ns, scs, ck, est = agg.get(src, [0, 0, 0, 0])
+        assert (r.n_sampled, r.sum_chars_sampled) == (ns, scs), src
+        assert (r.id_checksum, r.est_mass_millis) == (ck, est), src
+    # exactly k docs sampled overall, estimator one-sided vs kept mass
+    assert sum(r.n_sampled for r in rows.values()) == _X36_K
+    assert all(
+        r.est_mass_millis >= r.sum_chars_sampled * 1000 for r in rows.values()
+    )

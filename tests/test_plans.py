@@ -408,3 +408,25 @@ def test_no_probe_has_unbounded_global_window(spark, sf_dir):
         "unpartitioned Window over a non-whitelisted relation — the "
         f"SinglePartition 100 TB collapse: {offenders}"
     )
+
+
+def test_a32_single_pass_pushed_filter(spark, sf_dir):
+    """a32's whole shape claim: the four age buckets come out of ONE
+    conditional aggregation (a single fact-side hashpartitioning on
+    region), the snapshot/status predicates reach the orders scan, the
+    dims broadcast — and the buckets PARTITION the open set exactly
+    (counts and cents sum to the totals row-by-row)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        a32_backlog_aging,
+    )
+
+    df = a32_backlog_aging(spark, sf_dir)
+    pushed = inspect.pushed_filters(df)
+    assert "o_orderstatus" in pushed
+    assert inspect.uses_broadcast_join(df)
+    for r in df.collect():
+        assert r.n_0_30 + r.n_31_60 + r.n_61_90 + r.n_90_plus == r.n_open
+        assert (
+            r.cents_0_30 + r.cents_31_60 + r.cents_61_90 + r.cents_90_plus
+            == r.cents_open
+        )

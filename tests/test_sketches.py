@@ -53,3 +53,49 @@ def test_portable_hll_accuracy(spark, sf_dir):
     r = x5d_hll_distinct(spark, sf_dir).collect()[0]
     assert r.exact_users > 0
     assert abs(r.hll_users - r.exact_users) / r.exact_users < 0.4
+
+
+def test_x5e_countmin_one_sided_and_replay(spark, sf_dir):
+    """x5e Count-Min: the estimate NEVER undercounts (the CM guarantee —
+    min over rows of a sum that always includes the item's own mass),
+    and every estimate matches a from-scratch Python sketch built from
+    the same md5 bucket law over the same token stream."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.sketches import (
+        _X5E_D,
+        _X5E_TOPK,
+        _X5E_W,
+        x5e_countmin_freq,
+    )
+
+    rows = x5e_countmin_freq(spark, sf_dir).collect()
+    assert len(rows) == _X5E_TOPK
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cm_est == r.true_freq + r.overestimate for r in rows)
+
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    freq = Counter()
+    for (t,) in texts:
+        freq.update(re.findall(r"[a-zA-Z0-9]+", t.lower()))
+
+    def bucket(r: int, term: str) -> int:
+        return (
+            int(hashlib.md5(f"{r}-{term}".encode()).hexdigest()[:8], 16)
+            % _X5E_W
+        )
+
+    cells = Counter()
+    for term, f in freq.items():
+        for r in range(_X5E_D):
+            cells[(r, bucket(r, term))] += f
+    for row in rows:
+        assert freq[row.term] == row.true_freq, row.term
+        est = min(cells[(r, bucket(r, row.term))] for r in range(_X5E_D))
+        assert est == row.cm_est, row.term
