@@ -1502,3 +1502,93 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# G11 — label-propagation communities (Raghavan et al. 2007), the
+# community-DETECTION member of the family: g5/g8 answer "which nodes
+# are connected at all", LPA answers "which densely-linked cluster is
+# each node in", splitting a single connected component into its
+# communities. Deterministic variant: SYNCHRONOUS rounds (all nodes
+# update from the previous round's labels — no visit-order dependence),
+# a fixed round count, and the min-label tie-break, so both engines
+# walk the identical label sequence. Each round is one edge-keyed hash
+# join (ship labels to neighbors) + one node-keyed argmax aggregate —
+# the same per-round shuffle class as g2's PageRank, linear in edges,
+# nothing node²; the argmax is max(struct(count, -label)) so no window
+# appears anywhere. Edges are the family's memoized community-regime
+# pair pass (>= _G5_MIN_SHARED shared buckets), so the probe's marginal
+# cost over the family is the three LPA rounds themselves.
+# ---------------------------------------------------------------------------
+
+_G11_ROUNDS = 3
+
+
+def _g11_oracle() -> str:
+    bi = f"""b AS (SELECT DISTINCT user_id, event_type,
+                          date_trunc('hour', ts) AS h FROM events),
+    sized AS (SELECT event_type, h, count(*) AS sz FROM b GROUP BY 1, 2),
+    bb AS (SELECT b.* FROM b JOIN sized USING (event_type, h)
+           WHERE sz BETWEEN 2 AND {_G1_BUCKET_CAP}),
+    e AS (SELECT a.user_id AS u, c.user_id AS v
+          FROM bb a JOIN bb c ON a.event_type = c.event_type AND a.h = c.h
+                             AND a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= {_G5_MIN_SHARED}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""
+    rounds = []
+    for r in range(1, _G11_ROUNDS + 1):
+        rounds.append(f"""
+    c{r} AS (SELECT bi.u AS node, l.lbl AS nl, count(*) AS c
+             FROM bi JOIN l{r-1} l ON l.node = bi.v GROUP BY 1, 2),
+    l{r} AS (SELECT node, nl AS lbl FROM (
+               SELECT node, nl,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, nl) AS rn
+               FROM c{r}) WHERE rn = 1)""")
+    return f"""
+    WITH {bi},{','.join(rounds)}
+    SELECT lbl AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM l{_G11_ROUNDS} GROUP BY lbl
+    """
+
+
+@probe("g11_lpa_communities", oracle=_g11_oracle())
+def g11_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 — synchronous label propagation over the community-regime
+    co-engagement graph (block comment above): labels start as node
+    ids; for _G11_ROUNDS rounds every node adopts its neighbors'
+    most-frequent previous-round label (ties -> min label); output is
+    the per-community panel (size, min node, node checksum — the
+    checksum pins exact membership). The oracle unrolls the identical
+    rounds as SQL CTEs."""
+    edges = (
+        _memo_pairs(spark, sf_dir)
+        .filter(F.col("n_shared") >= _G5_MIN_SHARED)
+        .select("u", "v")
+    )
+    bi = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # reused every round; pin the lineage
+    labels = bi.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_G11_ROUNDS):
+        nl = bi.join(
+            labels.select(F.col("node").alias("_n"), F.col("lbl").alias("nl")),
+            F.col("v") == F.col("_n"),
+        ).select(F.col("u").alias("node"), "nl")
+        counts = nl.groupBy("node", "nl").agg(F.count(F.lit(1)).alias("c"))
+        # argmax(count) with min-label tie-break, window-free:
+        # max(struct(c, -nl)) sorts by count then by -label.
+        labels = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("nl")).alias("neg"))).alias("m")
+        ).select("node", (-F.col("m.neg")).alias("lbl"))
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.sum("node").cast("long").alias("node_checksum"),
+    )

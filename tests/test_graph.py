@@ -560,3 +560,56 @@ def test_g10_probe_cores_nest(spark):
     assert rows[3].n_core_edges <= rows[2].n_core_edges
     assert rows[3].node_checksum <= rows[2].node_checksum
     assert rows[2].n_core_nodes > 0, "ms=4 regime must have a real 2-core"
+
+
+def test_g11_lpa_matches_python_replay(spark):
+    """g11 parity against a from-scratch Python replay of synchronous
+    LPA (3 rounds, neighbor-majority, min-label tie-break) on the same
+    community-regime edge set at sf0.001 — membership pinned via the
+    per-community node checksum — plus the structural invariants:
+    community sizes total the node count, every community id is a
+    member node's id, and min_node <= every checksum/size pair allows.
+    """
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        _G5_MIN_SHARED,
+        _G11_ROUNDS,
+        _memo_pairs,
+        g11_lpa_communities,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r.u, r.v)
+        for r in _memo_pairs(spark, sf)
+        .filter(F.col("n_shared") >= _G5_MIN_SHARED)
+        .select("u", "v")
+        .collect()
+    ]
+    nbrs = defaultdict(list)
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(_G11_ROUNDS):
+        nxt = {}
+        for n, ns in nbrs.items():
+            counts = Counter(lbl[m] for m in ns)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        lbl = nxt
+    expected = defaultdict(lambda: [0, None, 0])
+    for n, c in lbl.items():
+        e = expected[c]
+        e[0] += 1
+        e[1] = n if e[1] is None else min(e[1], n)
+        e[2] += n
+    rows = {r.community: r for r in g11_lpa_communities(spark, sf).collect()}
+    assert set(rows) == set(expected)
+    for c, (sz, mn, ck) in expected.items():
+        r = rows[c]
+        assert (r.n_nodes, r.min_node, r.node_checksum) == (sz, mn, ck), c
+    assert sum(r.n_nodes for r in rows.values()) == len(nbrs)
