@@ -2169,3 +2169,110 @@ def t15_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("span_s").alias("max_window_span_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts10 — maximum drawdown (the risk panel every treasury/trading
+# dashboard carries): per event_type, treat the cumulative daily value
+# series as an equity curve and report the deepest peak-to-trough fall,
+# when it bottomed, and the curve's final level. All state is EXACT
+# INTEGER MILLS (the scale_dynamic_pruning pairing: round(value·1000)
+# per event, bigint sums), so cum, running peak, drawdown, and the
+# argmax are integer arithmetic — nothing floating touches the hash
+# except the final depth ratio (dround 6). Scale shape: one daily
+# rollup shuffle, then ALL windows partition by event_type (running sum
+# and running max over the per-type daily series — days per type, never
+# corpus-sized), and the worst-day argmax is the window-free
+# max(struct) idiom; no SinglePartition anywhere (the global-window
+# tripwire covers this probe like every other).
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "ts10_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 1000) AS BIGINT)) AS mills
+      FROM events GROUP BY 1, 2),
+    curve AS (
+      SELECT event_type, day,
+             sum(mills) OVER w AS cum,
+             max(sum(mills)) OVER (PARTITION BY event_type
+                                   ORDER BY day ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS peak
+      FROM daily
+      GROUP BY event_type, day, mills
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    dd AS (
+      SELECT event_type, day, cum, peak, peak - cum AS draw,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY peak - cum DESC, day) AS rn
+      FROM curve)
+    SELECT event_type,
+           CAST((SELECT max(cum) FROM dd x
+                 WHERE x.event_type = dd.event_type
+                   AND x.day = (SELECT max(day) FROM dd y
+                                WHERE y.event_type = dd.event_type))
+             AS BIGINT) AS final_mills,
+           CAST(draw AS BIGINT) AS max_drawdown_mills,
+           CAST(day AS VARCHAR) AS worst_day,
+           round(CASE WHEN peak = 0 THEN 0.0
+                      ELSE draw / CAST(peak AS DOUBLE) END, 6) AS max_dd_frac
+    FROM dd WHERE rn = 1
+    """,
+)
+def ts10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts10 — per-event_type maximum drawdown over the cumulative
+    daily mills curve (block comment above): running sum + running
+    peak per type, drawdown = peak − cum (exact bigint), worst day =
+    argmax(drawdown) with earliest-day tie-break via the window-free
+    max(struct(draw, −epoch_day)) idiom, depth ratio vs the peak at
+    the trough. The oracle replays the curve, the argmax, and the
+    ratio."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("mills")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = daily.select(
+        "event_type",
+        "day",
+        F.sum("mills").over(w).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(w))
+    dd = curve.select(
+        "event_type",
+        "cum",
+        "peak",
+        (F.col("peak") - F.col("cum")).alias("draw"),
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("di"),
+    )
+    panel = dd.groupBy("event_type").agg(
+        # worst (draw, earliest day): max draw, then max(-di) = min di
+        F.max(F.struct(F.col("draw"), (-F.col("di")).alias("nd"), "peak")).alias("m"),
+        # final level: the last day's cum = cum at max di
+        F.max(F.struct(F.col("di"), F.col("cum"))).alias("last"),
+    )
+    return panel.select(
+        "event_type",
+        F.col("last.cum").cast("long").alias("final_mills"),
+        F.col("m.draw").cast("long").alias("max_drawdown_mills"),
+        F.date_add(F.lit("1970-01-01").cast("date"), (-F.col("m.nd")).cast("int"))
+        .cast("string")
+        .alias("worst_day"),
+        dround(
+            F.when(F.col("m.peak") == 0, F.lit(0.0)).otherwise(
+                F.col("m.draw") / F.col("m.peak").cast("double")
+            ),
+            6,
+        ).alias("max_dd_frac"),
+    )

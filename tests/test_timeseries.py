@@ -929,3 +929,47 @@ def test_t15_builtin_agrees_with_a29_up_to_boundary(spark):
             assert a[uid].n_sessions == t[uid].n_sessions, uid
         else:
             assert t[uid].n_sessions >= a[uid].n_sessions, uid
+
+
+def test_ts10_drawdown_matches_python_replay(spark):
+    """ts10 parity against a from-scratch Python replay of the
+    cumulative-mills curve at sf0.001: running peak, deepest drawdown,
+    earliest-worst-day tie-break, final level — plus the invariant that
+    a drawdown is never negative (peak is a running max of cum)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        ts10_max_drawdown,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    daily = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 1000) AS BIGINT)) AS mills
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, day, mills in daily:
+        series[et].append((day, mills))
+    expected = {}
+    for et, rows in series.items():
+        cum, peak, best = 0, None, None  # best = (draw, day, peak_at_trough)
+        for day, mills in rows:
+            cum += mills
+            peak = cum if peak is None else max(peak, cum)
+            draw = peak - cum
+            if best is None or draw > best[0]:
+                best = (draw, day, peak)
+        expected[et] = (cum, best[0], str(best[1]), best[2])
+    got = {r.event_type: r for r in ts10_max_drawdown(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for et, (final, draw, day, peak_at) in expected.items():
+        r = got[et]
+        assert r.final_mills == final, et
+        assert r.max_drawdown_mills == draw >= 0, et
+        assert r.worst_day == day, et
+        want = round(draw / peak_at, 6) if peak_at else 0.0
+        assert abs(r.max_dd_frac - want) < 1e-9, et
