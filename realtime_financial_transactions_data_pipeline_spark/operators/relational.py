@@ -4666,3 +4666,69 @@ def a32_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_open"),
         F.sum("cents").cast("long").alias("cents_open"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F20 — SQL-defined scalar UDFs (Spark 4 CREATE FUNCTION … RETURN): the
+# API surface that lets a platform ship reusable business logic (risk
+# bands, fee schedules) WITHOUT Python UDFs — the definition is SQL, so
+# Catalyst inlines the body at plan time and the hot path stays inside
+# WholeStageCodegen (no BatchEvalPython node ever exists; the
+# registry-wide tripwire in tests/test_plans.py certifies that for this
+# probe like every other). The probe declares a banding UDF plus a
+# second UDF COMPOSED from the first (composition is where SQL UDFs
+# earn their keep over copy-pasted CASE), applies them over customer
+# balances, and rolls up a per-(segment, band) panel in exact integer
+# cents. The oracle inlines the same bodies by hand — certifying that
+# definition-site SQL and call-site expansion agree.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "f20_sql_udf",
+    oracle="""
+    WITH banded AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS band,
+             (CASE WHEN c_acctbal < 0 THEN 'negative'
+                   WHEN c_acctbal < 5000 THEN 'low'
+                   ELSE 'high' END) = 'high' AS is_high,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer)
+    SELECT c_mktsegment, band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS balance_cents,
+           CAST(count(*) FILTER (WHERE is_high) AS BIGINT) AS n_high
+    FROM banded GROUP BY 1, 2
+    """,
+)
+def f20_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 — SQL scalar UDFs, declared then composed (block comment
+    above): acct_band(bal) bands balances, f20_is_high(bal) is defined
+    IN TERMS OF acct_band, and the panel groups customers by
+    (segment, band) with exact-cents mass. The oracle hand-inlines both
+    bodies, so the hash certifies Catalyst's definition expansion."""
+    from realtime_financial_transactions_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION f20_acct_band(bal DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN bal < 0 THEN 'negative' "
+        "WHEN bal < 5000 THEN 'low' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION f20_is_high(bal DOUBLE) "
+        "RETURNS BOOLEAN RETURN f20_acct_band(bal) = 'high'"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment, f20_acct_band(c_acctbal) AS band,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS balance_cents,
+               CAST(count_if(f20_is_high(c_acctbal)) AS BIGINT) AS n_high
+        FROM customer GROUP BY 1, 2
+        """
+    )

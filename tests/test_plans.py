@@ -430,3 +430,20 @@ def test_a32_single_pass_pushed_filter(spark, sf_dir):
             r.cents_0_30 + r.cents_31_60 + r.cents_61_90 + r.cents_90_plus
             == r.cents_open
         )
+
+
+def test_f20_sql_udf_inlines_to_codegen(spark, sf_dir):
+    """f20's reason to exist: a SQL-defined UDF must inline at plan
+    time — the physical plan stays whole-stage-codegen'd with ZERO
+    Python eval nodes, i.e. reusable business logic without leaving
+    the JVM. (A Python UDF expressing the same banding would insert a
+    BatchEvalPython node and fall out of codegen.)"""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        f20_sql_udf,
+    )
+
+    df = f20_sql_udf(spark, sf_dir)
+    assert inspect.has_wholestage_codegen(df)
+    assert not inspect.has_python_row_udf(df)
+    plan = inspect.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
