@@ -1568,8 +1568,22 @@ def two_phase_rank(
 
     cols = list(sort_cols) if isinstance(sort_cols, (list, tuple)) else [sort_cols]
     parted = pinned_range_layout(df, cols, n_parts)
-    off = pid_offset_map_expr(parted)
-    n_total = parted.count()  # checkpointed — a cheap bounded job
+    # ONE bounded collect yields both the offset map and N — a separate
+    # count() job tripled a24's job count for a number the prefix sum
+    # already computes.
+    counts = {
+        r._pid: r.n
+        for r in parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, n_total = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = n_total
+        n_total += counts[pid]
+    off = F.expr(
+        "map(" + ",".join(f"{p}, {o}L" for p, o in offsets.items()) + ")"
+    )
     w = Window.partitionBy("_pid").orderBy(*cols)
     ranked = parted.withColumn(
         rank_name, F.element_at(off, F.col("_pid")) + F.row_number().over(w)

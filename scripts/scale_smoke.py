@@ -134,6 +134,9 @@ MATRIX = {
     # the shared pair pass is the two node-bounded degree joins —
     # measure that they track edge growth, not node².
     "g9_degree_assortativity": ("events", (1, 10)),
+    # r16: synchronous LPA — three edge-keyed join + node-argmax rounds
+    # over the family memo; growth should track edges like g2's rounds.
+    "g11_lpa_communities": ("events", (1, 10)),
     "x2s_ivf_pq_search": ("embeddings", (1, 10)),
     "x2t_ivfpq_residual_search": ("embeddings", (1, 10)),
     "x2v_ivfpq_refine": ("embeddings", (1, 10)),
