@@ -4732,3 +4732,114 @@ def f20_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer GROUP BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# A33 — ABC (Pareto) classification: rank parts by revenue, walk the
+# cumulative revenue share, and band A (first 80 %), B (to 95 %), C
+# (rest) — the inventory-management classic behind every "20 % of SKUs
+# drive 80 % of revenue" slide. This is a GLOBAL rank + running-sum
+# over the per-part rollup — exactly the shape the r16
+# de-SinglePartition work exists for — so it rides the x27 two-phase
+# pattern: range-partition on (cents desc, partkey), ONE bounded
+# #partitions-row collect feeding both prefix maps (rank offsets,
+# cumsum offsets) and the grand total, in-partition windows keyed by
+# _pid. Class edges compare integer cross-products (cum·100 vs
+# total·80) so no float touches the banding. At 100 TB the part
+# dimension is hundreds of millions of rows — the naive
+# `sum(...) OVER (ORDER BY ...)` would one-task it; this never builds
+# a partition beyond 1/32 of the relation (global-window tripwire
+# covers the probe like every other).
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "a33_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS dmills
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(dmills) AS total FROM pr),
+    r AS (SELECT partkey, dmills,
+                 sum(dmills) OVER (ORDER BY dmills DESC, partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+          FROM pr),
+    c AS (SELECT partkey, dmills,
+                 CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                      WHEN cum * 100 <= total * 95 THEN 'B'
+                      ELSE 'C' END AS abc
+          FROM r, t)
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(dmills) AS BIGINT) AS revenue_dmills,
+           CAST(sum(partkey) AS BIGINT) AS part_checksum,
+           round(sum(dmills) / (SELECT CAST(total AS DOUBLE) FROM t), 6)
+             AS revenue_share
+    FROM c GROUP BY abc
+    """,
+)
+def a33_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 — Pareto/ABC banding of parts by revenue (block comment
+    above): per-part exact deci-mills, global revenue-desc running
+    share via the two-phase range-partitioned cumsum (no
+    SinglePartition window), integer cross-product class edges at
+    80 %/95 %, per-class panel with a part-key checksum pinning exact
+    membership. The oracle is the naive global-window SQL."""
+    from pyspark.sql import Window
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        pinned_range_layout,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000,
+                0,
+            ).cast("long")
+        ).alias("dmills")
+    )
+    order = [F.col("dmills").desc(), F.col("partkey")]
+    parted = pinned_range_layout(pr, order, 32)
+    stats = sorted(
+        parted.groupBy("_pid")
+        .agg(F.sum("dmills").alias("s"))
+        .collect(),
+        key=lambda r: r._pid,
+    )
+    cum_off, total = {}, 0
+    for row in stats:
+        cum_off[row._pid] = total
+        total += row.s
+    cum_map = F.expr(
+        "map(" + ",".join(f"{p}, {o}L" for p, o in cum_off.items()) + ")"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    cum = parted.select(
+        "partkey",
+        "dmills",
+        (
+            F.element_at(cum_map, F.col("_pid"))
+            + F.sum("dmills").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cum"),
+    )
+    abc = cum.select(
+        "partkey",
+        "dmills",
+        F.when(F.col("cum") * 100 <= F.lit(total) * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.lit(total) * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return abc.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("dmills").cast("long").alias("revenue_dmills"),
+        F.sum("partkey").cast("long").alias("part_checksum"),
+        dround(F.sum("dmills") / F.lit(float(total)), 6).alias(
+            "revenue_share"
+        ),
+    )

@@ -2276,3 +2276,87 @@ def ts10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_dd_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts11 — MAD robust outliers: the median-absolute-deviation twin of
+# a14's percentile-spike panel. a14 flags p95 excursions; MAD flags
+# |x − median| > 3·1.4826·MAD — the robust z-score that ignores the
+# outliers' own pull on the scale estimate (the textbook reason ops
+# dashboards prefer it over stddev when incidents skew the series).
+# Exact-arithmetic discipline: the daily series is integer mills, both
+# medians are exact-half interpolations over integers (bit-identical
+# in Spark's percentile and DuckDB's quantile_cont — the x5b
+# precedent), deviations are exact double subtractions, and the flag
+# threshold 3·1.4826·MAD is the same literal·double product in both
+# engines, so the flag set matches bit-for-bit and the day checksum
+# pins exact membership. Scale shape: two grouped aggregates over the
+# per-(type, day) rollup plus two broadcast joins back — no windows at
+# all, partial-aggregable end to end.
+# ---------------------------------------------------------------------------
+
+_TS11_K = 3 * 1.4826  # 3 robust sigmas
+
+
+@probe(
+    "ts11_mad_outliers",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 1000) AS BIGINT)) AS mills
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, quantile_cont(mills, 0.5) AS med
+          FROM daily GROUP BY 1),
+    d AS (SELECT daily.*, med, abs(mills - med) AS dev
+          FROM daily JOIN m USING (event_type)),
+    md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           FROM d GROUP BY 1),
+    f AS (SELECT d.*, mad, dev > {_TS11_K} * mad AS is_out
+          FROM d JOIN md USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(max(med), 4) AS med_mills,
+           round(max(mad), 4) AS mad_mills,
+           CAST(count(*) FILTER (WHERE is_out) AS BIGINT) AS n_outliers,
+           CAST(coalesce(sum(date_diff('day', DATE '1970-01-01', day))
+                         FILTER (WHERE is_out), 0) AS BIGINT)
+             AS outlier_day_checksum
+    FROM f GROUP BY 1
+    """,
+)
+def ts11_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts11 — per-event_type MAD outlier panel over daily mills (block
+    comment above): median, MAD, robust-threshold flag count, and an
+    epoch-day checksum pinning exactly WHICH days flagged. The oracle
+    replays both medians, the threshold product, and the flag set."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("mills")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.percentile("mills", 0.5).alias("med")
+    )
+    d = daily.join(F.broadcast(m), "event_type").withColumn(
+        "dev", F.abs(F.col("mills") - F.col("med"))
+    )
+    md = d.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    f = d.join(F.broadcast(md), "event_type").withColumn(
+        "is_out", F.col("dev") > F.lit(_TS11_K) * F.col("mad")
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dround(F.max("med"), 4).alias("med_mills"),
+        dround(F.max("mad"), 4).alias("mad_mills"),
+        F.count(F.when(F.col("is_out"), F.lit(1))).alias("n_outliers"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_out"),
+                    F.datediff("day", F.lit("1970-01-01").cast("date")),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("outlier_day_checksum"),
+    )

@@ -447,3 +447,40 @@ def test_f20_sql_udf_inlines_to_codegen(spark, sf_dir):
     assert not inspect.has_python_row_udf(df)
     plan = inspect.formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_a33_two_phase_pareto_no_global_window(spark, sf_dir):
+    """a33's reason to exist: the cumulative-share walk must ride the
+    two-phase pattern — no unpartitioned Window anywhere (the part
+    dimension is 100 TB-scale) — and the classes must exactly
+    partition the part set with shares summing to 1."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        a33_abc_classification,
+    )
+
+    df = a33_abc_classification(spark, sf_dir)
+    assert inspect.global_windows(df) == []
+    rows = {r.abc: r for r in df.collect()}
+    assert set(rows) <= {"A", "B", "C"}
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-4
+    # A's share is by construction the largest band of the three
+    if {"A", "C"} <= set(rows):
+        assert rows["A"].revenue_share >= rows["C"].revenue_share
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    """Spark 4's rank-filter pushdown (WindowGroupLimit): per-group
+    top-k probes must carry the WindowGroupLimit node — per-partition
+    k-row heaps BEFORE the window sort — not a full window + filter.
+    At 100 TB this is the difference between shuffling k rows per
+    group and shuffling every row. Pins o5 (top-2 orders per customer)
+    and sql3 (LATERAL top-2 per nation, decorrelated to the same
+    shape)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.relational import (
+        o5_window_rank,
+        sql3_lateral_topk,
+    )
+
+    for fn in (o5_window_rank, sql3_lateral_topk):
+        plan = inspect.formatted_plan(fn(spark, sf_dir))
+        assert "WindowGroupLimit" in plan, (fn.__name__, plan[:500])
