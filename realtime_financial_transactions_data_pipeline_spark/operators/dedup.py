@@ -2523,3 +2523,98 @@ def x35_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("src_a", "src_b").agg(
         F.sum("np").cast("long").alias("n_dup_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# er5 — sorted-neighborhood blocking (Hernández–Stolfo 1995), the
+# third candidate-generation strategy in the ER family: er1/er2 block
+# by equality keys (pair space Σ block²), er4 audits that trade-off;
+# SNM instead SORTS by a fuzzy key and pairs each record with its w
+# nearest neighbors in sort order — pair space is EXACTLY n·w
+# regardless of key skew, the property that makes it the go-to when
+# equality blocks explode. The classic formulation is a global sort +
+# sliding window — i.e. the SinglePartition hazard — so this probe
+# rides the r16 two-phase rank (range-partition on the key, prefix-sum
+# offsets, in-partition row_number) and converts the w-window into w
+# EQUI-joins on rank+d (a posexploded d ∈ 1..w fan-out, one hash join
+# — never a range/theta join). Per-distance panel: candidate counts,
+# same-nation and close-balance agreement rates, and a pair checksum
+# pinning exact membership.
+# ---------------------------------------------------------------------------
+
+_ER5_W = 3  # neighborhood width
+_ER5_BAL = 150_00  # "close balance": |Δ| <= $150 in cents
+
+
+@probe(
+    "er5_sorted_neighborhood",
+    oracle=f"""
+    WITH k AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             lower(substr(reverse(c_name), 1, 8)) AS sk
+      FROM customer),
+    r AS (SELECT k.*, row_number() OVER (ORDER BY sk, c_custkey) AS rnk
+          FROM k),
+    p AS (
+      SELECT d.d, a.c_custkey AS ka, b.c_custkey AS kb,
+             a.c_nationkey = b.c_nationkey AS same_nation,
+             abs(a.cents - b.cents) <= {_ER5_BAL} AS close_bal
+      FROM (SELECT unnest([{','.join(str(d) for d in range(1, _ER5_W + 1))}])
+              AS d) d
+      JOIN r a ON TRUE
+      JOIN r b ON b.rnk = a.rnk + d.d)
+    SELECT CAST(d AS INT) AS d,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE same_nation) AS BIGINT)
+             AS n_same_nation,
+           CAST(count(*) FILTER (WHERE close_bal) AS BIGINT) AS n_close_bal,
+           CAST(sum(ka + kb) AS BIGINT) AS pair_checksum
+    FROM p GROUP BY d
+    """,
+)
+def er5_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """er5 — sorted-neighborhood candidate generation (block comment
+    above): two-phase global rank on the fuzzy key (reversed-name
+    prefix — the testdata's only high-variety string; custkey tiebreak), each record paired with its next w=3 neighbors
+    via posexploded rank+d equi-joins, per-distance agreement panel.
+    The oracle is the naive global-window + self-join SQL."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        two_phase_rank,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+        F.lower(F.substring(F.reverse("c_name"), 1, 8)).alias("sk"),
+    )
+    ranked, _ = two_phase_rank(c, ["sk", F.col("c_custkey")], "rnk")
+    left = ranked.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_nationkey").alias("na"),
+        F.col("cents").alias("ca"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, _ER5_W + 1)])
+        ).alias("d"),
+        F.col("rnk"),
+    ).withColumn("rnk_b", F.col("rnk") + F.col("d"))
+    right = ranked.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("nb"),
+        F.col("cents").alias("cb"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    pairs = left.join(right, "rnk_b").select(
+        "d",
+        "ka",
+        "kb",
+        (F.col("na") == F.col("nb")).alias("same_nation"),
+        (F.abs(F.col("ca") - F.col("cb")) <= _ER5_BAL).alias("close_bal"),
+    )
+    return pairs.groupBy(F.col("d").cast("int").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("same_nation"), F.lit(1))).alias("n_same_nation"),
+        F.count(F.when(F.col("close_bal"), F.lit(1))).alias("n_close_bal"),
+        F.sum(F.col("ka") + F.col("kb")).cast("long").alias("pair_checksum"),
+    )

@@ -484,3 +484,27 @@ def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
     for fn in (o5_window_rank, sql3_lateral_topk):
         plan = inspect.formatted_plan(fn(spark, sf_dir))
         assert "WindowGroupLimit" in plan, (fn.__name__, plan[:500])
+
+
+def test_er5_snm_no_global_window_no_theta_join(spark, sf_dir):
+    """er5's reason to exist: the sorted-neighborhood pair space must
+    come from rank+d equi-joins over the two-phase rank — no
+    unpartitioned Window, no nested-loop/cartesian node — and the pair
+    counts must be exactly n - d per distance (the SNM n·w bound, the
+    whole point of the strategy)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _ER5_W,
+        er5_sorted_neighborhood,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    df = er5_sorted_neighborhood(spark, sf_dir)
+    assert inspect.global_windows(df) == []
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n = load_table(spark, sf_dir, "customer").count()
+    rows = {r.d: r for r in df.collect()}
+    assert set(rows) == set(range(1, _ER5_W + 1))
+    for d, r in rows.items():
+        assert r.n_pairs == n - d, (d, r.n_pairs, n)
