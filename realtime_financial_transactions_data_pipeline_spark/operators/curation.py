@@ -1217,3 +1217,102 @@ def x36_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_mass_millis"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X37 — URL canonicalization + dedup: the FIRST dedup any web corpus
+# runs — before any content hash, collapse re-crawls of the same page
+# that differ only in tracking params, fragments, case, or www-prefix.
+# The documents table carries no URL column, so the probe synthesizes
+# one deterministically from doc_id (the _synth_pan fixture idiom:
+# derived in-engine, identical in both engines): mixed-case scheme and
+# host, a www. prefix, a path+id shared by each doc_id-triple, then
+# parity-dependent utm_* params and a mod-5 fragment — so the RAW urls
+# are all distinct and exactly the canonicalization (lowercase, strip
+# www. / utm_* / fragment) re-collapses each triple. Scale shape: the
+# canonical key is a chain of scan-level regexp projections (JVM
+# codegen, no Python), the dup accounting is one groupBy on the
+# canonical key + one summary aggregate — the x1 exact-dedup class
+# with a string-normalization front.
+# ---------------------------------------------------------------------------
+
+
+def _x37_url_sql(idc: str) -> str:
+    return (
+        f"'HTTPS://WWW.Example.COM/p/' || CAST(({idc} // 3) % 97 AS VARCHAR)"
+        f" || '?id=' || CAST({idc} // 3 AS VARCHAR)"
+        f" || CASE WHEN {idc} % 2 = 0 THEN '&utm_source=feed&utm_campaign=c'"
+        f"           || CAST({idc} % 4 AS VARCHAR) ELSE '' END"
+        f" || CASE WHEN {idc} % 5 = 0 THEN '#sec-' || CAST({idc} % 9 AS VARCHAR)"
+        f"    ELSE '' END"
+    )
+
+
+@probe(
+    "x37_url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_x37_url_sql("doc_id")} AS url FROM documents),
+    c AS (SELECT doc_id, url,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*$', ''),
+                     '&utm_[a-z_]+=[^&#]*', '', 'g'),
+                   '^https://www\\.', 'https://') AS curl
+          FROM u),
+    g AS (SELECT curl, count(*) AS n, min(doc_id) AS keeper
+          FROM c GROUP BY curl)
+    SELECT CAST(count(*) AS BIGINT) AS n_canonical,
+           CAST(sum(n) AS BIGINT) AS n_urls,
+           CAST(count(*) FILTER (WHERE n >= 2) AS BIGINT) AS n_dup_groups,
+           CAST(max(n) AS BIGINT) AS max_group,
+           CAST(sum(n - 1) AS BIGINT) AS n_removable,
+           CAST(sum(keeper) AS BIGINT) AS keeper_checksum
+    FROM g
+    """,
+)
+def x37_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x37 — canonicalize synthesized URLs (lowercase, strip fragment,
+    utm_* params, www.) and account the dup groups the normalization
+    re-collapses (block comment above). The keeper checksum pins the
+    exact min-doc_id survivor set; the oracle replays the URL synth
+    and every normalization step."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example.COM/p/"),
+        ((F.col("doc_id") / 3).cast("long") % 97).cast("string"),
+        F.lit("?id="),
+        (F.col("doc_id") / 3).cast("long").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("&utm_source=feed&utm_campaign=c"),
+                (F.col("doc_id") % 4).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("#sec-"), (F.col("doc_id") % 9).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), F.lit("#.*$"), F.lit("")),
+            F.lit("&utm_[a-z_]+=[^&#]*"),
+            F.lit(""),
+        ),
+        F.lit(r"^https://www\."),
+        F.lit("https://"),
+    )
+    g = (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("n").cast("long").alias("n_urls"),
+        F.count(F.when(F.col("n") >= 2, F.lit(1))).alias("n_dup_groups"),
+        F.max("n").cast("long").alias("max_group"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_removable"),
+        F.sum("keeper").cast("long").alias("keeper_checksum"),
+    )

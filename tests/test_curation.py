@@ -270,3 +270,26 @@ def test_x36_priority_sample_replay(spark):
     assert all(
         r.est_mass_millis >= r.sum_chars_sampled * 1000 for r in rows.values()
     )
+
+
+def test_x37_url_canonical_collapses_exact_triples(spark):
+    """x37's synthesized corpus has a closed-form answer: each doc_id
+    triple {3k, 3k+1, 3k+2} shares path and id and differs ONLY in the
+    stripped utm/fragment junk, so canonicalization collapses exactly
+    the triples — n_canonical = ceil(N/3), max_group <= 3, every
+    removable count = N - n_canonical, keepers are the 3k doc ids."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+        x37_url_canonical_dedup,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    n = load_table(spark, sf, "documents").count()
+    r = x37_url_canonical_dedup(spark, sf).collect()[0]
+    n_canon = (n + 2) // 3
+    assert r.n_urls == n
+    assert r.n_canonical == n_canon
+    assert r.max_group <= 3
+    assert r.n_removable == n - n_canon
+    # keepers are exactly the multiples of 3 below n
+    assert r.keeper_checksum == sum(range(0, n, 3))
