@@ -101,6 +101,11 @@ MATRIX = {
     # walks the vocab in range partitions — growth tracks unique terms.
     "a24_rfm_segmentation": ("tpch", (1, 10, 60)),
     "x27_vocab_coverage": ("documents", (1, 10, 100)),
+    # r16 late: the other two two-phase consumers — a33's Pareto cumsum
+    # over the per-part rollup (2 M parts at 100x) and er5's SNM rank
+    # over customers (1.5 M at 100x) with its exactly-n·w pair space.
+    "a33_abc_classification": ("tpch", (1, 10, 100)),
+    "er5_sorted_neighborhood": ("tpch", (1, 10, 100)),
     "a29_batch_sessionization": ("events", (1, 10)),
     # Set-valued window state (o14): frame length is constant (20), so
     # memory per window is bounded and growth should be one linear
@@ -446,6 +451,13 @@ def gen_tpch(spark: SparkSession, n: int, path: str) -> None:
             "'HOUSEHOLD','MACHINERY'),"
             " CAST(pmod(xxhash64(id, 20), 5) AS INT) + 1)"
         ).alias("c_mktsegment"),
+        # r16: er5 (sorted-neighborhood) sorts by a reversed-name prefix
+        # and compares balances — give the synthetic customers both.
+        F.concat(
+            F.lit("Customer#"), F.lpad(F.col("id").cast("string"), 9, "0")
+        ).alias("c_name"),
+        ((F.pmod(F.xxhash64("id", F.lit(21)), F.lit(1_100_000)) - 99_999)
+         / 100.0).alias("c_acctbal"),
     ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
     spark.range(25).select(
         F.col("id").alias("n_nationkey"),
