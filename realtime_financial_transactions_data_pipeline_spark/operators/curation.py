@@ -1316,3 +1316,92 @@ def x37_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") - 1).cast("long").alias("n_removable"),
         F.sum("keeper").cast("long").alias("keeper_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X38 — rendezvous (highest-random-weight) sharding: the assignment
+# law a 100 TB corpus store uses so that ADDING a shard moves only
+# ~1/(k+1) of the keys — consistent-hashing's simpler cousin (Thaler–
+# Ravishankar 1996). weight(doc, shard) = first 32 md5 bits of
+# 'shard-doc'; a doc lives on the shard with the max weight. The probe
+# assigns every doc under k=8 and k=9 and accounts the movement: under
+# HRW a doc moves IFF the new shard's weight beats all eight old ones
+# — so moved/total ≈ 1/9 EXACTLY by symmetry of the uniform weights,
+# and the panel hash-certifies both assignments (shard sizes, movement
+# counts, doc-id checksums), not just the fraction. Scale shape: the
+# argmax is a scan-level array_max over a 9-element struct array (JVM
+# codegen, no shuffle at all until the ~9-row panel aggregate) — the
+# assignment of a 100 TB corpus is embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+_X38_K = 8  # shards before; k+1 after
+
+
+def _x38_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT d.doc_id, t.s,
+             ('0x' || substr(md5(CAST(t.s AS VARCHAR) || '-'
+                                 || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               ::UINTEGER AS wt
+      FROM documents d, range({_X38_K + 1}) t(s)),
+    a8 AS (SELECT doc_id, s AS shard8 FROM (
+             SELECT doc_id, s,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY wt DESC, s DESC) AS rn
+             FROM w WHERE s < {_X38_K}) WHERE rn = 1),
+    a9 AS (SELECT doc_id, s AS shard9 FROM (
+             SELECT doc_id, s,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY wt DESC, s DESC) AS rn
+             FROM w) WHERE rn = 1)
+    SELECT CAST(shard8 AS INT) AS shard8,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE shard9 <> shard8) AS BIGINT)
+             AS n_moved,
+           CAST(coalesce(sum(doc_id) FILTER (WHERE shard9 <> shard8), 0)
+                AS BIGINT) AS moved_checksum,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY shard8
+    """
+
+
+@probe("x38_rendezvous_sharding", oracle=_x38_oracle())
+def x38_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x38 — HRW shard assignment under k=8 and k=9 shards with exact
+    movement accounting per old shard (block comment above). Both
+    argmaxes are one scan-level array_max over md5-weight structs
+    (ties break to the higher shard id — astronomically unlikely at 32
+    bits but the spec is total); the oracle replays every weight and
+    both assignments."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def wt(s: int) -> F.Column:
+        h = F.md5(
+            F.concat(F.lit(f"{s}-"), F.col("doc_id").cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+    def argmax(k: int) -> F.Column:
+        return F.array_max(
+            F.array(
+                *[F.struct(wt(s).alias("w"), F.lit(s).alias("s"))
+                  for s in range(k)]
+            )
+        ).getField("s")
+
+    a = d.select(
+        "doc_id",
+        argmax(_X38_K).alias("shard8"),
+        argmax(_X38_K + 1).alias("shard9"),
+    )
+    moved = F.col("shard9") != F.col("shard8")
+    return a.groupBy(F.col("shard8").cast("int").alias("shard8")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(moved, F.lit(1))).alias("n_moved"),
+        F.coalesce(
+            F.sum(F.when(moved, F.col("doc_id"))), F.lit(0)
+        ).cast("long").alias("moved_checksum"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )

@@ -293,3 +293,51 @@ def test_x37_url_canonical_collapses_exact_triples(spark):
     assert r.n_removable == n - n_canon
     # keepers are exactly the multiples of 3 below n
     assert r.keeper_checksum == sum(range(0, n, 3))
+
+
+def test_x38_hrw_minimal_movement_property(spark):
+    """The property x38 exists for: under HRW a doc moves on the 8->9
+    expansion IFF the NEW shard's weight beats all eight old ones — so
+    every moved doc lands on shard 8 (verified by Python replay of the
+    md5 weights), and the moved fraction concentrates near 1/9 (wide
+    binomial tolerance at sf0.001's 500 docs)."""
+    import hashlib
+
+    import duckdb
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.curation import (
+        _X38_K,
+        x38_rendezvous_sharding,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    ]
+
+    def wt(s: int, doc: int) -> int:
+        return int(hashlib.md5(f"{s}-{doc}".encode()).hexdigest()[:8], 16)
+
+    n_moved = 0
+    per_shard = {}
+    for doc in ids:
+        ws = [(wt(s, doc), s) for s in range(_X38_K + 1)]
+        a8 = max(ws[:_X38_K])[1]
+        a9 = max(ws)[1]
+        if a9 != a8:
+            # HRW minimality: the only possible new home is the new shard
+            assert a9 == _X38_K, (doc, a8, a9)
+            n_moved += 1
+        st = per_shard.setdefault(a8, [0, 0])
+        st[0] += 1
+        st[1] += a9 != a8
+    rows = {r.shard8: r for r in x38_rendezvous_sharding(spark, sf).collect()}
+    assert set(rows) == set(per_shard)
+    for sh, (nd, nm) in per_shard.items():
+        assert (rows[sh].n_docs, rows[sh].n_moved) == (nd, nm), sh
+    frac = n_moved / len(ids)
+    # E[frac] = 1/9 ~ 0.111; sd ~ sqrt(p(1-p)/500) ~ 0.014 -> +/- 5 sd
+    assert 0.04 < frac < 0.19, frac
