@@ -2618,3 +2618,96 @@ def er5_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("close_bal"), F.lit(1))).alias("n_close_bal"),
         F.sum(F.col("ka") + F.col("kb")).cast("long").alias("pair_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x2ac — MinHash estimator calibration: before trusting an LSH banding
+# threshold at corpus scale you measure how accurate the signature IS
+# at your k — per true near-dup pair, estimate Ĵ = matching-position
+# fraction of a k-hash signature against the exact Jaccard (Broder's
+# unbiasedness: E[Ĵ] = J, sd = sqrt(J(1-J)/k)). The production x2a
+# signature uses JVM xxhash64 (not replayable in DuckDB), so the
+# calibration signature uses the PORTABLE md5 family (the u1c/x5d
+# discipline: same construction, engine-replayable PRF) — k=16 mins of
+# uint32(md5('s:gram')) — making the ENTIRE estimator, not just its
+# inputs, oracle-certified. Scale shape: signatures are one scan-level
+# transform over the memoized shingle frame; the pair set is the
+# bounded exact-Jaccard relation (≥ 0.5) from the shared posting-list
+# pass; the match count is a zip_with fold — no new shuffle classes.
+# ---------------------------------------------------------------------------
+
+_X2AC_K = 16
+_X2AC_J = 0.5
+
+
+def _x2ac_oracle() -> str:
+    return f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.grams, b.grams)) AS c,
+                 len(a.grams) AS n_a, len(b.grams) AS n_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    pj AS (SELECT id_a, id_b,
+                  CAST(c AS DOUBLE) / (n_a + n_b - c) AS j
+           FROM p WHERE CAST(c AS DOUBLE) / (n_a + n_b - c) >= {_X2AC_J}),
+    sg AS (SELECT sh.doc_id, t.s,
+                  list_min(list_transform(grams,
+                    g -> ('0x' || substr(md5(CAST(t.s AS VARCHAR) || ':' || g),
+                                         1, 8))::UINTEGER)) AS mh
+           FROM sh, range({_X2AC_K}) t(s)),
+    m AS (SELECT pj.id_a, pj.id_b, pj.j,
+                 count(*) FILTER (WHERE sa.mh = sb.mh) AS n_match
+          FROM pj
+          JOIN sg sa ON sa.doc_id = pj.id_a
+          JOIN sg sb ON sb.doc_id = pj.id_b AND sb.s = sa.s
+          GROUP BY 1, 2, 3)
+    SELECT id_a, id_b, round(j, 4) AS jaccard,
+           CAST(n_match AS INT) AS n_match,
+           round(n_match / {float(_X2AC_K)}, 4) AS est_jaccard,
+           round(abs(n_match / {float(_X2AC_K)} - j), 4) AS abs_err
+    FROM m
+    """
+
+
+@probe("x2ac_minhash_calibration", oracle=_x2ac_oracle())
+def x2ac_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x2ac — per-pair MinHash-vs-exact calibration panel (block
+    comment above): for every exact-Jaccard ≥ {_X2AC_J} pair, the
+    16-hash portable-md5 signature match count, the estimate, and the
+    absolute error. The oracle replays the shingles, every signature
+    min, and the estimator arithmetic."""
+    grams = _corpus_grams(spark, sf_dir)
+    mins = [
+        F.expr(
+            f"array_min(transform(grams, g -> cast(conv(substr("
+            f"md5(concat('{s}:', g)), 1, 8), 16, 10) as bigint)))"
+        ).alias(f"_m{s}")
+        for s in range(_X2AC_K)
+    ]
+    sigs = grams.select("doc_id", F.array(*mins).alias("psig"))
+    pc = _memo_pair_counts(spark, sf_dir)
+    j = F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    pairs = pc.filter(j >= _X2AC_J).select("id_a", "id_b", j.alias("j"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("psig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("psig").alias("sb"))
+    m = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_match",
+            F.expr(
+                "aggregate(zip_with(sa, sb,"
+                " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+                " 0, (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    est = F.col("n_match") / float(_X2AC_K)
+    return m.select(
+        "id_a",
+        "id_b",
+        dround(F.col("j"), 4).alias("jaccard"),
+        F.col("n_match").cast("int").alias("n_match"),
+        dround(est, 4).alias("est_jaccard"),
+        dround(F.abs(est - F.col("j")), 4).alias("abs_err"),
+    )

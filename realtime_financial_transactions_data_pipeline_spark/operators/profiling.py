@@ -199,3 +199,89 @@ def prof2_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(e, "user_id").unionByName(
         skew_profile(l, "l_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# prof3 — frequent-values profile: the third profiler panel next to
+# prof1's column stats and prof2's skew diagnostics — per categorical
+# column, the top-3 most frequent values with counts and corpus share
+# (what Deequ/Great-Expectations-style profilers print per column, and
+# the first thing a data engineer reads before choosing partition or
+# dictionary-encoding keys). ONE scan: the three profiled columns
+# unpivot through a posexploded struct array (scan-level, codegen),
+# counts partial-aggregate on (column, value) — cardinality bounded by
+# Σ per-column distincts, never row count — and the per-column top-3 is
+# a column-name-PARTITIONED rank (WindowGroupLimit pushes the k=3 heap
+# below the sort; never a global window).
+# ---------------------------------------------------------------------------
+
+_PROF3_TOPK = 3
+
+
+@probe(
+    "prof3_frequent_values",
+    oracle=f"""
+    WITH uv AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'order_year', CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR)
+      FROM orders),
+    c AS (SELECT col_name, value, count(*) AS n FROM uv GROUP BY 1, 2),
+    t AS (SELECT count(*) AS total FROM orders),
+    r AS (SELECT col_name, value, n,
+                 row_number() OVER (PARTITION BY col_name
+                                    ORDER BY n DESC, value) AS rnk
+          FROM c)
+    SELECT col_name, value, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS INT) AS rnk,
+           round(n / CAST(t.total AS DOUBLE), 6) AS share
+    FROM r, t WHERE rnk <= {_PROF3_TOPK}
+    """,
+)
+def prof3_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prof3 — top-{_PROF3_TOPK} frequent values per profiled column of
+    `orders` (block comment above): one unpivoting scan, one bounded
+    (column, value) aggregate, a per-column WindowGroupLimit top-k, and
+    the share against the row total. The oracle replays the unpivot,
+    counts, ranks, and shares."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    total = o.count()  # one bounded scalar; reused as a literal
+    uv = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col_name"),
+                    F.col("o_orderstatus").alias("value"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col_name"),
+                    F.col("o_orderpriority").alias("value"),
+                ),
+                F.struct(
+                    F.lit("order_year").alias("col_name"),
+                    F.year(F.to_date("o_orderdate")).cast("string").alias(
+                        "value"
+                    ),
+                ),
+            )
+        ).alias("e")
+    ).select("e.col_name", "e.value")
+    c = uv.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col_name").orderBy(F.col("n").desc(), "value")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PROF3_TOPK)
+        .select(
+            "col_name",
+            "value",
+            "n",
+            F.col("rnk").cast("int").alias("rnk"),
+            dround(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        )
+    )

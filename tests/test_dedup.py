@@ -828,3 +828,27 @@ def test_x35_matrix_brute_force(spark):
         for r in x35_cross_source_dup_matrix(spark, sf).collect()
     }
     assert got == dict(want)
+
+
+def test_x2ac_calibration_statistics(spark, sf_dir):
+    """x2ac sanity: estimates live on the k-grid in [0, 1], the error
+    column is |est - J| exactly, and the estimator is calibrated —
+    mean absolute error across pairs within a few binomial sd of
+    sqrt(J(1-J)/k) (loose bound; the hash already pins exact values,
+    this pins the STATISTICAL claim the probe exists to demonstrate)."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.dedup import (
+        _X2AC_K,
+        x2ac_minhash_calibration,
+    )
+
+    rows = x2ac_minhash_calibration(spark, sf_dir).collect()
+    assert rows, "expected at least one exact near-dup pair to calibrate"
+    for r in rows:
+        assert 0 <= r.n_match <= _X2AC_K
+        assert abs(r.est_jaccard - r.n_match / _X2AC_K) < 1e-9
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.jaccard), 4)) < 1e-3
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    # sd at J=0.5 is 0.125; planted dups sit higher (smaller sd) — a
+    # mean |err| beyond 0.3 would mean the estimator is broken, not
+    # noisy.
+    assert mean_err < 0.3, mean_err
