@@ -653,3 +653,157 @@ def u9_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in panels[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# u10 — token referential integrity: the privacy-engineering property
+# that makes deterministic tokenization USABLE — tokenizing the same
+# PAN in two different relations must preserve joinability (same
+# input ⇒ same token, distinct inputs ⇒ distinct tokens), so analysts
+# can join on tokens without ever seeing raw PANs. The probe tokenizes
+# the customer PAN law in BOTH the customer relation and an
+# orders-derived relation (via o_custkey) with the portable FPE
+# (u1c's md5-Feistel, fully DuckDB-replayable) and certifies: the
+# token join reproduces the raw-key join row-for-row (counts + an
+# orderkey checksum), and token cardinality equals key cardinality
+# (format-preserving ⇒ injective on the domain). Scale shape: the
+# tokenizer is a scan-level projection; the joins are the same
+# key-equi-joins the raw data would run — tokenization adds ZERO
+# shuffle classes.
+# ---------------------------------------------------------------------------
+
+
+def _u10_oracle() -> str:
+    key = "spark-graft-default-test-dek-32B"
+
+    def prf(r: int, v: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{key}' || '{r}|16|' || CAST({v} AS VARCHAR)), 1, 8))"
+            "::UINTEGER)::BIGINT"
+        )
+
+    ctes = [
+        """r_init AS (
+      SELECT k,
+             CAST(substring(pan, 1, 8) AS BIGINT) AS a,
+             CAST(substring(pan, 9, 8) AS BIGINT) AS b
+      FROM pans)"""
+    ]
+    prev = "r_init"
+    for r in range(10):
+        if r % 2 == 0:
+            upd = f"a, (b + {prf(r, 'a')}) % 100000000 AS b"
+        else:
+            upd = f"(a + {prf(r, 'b')}) % 100000000 AS a, b"
+        ctes.append(f"r{r} AS (SELECT k, {upd} FROM {prev})")
+        prev = f"r{r}"
+    return f"""
+    WITH ks AS (
+      SELECT c_custkey AS k FROM customer
+      UNION
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 5 = 0),
+    pans AS (
+      SELECT k, lpad(CAST(4000000000000000 + k AS VARCHAR), 16, '0') AS pan
+      FROM ks),
+    {', '.join(ctes)},
+    tok AS (SELECT k,
+                   lpad(CAST(a AS VARCHAR), 8, '0')
+                     || lpad(CAST(b AS VARCHAR), 8, '0') AS t
+            FROM {prev}),
+    c AS (SELECT c_custkey AS k FROM customer),
+    o AS (SELECT o_orderkey, o_custkey AS k FROM orders
+          WHERE o_orderkey % 5 = 0),
+    raw_join AS (SELECT o.o_orderkey FROM c JOIN o USING (k)),
+    tok_join AS (
+      SELECT o.o_orderkey
+      FROM (SELECT tok.t FROM c JOIN tok USING (k)) ct
+      JOIN (SELECT o.o_orderkey, tok.t FROM o JOIN tok USING (k)) o
+        ON ct.t = o.t)
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cust,
+           CAST((SELECT count(*) FROM o) AS BIGINT) AS n_orders,
+           CAST((SELECT count(DISTINCT t) FROM tok) AS BIGINT)
+             AS n_distinct_tokens,
+           CAST((SELECT count(*) FROM ks) AS BIGINT) AS n_distinct_keys,
+           CAST((SELECT count(*) FROM raw_join) AS BIGINT) AS n_join_raw,
+           CAST((SELECT count(*) FROM tok_join) AS BIGINT) AS n_join_token,
+           CAST((SELECT coalesce(sum(o_orderkey), 0) FROM raw_join)
+                AS BIGINT) AS raw_checksum,
+           CAST((SELECT coalesce(sum(o_orderkey), 0) FROM tok_join)
+                AS BIGINT) AS token_checksum
+    """
+
+
+@probe("u10_token_referential_integrity", oracle=_u10_oracle())
+def u10_token_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """u10 — deterministic-tokenization join preservation (block
+    comment above): tokenize the PAN law independently in customer and
+    an orders slice, then certify the token join ≡ the raw-key join
+    (counts and orderkey checksums equal) and token cardinality ≡ key
+    cardinality. The oracle replays the full portable Feistel on the
+    union of keys and both joins."""
+    from realtime_financial_transactions_data_pipeline_spark.functions.fpe import (
+        TEST_KEY,
+        fpe_token_col,
+    )
+
+    def pan_of(k: F.Column) -> F.Column:
+        return F.lpad(
+            (F.lit(4000000000000000) + k).cast("string"), 16, "0"
+        )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", F.col("o_custkey").alias("k"))
+    )
+    ct = c.select(
+        "k", fpe_token_col(pan_of(F.col("k")), key=TEST_KEY, portable=True).alias("t")
+    )
+    ot = o.select(
+        "o_orderkey",
+        "k",
+        fpe_token_col(pan_of(F.col("k")), key=TEST_KEY, portable=True).alias("t"),
+    )
+    ks = c.select("k").union(o.select("k")).distinct()
+    n_cust = c.count()
+    n_orders = o.count()
+    n_keys = ks.count()
+    n_tokens = (
+        ks.select(
+            fpe_token_col(
+                pan_of(F.col("k")), key=TEST_KEY, portable=True
+            ).alias("t")
+        )
+        .distinct()
+        .count()
+    )
+    raw = c.join(o, "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("ck"),
+    ).collect()[0]
+    tok = ct.select("t").join(ot, "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("ck"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_cust,
+                n_orders,
+                n_tokens,
+                n_keys,
+                raw.n,
+                tok.n,
+                int(raw.ck),
+                int(tok.ck),
+            )
+        ],
+        "n_cust long, n_orders long, n_distinct_tokens long,"
+        " n_distinct_keys long, n_join_raw long, n_join_token long,"
+        " raw_checksum long, token_checksum long",
+    )
