@@ -2711,3 +2711,105 @@ def x2ac_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(est, 4).alias("est_jaccard"),
         dround(F.abs(est - F.col("j")), 4).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x40 — duplication taxonomy: the strategy-sizing panel a dedup
+# pipeline runs FIRST — of all duplicated documents, how many are
+# EXACT copies (cheap digest groupBy catches them) vs near-dups ONLY
+# (need the expensive shingle/LSH machinery)? If exact covers 95 % you
+# ship x1 now and schedule x2 later; if near-only dominates you don't.
+# One panel row: corpus size, docs in exact-dup groups, docs in
+# ≥ 0.6-Jaccard pairs, the near-ONLY remainder (near ∖ exact), clean
+# docs, and doc-id checksums pinning each set exactly. Scale shape:
+# the exact side is the x1 digest groupBy (16-byte md5s shuffle, never
+# payloads); the near side REUSES the memoized posting-list pair frame
+# (no new Σ df² pass); the taxonomy is two semi-join-shaped membership
+# flags and one aggregate.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "x40_dup_taxonomy",
+    oracle=f"""
+    WITH sh AS ({_ORACLE_SHINGLES}),
+    ex AS (SELECT doc_id,
+                  count(*) OVER (PARTITION BY md5(text)) > 1 AS is_exact
+           FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.grams, b.grams)) AS c,
+                 len(a.grams) AS n_a, len(b.grams) AS n_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    np AS (SELECT id_a, id_b FROM p
+           WHERE CAST(c AS DOUBLE) / (n_a + n_b - c) >= {_NEARDUP_T}),
+    nd AS (SELECT DISTINCT doc_id FROM (
+             SELECT id_a AS doc_id FROM np
+             UNION ALL SELECT id_b FROM np)),
+    t AS (SELECT ex.doc_id, ex.is_exact,
+                 nd.doc_id IS NOT NULL AS is_near
+          FROM ex LEFT JOIN nd USING (doc_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE is_exact) AS BIGINT) AS n_exact_dup,
+           CAST(count(*) FILTER (WHERE is_near) AS BIGINT) AS n_near_dup,
+           CAST(count(*) FILTER (WHERE is_near AND NOT is_exact) AS BIGINT)
+             AS n_near_only,
+           CAST(count(*) FILTER (WHERE NOT is_near AND NOT is_exact)
+                AS BIGINT) AS n_clean,
+           CAST(coalesce(sum(doc_id) FILTER (WHERE is_exact), 0) AS BIGINT)
+             AS exact_checksum,
+           CAST(coalesce(sum(doc_id) FILTER (WHERE is_near AND NOT is_exact),
+                         0) AS BIGINT) AS near_only_checksum
+    FROM t
+    """,
+)
+def x40_dup_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x40 — exact-vs-near duplication taxonomy panel (block comment
+    above): membership flags from the x1 digest groupBy and the
+    memoized exact-Jaccard pair frame, one aggregate, checksums
+    pinning each set. The oracle replays digests, pairs, and the set
+    algebra."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    groups = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("h")
+    )
+    ex = d.select(
+        "doc_id", F.md5("text").alias("h")
+    ).join(F.broadcast(groups.withColumn("_e", F.lit(True))), "h", "left")
+    pc = _memo_pair_counts(spark, sf_dir)
+    jac = F.col("c").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("c")
+    )
+    np_ids = (
+        pc.filter(jac >= _NEARDUP_T)
+        .select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("_n", F.lit(True))
+    )
+    t = ex.join(F.broadcast(np_ids), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_e", F.lit(False)).alias("is_exact"),
+        F.coalesce("_n", F.lit(False)).alias("is_near"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("is_exact"), 1)).alias("n_exact_dup"),
+        F.count(F.when(F.col("is_near"), 1)).alias("n_near_dup"),
+        F.count(F.when(F.col("is_near") & ~F.col("is_exact"), 1)).alias(
+            "n_near_only"
+        ),
+        F.count(F.when(~F.col("is_near") & ~F.col("is_exact"), 1)).alias(
+            "n_clean"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("is_exact"), F.col("doc_id"))), F.lit(0)
+        ).cast("long").alias("exact_checksum"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("is_near") & ~F.col("is_exact"), F.col("doc_id"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("near_only_checksum"),
+    )
