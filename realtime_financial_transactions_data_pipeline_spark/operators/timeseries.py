@@ -2360,3 +2360,97 @@ def ts11_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("outlier_day_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts12 — autocorrelation panel (ACF at lags 1 and 7): the diagnostic
+# read before fitting any of ts2/ts7/ts8's smoothers — is the daily
+# series momentum-driven (high lag-1), weekly-seasonal (high lag-7),
+# or noise? Determinism discipline: Pearson over lagged pairs is
+# normally a float-sum-order hazard, so EVERY moment accumulates as an
+# exact BIGINT (daily units = round(value) sums — small enough that
+# Σx² at years of days stays far under int64), and only the final
+# correlation ratio is floating — computed from identical integers by
+# identical expressions in both engines (IEEE division and sqrt are
+# correctly rounded), so the hash holds without tolerance. Lag pairs
+# come from a calendar-exact self-equi-join (day = day + k), not a
+# row-lag window, so gaps in the series never misalign the pairs; the
+# join keys on (event_type, day) — partitioned, bounded, no windows.
+# ---------------------------------------------------------------------------
+
+_TS12_LAGS = (1, 7)
+
+
+def _ts12_oracle() -> str:
+    lag_rows = ",".join(str(k) for k in _TS12_LAGS)
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2),
+    lags AS (SELECT unnest([{lag_rows}]) AS k),
+    p AS (
+      SELECT a.event_type, lags.k, a.x AS xt, b.x AS xl
+      FROM daily a
+      JOIN lags ON TRUE
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day - CAST(lags.k AS INTEGER)),
+    m AS (
+      SELECT event_type, k,
+             count(*) AS n,
+             sum(xt) AS sx, sum(xl) AS sy,
+             sum(xt * xl) AS sxy,
+             sum(xt * xt) AS sxx, sum(xl * xl) AS syy
+      FROM p GROUP BY 1, 2)
+    SELECT event_type, CAST(k AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS acf
+    FROM m
+    """
+
+
+@probe("ts12_autocorrelation", oracle=_ts12_oracle())
+def ts12_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts12 — per-event_type ACF at lags 1 and 7 over the daily
+    integer-unit series (block comment above): calendar-exact lag
+    pairs via a (type, day−k) self-equi-join, exact bigint moments,
+    one floating Pearson ratio per (type, lag). The oracle replays the
+    pairs, every integer moment, and the ratio."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round("value", 0).cast("long")).alias("x"))
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in _TS12_LAGS])
+    ).alias("k")
+    a = daily.select("event_type", "day", F.col("x").alias("xt"), lags)
+    b = daily.select(
+        F.col("event_type").alias("_et"),
+        F.col("day").alias("_day"),
+        F.col("x").alias("xl"),
+    )
+    p = a.join(
+        b,
+        (F.col("_et") == F.col("event_type"))
+        & (F.col("_day") == F.date_sub(F.col("day"), F.col("k"))),
+    )
+    m = p.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xt").alias("sx"),
+        F.sum("xl").alias("sy"),
+        F.sum(F.col("xt") * F.col("xl")).alias("sxy"),
+        F.sum(F.col("xt") * F.col("xt")).alias("sxx"),
+        F.sum(F.col("xl") * F.col("xl")).alias("syy"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = F.sqrt(
+        (m["n"] * m["sxx"] - m["sx"] * m["sx"]).cast("double")
+    ) * F.sqrt((m["n"] * m["syy"] - m["sy"] * m["sy"]).cast("double"))
+    return m.select(
+        "event_type",
+        F.col("k").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        dround(num / den, 4).alias("acf"),
+    )

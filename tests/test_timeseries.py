@@ -973,3 +973,51 @@ def test_ts10_drawdown_matches_python_replay(spark):
         assert r.worst_day == day, et
         want = round(draw / peak_at, 6) if peak_at else 0.0
         assert abs(r.max_dd_frac - want) < 1e-9, et
+
+
+def test_ts12_acf_matches_numpy(spark):
+    """ts12 parity vs numpy.corrcoef over the same calendar-aligned
+    lag pairs at sf0.001 — certifies the integer-moment Pearson against
+    an independent float implementation (agreement to the 4-decimal
+    rounding the probe emits)."""
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.timeseries import (
+        _TS12_LAGS,
+        ts12_autocorrelation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    daily = duckdb.sql(
+        f"""SELECT event_type, CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value) AS BIGINT)) AS x
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(dict)
+    for et, day, x in daily:
+        series[et][day] = x
+    import datetime
+
+    expected = {}
+    for et, d in series.items():
+        for k in _TS12_LAGS:
+            xs, ys = [], []
+            for day, x in d.items():
+                prev = d.get(day - datetime.timedelta(days=k))
+                if prev is not None:
+                    xs.append(x)
+                    ys.append(prev)
+            if len(xs) >= 2:
+                expected[(et, k)] = (len(xs), np.corrcoef(xs, ys)[0, 1])
+    rows = {
+        (r.event_type, r.lag): r
+        for r in ts12_autocorrelation(spark, sf).collect()
+    }
+    assert set(rows) == set(expected)
+    for key, (n, acf) in expected.items():
+        r = rows[key]
+        assert r.n_pairs == n, key
+        assert abs(r.acf - acf) < 5e-4, (key, r.acf, acf)
