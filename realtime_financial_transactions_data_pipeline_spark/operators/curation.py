@@ -1129,7 +1129,8 @@ def _x36_oracle() -> str:
     return f"""
     WITH s AS (
       SELECT doc_id, source, n_chars,
-             n_chars / {sql_uniform(_X36_SEED, "doc_id")} AS pri
+             n_chars / greatest({sql_uniform(_X36_SEED, "doc_id")},
+                                2.3283064365386963e-10) AS pri
       FROM documents),
     top AS (SELECT * FROM s ORDER BY pri DESC, doc_id LIMIT {_X36_K + 1}),
     tau AS (SELECT CAST(floor(min(pri) * 1000 + 0.5) AS BIGINT)
@@ -1173,8 +1174,18 @@ def x36_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
+        # The uniform is lower-bounded at 2^-32 (its own smallest
+        # nonzero value) before the divide: an exactly-zero draw
+        # (prob 2^-32 per doc — unreachable at test scale, latent at
+        # billion-doc scale) makes Spark double division yield Infinity
+        # while DuckDB yields NULL, diverging top-k membership and tau.
+        # greatest() is applied identically in both engines (ADVICE r16).
         (
-            F.col("n_chars") / hash_uniform(_X36_SEED, "doc_id")
+            F.col("n_chars")
+            / F.greatest(
+                hash_uniform(_X36_SEED, "doc_id"),
+                F.lit(2.3283064365386963e-10),
+            )
         ).alias("pri"),
     )
     # TakeOrderedAndProject: per-partition (k+1)-heaps, driver merge.

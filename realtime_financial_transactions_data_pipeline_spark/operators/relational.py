@@ -4744,8 +4744,15 @@ def f20_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern: range-partition on (cents desc, partkey), ONE bounded
 # #partitions-row collect feeding both prefix maps (rank offsets,
 # cumsum offsets) and the grand total, in-partition windows keyed by
-# _pid. Class edges compare integer cross-products (cum·100 vs
-# total·80) so no float touches the banding. At 100 TB the part
+# _pid. Class edges compare cum against exact integer thresholds
+# floor(total·80/100) / floor(total·95/100) precomputed driver-side
+# from the already-collected Python-int total — equivalent to the
+# cross-product form cum·100 <= total·80 (cum is integral) but immune
+# to int64 overflow once total deci-mills exceeds ~9.2e16 (~1000× the
+# sf0.1 base; the DuckDB oracle widens to HUGEINT so the cross-product
+# stays exact THERE, and small-scale oracle runs could never catch a
+# Spark-side wrap — ADVICE r16). No float touches the banding. At
+# 100 TB the part
 # dimension is hundreds of millions of rows — the naive
 # `sum(...) OVER (ORDER BY ...)` would one-task it; this never builds
 # a partition beyond 1/32 of the relation (global-window tripwire
@@ -4827,11 +4834,15 @@ def a33_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.sum("dmills").over(w.rowsBetween(Window.unboundedPreceding, 0))
         ).alias("cum"),
     )
+    # Exact integer thresholds (Python-int arithmetic, never wraps):
+    # cum <= floor(total*k/100)  <=>  cum*100 <= total*k  for integral
+    # cum — same banding, no int64 overflow at 1000x sf0.1 scale.
+    thr_a, thr_b = total * 80 // 100, total * 95 // 100
     abc = cum.select(
         "partkey",
         "dmills",
-        F.when(F.col("cum") * 100 <= F.lit(total) * 80, F.lit("A"))
-        .when(F.col("cum") * 100 <= F.lit(total) * 95, F.lit("B"))
+        F.when(F.col("cum") <= F.lit(thr_a), F.lit("A"))
+        .when(F.col("cum") <= F.lit(thr_b), F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc"),
     )
