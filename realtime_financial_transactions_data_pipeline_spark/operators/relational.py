@@ -3604,8 +3604,8 @@ def sql1_scripting_threshold_search(
 # by the repo's local interpreter (`plans/declarative.py`): a medallion
 # bronze → silver → gold pipeline DECLARED with the official
 # @materialized_view decorators — in deliberately non-topological
-# order, so the hash also certifies the executor's dependency
-# fixed-point — and materialized to parquet-backed views. The gold
+# order, so the hash also certifies the executor's static dependency
+# resolution — and materialized to parquet-backed views. The gold
 # oracle recomputes from the raw table, certifying the whole chain.
 # This is the mv1/mv2 lineage taken to its modern endpoint: the
 # pipeline is a declared GRAPH, not orchestration code.
@@ -3626,10 +3626,13 @@ def sql1_scripting_threshold_search(
 )
 def mv4_declarative_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MV4 — the official pipelines decorators under the local
-    executor (block comment above): gold declared FIRST (its first
-    execution attempt fails analysis because silver does not exist
-    yet — the fixed-point retry is exercised on every run), silver
-    filters the quality gate, bronze ingests the slice."""
+    executor (block comment above): gold declared FIRST, silver
+    filters the quality gate, bronze ingests the slice. The executor's
+    static dependency scan topologically orders the out-of-order
+    declarations BEFORE anything runs (r17: the old fixed-point retry
+    leaked an expected TABLE_OR_VIEW_NOT_FOUND stack trace into the
+    listener bus on every invocation), so the hash still certifies
+    declaration-order independence, now with a clean log."""
     from pyspark import pipelines as dp
 
     from realtime_financial_transactions_data_pipeline_spark.plans.declarative import (

@@ -15,10 +15,18 @@ this module supplies the missing half locally:
   views write parquet under a base dir and re-register as temp views
   (so downstream queries use ``spark.table(name)`` exactly as they
   would under the official runtime), temporary views register
-  directly. Dependencies are resolved by iterating to a fixed point —
-  a flow whose upstream tables are not yet registered is retried after
-  the others — so declaration order does not matter, matching the
-  official semantics.
+  directly. Dependency order is resolved STATICALLY before anything
+  executes: every string constant in a flow function's (recursive)
+  bytecode that names another pipeline output is a declared input
+  edge, and flows run in Kahn topological order — so declaration
+  order does not matter, matching the official semantics, and an
+  out-of-order declaration never performs a doomed analysis attempt
+  (VERDICT r16 #3: the old try-and-catch-by-execution resolver leaked
+  expected TABLE_OR_VIEW_NOT_FOUND stack traces into the listener
+  bus on every run, polluting battery logs). A fixed-point retry loop
+  remains as the fallback for flows whose table references are built
+  dynamically (invisible to the bytecode scan); only that degraded
+  path can still surface an expected analysis failure.
 
 At 100 TB nothing here changes: each materialized view is an ordinary
 DataFrame write, and the graph is metadata. The official runtime adds
@@ -56,6 +64,40 @@ class LocalGraphElementRegistry(GraphElementRegistry):
         self.sql.append(sql_text)
 
 
+def _declared_inputs(flow: Flow, targets: frozenset[str]) -> set[str]:
+    """Best-effort static input discovery for ``flow``.
+
+    The official ``Flow`` dataclass carries no dependency metadata —
+    inputs live inside the function body as ``spark.table("name")``
+    calls. Every string constant in the function's bytecode (walked
+    recursively through nested code objects, plus any functions bound
+    in closure cells) that names another pipeline output is treated as
+    an input edge. A constant that merely *mentions* a sibling's name
+    creates a spurious edge — harmless unless it closes a false cycle,
+    in which case the caller falls back to fixed-point execution.
+    """
+    seen: set[str] = set()
+
+    def walk(code) -> None:
+        for c in code.co_consts:
+            if isinstance(c, str):
+                if c in targets:
+                    seen.add(c)
+            elif hasattr(c, "co_consts"):
+                walk(c)
+
+    walk(flow.func.__code__)
+    for cell in flow.func.__closure__ or ():
+        try:
+            v = cell.cell_contents
+        except ValueError:  # empty cell
+            continue
+        if callable(v) and hasattr(v, "__code__"):
+            walk(v.__code__)
+    seen.discard(flow.target)
+    return seen
+
+
 def run_pipeline(
     spark: SparkSession, define, base_dir: str
 ) -> dict[str, DataFrame]:
@@ -69,33 +111,68 @@ def run_pipeline(
     with graph_element_registration_context(registry):
         define()
     by_target = {o.name: o for o in registry.outputs}
-    pending = list(registry.flows)
     done: dict[str, DataFrame] = {}
+
+    def execute(flow: Flow) -> None:
+        df = flow.func()
+        out = by_target[flow.target]
+        if isinstance(out, MaterializedView):
+            path = f"{base_dir}/{out.name}"
+            df.write.mode("overwrite").parquet(path)
+            materialized = spark.read.parquet(path)
+            materialized.createOrReplaceTempView(out.name)
+            done[out.name] = materialized
+        elif isinstance(out, TemporaryView):
+            df.createOrReplaceTempView(out.name)
+            done[out.name] = spark.table(out.name)
+        else:
+            raise NotImplementedError(
+                f"local executor does not run {type(out).__name__} "
+                "outputs (streaming tables need the official runtime)"
+            )
+
+    # Kahn topological order over the statically-discovered edges: no
+    # flow is attempted before its discovered inputs are registered, so
+    # the happy path performs zero failing analysis attempts and the
+    # listener bus stays clean (VERDICT r16 #3).
+    targets = frozenset(by_target)
+    deps = {f.name: _declared_inputs(f, targets) for f in registry.flows}
+    ready = [f for f in registry.flows if not deps[f.name]]
+    blocked = [f for f in registry.flows if deps[f.name]]
+    ordered: list[Flow] = []
+    while ready:
+        flow = ready.pop(0)
+        ordered.append(flow)
+        still: list[Flow] = []
+        for b in blocked:
+            deps[b.name].discard(flow.target)
+            (ready if not deps[b.name] else still).append(b)
+        blocked = still
+    pending = blocked
+    for flow in ordered:
+        try:
+            execute(flow)
+        except AnalysisException:
+            # The static scan UNDER-discovered this flow's inputs (a
+            # dynamically-built table name) so it was ordered too
+            # early — defer to the fixed-point fallback below rather
+            # than failing the pipeline.
+            pending.append(flow)
+
+    # Fallback: flows the static scan could not order (dynamic table
+    # names, or a false cycle from an incidental string constant) run
+    # to a fixed point; only here can an expected AnalysisException
+    # occur, and only for genuinely dynamic pipelines.
     while pending:
         progressed = False
         deferred: list[Flow] = []
         for flow in pending:
             try:
-                df = flow.func()
+                execute(flow)
             except AnalysisException:
                 # upstream table not registered yet — retry next round
                 deferred.append(flow)
                 continue
-            out = by_target[flow.target]
-            if isinstance(out, MaterializedView):
-                path = f"{base_dir}/{out.name}"
-                df.write.mode("overwrite").parquet(path)
-                materialized = spark.read.parquet(path)
-                materialized.createOrReplaceTempView(out.name)
-                done[out.name] = materialized
-            elif isinstance(out, TemporaryView):
-                df.createOrReplaceTempView(out.name)
-                done[out.name] = spark.table(out.name)
-            else:
-                raise NotImplementedError(
-                    f"local executor does not run {type(out).__name__} "
-                    "outputs (streaming tables need the official runtime)"
-                )
             progressed = True
         if not progressed:
             names = [f.name for f in deferred]

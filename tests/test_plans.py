@@ -310,9 +310,11 @@ def test_x23_sampling_is_scan_shaped(spark, sf_dir):
 
 def test_mv4_local_pipeline_executor_semantics(spark, tmp_path):
     """The local Declarative Pipelines executor: out-of-order
-    declarations resolve by fixed point, temporary views don't
-    materialize, and a genuine cycle raises with the stuck flow
-    names."""
+    declarations resolve via the static dependency scan WITHOUT a
+    single failing analysis attempt (r17 — the old fixed-point
+    resolver leaked expected TABLE_OR_VIEW_NOT_FOUND stack traces
+    into the listener bus), temporary views don't materialize, and a
+    genuine cycle raises with the stuck flow names."""
     import pytest
 
     from pyspark import pipelines as dp
@@ -321,19 +323,28 @@ def test_mv4_local_pipeline_executor_semantics(spark, tmp_path):
         run_pipeline,
     )
 
+    calls: list[str] = []
+
     def define():
+        # downstream declared FIRST — under try-and-catch execution its
+        # first attempt would raise; the static resolver must order it
+        # after upstream, so each flow body runs exactly once and in
+        # topological order.
         @dp.materialized_view(name="downstream_mv")
         def downstream():
+            calls.append("downstream_mv")
             return spark.table("upstream_tv").selectExpr("x * 2 AS y")
 
         @dp.temporary_view(name="upstream_tv")
         def upstream():
+            calls.append("upstream_tv")
             return spark.range(3).selectExpr("id AS x")
 
     done = run_pipeline(spark, define, str(tmp_path / "p1"))
     assert sorted(r.y for r in done["downstream_mv"].collect()) == [0, 2, 4]
     assert not (tmp_path / "p1" / "upstream_tv").exists()  # TV: no files
     assert (tmp_path / "p1" / "downstream_mv").exists()    # MV: parquet
+    assert calls == ["upstream_tv", "downstream_mv"]  # once each, ordered
 
     def define_cycle():
         @dp.materialized_view(name="a_mv")
@@ -346,6 +357,32 @@ def test_mv4_local_pipeline_executor_semantics(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="unresolvable"):
         run_pipeline(spark, define_cycle, str(tmp_path / "p2"))
+
+
+def test_pipeline_executor_dynamic_names_fall_back(spark, tmp_path):
+    """A flow whose upstream name is built at runtime is invisible to
+    the static bytecode scan — the fixed-point fallback must still
+    resolve it (the one remaining path where an expected
+    AnalysisException can occur)."""
+    from pyspark import pipelines as dp
+
+    from realtime_financial_transactions_data_pipeline_spark.plans.declarative import (
+        run_pipeline,
+    )
+
+    prefix = "dyn_"  # defeats constant folding: name never a literal
+
+    def define():
+        @dp.materialized_view(name="dyn_sink")
+        def sink():
+            return spark.table(prefix + "src").selectExpr("x + 1 AS y")
+
+        @dp.temporary_view(name="dyn_src")
+        def src():
+            return spark.range(2).selectExpr("id AS x")
+
+    done = run_pipeline(spark, define, str(tmp_path / "p3"))
+    assert sorted(r.y for r in done["dyn_sink"].collect()) == [1, 2]
 
 
 def test_q1p_pipe_syntax_plans_broadcast_star(spark, sf_dir):
