@@ -733,13 +733,21 @@ def repeated_spans_panel(d: DataFrame, k: int = _SPAN_K) -> DataFrame:
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", grams_col: str | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    grams_col: str | None = None,
+    digest_col: str | None = None,
 ) -> DataFrame:
     """Append `sig` (array<bigint>, length _N_HASHES): per-seed min of
     xxhash64 over the word-shingle set. Pure built-ins → codegen'd.
     Pass ``grams_col`` when the shingle array is already materialized
     (x2a shares one persisted shingling pass between the signature and
-    the exact-Jaccard verify instead of re-shingling per consumer)."""
+    the exact-Jaccard verify instead of re-shingling per consumer).
+    Pass ``digest_col`` to ALSO keep the per-gram ``xxhash64`` digest
+    array (array<bigint>) under that name — it is computed here anyway
+    as the signature's first hashing pass, and a consumer that carries
+    digests instead of gram strings (x2n's index state) gets its
+    fixed-width verify payload for free."""
     if grams_col is None:
         df = df.withColumn("_shingles", word_shingles(text_col))
         src = "_shingles"
@@ -756,13 +764,16 @@ def minhash_signature(
     # the plan.
     df = df.withColumn("_hg", F.expr(f"transform({src}, s -> xxhash64(s))"))
     tmp = ["_hg"] if grams_col is not None else ["_hg", "_shingles"]
-    return df.withColumn(
+    out = df.withColumn(
         "sig",
         F.expr(
             f"transform(sequence(0, {_N_HASHES - 1}),"
             f" i -> array_min(transform(_hg, v -> xxhash64(v, i))))"
         ),
-    ).drop(*tmp)
+    )
+    if digest_col is not None:
+        return out.withColumn(digest_col, F.col("_hg")).drop(*tmp)
+    return out.drop(*tmp)
 
 
 def banded_keys(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -1512,28 +1523,59 @@ def x1e_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_pairs(
-    cand: DataFrame, left: DataFrame, right: DataFrame, threshold: float
+    cand: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    grams_col: str = "grams",
 ) -> DataFrame:
     """Exact-Jaccard verify of candidate (id_a, id_b) pairs: join each
     side's gram set, keep pairs at or above ``threshold``. Runs only on
     the LSH candidates — the pair space is bounded by banding, so the
-    array_intersect cost is per-candidate, never per-cross-pair."""
-    ga = left.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("_ga"))
-    gb = right.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("_gb"))
+    array_intersect cost is per-candidate, never per-cross-pair.
+
+    ``grams_col`` may name either the raw gram-string arrays or the
+    fixed-width ``xxhash64(gram)`` digest arrays (x2n ships digests:
+    shingles are distinct, so elementwise xxhash64 preserves set
+    cardinality and the intersection arithmetic is IDENTICAL modulo
+    64-bit collisions — and a collision can only INFLATE the
+    intersection, i.e. over-verify a pair into a rejection, never
+    under-verify a true near-dup into admission; at p ≈ n²·2⁻⁶⁴
+    per doc pair that is ~5e-11 even for million-gram docs).
+
+    Shuffle shape (r17, the second half of the VERDICT r16 #2 fix):
+    each payload side is attached INDEPENDENTLY by broadcasting the
+    candidate pair relation into it — pairs are two-int rows and
+    banding-bounded (O(batch), never batch x corpus, in the x2n
+    ingest; the caller checkpoints them to a leaf), so the broadcast
+    is always small and each payload side streams map-side with ZERO
+    shuffle — and the two attached sides then equi-join on the pair
+    key, shuffling only O(pairs) x payload bytes. The old shape
+    (cand join payload join payload) moved EVERY doc's payload per
+    trigger once batches outgrew auto-broadcast — the one-time 229x
+    shuffle step the r16 100x smoke caught."""
+    a = left.select(
+        F.col("doc_id").alias("id_a"), F.col(grams_col).alias("_ga")
+    ).join(F.broadcast(cand), "id_a")
+    b = right.select(
+        F.col("doc_id").alias("id_b"), F.col(grams_col).alias("_gb")
+    ).join(F.broadcast(cand.select("id_a", "id_b")), "id_b")
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
     union = (F.size("_ga") + F.size("_gb")).cast("double") - F.size(
         F.array_intersect("_ga", "_gb")
     )
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        a.join(b, ["id_a", "id_b"])
         .filter(inter / union >= threshold)
         .select("id_a", "id_b")
     )
 
 
 def neardup_admit(
-    state: DataFrame, b: DataFrame, threshold: float = _LSH_VERIFY_T
+    state: DataFrame,
+    b: DataFrame,
+    threshold: float = _LSH_VERIFY_T,
+    grams_col: str = "grams",
 ) -> DataFrame:
     """One ingest step's admission decision, factored out of the stream
     so the classification semantics are unit-testable with crafted
@@ -1555,12 +1597,27 @@ def neardup_admit(
     tuned for the _LSH_VERIFY_T = 0.9 operating point (~81 % per pair
     at J = 0.6). Passing a materially lower threshold silently misses
     pairs; re-derive the banding from the threshold (more bands, fewer
-    rows) before operating there."""
-    uni = state.select("doc_id", "grams", "sig").unionByName(
-        b.select("doc_id", "grams", "sig")
+    rows) before operating there.
+
+    ``grams_col`` names the verify payload on BOTH inputs — gram
+    strings ("grams", the unit-test default) or xxhash64 digests
+    ("gramsd", what x2n ships; see :func:`_verified_pairs` for the
+    collision-direction argument)."""
+    uni = state.select("doc_id", grams_col, "sig").unionByName(
+        b.select("doc_id", grams_col, "sig")
     )
-    cand = lsh_candidate_pairs(uni.select("doc_id", "sig"), "doc_id")
-    vp = _verified_pairs(cand, uni, uni, threshold)
+    # Eagerly materialized: the candidate pair set is referenced THREE
+    # times downstream (both participant-cut broadcasts in
+    # _verified_pairs plus the verify equi-join) — left lazy, each
+    # reference re-runs the banding self-join (measured at the r17
+    # 100x smoke: the re-evaluations pushed the 100x ingest past its
+    # wall budget), and the admit DAG re-analyzes the banding subtree
+    # per reference. Pairs are banding-bounded (O(batch) rows of two
+    # ids), so the checkpoint is small by construction.
+    cand = lsh_candidate_pairs(
+        uni.select("doc_id", "sig"), "doc_id"
+    ).localCheckpoint(eager=True)
+    vp = _verified_pairs(cand, uni, uni, threshold, grams_col=grams_col)
     bids = b.select("doc_id")
     flagged = vp.join(
         bids.select(F.col("doc_id").alias("id_a"), F.lit(True).alias("_a_in")),
@@ -1605,6 +1662,108 @@ def neardup_admit(
 #: row-group-sized — the probe-side cost is unchanged because pruning
 #: is driven by the batch's own key set, never by G.
 _X2N_STATE_GROUPS = 16
+
+
+#: Compacted x2n index generations are written as ``batch=<BASE+g>``
+#: dirs — far above any real micro-batch id, so a folded generation can
+#: never collide with a replayed stream batch's own ``batch=N``
+#: overwrite.
+_X2N_COMPACT_GEN_BASE = 1_000_000_000
+
+#: Auto-compaction trigger for the streaming ingest: once either index
+#: store accumulates this many ``batch=`` dirs, the ingest folds them
+#: into one generation. The x2n probe's 3 triggers never reach it; the
+#: retention unit test drives 9 ingest steps and pins that dir counts
+#: stay flat at the threshold.
+_X2N_COMPACT_THRESHOLD = 6
+
+
+def _x2n_batch_ids(spark: SparkSession, d: str) -> list[int]:
+    """The ``batch=N`` generation ids currently on disk under ``d``
+    (Hadoop FS API, so the same code serves local tmp and object
+    stores). Bounded by the compaction threshold in steady state."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(d)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return []
+    ids = []
+    for st in fs.listStatus(p):
+        n = st.getPath().getName()
+        if st.isDirectory() and n.startswith("batch="):
+            ids.append(int(n.split("=", 1)[1]))
+    return sorted(ids)
+
+
+def compact_x2n_index(
+    spark: SparkSession,
+    state_dir: str,
+    bands_dir: str,
+    min_batch_dirs: int = _X2N_COMPACT_THRESHOLD,
+    n_groups: int = _X2N_STATE_GROUPS,
+) -> bool:
+    """Fold the x2n index's accumulated ``batch=N`` generations into
+    ONE compacted generation per store (VERDICT r16 #5 — the k8b-style
+    retention half of the append-only design: without it the batch
+    dirs, and with them the per-probe file-listing cost, grow forever
+    at ingest scale).
+
+    Returns True when a compaction ran (either store held at least
+    ``min_batch_dirs`` generations), False for the cheap no-op.
+
+    Crash-safety is ORDER, not locking, exactly as in ``_ingest``: the
+    union of the current generations is written to the NEW generation
+    dir FIRST, and the folded dirs are deleted only after that write
+    commits. Every intermediate state the probe can observe is a
+    SUPERSET of the index with duplicate rows — and every admission
+    consumer is set-shaped (candidate ``distinct()``, verified-pair
+    ``distinct()``s, the final anti-join), so duplicates change
+    nothing; the next compaction's key-level ``dropDuplicates`` is
+    also where any crash-window duplicates get reclaimed. Compacted
+    generations land at ``batch=`` ids offset by
+    ``_X2N_COMPACT_GEN_BASE`` so a replayed stream batch's idempotent
+    ``batch=N`` overwrite can never collide with one.
+
+    Scale shape: compaction reads and rewrites the accepted corpus's
+    state ONCE per ~threshold batches — amortized O(corpus/threshold)
+    per trigger, the standard LSM trade — and the rewrite is
+    ``repartition(group).partitionBy(group)``, one file per group, so
+    probe-side pruned reads stay one-file-per-touched-group no matter
+    how many generations were folded."""
+    sids = _x2n_batch_ids(spark, state_dir)
+    bids = _x2n_batch_ids(spark, bands_dir)
+    if len(sids) < min_batch_dirs and len(bids) < min_batch_dirs:
+        return False
+    prev_gens = [i for i in sids + bids if i >= _X2N_COMPACT_GEN_BASE]
+    gen = max(prev_gens, default=_X2N_COMPACT_GEN_BASE - 1) + 1
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for d, ids, part, keys in (
+        (state_dir, sids, "dg", ["doc_id"]),
+        (bands_dir, bids, "bg", ["doc_id", "band_id", "band_hash"]),
+    ):
+        if not ids:
+            continue
+        src = [f"{d}/batch={i}" for i in ids]
+        (
+            # basePath keeps multi-dir partition discovery coherent;
+            # the discovered batch column is dropped — the folded rows
+            # belong to the new generation alone.
+            spark.read.option("basePath", d)
+            .parquet(*src)
+            .drop("batch")
+            .dropDuplicates(keys)
+            .repartition(part)
+            .write.mode("overwrite")
+            .partitionBy(part)
+            .parquet(f"{d}/batch={gen}")
+        )
+        p0 = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p0.getFileSystem(hconf)
+        for i in ids:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{d}/batch={i}"), True)
+    return True
 
 
 def _group_values(df: DataFrame, col: str, n_groups: int) -> list[int]:
@@ -1653,6 +1812,8 @@ def pruned_index_state(
     bands_dir: str,
     batch_bands: DataFrame,
     n_groups: int = _X2N_STATE_GROUPS,
+    grams_col: str = "grams",
+    grams_type: str = "array<string>",
 ) -> DataFrame:
     """Probe the band-partitioned x2n index WITHOUT scanning it: read
     only the band-group (``bg``) partitions the batch's own band keys
@@ -1697,7 +1858,9 @@ def pruned_index_state(
     # downstream union's checkpoint task hang ~5.5 s (r14 x2n bisect;
     # same fix as the batch-0 empty state below).
     empty = spark.createDataFrame(
-        [], "doc_id long, lang string, grams array<string>, sig array<bigint>"
+        [],
+        f"doc_id long, lang string, {grams_col} {grams_type},"
+        " sig array<bigint>",
     )
     if not keys:
         return empty
@@ -1714,7 +1877,7 @@ def pruned_index_state(
         spark.read.parquet(state_dir)
         .filter(F.col("dg").isin(dgs))
         .join(F.broadcast(ids_df), "doc_id", "semi")
-        .select("doc_id", "lang", "grams", "sig")
+        .select("doc_id", "lang", grams_col, "sig")
     )
 
 
@@ -1768,7 +1931,7 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     J >= 0.9 (_LSH_VERIFY_T, x2a's threshold — banding recall there is 1 - 2.7e-6, so
     the exact-SQL oracle is sound), drops within-batch near-dups by
     the pairwise smaller-id-wins rule, appends the admitted docs, and
-    APPENDS their (grams, signature) rows to the index — the index is
+    APPENDS their (gram-digest, signature) rows to the index — the index is
     an append-only batch=N layout, never rewritten: a generation-
     pointer snapshot (x1e's digest pattern) would rewrite the whole
     accepted corpus's state every batch, which at ingest scale is the
@@ -1785,10 +1948,18 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     clobber its committed rows). The oracle unrolls the batch evolution as
     chained CTEs over the exact-Jaccard pair relation, so the hash
     certifies the ORDER of admission, the index probe, and both dedup
-    rules — not just the final set. State per accepted doc = grams +
-    48-long signature; at open-web scale store xxhash64(gram) arrays
-    instead of gram strings (identical intersection arithmetic,
-    fixed-width state)."""
+    rules — not just the final set. State per accepted doc =
+    fixed-width xxhash64(gram) digest array (``gramsd``) + 48-long
+    signature — gram STRINGS never enter the index or the verify join
+    (r17, VERDICT r16 #2: the string payload was the suite's one
+    perf-weak edge — at ~83 k-doc batches it pushed the exact-verify
+    join past the broadcast threshold into a one-time 2,137 MB
+    shuffle at the 100x smoke). Shingles are distinct, so elementwise
+    xxhash64 preserves set cardinality and the Jaccard arithmetic is
+    identical modulo 64-bit collisions, which can only over-verify
+    (reject), never under-verify (_verified_pairs docstring); the
+    digests come free as the signature's first hashing pass
+    (minhash_signature digest_col)."""
     import shutil
 
     from pyspark.sql import types as T
@@ -1833,7 +2004,7 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("lang", T.StringType()),
-            T.StructField("grams", T.ArrayType(T.StringType())),
+            T.StructField("gramsd", T.ArrayType(T.LongType())),
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
@@ -1856,7 +2027,8 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = minhash_signature(
             batch.repartition(8).withColumn("grams", word_shingles("text")),
             grams_col="grams",
-        ).select("doc_id", "lang", "grams", "sig").localCheckpoint(eager=True)
+            digest_col="gramsd",
+        ).select("doc_id", "lang", "gramsd", "sig").localCheckpoint(eager=True)
         try:
             bpath = jvm.org.apache.hadoop.fs.Path(bands_dir)
             if bpath.getFileSystem(hconf).exists(bpath):
@@ -1868,7 +2040,12 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # check + the three sink writes) and the candidate set
                 # is batch-bounded by construction.
                 state = pruned_index_state(
-                    s, state_dir, bands_dir, banded_keys(b, "doc_id")
+                    s,
+                    state_dir,
+                    bands_dir,
+                    banded_keys(b, "doc_id"),
+                    grams_col="gramsd",
+                    grams_type="array<bigint>",
                 ).persist()
             else:
                 # Plain empty local relation — do NOT coalesce(1) it:
@@ -1885,7 +2062,7 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # measured ~0.4 s/trigger here). The replay check only
             # evaluates the admit plan on the rare replay path — the
             # normal path short-circuits on dir absence.
-            admitted = neardup_admit(state, b)
+            admitted = neardup_admit(state, b, grams_col="gramsd")
             part_dir = f"{accepted_dir}/batch={batch_id}"
             hpath = jvm.org.apache.hadoop.fs.Path(part_dir)
             hfs = hpath.getFileSystem(hconf)
@@ -1951,6 +2128,11 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with ThreadPoolExecutor(2) as pool:
                     for fut in [pool.submit(_write_dg), pool.submit(_write_bg)]:
                         fut.result()
+                # Retention: fold accumulated batch= generations once
+                # either store crosses the threshold (no-op below it —
+                # two FS listings). The 3-trigger probe never compacts;
+                # the 9-step retention test pins flat dir counts.
+                compact_x2n_index(s, state_dir, bands_dir)
         finally:
             try:
                 state.unpersist()

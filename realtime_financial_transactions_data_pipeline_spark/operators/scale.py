@@ -1473,6 +1473,125 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# scale_aqe_skewjoin — Spark's AUTOMATIC skew-join splitting
+# (OptimizeSkewedJoin), the adaptive mechanism a 100 TB operator
+# reaches for BEFORE manual salting: the same hot-gateway fixture as
+# scale_salted_join, but the hot key's reduce partition is split at
+# runtime by AQE along mapper-block boundaries, with the dim side's
+# matching partition replicated per split — no query rewrite at all.
+# Probe-local thresholds scale the demonstration down to test volume
+# (the defaults, 256 MB / 5x-median, are cluster-sized); the executed
+# plan must carry SortMergeJoin(skew=true) (pinned by
+# tests/test_scale.py). Two test-scale preconditions, both documented
+# because production inherits them for free: (1) the fact is
+# repartitioned to 8 map tasks first — a skewed partition splits on
+# MAPPER boundaries, so one mapper (what a single sf0.01 parquet file
+# yields) leaves nothing to split, while a real job has thousands of
+# mappers; (2) the dim is pinned as a LogicalRDD — a HashAggregate
+# (the distinct) sitting directly under the join already satisfies
+# the join's partitioning, and OptimizeSkewedJoin cannot replicate a
+# partition that lives behind an aggregate rather than a bare shuffle
+# read. forceOptimizeSkewedJoin is on because the downstream groupBy
+# requires hash partitioning the split would break — Spark then adds
+# one post-join re-shuffle, the standard price of skew-splitting into
+# a same-key aggregate. Result invariance is the hash claim: the
+# oracle is the PLAIN unsalted, unsplit join.
+# ---------------------------------------------------------------------------
+
+_SKEWJOIN_CONFS = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    # the demo dies silently if the 98-row dim broadcasts
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def skewjoin_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy fee panel under the skew-split preconditions (block
+    comment above) — factored out so the plan test can execute it
+    under `_SKEWJOIN_CONFS` and pin SortMergeJoin(skew=true) in the
+    final adaptive plan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot_gateway"))
+        .otherwise(
+            F.concat(F.lit("gw_"), (F.col("l_orderkey") % 97).cast("string"))
+        )
+        .alias("gateway"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    ).repartition(8)
+    dim = (
+        li.select("gateway")
+        .distinct()
+        .withColumn(
+            "fee_bps",
+            (
+                F.conv(F.substring(F.md5("gateway"), 1, 4), 16, 10).cast(
+                    "long"
+                )
+                % 200
+                + 25
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return (
+        li.join(dim.hint("merge"), "gateway")
+        .groupBy("gateway")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+            F.sum(
+                F.floor(F.col("cents") * F.col("fee_bps") / F.lit(10000))
+            ).alias("fee_cents"),
+        )
+    )
+
+
+@probe(
+    "scale_aqe_skewjoin",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot_gateway'
+                  ELSE 'gw_' || CAST(l_orderkey % 97 AS VARCHAR) END AS gateway,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    dim AS (
+      SELECT gateway,
+             CAST(('0x' || substr(md5(gateway), 1, 4)) AS BIGINT) % 200 + 25
+               AS fee_bps
+      FROM (SELECT DISTINCT gateway FROM f))
+    SELECT f.gateway,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(f.cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(f.cents * d.fee_bps // 10000) AS BIGINT) AS fee_cents
+    FROM f JOIN dim d USING (gateway)
+    GROUP BY f.gateway
+    """,
+)
+def scale_aqe_skewjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE automatic skew-join splitting on the hot-gateway fixture
+    (block comment above): probe-local thresholds, execution inside
+    the conf scope (pin_result — the confs must be live when the join
+    runs, and the driver's deferred evaluation would otherwise see
+    restored defaults), result hash-checked against the plain join.
+    scale_salted_join demonstrates the MANUAL treatment of the same
+    skew; this is the adaptive one a cluster reaches for first."""
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    old = {k: spark.conf.get(k) for k in _SKEWJOIN_CONFS}
+    for k, v in _SKEWJOIN_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return pin_result(skewjoin_panel(spark, sf_dir))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
 # scale_stable_row_ids — contiguous global row numbering WITHOUT the
 # single-partition collapse. `row_number() OVER (ORDER BY key)` with
 # no PARTITION BY funnels the entire table through ONE task — the

@@ -192,10 +192,29 @@ DRIVER_WINDOW = 50
 #: s13-s19, scale_aqe_coalesce, scale_bloom_semijoin) plus three
 #: required-family pulls from the backlog tail (x2z for x2, x3n for
 #: x3, x27 for x6 — x27 doubling as driver certification of its r16
-#: two-phase rewrite, pairing with a24's). TWENTY-FIVE remain for
-#: cohort 11 (scale_bucketed_star/cbo_stats/exchange_reuse/salted_join/
-#: stable_row_ids/vacuum, sql1-sql3, t12-t15/t17, ts7-ts9, x22-x26,
-#: x2ab, x34, x35), after which rotations are pure re-verification.
+#: two-phase rewrite, pairing with a24's). TWENTY-FIVE remained for
+#: cohort 11 at that point (scale_bucketed_star/cbo_stats/
+#: exchange_reuse/salted_join/stable_row_ids/vacuum, sql1-sql3,
+#: t12-t15/t17, ts7-ts9, x22-x26, x2ab, x34, x35).
+#: Cohort-11 rotation (round 17, VERDICT_r16 item #1): the backlog
+#: grew to 42 — the 25 above, the sixteen round-16 newcomers (a32,
+#: a33, er5, f20, g11, prof3, ts10-ts12, u10, x2ac, x36, x37, x38,
+#: x40, x5e), and round 17's scale_aqe_skewjoin — against 48 free
+#: slots needing NINE family keeps (k/p/f/u/j/a/l/o/x1/x3/x4/dq/er
+#: minus the five families the backlog itself covers: f via f20, u
+#: via u10, a via a32/a33, er via er5, x5 via x5e — so keeps are
+#: k/p/j/l/o/x1/x3/x4/dq). 2 + 9 + 39 = 50: THREE backlog members
+#: defer to cohort 12 — x37/x38/x40, the newest r16 registrations,
+#: all from the 9-strong-in-window x6 family (oldest-registration-
+#: first custom; scale_aqe_skewjoin stays IN as this round's new
+#: mechanism, the x27/a24 certification pattern). Keeps are the
+#: least-recently-driver-green per family from the CORRECTNESS_r*
+#: ledger: k6 (r11), p2_p5 (r10), j5 (r7), l1_l3 (r15), pivot (r8),
+#: x1d (r12), x3ade (r12), x4g (r11), dq2 (r12). After this window
+#: every oracled probe registered before round 17 has ≥1 lifetime
+#: driver-window green and rotations become pure re-verification,
+#: oldest-green-first (cohort 12 starts with x37/x38/x40 plus any
+#: round-17 newcomers).
 #: ROWS-ONLY EXCLUSION (VERDICT_r13 item #7, permanent policy): the
 #: rows-only-by-nature probes — t5_rate_source (throughput),
 #: x5_approx_sketches (approximate); u1_fpe_tokenize LEFT this set in
@@ -210,63 +229,62 @@ _DRIVER_ORDER = [
     # T1/T2/T3/T6 in one probe.
     "q1_star_revenue_by_nation",     # flagship: J1 star join + A8 agg
     "t1_t6_streaming_pipeline",      # S1/S2/S4/K1/K2/T1/T2/T3/T6
-    # first exposure (40): the cohort-10 backlog, oldest registration
-    # first (#1-#37), plus three required-family pulls from the tail of
-    # the backlog — x2z (x2), x3n (x3), and x27 (x6; ALSO the r16
-    # de-SinglePartition rewrite, so its driver hash certifies the
-    # two-phase rank+cumsum form). a24 (#1) is the other r16 rewrite —
-    # both rewritten probes get driver-hash certification this round.
-    "a24_rfm_segmentation",
-    "a25_price_volume_mix",
-    "a26_cohort_ltv",
-    "a27_growth_accounting",
-    "a28_path_transitions",
-    "a29_batch_sessionization",
-    "a30_ab_assignment_srm",
-    "a31_fulfillment_latency",
-    "api1_pandas_on_spark",
-    "dq11_ks_drift",
-    "dq6_functional_dependency_audit",
-    "dq7_benford_audit",
-    "dq8_order_reconciliation",
-    "dq9_observed_metrics",
-    "f17_card_brand_luhn",
-    "f18_collation_groupby",
-    "f19_fiscal_445_yoy",
-    "g10_kcore",
-    "g9_degree_assortativity",
-    "j10_pit_join",
-    "j12_temporal_fx",
-    "mv4_declarative_pipeline",
-    "o10_range_frame_trailing",
-    "o11_gaps_islands",
-    "o12_set_ops_all",
-    "o13_unpivot_melt",
-    "o14_rolling_distinct",
-    "q1p_pipe_syntax",
-    "s13_corrupt_record_routing",
-    "s14_xml_source",
-    "s15_variant_shred",
-    "s16_python_datasource",
-    "s17_python_stream_source",
-    "s18_debezium_envelope",
-    "s19_multiline_csv",
-    "scale_aqe_coalesce",
-    "scale_bloom_semijoin",
-    "x2z_embedding_dim_stats",
-    "x3n_boilerplate_ngram_scrub",
-    "x27_vocab_coverage",
-    # family-coverage keeps (test_driver_window_family_coverage): the
-    # cohort-10 backlog has no k/u/x1/x4/x5/er/l/p member, so each
-    # family keeps its least-recently-driver-verified oracled probe.
-    "k3_passthrough_stream",         # last green r11
-    "u1b_mask_and_bin",              # last green r8
-    "x1_dedup_exact",                # last green r11
-    "x4_multimodal_decode",          # last green r10
-    "x5d_hll_distinct",              # last green r13
-    "er2_fuzzy_match",               # last green r13
-    "l1b_partition_pruned_slice",    # last green r14
-    "p1_projection",                 # last green r10
+    # first exposure (39): the cohort-11 backlog, registration order,
+    # minus the three x6 deferrals (x37/x38/x40 -> cohort 12).
+    # a33 and x36 double as driver certification of their r17 edge
+    # fixes (int64-overflow-proof banding; zero-uniform lower bound),
+    # and scale_aqe_skewjoin of this round's new adaptive mechanism.
+    "scale_bucketed_star",
+    "scale_cbo_stats",
+    "scale_exchange_reuse",
+    "scale_salted_join",
+    "scale_stable_row_ids",
+    "scale_vacuum",
+    "sql1_scripting_threshold_search",
+    "sql2_recursive_cte",
+    "sql3_lateral_topk",
+    "t12_batch_stream_unification",
+    "t13_stream_full_outer_join",
+    "t14_state_store_inspection",
+    "t15_session_window_builtin",
+    "t17_stream_semi_join",
+    "ts7_holt_forecast",
+    "ts8_holt_winters_forecast",
+    "ts9_forecast_backtest",
+    "x22_cluster_safe_split",
+    "x23_pps_sample",
+    "x24_containment_pairs",
+    "x25_repeated_substring_spans",
+    "x26_span_decontamination",
+    "x2ab_embedding_drift",
+    "x34_jl_projection",
+    "x35_cross_source_dup_matrix",
+    "a32_backlog_aging",
+    "a33_abc_classification",
+    "er5_sorted_neighborhood",
+    "f20_sql_udf",
+    "g11_lpa_communities",
+    "prof3_frequent_values",
+    "ts10_max_drawdown",
+    "ts11_mad_outliers",
+    "ts12_autocorrelation",
+    "u10_token_referential_integrity",
+    "x2ac_minhash_calibration",
+    "x36_priority_sample",
+    "x5e_countmin_freq",
+    "scale_aqe_skewjoin",
+    # family-coverage keeps (test_driver_window_family_coverage):
+    # least-recently-driver-green per family the backlog leaves
+    # unrepresented (ledger rounds in the block comment above).
+    "k6_cdc_latest_wins",            # last green r11
+    "p2_p5_shape_defaults",          # last green r10
+    "j5_range_predicate_join",       # last green r7
+    "l1_l3_slicer_stack",            # last green r15
+    "pivot_status_by_segment",       # last green r8
+    "x1d_bloom_prefilter",           # last green r12
+    "x3ade_doc_profile",             # last green r12
+    "x4g_jpeg_decode",               # last green r11
+    "dq2_referential_audit",         # last green r12
 ]
 if len(_DRIVER_ORDER) != DRIVER_WINDOW or len(set(_DRIVER_ORDER)) != DRIVER_WINDOW:
     # Not assert: these invariants must hold under ``python -O`` too,

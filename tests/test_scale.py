@@ -731,6 +731,45 @@ def test_aqe_coalesce_folds_reduce_partitions(spark):
     assert "isFinalPlan=true" in plan
 
 
+def test_aqe_skewjoin_splits_hot_partition(spark):
+    """Under the probe's thresholds the executed adaptive plan must
+    carry SortMergeJoin(skew=true) — Spark's OptimizeSkewedJoin
+    actually split the hot gateway's reduce partition — and the
+    result must equal the plain (unsplit, unsalted) join's panel,
+    which is the whole invariance claim."""
+    from realtime_financial_transactions_data_pipeline_spark.operators.scale import (
+        _SKEWJOIN_CONFS,
+        skewjoin_panel,
+    )
+
+    old = {k: spark.conf.get(k) for k in _SKEWJOIN_CONFS}
+    for k, v in _SKEWJOIN_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = skewjoin_panel(spark, "/root/testdata/sf0.01")
+        rows = {r.gateway: (r.n_items, r.revenue_cents, r.fee_cents)
+                for r in df.collect()}
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    final_region = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin(skew=true)" in final_region, plan
+    assert "isFinalPlan=true" in plan
+    # hot key present and carrying ~1/3 of lineitem
+    n_total = sum(v[0] for v in rows.values())
+    assert rows["hot_gateway"][0] > 0.3 * n_total
+    # invariance vs the untreated join (AQE split must not change
+    # results) — computed WITHOUT the probe confs, on default planning.
+    plain = {
+        r.gateway: (r.n_items, r.revenue_cents, r.fee_cents)
+        for r in skewjoin_panel(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert plain == rows
+
+
 def test_exchange_reuse_pinned(spark):
     """The daily rollup referenced twice must shuffle once: the
     executed plan carries a ReusedExchange (or AQE's reused stage) and
