@@ -1387,3 +1387,205 @@ def x27_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1000_coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X3O — real BPE: train merges on the corpus, then ENCODE with them.
+# x3e stops at pretokenization and every token-count operator in the
+# family approximates by whitespace/alnum segmentation; this is the
+# missing mechanism — learned subword merges (Sennrich et al. 2016,
+# the algorithm behind GPT-2/RoBERTa vocabularies) — expressed
+# Spark-first:
+#   pass 1 (corpus-scale): ONE shuffle — the word histogram
+#     (partial-aggregable groupBy over exploded alnum tokens).
+#   training (vocab-scale): everything after the top-K cut runs on a
+#     K-row frame. Each of the M merge rounds counts adjacent symbol
+#     pairs weighted by word frequency (array ops, codegen'd), takes
+#     the argmax with a deterministic (count DESC, pair ASC) tie-break
+#     — a 1-row bounded collect, M scalars total, the k-means-probe
+#     collect class — and applies the merge as a sentinel-delimited
+#     string replace.
+#   pass 2 (corpus-scale): tokens-per-word come from BROADCAST-joining
+#     the K encoded words back onto the exploded corpus — the
+#     distinct-word memoization trick that makes real-BPE token
+#     counting affordable at 100 TB (encode K words once, never
+#     re-encode per occurrence); out-of-vocab words fall back to
+#     char count (the worst-case no-merges encoding), deterministic
+#     in both engines.
+# Segmentations live as '·'-SENTINELED strings ('·h·e·l·l·o·') so a
+# merge is replace('·a·b·' -> '·ab·'): the sentinels make symbol
+# boundaries unspoofable (no merge can span a multi-char symbol), and
+# leftmost-nonoverlapping replace() semantics — identical in Spark
+# and DuckDB — are exactly BPE's apply-everywhere merge step. The
+# oracle unrolls all M training rounds as chained CTEs, so the hash
+# certifies the learned merge TABLE (fingerprint column), the
+# encoding, and both corpus passes end to end.
+# ---------------------------------------------------------------------------
+
+_X3O_SEP = "·"  # '·' (U+00B7); corpus words are alnum, can't collide
+_X3O_VOCAB = 2000
+_X3O_MERGES = 6
+
+
+def bpe_train_merges(
+    vocab: DataFrame, n_merges: int = _X3O_MERGES, sep: str = _X3O_SEP
+) -> tuple[DataFrame, list[str]]:
+    """Learn ``n_merges`` BPE merges over a (word, cnt) frame; returns
+    (the frame with the final ``seg`` segmentation column, the ordered
+    merge list as 'a·b' strings). Driver cost: n_merges 1-row
+    collects; executor cost: n_merges passes over the K-row vocab."""
+    v = vocab.withColumn(
+        "seg",
+        F.concat(
+            F.lit(sep), F.array_join(F.split("word", ""), sep), F.lit(sep)
+        ),
+    ).localCheckpoint(eager=True)
+    syms = f"split(btrim(seg, '{sep}'), '{sep}')"
+    pair_expr = (
+        f"CASE WHEN size({syms}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({syms}) - 1), "
+        f"j -> concat(element_at({syms}, j), '{sep}', "
+        f"element_at({syms}, j + 1))) END"
+    )
+    merges: list[str] = []
+    for _ in range(n_merges):
+        top = (
+            v.select("cnt", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair = top[0].pair
+        merges.append(pair)
+        v = v.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(sep + pair + sep),
+                F.lit(sep + pair.replace(sep, "") + sep),
+            ),
+        )
+    return v, merges
+
+
+def _x3o_oracle() -> str:
+    s = "chr(183)"
+    syms = f"string_split(trim(seg, {s}), {s})"
+    pair_list = (
+        f"CASE WHEN len({syms}) < 2 THEN [] "
+        f"ELSE list_transform(range(1, len({syms})), "
+        f"j -> {syms}[j] || {s} || {syms}[j+1]) END"
+    )
+    stages = []
+    for i in range(1, _X3O_MERGES + 1):
+        stages.append(
+            f"""p{i} AS (
+      SELECT pair, sum(cnt) AS c FROM (
+        SELECT cnt, unnest({pair_list}) AS pair FROM w{i - 1}) GROUP BY pair),
+    m{i} AS (SELECT pair FROM p{i} ORDER BY c DESC, pair LIMIT 1),
+    w{i} AS (
+      SELECT word, cnt,
+             replace(seg, {s} || (SELECT pair FROM m{i}) || {s},
+                     {s} || replace((SELECT pair FROM m{i}), {s}, '') || {s})
+               AS seg
+      FROM w{i - 1})"""
+        )
+    fp = " || ',' || ".join(
+        f"(SELECT pair FROM m{i})" for i in range(1, _X3O_MERGES + 1)
+    )
+    stage_sql = ",\n    ".join(stages)
+    return f"""
+    WITH wall AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS word
+        FROM documents)
+      GROUP BY word),
+    vocab AS (SELECT word, cnt FROM wall ORDER BY cnt DESC, word
+              LIMIT {_X3O_VOCAB}),
+    w0 AS (
+      SELECT word, cnt,
+             {s} || array_to_string(string_split(word, ''), {s}) || {s} AS seg
+      FROM vocab),
+    {stage_sql},
+    enc AS (SELECT word,
+                   len(string_split(trim(seg, {s}), {s})) AS toks
+            FROM w{_X3O_MERGES}),
+    docw AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS word
+      FROM documents),
+    joined AS (
+      SELECT d.lang, coalesce(e.toks, length(d.word)) AS toks,
+             length(d.word) AS chars
+      FROM docw d LEFT JOIN enc e USING (word)),
+    panel AS (
+      SELECT lang, count(*) AS n_word_instances,
+             sum(toks) AS bpe_tokens, sum(chars) AS char_tokens
+      FROM joined GROUP BY lang),
+    nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT nd.lang,
+           CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(p.n_word_instances, 0) AS BIGINT)
+             AS n_word_instances,
+           CAST(coalesce(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+           CAST(coalesce(p.char_tokens, 0) AS BIGINT) AS char_tokens,
+           md5({fp}) AS merges_fp
+    FROM nd LEFT JOIN panel p USING (lang)
+    """
+
+
+@probe("x3o_bpe_encode", oracle=_x3o_oracle())
+def x3o_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3O — train 6 BPE merges on the top-2000 word vocabulary, then
+    count real BPE tokens per language via the broadcast encoded-vocab
+    join (block comment above). The merges_fp column pins the learned
+    merge table itself — a single different merge anywhere fails the
+    hash."""
+    import hashlib
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0)
+        ).alias("word")
+    )
+    hist = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = hist.orderBy(F.col("cnt").desc(), "word").limit(_X3O_VOCAB)
+    v, merges = bpe_train_merges(vocab)
+    sep = _X3O_SEP
+    enc = v.select(
+        "word",
+        F.size(F.split(F.expr(f"btrim(seg, '{sep}')"), sep)).alias("toks"),
+    )
+    fp = hashlib.md5(",".join(merges).encode("utf-8")).hexdigest()
+    docw = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0)
+        ).alias("word"),
+    )
+    joined = docw.join(F.broadcast(enc), "word", "left").select(
+        "lang",
+        F.coalesce(F.col("toks"), F.length("word")).alias("toks"),
+        F.length("word").alias("chars"),
+    )
+    panel = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_word_instances"),
+        F.sum("toks").cast("long").alias("bpe_tokens"),
+        F.sum("chars").cast("long").alias("char_tokens"),
+    )
+    nd = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return nd.join(panel, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_word_instances", F.lit(0)).alias("n_word_instances"),
+        F.coalesce("bpe_tokens", F.lit(0)).alias("bpe_tokens"),
+        F.coalesce("char_tokens", F.lit(0)).alias("char_tokens"),
+        F.lit(fp).alias("merges_fp"),
+    )
+
+
