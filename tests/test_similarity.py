@@ -630,3 +630,51 @@ def test_x34_jl_distortion_concentrates(spark):
     assert 0.7 <= r1.mean_ratio <= 1.3
     assert r1.min_ratio > 0
     assert r1.frac_in_band >= 0.8
+
+
+def test_x2x_persisted_index_prunes_and_reloads(spark, sf_dir, tmp_path):
+    """The persisted IVF layout (r17): (a) query-side list scans must
+    carry a list_id PartitionFilter — the probe-set prunes at the
+    scan, never a full-index read; (b) answers from the reloaded
+    layout must equal the in-session IVF path's (reload fidelity —
+    the probe's oracle claim, pinned here structurally); (c) the
+    layout is one directory per list."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        _emb_base,
+        ivf_centroids_memo,
+        ivf_query_reloaded,
+        write_ivf_index,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.operators.similarity import (
+        x2h_ann_ivf,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.plans import inspect
+
+    root = str(tmp_path / "ivf")
+    emb = _emb_base(spark, sf_dir)
+    write_ivf_index(emb, ivf_centroids_memo(spark, sf_dir), root)
+
+    # (c) one directory per coarse list
+    dirs = {d for d in os.listdir(f"{root}/lists") if d.startswith("list_id=")}
+    n_lists = emb.select("label").distinct().count()
+    assert len(dirs) == n_lists
+
+    queries = emb.filter(F.col("vec_id") < 20).drop("label")
+    res = ivf_query_reloaded(spark, root, queries)
+    # (a) the list scan is partition-pruned on list_id
+    pf = inspect.partition_filters(res)
+    assert "list_id" in pf and "PartitionFilters: []" not in pf
+
+    # (b) reload fidelity vs the in-session IVF probe
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in res.collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in x2h_ann_ivf(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
