@@ -53,6 +53,10 @@ SIDE_EFFECTING = [
     # Second continuation: the stream-stream semi join (wipes + re-runs
     # its /tmp root and checkpoint per call).
     "t17_stream_semi_join",
+    # r17: the persisted IVF index wipes + rewrites its layout root
+    # per call; pin_result must insulate the first result's values
+    # from the second call's rebuild.
+    "x2x_persisted_ivf",
 ]
 
 
