@@ -1473,21 +1473,28 @@ def bpe_train_merges(
 
 
 def _x3o_oracle() -> str:
+    # Stage shape tuned for DuckDB 1.0 (r17 battery-wall trim, 36.9 s
+    # -> see test log): each w{i} is MATERIALIZED (it feeds both the
+    # next pair count and the next rewrite — unhinted, the inliner
+    # duplicates the whole prefix chain per reference, exponential in
+    # stages), and the symbol split is computed ONCE per row in s{i}
+    # instead of three times inside the pair lambda.
     s = "chr(183)"
-    syms = f"string_split(trim(seg, {s}), {s})"
     pair_list = (
-        f"CASE WHEN len({syms}) < 2 THEN [] "
-        f"ELSE list_transform(range(1, len({syms})), "
-        f"j -> {syms}[j] || {s} || {syms}[j+1]) END"
+        "CASE WHEN len(sy) < 2 THEN [] "
+        "ELSE list_transform(range(1, len(sy)), "
+        f"j -> sy[j] || {s} || sy[j+1]) END"
     )
     stages = []
     for i in range(1, _X3O_MERGES + 1):
         stages.append(
-            f"""p{i} AS (
+            f"""s{i} AS (
+      SELECT cnt, string_split(trim(seg, {s}), {s}) AS sy FROM w{i - 1}),
+    p{i} AS (
       SELECT pair, sum(cnt) AS c FROM (
-        SELECT cnt, unnest({pair_list}) AS pair FROM w{i - 1}) GROUP BY pair),
+        SELECT cnt, unnest({pair_list}) AS pair FROM s{i}) GROUP BY pair),
     m{i} AS (SELECT pair FROM p{i} ORDER BY c DESC, pair LIMIT 1),
-    w{i} AS (
+    w{i} AS MATERIALIZED (
       SELECT word, cnt,
              replace(seg, {s} || (SELECT pair FROM m{i}) || {s},
                      {s} || replace((SELECT pair FROM m{i}), {s}, '') || {s})
