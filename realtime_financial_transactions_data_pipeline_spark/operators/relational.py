@@ -4326,6 +4326,84 @@ def api1_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# API2 — Python user-defined TABLE function (Spark 4 `@udtf`),
+# arrow-optimized: the API seam for row→rows expansion logic that is
+# genuinely imperative (state machines, schedule generators, protocol
+# parsers) yet must ride the SQL planner as a LATERAL table factor.
+# The demonstration is a financial one the reference's domain implies:
+# an amortization-schedule generator — each order's total splits into
+# `months` integer-cent installments (remainder on the first) — run as
+# `orders, LATERAL amortize(cents, months)` and rolled up per
+# installment number. Scale posture: ArrowEvalPythonUDTF evaluates
+# per-partition in Arrow batches (embarrassingly parallel, no shuffle
+# until the panel aggregate), and `useArrow=True` is what keeps the
+# no-BatchEvalPython tripwire green — the pickled row-at-a-time UDTF
+# path is exactly what this probe exists to NOT use. The oracle
+# replays the schedule arithmetic with generate-series + integer
+# division, so the hash certifies the UDTF's Python arithmetic
+# row-for-row.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "api2_python_udtf",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             3 + (o_orderkey // 100) % 10 AS months
+      FROM orders WHERE o_orderkey % 100 = 0),
+    inst AS (
+      SELECT cents, months, unnest(range(1, months + 1)) AS installment
+      FROM o),
+    amt AS (
+      SELECT installment,
+             CASE WHEN installment = 1
+                  THEN cents // months + (cents - (cents // months) * months)
+                  ELSE cents // months END AS amount_cents
+      FROM inst)
+    SELECT CAST(installment AS INTEGER) AS installment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(amount_cents) AS BIGINT) AS amount_cents
+    FROM amt GROUP BY installment
+    """,
+)
+def api2_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API2 — arrow-optimized Python UDTF as a LATERAL table factor
+    (block comment above): every 100th order amortizes into
+    3 + (orderkey/100)%10 integer-cent installments, first installment
+    carrying the remainder, per-installment panel. Mass conservation
+    (Σ installments = Σ totals) is implied by the hash."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="installment int, amount_cents bigint", useArrow=True
+    )
+    class Amortize:
+        def eval(self, cents: int, months: int):
+            base = cents // months
+            rem = cents - base * months
+            for i in range(1, months + 1):
+                yield i, base + (rem if i == 1 else 0)
+
+    spark.udtf.register("api2_amortize", Amortize)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("api2_orders")
+    return spark.sql(
+        """
+        SELECT t.installment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(t.amount_cents) AS BIGINT) AS amount_cents
+        FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     CAST(3 + CAST(o_orderkey / 100 AS BIGINT) % 10 AS INT)
+                       AS months
+              FROM api2_orders WHERE o_orderkey % 100 = 0) s,
+             LATERAL api2_amortize(s.cents, s.months) t
+        GROUP BY t.installment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # A31 — fulfillment-latency distribution: order date → line-item ship
 # date lag, profiled per order priority. The reference's order
 # lifecycle implies exactly this dashboard ("how fast do URGENT

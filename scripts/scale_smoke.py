@@ -169,6 +169,15 @@ MATRIX = {
     # Bucketed co-location joins the two exchange-free; the PREPARE
     # hook builds the layout untimed.
     "q1_bucketed_star": ("tpch", (1, 100)),
+    # r17 newcomers: AQE skew split over the hot-gateway fact (the
+    # thresholds are probe-local constants, so growth shows how the
+    # split count scales with the hot partition); BPE training is
+    # vocab-capped — corpus growth should move only the two corpus
+    # passes; the persisted IVF index write+reload scales with the
+    # embedding corpus while the query read stays probe-set-pruned.
+    "scale_aqe_skewjoin": ("tpch", (1, 10)),
+    "x3o_bpe_encode": ("documents", (1, 10, 100)),
+    "x2x_persisted_ivf": ("embeddings", (1, 10)),
 }
 
 
