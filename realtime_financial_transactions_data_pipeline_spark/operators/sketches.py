@@ -357,3 +357,130 @@ def x5e_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", "true_freq", "cm_est", "overestimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# X5F — mergeable log-histogram QUANTILE sketch (the HdrHistogram /
+# DDSketch family: Masson et al., "DDSketch: a fast and fully-mergeable
+# quantile sketch with relative-error guarantees", VLDB 2019 — public
+# paper; this is a from-scratch integer-arithmetic variant, not a
+# transcription). The x5 family's missing class: x5b's exact
+# percentiles need a rank pass, GK sketches (x5's percentile_approx)
+# are implementation-defined and engine-incomparable — this sketch is
+# BOTH scalable and bit-replayable:
+#   bucket = (k, sub): k = floor(log2(v)) computed EXACTLY as
+#   length(bin(v)) - 1 (minimal binary repr in both engines — no
+#   float log near power boundaries), sub = the G-way linear subdivide
+#   of [2^k, 2^{k+1}) via integer multiply/divide. Relative error of
+#   any quantile estimate is bounded by the sub-bucket width:
+#   ≤ 1/G (G = 64 → ≤ 1.6 %), asserted vs numpy-exact in
+#   tests/test_sketches.py.
+# Scale shape: the sketch IS a groupBy count over ≤ 64·G buckets —
+# partial-aggregable (map-side combine), trivially mergeable across
+# shards/days (add counts), single pass, bounded memory. The quantile
+# walk runs on the COLLECTED sketch — bounded by construction at
+# ≤ 64·G = 4,096 rows, the x5c/x1db bounded-collect class, never by
+# data volume. The oracle replays bucketization, the cumulative walk,
+# and the in-bucket interpolation in the same integer arithmetic, so
+# the hash certifies the whole estimator, not just its outputs.
+# ---------------------------------------------------------------------------
+
+_X5F_G = 64
+_X5F_QS = (500, 900, 950, 990)  # per-mille targets
+
+
+def quantile_histogram(df: DataFrame, col: str, g: int = _X5F_G) -> DataFrame:
+    """The mergeable sketch: (k, sub) bucket counts over a positive
+    integer column. Merging two sketches = unioning and re-summing —
+    the groupBy is the merge."""
+    v = F.col(col)
+    k = (F.length(F.bin(v)) - 1).alias("k")
+    d = df.select(v.alias("_v"), k).withColumn(
+        # python-side shiftleft() wants an int literal for the bit
+        # count; the SQL form accepts a column
+        "pow", F.expr("shiftleft(CAST(1 AS BIGINT), k)")
+    )
+    sub = ((F.col("_v") - F.col("pow")) * g / F.col("pow")).cast("long")
+    return (
+        d.withColumn("sub", sub)
+        .groupBy("k", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _x5f_oracle() -> str:
+    g = _X5F_G
+    q_rows = ", ".join(f"({q})" for q in _X5F_QS)
+    return f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    b AS (
+      SELECT length(bin(cents)) - 1 AS k,
+             (1::BIGINT << (length(bin(cents)) - 1)) AS pow,
+             cents
+      FROM v),
+    sk AS (
+      SELECT k, ((cents - pow) * {g}) // pow AS sub, count(*) AS cnt
+      FROM b GROUP BY 1, 2),
+    walk AS (
+      SELECT k, sub, cnt,
+             sum(cnt) OVER (ORDER BY k, sub
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS n
+      FROM sk),
+    qs AS (SELECT q FROM (VALUES {q_rows}) t(q)),
+    hit AS (
+      SELECT q, k, sub, cnt, cum, n,
+             CAST(ceil(q * n / 1000.0) AS BIGINT) AS r,
+             row_number() OVER (
+               PARTITION BY q ORDER BY k, sub) AS pick
+      FROM qs JOIN walk
+        ON cum >= CAST(ceil(q * n / 1000.0) AS BIGINT)),
+    est AS (
+      SELECT q, n, k, sub, cnt, cum, r,
+             (1::BIGINT << k) + sub * (1::BIGINT << k) // {g} AS lo,
+             (1::BIGINT << k) + (sub + 1) * (1::BIGINT << k) // {g} AS hi
+      FROM hit WHERE pick = 1)
+    SELECT CAST(q AS INTEGER) AS q_permille,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(lo + (r - (cum - cnt) - 1) * (hi - lo) // cnt AS BIGINT)
+             AS est_cents,
+           CAST((SELECT count(*) FROM sk) AS BIGINT) AS n_buckets
+    FROM est
+    """
+
+
+@probe("x5f_quantile_histogram", oracle=_x5f_oracle())
+def x5f_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5F — mergeable log-histogram quantile sketch over lineitem
+    price cents (block comment above): one partial-aggregable bucket
+    count, a ≤4,096-row bounded collect, and the integer quantile walk
+    (rank r = ceil(q·n/1000), first bucket whose cumulative count
+    reaches r, linear in-bucket interpolation) — every step replayed
+    by the oracle in the same integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    )
+    sk = quantile_histogram(li, "cents")
+    rows = sorted(
+        ((r.k, r.sub, r.cnt) for r in sk.collect())
+    )  # bounded: <= 64 * G buckets by construction
+    n = sum(c for _, _, c in rows)
+    g = _X5F_G
+    out = []
+    for q in _X5F_QS:
+        r_target = -(-q * n // 1000)  # ceil(q*n/1000) in exact int math
+        cum = 0
+        for k, sub, cnt in rows:
+            cum += cnt
+            if cum >= r_target:
+                lo = (1 << k) + sub * (1 << k) // g
+                hi = (1 << k) + (sub + 1) * (1 << k) // g
+                est = lo + (r_target - (cum - cnt) - 1) * (hi - lo) // cnt
+                out.append((q, n, est, len(rows)))
+                break
+    return spark.createDataFrame(
+        out, "q_permille int, n_rows long, est_cents long, n_buckets long"
+    )

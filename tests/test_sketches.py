@@ -99,3 +99,51 @@ def test_x5e_countmin_one_sided_and_replay(spark, sf_dir):
         assert freq[row.term] == row.true_freq, row.term
         est = min(cells[(r, bucket(r, row.term))] for r in range(_X5E_D))
         assert est == row.cm_est, row.term
+
+
+def test_x5f_quantile_sketch_accuracy_and_merge(spark, sf_dir):
+    """The log-histogram quantile sketch (r17): (a) every estimate
+    lands within the 1/G relative-error bound of the numpy-exact
+    discrete quantile; (b) the sketch is MERGEABLE — bucket counts
+    built on two disjoint halves, summed, walk to the same estimates
+    as one pass over the whole (the union-resum law that makes the
+    sketch shard/day-combinable at 100 TB)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from realtime_financial_transactions_data_pipeline_spark.operators.sketches import (
+        _X5F_G,
+        _X5F_QS,
+        quantile_histogram,
+        x5f_quantile_histogram,
+    )
+    from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    )
+    vals = np.sort(np.array([r.cents for r in li.collect()], dtype=np.int64))
+    ests = {
+        r.q_permille: r.est_cents
+        for r in x5f_quantile_histogram(spark, sf_dir).collect()
+    }
+    assert set(ests) == set(_X5F_QS)
+    for q in _X5F_QS:
+        r = -(-q * len(vals) // 1000)  # ceil
+        exact = int(vals[r - 1])
+        rel = abs(ests[q] - exact) / exact
+        assert rel <= 1.0 / _X5F_G + 1e-12, (q, ests[q], exact, rel)
+
+    # (b) mergeability: two half-sketches re-summed == one full sketch
+    h1 = quantile_histogram(li.filter(F.col("cents") % 2 == 0), "cents")
+    h2 = quantile_histogram(li.filter(F.col("cents") % 2 == 1), "cents")
+    merged = sorted(
+        (r.k, r.sub, r.cnt)
+        for r in h1.unionByName(h2)
+        .groupBy("k", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    whole = sorted((r.k, r.sub, r.cnt) for r in quantile_histogram(li, "cents").collect())
+    assert merged == whole
