@@ -1852,3 +1852,90 @@ def scale_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K13 — MERGE-ON-READ positional deletion vectors (Iceberg-v2 /
+# Delta-DV semantics, re-expressed on plain parquet + Spark's
+# _metadata columns): the K family's write side covers copy-on-write
+# (K7 MERGE, k8b bucketed merge-on-write rewrites touched buckets);
+# this is the OTHER production answer — deletes land as a tiny
+# positional sidecar (file_path, row_index) and the BASE FILES ARE
+# NEVER REWRITTEN. Readers apply the sidecar as a broadcast anti-join
+# on the (file, position) key exposed by `_metadata.file_path` /
+# `_metadata.row_index`. At 100 TB the economics are the point: a
+# delete of 0.1 % of rows costs O(deleted) sidecar bytes instead of
+# rewriting every touched file, and the read-side cost is one
+# broadcast anti-join against a sidecar that stays kilobytes
+# (production engines pack it further into roaring bitmaps per file;
+# the anti-join shape is identical). The deletion LAW here is
+# deterministic (error events + one user-id stripe), so the oracle is
+# the logical complement filter — the hash certifies that positional
+# delete application ≡ the logical delete, which is exactly the
+# correctness contract a DV reader owes.
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "k13_deletion_vectors",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_mills,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum
+    FROM events
+    WHERE NOT (event_type = 'error' OR user_id % 50 = 7)
+    GROUP BY event_type
+    """,
+)
+def k13_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 — positional deletion vectors on immutable base files
+    (block comment above): write the events slice as base parquet,
+    derive the DV sidecar (file_path, row_index) for the deterministic
+    delete law, then answer the panel by scanning the UNTOUCHED base
+    and anti-joining the broadcast sidecar on the position key. The
+    oracle is the logical complement — positional application must
+    equal the logical delete row-for-row (the user_checksum pins
+    membership)."""
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    root = "/tmp/spark_graft_probes/k13"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    # Several base files so positions are genuinely per-file local.
+    ev.repartition(4).write.parquet(f"{root}/base")
+
+    def with_pos(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.col("_metadata.file_path").alias("_f"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+
+    base = with_pos(spark.read.parquet(f"{root}/base"))
+    # The delete producer: positions of rows matching the law. In a
+    # real MERGE this set comes from the match phase; the sidecar is
+    # O(deleted), the base files are not rewritten.
+    base.filter(
+        (F.col("event_type") == "error") | (F.col("user_id") % 50 == 7)
+    ).select("_f", "_pos").write.parquet(f"{root}/dv")
+
+    # The DV reader: base scan + broadcast positional anti-join.
+    dv = spark.read.parquet(f"{root}/dv")
+    alive = with_pos(spark.read.parquet(f"{root}/base")).join(
+        F.broadcast(dv), ["_f", "_pos"], "left_anti"
+    )
+    return pin_result(
+        alive.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias(
+                "value_mills"
+            ),
+            F.sum("user_id").cast("long").alias("user_checksum"),
+        )
+    )

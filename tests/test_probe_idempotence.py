@@ -53,10 +53,11 @@ SIDE_EFFECTING = [
     # Second continuation: the stream-stream semi join (wipes + re-runs
     # its /tmp root and checkpoint per call).
     "t17_stream_semi_join",
-    # r17: the persisted IVF index wipes + rewrites its layout root
-    # per call; pin_result must insulate the first result's values
-    # from the second call's rebuild.
+    # r17: the persisted IVF index and the deletion-vector probe wipe
+    # + rewrite their layout roots per call; pin_result must insulate
+    # the first result's values from the second call's rebuild.
     "x2x_persisted_ivf",
+    "k13_deletion_vectors",
 ]
 
 
