@@ -4935,3 +4935,108 @@ def a33_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A34 — market-basket association rules (support / confidence / lift —
+# the Agrawal-Srikant frequent-itemset mechanics behind every
+# "customers who bought X also bought Y" panel, at the pairwise level
+# that needs no candidate lattice). Basket = order, item = part BRAND
+# (the part dimension is broadcast; raw partkeys co-occur ~once each
+# at any scale, brands give statistically meaningful co-occurrence).
+# Scale shape: the directed pair relation comes from a SELF-EQUI-JOIN
+# on the basket key — pairs per basket are bounded by basket size
+# (TPC-H ≤ 7 lines), so the join output is O(baskets · b²) with tiny
+# b, never item² — then two broadcast joins attach the item margins
+# and the scalar basket count. All statistics derive from exact
+# integer counts; the only doubles are the final three ratios
+# (identical IEEE division in both engines), so the lift-ordered
+# top-20 cut is deterministic.
+# ---------------------------------------------------------------------------
+
+_A34_MINSUP = 50  # minimum pair support (basket count)
+
+
+@probe(
+    "a34_association_rules",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+    ic AS (SELECT item, count(*) AS item_cnt FROM b GROUP BY item),
+    pc AS (
+      SELECT a.item AS antecedent, c.item AS consequent,
+             count(*) AS pair_cnt
+      FROM b a JOIN b c ON a.basket = c.basket AND a.item <> c.item
+      GROUP BY 1, 2),
+    r AS (
+      SELECT antecedent, consequent, pair_cnt,
+             ia.item_cnt AS ant_cnt, ic2.item_cnt AS cons_cnt, n.n_baskets
+      FROM pc
+      JOIN ic ia ON ia.item = pc.antecedent
+      JOIN ic ic2 ON ic2.item = pc.consequent
+      CROSS JOIN n
+      WHERE pair_cnt >= {_A34_MINSUP})
+    SELECT antecedent, consequent,
+           CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           round(pair_cnt / CAST(n_baskets AS DOUBLE), 6) AS support,
+           round(pair_cnt / CAST(ant_cnt AS DOUBLE), 6) AS confidence,
+           round(pair_cnt * CAST(n_baskets AS DOUBLE)
+                 / (ant_cnt * CAST(cons_cnt AS DOUBLE)), 4) AS lift
+    FROM r
+    ORDER BY lift DESC, antecedent, consequent LIMIT 20
+    """,
+)
+def a34_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34 — pairwise association rules over order baskets of part
+    brands (block comment above): directed pair counts from the
+    basket-key self-join, broadcast margins, exact-integer support
+    filter, lift-ranked top-20 with full deterministic tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = b.select(F.countDistinct("basket").alias("n_baskets"))
+    ic = b.groupBy("item").agg(F.count(F.lit(1)).alias("item_cnt"))
+    a = b.select(F.col("basket"), F.col("item").alias("antecedent"))
+    c = b.select(F.col("basket"), F.col("item").alias("consequent"))
+    pc = (
+        a.join(c, "basket")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= _A34_MINSUP)
+    )
+    r = (
+        pc.join(
+            F.broadcast(ic.select(F.col("item").alias("antecedent"),
+                                  F.col("item_cnt").alias("ant_cnt"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("item").alias("consequent"),
+                                  F.col("item_cnt").alias("cons_cnt"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        r.select(
+            "antecedent",
+            "consequent",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            dround(F.col("pair_cnt") / F.col("n_baskets").cast("double"), 6).alias("support"),
+            dround(F.col("pair_cnt") / F.col("ant_cnt").cast("double"), 6).alias("confidence"),
+            dround(
+                F.col("pair_cnt") * F.col("n_baskets").cast("double")
+                / (F.col("ant_cnt") * F.col("cons_cnt").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
