@@ -1939,3 +1939,134 @@ def k13_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").cast("long").alias("user_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_manifest_skipping — min/max MANIFEST pruning of scan units,
+# the table-format scan-planning mechanism (Iceberg manifests / Delta
+# file-stats) that sits BETWEEN key-partition pruning (l1b/s10: the
+# pruning key IS the directory key) and parquet row-group stats: a
+# tiny manifest relation records per-unit bounds of a DATA column at
+# write time, and the reader plans its scan by evaluating the
+# predicate against the MANIFEST — units whose [min, max] cannot
+# satisfy it are never opened. The pruning column (ship date) is NOT
+# the layout key (unit id), which is what distinguishes this from
+# partition pruning: the decision comes from collected stats, exactly
+# Iceberg's manifest-entry min/max. At 100 TB this is the difference
+# between listing a thousand files and reading them. The layout is
+# EXACT (two_phase_rank 16-way equal range slices of the date-sorted
+# relation — repartitionByRange sampling would make the slice
+# boundaries, and with them the predicted files_read, nondeterministic),
+# so the oracle can replay the split arithmetic and PIN the planning
+# ledger: files_total/files_read are part of the hashed answer — a
+# skipping regression fails the ORACLE, not just a perf graph. The
+# manifest collect is bounded by unit count, the scan-planning class.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LO = "1995-03-01"
+_MANIFEST_HI = "1995-05-31"
+_MANIFEST_FILES = 16
+
+
+@probe(
+    "scale_manifest_skipping",
+    oracle=f"""
+    WITH hit AS (
+      SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem
+      WHERE l_shipdate BETWEEN DATE '{_MANIFEST_LO}' AND DATE '{_MANIFEST_HI}'),
+    files AS (
+      -- replay the exact 16-way range split by total ship-date order:
+      -- unit i holds rows with floor((rk-1)*16/n) = i, so the number
+      -- of units whose [min,max] overlaps the window equals the number
+      -- of distinct unit ids among the window's rows.
+      SELECT CAST(floor((rk - 1) * {_MANIFEST_FILES} / n) AS BIGINT) AS fid,
+             l_shipdate
+      FROM (SELECT l_shipdate,
+                   row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                                      l_linenumber) AS rk,
+                   count(*) OVER () AS n
+            FROM lineitem) t),
+    touched AS (
+      SELECT count(DISTINCT fid) AS files_read FROM files
+      WHERE l_shipdate BETWEEN DATE '{_MANIFEST_LO}' AND DATE '{_MANIFEST_HI}')
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST({_MANIFEST_FILES} AS BIGINT) AS files_total,
+           (SELECT CAST(files_read AS BIGINT) FROM touched) AS files_read
+    FROM hit
+    """,
+)
+def scale_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale_manifest_skipping — build a date-clustered 16-slice
+    layout + per-unit min/max manifest, plan the scan against the
+    manifest, and read only overlapping units (block comment above).
+    files_read is part of the hashed answer: the oracle replays the
+    exact range split to predict how many units the window may touch,
+    so reading too many (skipping broken) or too few (wrong answer
+    anyway) both fail."""
+    import datetime
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    root = "/tmp/spark_graft_probes/manifest"
+    shutil.rmtree(root, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    ranked, n_total = two_phase_rank(
+        li, ["l_shipdate", "l_orderkey", "l_linenumber"], "rk"
+    )
+    (
+        ranked.withColumn(
+            "fid",
+            F.floor(
+                (F.col("rk") - 1) * _MANIFEST_FILES / F.lit(n_total)
+            ).cast("long"),
+        )
+        .drop("rk", "_pid")
+        .write.partitionBy("fid")
+        .parquet(f"{root}/data")
+    )
+    # The manifest: one row per scan unit with the PRUNING column's
+    # bounds — bounded by unit count. fid is the unit id, l_shipdate
+    # bounds are the stats; the predicate is on the stats column only.
+    manifest = (
+        spark.read.parquet(f"{root}/data")
+        .groupBy("fid")
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    )
+    rows = manifest.collect()  # bounded: one row per scan unit
+    lo_d = datetime.date.fromisoformat(_MANIFEST_LO)
+    hi_d = datetime.date.fromisoformat(_MANIFEST_HI)
+    survivors = [r.fid for r in rows if not (r.hi < lo_d or r.lo > hi_d)]
+    hit = (
+        spark.read.parquet(*[f"{root}/data/fid={f}" for f in survivors])
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit(_MANIFEST_LO).cast("date"),
+                F.lit(_MANIFEST_HI).cast("date"),
+            )
+        )
+        .select(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return pin_result(
+        hit.agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+            F.lit(len(rows)).cast("long").alias("files_total"),
+            F.lit(len(survivors)).cast("long").alias("files_read"),
+        )
+    )

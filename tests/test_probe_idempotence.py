@@ -58,6 +58,7 @@ SIDE_EFFECTING = [
     # the first result's values from the second call's rebuild.
     "x2x_persisted_ivf",
     "k13_deletion_vectors",
+    "scale_manifest_skipping",
 ]
 
 
