@@ -5040,3 +5040,66 @@ def a34_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "antecedent", "consequent")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL4 — parameterized SQL (Spark 3.4+/4 named parameter markers:
+# `spark.sql(text, args={...})`): the API seam that kills string
+# interpolation in production SQL — parameters bind as typed literals
+# at PARSE time (never string-spliced, so a value can't change query
+# structure: the injection-safety and plan-cache story), and the same
+# text re-runs under different bindings. The probe runs ONE template —
+# the revenue-by-status panel windowed on [:lo, :hi) with a minimum
+# order total :floor — under two different binding sets and returns
+# both panels tagged by run, so the hash certifies (a) marker binding
+# of dates, numerics, and a string, (b) re-execution of identical text
+# with different args, (c) agreement with the literal-SQL oracle.
+# Catalyst folds bound parameters to literals before optimization, so
+# pushdown/pruning behave exactly as with inline constants.
+# ---------------------------------------------------------------------------
+
+_SQL4_RUNS = {
+    "fy95_big": {"lo": "1995-01-01", "hi": "1996-01-01", "floor": 150000.0},
+    "fy97_all": {"lo": "1997-01-01", "hi": "1998-01-01", "floor": 0.0},
+}
+
+
+@probe(
+    "sql4_parameterized_query",
+    oracle="""
+    WITH runs AS (
+      SELECT 'fy95_big' AS run, DATE '1995-01-01' AS lo,
+             DATE '1996-01-01' AS hi, 150000.0 AS flr
+      UNION ALL
+      SELECT 'fy97_all', DATE '1997-01-01', DATE '1998-01-01', 0.0)
+    SELECT r.run, o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT)
+             AS revenue_cents
+    FROM runs r JOIN orders o
+      ON o.o_orderdate >= r.lo AND o.o_orderdate < r.hi
+         AND o.o_totalprice >= r.flr
+    GROUP BY 1, 2
+    """,
+)
+def sql4_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL4 — one parameterized template executed under two binding
+    sets (block comment above); the union of the tagged panels must
+    match the literal-SQL oracle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql4_orders")
+    template = """
+        SELECT :run AS run, o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                 AS revenue_cents
+        FROM sql4_orders
+        WHERE o_orderdate >= CAST(:lo AS DATE)
+          AND o_orderdate < CAST(:hi AS DATE)
+          AND o_totalprice >= :floor
+        GROUP BY o_orderstatus
+    """
+    out = None
+    for run, args in _SQL4_RUNS.items():
+        part = spark.sql(template, args={"run": run, **args})
+        out = part if out is None else out.unionByName(part)
+    return out
