@@ -2070,3 +2070,98 @@ def scale_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(survivors)).cast("long").alias("files_read"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scale_balanced_write — bounded output FILES for skewed partitioned
+# writes via `spark.sql.files.maxRecordsPerFile`: partitionBy(key)
+# sends each key's rows to one directory, but a hot key writes ONE
+# giant file per task — the large-file twin of the small-files
+# problem, and the knob every production pipeline sets (file size
+# bounds drive downstream scan parallelism, retry cost, and object-
+# store part limits). With the cap, a task splits its per-directory
+# stream at N records, so files-per-dir = ceil(rows_key / N) when the
+# key's rows are task-colocated (repartition(key) first — hash
+# collisions merging two keys into one task don't change the per-dir
+# ledger, since partitionBy still routes rows by key). Unlike AQE's
+# byte-estimate mechanisms the split is ROW-deterministic, so the
+# probe hashes the WHOLE ledger: per-key row count, exact cents sum
+# read back from the files, and n_files — the oracle recomputes
+# ceil(count/N) per key, making a silently-dropped cap (or a
+# double-write) a hash failure, not a perf anecdote.
+# ---------------------------------------------------------------------------
+
+_BW_MAX_RECORDS = 6000
+
+
+@probe(
+    "scale_balanced_write",
+    oracle=f"""
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot_gateway'
+                  ELSE 'gw_' || CAST(l_orderkey % 7 AS VARCHAR) END AS gateway,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem)
+    SELECT gateway,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(ceil(count(*) / {_BW_MAX_RECORDS}.0) AS BIGINT) AS n_files
+    FROM f GROUP BY gateway
+    """,
+)
+def scale_balanced_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale_balanced_write — partitioned write under a
+    maxRecordsPerFile cap (block comment above): the hot gateway's
+    directory must hold ceil(n/{n}) files of bounded size, cold ones
+    one file each; the hashed panel carries counts and sums READ BACK
+    from the produced files plus the observed per-directory file
+    count, which the oracle predicts exactly."""
+    import glob
+    import os
+    import shutil
+
+    from realtime_financial_transactions_data_pipeline_spark.registry import pin_result
+
+    root = "/tmp/spark_graft_probes/balanced_write"
+    shutil.rmtree(root, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit("hot_gateway"))
+        .otherwise(
+            F.concat(F.lit("gw_"), (F.col("l_orderkey") % 7).cast("string"))
+        )
+        .alias("gateway"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(_BW_MAX_RECORDS))
+    try:
+        li.repartition("gateway").write.partitionBy("gateway").parquet(
+            f"{root}/data"
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+    ledger = {
+        os.path.basename(d).split("=", 1)[1]: len(
+            glob.glob(os.path.join(d, "part-*"))
+        )
+        for d in glob.glob(f"{root}/data/gateway=*")
+    }
+    ledger_col = F.create_map(
+        *[F.lit(x) for kv in ledger.items() for x in kv]
+    )
+    back = spark.read.parquet(f"{root}/data")
+    return pin_result(
+        back.groupBy("gateway")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .withColumn(
+            "n_files", F.element_at(ledger_col, F.col("gateway")).cast("long")
+        )
+    )
+
+
+scale_balanced_write.__doc__ = scale_balanced_write.__doc__.replace(
+    "{n}", str(_BW_MAX_RECORDS)
+)

@@ -59,6 +59,7 @@ SIDE_EFFECTING = [
     "x2x_persisted_ivf",
     "k13_deletion_vectors",
     "scale_manifest_skipping",
+    "scale_balanced_write",
 ]
 
 
