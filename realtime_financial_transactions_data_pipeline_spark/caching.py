@@ -45,16 +45,24 @@ def shared_persist(df: DataFrame, evict_previous: bool = True) -> DataFrame:
 
 
 _MEMO: dict[tuple, DataFrame] = {}
-# 16, LRU: round 12 ran with 4/FIFO and the shingle/fingerprint passes
+# 32, LRU: round 12 ran with 4/FIFO and the shingle/fingerprint passes
 # x2j/x16/x18/x2d reuse were evicted by newer entries (g_edges, PQ/IVF
 # panels) before those probes' min-of-2 reruns — warm-cache reruns lost
 # 2.6-6.8x (VERDICT r12 task #2). Round 13 routes the similarity
 # family's shared frames through here too (exact_cos_scored, ivf_cents,
-# pq_raw/pq_res a2+c1+sub, pq_res_src, exact_l2_top5 — VERDICT r12 #6),
-# so the alphabetically-clustered x2* stretch holds ~11 live frames at
-# once; 16 covers it with headroom, and LRU (a get refreshes recency)
-# keeps a frame alive as long as anything still cycles back to it.
-_MEMO_CAPACITY = 16
+# pq_raw/pq_res a2+c1+sub, pq_res_src, exact_l2_top5 — VERDICT r12 #6).
+# Round 17 (optimization): the registry now carries 19 DISTINCT memo
+# keys (corpus_grams/simhash, pair_counts, g_pairs/g_triangles,
+# curated, exact_cos_scored, lsh_bucketed, ivf_cents, kmeans_assign,
+# pq_raw_{a2,c1,sub}, pq_res_{a2,c1,sub}, pq_res_src, ivfpq_res_sc,
+# exact_l2_top5) — capacity 16 THRASHED the alphabetical x2* stretch
+# (x2r cycles through nearly all of them: measured 6.1 s at the r17
+# close with 16 keys live vs 17.2 s in the round-17 baseline after two
+# more keys landed). 32 holds the whole suite's working set with
+# headroom; frames are sf-bounded derived relations (scores/ids/grams,
+# never payload columns), far under the 48g local heap and a rounding
+# error on a cluster's storage fraction.
+_MEMO_CAPACITY = 32
 
 
 def memo_persist(
@@ -92,6 +100,13 @@ def memo_persist(
         except Exception:
             pass
     df = builder().persist()
+    # NOT eagerly materialized, deliberately (r17 optimization note):
+    # racing branches of a first consumer can duplicate partition
+    # compute ("Block rdd_N already exists" warnings), but an eager
+    # count() per build was MEASURED SLOWER overall — it serializes
+    # the family's ~10 builds into driver-sequential jobs (x2r cold
+    # 27.5 s lazy vs 50.1 s eager), while the lazy form overlaps the
+    # builds inside the consumer's one wide job.
     _MEMO[full_key] = df
     return df
 
