@@ -494,16 +494,28 @@ def pagerank(edges: DataFrame, iters: int = _G2_ITERS, d: float = _G2_DAMPING) -
         return nodes.select(
             F.col("u").alias("user_id"), F.lit(0.0).alias("rank")
         )
-    p = nodes.select("u", F.lit(1.0 / n).alias("p")).localCheckpoint(eager=True)
+    # r17 optimization (guide §2.4/§1.2): the FIXED small iteration
+    # count needs no per-round materialization — only the two STATIC
+    # relations reused by every round (nodes, adj) are checkpointed;
+    # the rounds themselves unroll into ONE lazy plan, so the whole
+    # fixed point is a single job instead of `iters` blocking
+    # checkpoint jobs (each a full scheduling round trip). Plan depth
+    # is 3 join+agg levels — constant and tiny, nowhere near the
+    # geometric-plan-growth regime that forces per-round truncation in
+    # the CONVERGENCE-checked loops (connected_components docstring);
+    # those must still materialize per round to run their stop test.
+    nodes = nodes.localCheckpoint(eager=True)
+    p = nodes.select("u", F.lit(1.0 / n).alias("p"))
     adj = bi.join(outd, "u").localCheckpoint(eager=True)  # (u, v, od) — static
     for _ in range(iters):
         contribs = (
             adj.join(p, "u")
             .groupBy("v")
             .agg(F.sum(F.col("p") / F.col("od")).alias("c"))
+            .withColumnRenamed("v", "_cv")
         )
         p = (
-            nodes.join(contribs, nodes.u == contribs.v, "left")
+            nodes.join(contribs, F.col("u") == F.col("_cv"), "left")
             .select(
                 "u",
                 (
@@ -511,7 +523,6 @@ def pagerank(edges: DataFrame, iters: int = _G2_ITERS, d: float = _G2_DAMPING) -
                     + F.lit(d) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("p"),
             )
-            .localCheckpoint(eager=True)
         )
     return p.select(F.col("u").alias("user_id"), F.col("p").alias("rank"))
 
@@ -940,16 +951,21 @@ def weighted_pagerank(
         return nodes.select(
             F.col("u").alias("user_id"), F.lit(0.0).alias("rank")
         )
-    p = nodes.select("u", F.lit(1.0 / n).alias("p")).localCheckpoint(eager=True)
+    # Unrolled into one lazy plan exactly as in :func:`pagerank` (r17
+    # optimization note there): fixed 3 rounds, static sides
+    # checkpointed once, zero per-round blocking jobs.
+    nodes = nodes.localCheckpoint(eager=True)
+    p = nodes.select("u", F.lit(1.0 / n).alias("p"))
     adj = bi.join(wd, "u").localCheckpoint(eager=True)  # (u, v, w, wd) — static
     for _ in range(iters):
         contribs = (
             adj.join(p, "u")
             .groupBy("v")
             .agg(F.sum(F.col("p") * F.col("w") / F.col("wd")).alias("c"))
+            .withColumnRenamed("v", "_cv")
         )
         p = (
-            nodes.join(contribs, nodes.u == contribs.v, "left")
+            nodes.join(contribs, F.col("u") == F.col("_cv"), "left")
             .select(
                 "u",
                 (
@@ -957,7 +973,6 @@ def weighted_pagerank(
                     + F.lit(d) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("p"),
             )
-            .localCheckpoint(eager=True)
         )
     return p.select(F.col("u").alias("user_id"), F.col("p").alias("rank"))
 
