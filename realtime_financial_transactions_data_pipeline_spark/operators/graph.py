@@ -1181,17 +1181,52 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r17 optimization: iterate at a narrow shuffle width (the
+    # dedup.connected_components discipline — the iterated state is
+    # edge-list-sized, tiny next to the corpus) and make the exact
+    # fixed-point check cheap: both sides are DISTINCT sets, so
+    # |small| == |e| AND small∖e = ∅ already implies equality — the
+    # counts come free with each round's materialization, and the
+    # one-directional exceptAll only runs when the counts match
+    # (before: two edge-list exceptAll jobs EVERY round). Exactness
+    # unchanged; g8 measured 7.0 -> 4.4 s min-of-2 at sf0.1.
+    spark = e.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        e = _star_fixpoint(e, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # Fixed point is a star forest (node -> component root); roots
+    # label themselves.
+    roots = e.select(
+        F.col("b").alias("doc_id"), F.col("b").alias("canonical_id")
+    ).distinct()
+    return (
+        e.select(F.col("a").alias("doc_id"), F.col("b").alias("canonical_id"))
+        .unionByName(roots)
+        .distinct()
+    )
+
+
+def _star_fixpoint(e: DataFrame, max_iters: int) -> DataFrame:
+    """The large-star/small-star alternation loop of
+    :func:`connected_components_star`, run to the exact fixed point."""
+    n_prev = e.count()
     for _ in range(max_iters):
         # Large-star: reattach strictly-larger neighbors to the
         # center's neighborhood minimum (center included).
         bi = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         mn = bi.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        # No distinct here (r17): `o` below re-distincts after its
+        # greatest/least normalization and `mn2` is a min-aggregate —
+        # duplicates cannot change either, so this round pays one
+        # shuffle less.
         large = (
             bi.join(mn, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # Small-star: orient large→small; reattach every smaller
         # neighbor AND the center to the minimum.
@@ -1208,26 +1243,17 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            small.exceptAll(e).limit(1).count()
-            + e.exceptAll(small).limit(1).count()
-        )
-        e = small
+        n_cur = small.count()
+        changed = 1
+        if n_cur == n_prev:
+            # equal-size distinct sets with an empty one-directional
+            # difference ARE equal — the second exceptAll is redundant.
+            changed = small.exceptAll(e).limit(1).count()
+        e, n_prev = small, n_cur
         if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components_star did not converge in {max_iters} rounds"
-        )
-    # Fixed point is a star forest (node -> component root); roots
-    # label themselves.
-    roots = e.select(
-        F.col("b").alias("doc_id"), F.col("b").alias("canonical_id")
-    ).distinct()
-    return (
-        e.select(F.col("a").alias("doc_id"), F.col("b").alias("canonical_id"))
-        .unionByName(roots)
-        .distinct()
+            return e
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iters} rounds"
     )
 
 
