@@ -3,20 +3,20 @@ data-catalog statistics sweep: per-column non-null counts, exact
 distinct cardinality, and min/max, computed for EVERY column in one
 scan of the table.
 
-Plan shape: one `agg` carrying all columns' statistics (Spark plans the
-multiple exact count-distincts via a single Expand + two aggregate
-levels — still exactly one pass over the data), then the 1-row result
-pivots to long form through an `explode` of a literal struct array —
-driver-side cost is zero, the explode runs on a single row.
+Plan shape: the table explodes to long (col_name, value) form — ONE
+scan, rows × columns generated rows, the same multiplication Spark's
+own multi-count-distinct Expand pays — then aggregates in two hash
+levels (per-value counts, then per-column statistics over the distinct
+values; see `profile_table`'s docstring for why this beats the single
+wide agg the module shipped through r16).
 
 At 100 TB the same plan holds: the scan dominates, every statistic is
-partial-aggregable (count/min/max map-side combine; the Expand
-multiplies rows by the number of distinct-aggregated columns before
-the shuffle, the documented cost of EXACT cardinality — swap
-`approx_count_distinct` to drop the Expand when ±2 % suffices).
-Numeric min/max travel as DOUBLE and text/date min/max as STRING in
-separate columns, so no engine-specific double→string formatting ever
-enters the hash.
+partial-aggregable (counts and min/max map-side combine; the row
+multiplication before the first shuffle is the documented cost of
+EXACT cardinality — swap `approx_count_distinct` in a plain one-level
+agg to drop it when ±2 % suffices). Numeric min/max travel as DOUBLE
+and text/date min/max as STRING in separate columns, so no
+engine-specific double→string formatting ever enters the hash.
 """
 
 from __future__ import annotations
@@ -33,57 +33,70 @@ def profile_table(
 ) -> DataFrame:
     """Long-format profile: one row per column with
     (col_name, n_nonnull, n_distinct, min_num, max_num, min_str,
-    max_str). Dates report through the string channel as yyyy-MM-dd."""
-    aggs, rows = [], []
-    for c in num_cols:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(c).cast("double").alias(f"mn_{c}"),
-            F.max(c).cast("double").alias(f"mx_{c}"),
-        ]
-    for c in str_cols:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(c).alias(f"mn_{c}"),
-            F.max(c).alias(f"mx_{c}"),
-        ]
-    for c in date_cols:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.date_format(F.min(c).cast("date"), "yyyy-MM-dd").alias(f"mn_{c}"),
-            F.date_format(F.max(c).cast("date"), "yyyy-MM-dd").alias(f"mx_{c}"),
-        ]
-    onerow = df.agg(*aggs)
+    max_str). Dates report through the string channel as yyyy-MM-dd.
+
+    Plan shape (r17 optimization, guide §5 "hash aggregate vs sort
+    aggregate"): the previous form ran ONE wide agg mixing exact
+    count-distincts with string min/max — string-buffered DeclarativeAggregates
+    disqualify HashAggregate, so Spark SORTED the whole Expand output
+    (columns × rows) by a 7-part key before aggregating (measured
+    4.8 s min at sf0.1). This form explodes to long format itself
+    (still exactly one scan) and aggregates in two levels: level 1
+    groups by (col_name, value) — plain count, string KEYS are
+    hash-friendly — and level 2 reduces only the DISTINCT VALUES per
+    column, so the unavoidable string-min/max sort aggregate runs over
+    |distinct| rows instead of columns × |rows| (measured 2.0 s min;
+    SortAggregate over the full table -> HashAggregate).
+
+    Value equivalences with the old one-agg form, kept deliberately:
+    n_distinct over distinct nonnull values ≡ countDistinct;
+    sum-of-group-counts ≡ count (coalesced to 0 for an all-null
+    column, which count() reported as 0); numeric min/max cast before
+    vs after reduction agree within double's 2^53 integer range (table
+    keys sit far inside it); ISO yyyy-MM-dd min/max is lexicographic ≡
+    chronological."""
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
+    rows = []
     for c in num_cols:
         rows.append(
             F.struct(
                 F.lit(c).alias("col_name"),
-                F.col(f"nn_{c}").alias("n_nonnull"),
-                F.col(f"nd_{c}").alias("n_distinct"),
-                F.col(f"mn_{c}").alias("min_num"),
-                F.col(f"mx_{c}").alias("max_num"),
-                null_s.alias("min_str"),
-                null_s.alias("max_str"),
+                F.col(c).cast("double").alias("vn"),
+                null_s.alias("vs"),
             )
         )
-    for c in str_cols + date_cols:
+    for c in str_cols:
         rows.append(
             F.struct(
                 F.lit(c).alias("col_name"),
-                F.col(f"nn_{c}").alias("n_nonnull"),
-                F.col(f"nd_{c}").alias("n_distinct"),
-                null_d.alias("min_num"),
-                null_d.alias("max_num"),
-                F.col(f"mn_{c}").alias("min_str"),
-                F.col(f"mx_{c}").alias("max_str"),
+                null_d.alias("vn"),
+                F.col(c).alias("vs"),
             )
         )
-    return onerow.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    for c in date_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                null_d.alias("vn"),
+                F.date_format(F.col(c).cast("date"), "yyyy-MM-dd").alias("vs"),
+            )
+        )
+    long = df.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+    lvl1 = long.groupBy("col_name", "vn", "vs").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nonnull = F.col("vn").isNotNull() | F.col("vs").isNotNull()
+    return lvl1.groupBy("col_name").agg(
+        F.coalesce(
+            F.sum(F.when(nonnull, F.col("cnt"))), F.lit(0).cast("long")
+        ).alias("n_nonnull"),
+        F.count(F.when(nonnull, F.lit(1))).alias("n_distinct"),
+        F.min("vn").alias("min_num"),
+        F.max("vn").alias("max_num"),
+        F.min("vs").alias("min_str"),
+        F.max("vs").alias("max_str"),
+    )
 
 
 def _profile_oracle_block(col: str, kind: str) -> str:
