@@ -211,8 +211,18 @@ def contamination_check(
         word_shingles,
     )
 
-    sh = docs.select(
-        F.col(id_col), F.col(group_col), word_shingles(text_col, k).alias("grams")
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        shared_persist,
+    )
+
+    # Persisted: three plan branches consume the shingle pass (the
+    # benchmark gram set, the training posting list, and the final
+    # per-group tally) — left lazy, each branch re-shingles the whole
+    # corpus (r17 optimization: x7 measured 4.8 -> 2.0 s min at sf0.1).
+    sh = shared_persist(
+        docs.select(
+            F.col(id_col), F.col(group_col), word_shingles(text_col, k).alias("grams")
+        )
     )
     bench_grams = (
         sh.filter(bench_pred).select(F.explode("grams").alias("gram")).distinct()

@@ -770,40 +770,50 @@ def u10_token_referential_integrity(
         fpe_token_col(pan_of(F.col("k")), key=TEST_KEY, portable=True).alias("t"),
     )
     ks = c.select("k").union(o.select("k")).distinct()
-    n_cust = c.count()
-    n_orders = o.count()
-    n_keys = ks.count()
-    n_tokens = (
-        ks.select(
-            fpe_token_col(
-                pan_of(F.col("k")), key=TEST_KEY, portable=True
-            ).alias("t")
-        )
-        .distinct()
-        .count()
-    )
-    raw = c.join(o, "k").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("ck"),
-    ).collect()[0]
-    tok = ct.select("t").join(ot, "t").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("ck"),
-    ).collect()[0]
-    return spark.createDataFrame(
-        [
-            (
-                n_cust,
-                n_orders,
-                n_tokens,
-                n_keys,
-                raw.n,
-                tok.n,
-                int(raw.ck),
-                int(tok.ck),
+    # ONE lazy plan, zero driver actions (r17 optimization): the old
+    # shape ran SIX sequential jobs (four scalar counts + two joined
+    # aggregates collected to the driver) — per-job scheduling, not
+    # data, dominated its 4.5 s at sf0.1. Each aggregate is a 1-row
+    # frame; chaining them through crossJoin is the repo's standard
+    # broadcast scalar attach, so the whole panel evaluates as one job
+    # with all six branches scheduled together (measured 1.5 s min).
+    stats = (
+        c.agg(F.count(F.lit(1)).alias("n_cust"))
+        .crossJoin(o.agg(F.count(F.lit(1)).alias("n_orders")))
+        .crossJoin(
+            ks.select(
+                fpe_token_col(
+                    pan_of(F.col("k")), key=TEST_KEY, portable=True
+                ).alias("t")
             )
-        ],
-        "n_cust long, n_orders long, n_distinct_tokens long,"
-        " n_distinct_keys long, n_join_raw long, n_join_token long,"
-        " raw_checksum long, token_checksum long",
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_distinct_tokens"))
+        )
+        .crossJoin(ks.agg(F.count(F.lit(1)).alias("n_distinct_keys")))
+        .crossJoin(
+            c.join(o, "k").agg(
+                F.count(F.lit(1)).alias("n_join_raw"),
+                F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("raw_checksum"),
+            )
+        )
+        .crossJoin(
+            ct.select("t")
+            .join(ot, "t")
+            .agg(
+                F.count(F.lit(1)).alias("n_join_token"),
+                F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias(
+                    "token_checksum"
+                ),
+            )
+        )
+    )
+    return stats.select(
+        "n_cust",
+        "n_orders",
+        "n_distinct_tokens",
+        "n_distinct_keys",
+        "n_join_raw",
+        "n_join_token",
+        "raw_checksum",
+        "token_checksum",
     )
