@@ -1238,8 +1238,26 @@ def x2i_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a recursive reachability CTE over the same portable-simhash
     pairs, so the oracle certifies the iterative label propagation
     converged to the true transitive closure."""
-    return connected_components(
-        simhash_pairs(_corpus_simhash(spark, sf_dir)), pin=True
+    return _memo_simhash_cc(spark, sf_dir)
+
+
+def _memo_simhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized pinned simhash-component labels (the _memo_pairs
+    pattern, r17 optimization): x2i, x2y and x22 each ran the SAME
+    multi-round min-label loop over the same simhash edge set —
+    ~3 blocking jobs per round per probe. One shared build serves all
+    three; the pinned frame is dup-cluster-sized (ids only), the class
+    this cache holds everywhere else."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    return memo_persist(
+        spark,
+        ("simhash_cc", sf_dir),
+        lambda: connected_components(
+            simhash_pairs(_corpus_simhash(spark, sf_dir)), pin=True
+        ),
     )
 
 
@@ -2541,9 +2559,7 @@ def x2y_neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame. The oracle recomputes components via the recursive closure
     and the identical rollup, so the hash certifies membership AND the
     savings arithmetic."""
-    comp = connected_components(
-        simhash_pairs(_corpus_simhash(spark, sf_dir)), pin=True
-    )
+    comp = _memo_simhash_cc(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("_len")
     )
@@ -2626,9 +2642,7 @@ def x22_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
-    cc = connected_components(
-        simhash_pairs(_corpus_simhash(spark, sf_dir)), pin=True
-    )
+    cc = _memo_simhash_cc(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     reps = d.join(cc, "doc_id", "left").select(
         "doc_id",
