@@ -2314,11 +2314,16 @@ def x2rb_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x2z — per-dimension embedding statistics: the "fit" half of every
 # feature scaler (z-score, min-max, robust) and the corpus-health
 # panel behind it (dimension collapse, dead dims, scale drift between
-# snapshots — what you check BEFORE trusting cosine distances). The
-# plan is the 100 TB point: 4·_DIM named aggregates over array
-# subscripts — one scan, fully partial-aggregable, NO posexplode (the
-# naive shape multiplies the row count by _DIM and shuffles it; this
-# one shuffles a single combine row).
+# snapshots — what you check BEFORE trusting cosine distances). Plan
+# (r17 optimization): posexplode to (dim, x) then ONE groupBy(dim)
+# hash aggregate. The explode does NOT shuffle rows×_DIM — the
+# aggregate partial-combines map-side, so only #partitions×_DIM
+# combine rows cross the exchange; rounds 13-16 shipped the
+# "no-explode" 4·_DIM-subscript-aggregates form on the theory that it
+# shuffles less, but 4·64 aggregate expressions blow past
+# spark.sql.codegen.maxFields and the whole scan ran INTERPRETED
+# (measured: 2.4 s vs 0.4 s for this shape at sf0.1, identical
+# shuffle class).
 # ---------------------------------------------------------------------------
 
 
@@ -2345,44 +2350,37 @@ def _x2z_oracle() -> str:
 @probe("x2z_embedding_dim_stats", oracle=_x2z_oracle())
 def x2z_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x2z — per-dimension (n, mean, population std, min, max) over the
-    embedding corpus, the scaler-fit / dimension-health pass. Spark
-    side computes 4·{_DIM} subscript aggregates in ONE scan (sum,
-    sum-of-squares, min, max per dimension — all partial-aggregable
-    Catalyst expressions), then pivots the single combine row to
-    {_DIM} output rows with posexplode of the zipped aggregate arrays
-    — the explode happens AFTER aggregation, on one row, not on the
-    corpus. Std is explicit E[x²]−E[x]² arithmetic (identical literal
-    in both engines, clamped at 0 for fp) rather than an engine
-    stddev whose sample/population convention could differ. Floats
-    widen to double before summing on both sides; 4-dp rounding
-    absorbs partial-aggregation order (the established double-sum
-    pairing, SURVEY §5)."""
-    v = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("v")
+    embedding corpus, the scaler-fit / dimension-health pass: one
+    scan, posexplode to (dim, x), one hash groupBy(dim) whose partial
+    aggregation combines map-side (block comment above for why this
+    beats the wide subscript-aggregate form it replaced). Std is
+    explicit E[x²]−E[x]² arithmetic (identical literal in both
+    engines, clamped at 0 for fp) rather than an engine stddev whose
+    sample/population convention could differ. Floats widen to double
+    before summing on both sides; 4-dp rounding absorbs
+    partial-aggregation order (the established double-sum pairing,
+    SURVEY §5)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
     )
-    d = v.agg(
+    a = e.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.array(*[F.sum(F.col("v")[i]) for i in range(_DIM)]).alias("s"),
-        F.array(
-            *[F.sum(F.col("v")[i] * F.col("v")[i]) for i in range(_DIM)]
-        ).alias("ss"),
-        F.array(*[F.min(F.col("v")[i]) for i in range(_DIM)]).alias("mn"),
-        F.array(*[F.max(F.col("v")[i]) for i in range(_DIM)]).alias("mx"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
     )
-    z = d.select(
-        "n", F.posexplode(F.arrays_zip("s", "ss", "mn", "mx"))
-    )
-    mean = F.col("col.s") / F.col("n")
-    var = F.greatest(
-        F.lit(0.0), F.col("col.ss") / F.col("n") - mean * mean
-    )
-    return z.select(
-        F.col("pos").cast("int").alias("dim"),
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(F.lit(0.0), F.col("ss") / F.col("n") - mean * mean)
+    return a.select(
+        F.col("dim").cast("int").alias("dim"),
         F.col("n").alias("n"),
         dround(mean, 4).alias("mean"),
         dround(F.sqrt(var), 4).alias("std"),
-        dround(F.col("col.mn"), 4).alias("vmin"),
-        dround(F.col("col.mx"), 4).alias("vmax"),
+        dround(F.col("mn"), 4).alias("vmin"),
+        dround(F.col("mx"), 4).alias("vmax"),
     )
 
 
@@ -2392,9 +2390,9 @@ def x2z_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two-sample check that tells you an ANN index built on snapshot A
 # is stale for snapshot B BEFORE recall silently decays (dq3 is this
 # audit for tabular columns; x2ab is the embedding-space version).
-# Same one-pass, no-explode plan as x2z: conditional subscript
-# aggregates — the snapshot split is a WHEN inside each aggregate, so
-# both snapshots' moments come from a single scan.
+# Same one-pass exploded groupBy(dim) plan as x2z; the snapshot split
+# is a WHEN inside each aggregate, so both snapshots' moments come
+# from a single scan.
 # ---------------------------------------------------------------------------
 
 _X2AB_SMD = 0.25  # drift flag threshold (small-effect boundary)
@@ -2435,47 +2433,38 @@ def _x2ab_oracle() -> str:
 def x2ab_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x2ab — per-dimension SMD between the even- and odd-vec_id
     halves of the embedding corpus (the deterministic stand-in for
-    time-ordered snapshots). One un-exploded scan computes BOTH
-    snapshots' count/sum/sum-of-squares per dimension via conditional
-    subscript aggregates; SMD and the small-effect drift flag
-    (> {_X2AB_SMD}) are arithmetic on the combine row. Population
-    variances, explicit E[x²]−E[x]² arithmetic, float→double widening
-    and 4-dp rounding — the x2z determinism pairing."""
-    v = load_table(spark, sf_dir, "embeddings").select(
+    time-ordered snapshots). One scan: posexplode to (snap, dim, x),
+    one hash groupBy(dim) with WHEN-gated per-snapshot moments — the
+    x2z plan shape (see its block comment for why this replaced the
+    wide conditional-subscript agg: 4·_DIM expressions broke
+    whole-stage codegen; measured 4.5 s -> 0.4 s at sf0.1). SMD and
+    the small-effect drift flag (> {_X2AB_SMD}) are arithmetic on the
+    combine rows. Population variances, explicit E[x²]−E[x]²
+    arithmetic, float→double widening and 4-dp rounding — the x2z
+    determinism pairing."""
+    e = load_table(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 2).alias("snap"),
-        F.col("embedding").cast("array<double>").alias("v"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
     )
-
-    def side(tag: str, cond):
-        return (
-            [F.count(F.when(cond, 1)).alias(f"n{tag}")]
-            + [
-                F.array(
-                    *[F.sum(F.when(cond, F.col("v")[i])) for i in range(_DIM)]
-                ).alias(f"s{tag}")
-            ]
-            + [
-                F.array(
-                    *[
-                        F.sum(F.when(cond, F.col("v")[i] * F.col("v")[i]))
-                        for i in range(_DIM)
-                    ]
-                ).alias(f"ss{tag}")
-            ]
-        )
-
-    d = v.agg(*side("a", F.col("snap") == 0), *side("b", F.col("snap") == 1))
-    z = d.select(
-        "na", "nb", F.posexplode(F.arrays_zip("sa", "ssa", "sb", "ssb"))
+    in_a, in_b = F.col("snap") == 0, F.col("snap") == 1
+    d = e.groupBy("dim").agg(
+        F.count(F.when(in_a, 1)).alias("na"),
+        F.sum(F.when(in_a, F.col("x"))).alias("sa"),
+        F.sum(F.when(in_a, F.col("x") * F.col("x"))).alias("ssa"),
+        F.count(F.when(in_b, 1)).alias("nb"),
+        F.sum(F.when(in_b, F.col("x"))).alias("sb"),
+        F.sum(F.when(in_b, F.col("x") * F.col("x"))).alias("ssb"),
     )
-    ma = F.col("col.sa") / F.col("na")
-    mb = F.col("col.sb") / F.col("nb")
-    var_a = F.col("col.ssa") / F.col("na") - ma * ma
-    var_b = F.col("col.ssb") / F.col("nb") - mb * mb
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    var_a = F.col("ssa") / F.col("na") - ma * ma
+    var_b = F.col("ssb") / F.col("nb") - mb * mb
     pooled = F.sqrt(F.greatest(F.lit(0.0), (var_a + var_b) / 2.0))
     smd = F.abs(ma - mb) / pooled
-    return z.select(
-        F.col("pos").cast("int").alias("dim"),
+    return d.select(
+        F.col("dim").cast("int").alias("dim"),
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
         dround(ma, 4).alias("mean_a"),
