@@ -563,15 +563,15 @@ def test_x2z_dim_stats_numpy_parity(spark):
         assert abs(r.vmax - round(float(c.max()), 4)) <= 1e-9, d
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
-    # the pivot Generate must sit ABOVE the aggregate (printed first),
-    # i.e. the corpus is aggregated un-exploded.
-    gen = plan.index("Generate")
-    agg = min(
-        i for i in (plan.find("HashAggregate"), plan.find("SortAggregate"))
-        if i >= 0
-    )
-    assert gen < agg, plan
-    assert "Generate" not in plan[agg:], plan
+    # r17 plan pin: the exploded rows must be combined MAP-SIDE by a
+    # codegen-friendly HashAggregate — the partial aggregate sits
+    # between the Exchange and the Generate in the executed tree, and
+    # no SortAggregate appears anywhere (the pre-r17 wide
+    # subscript-aggregate form broke codegen past
+    # spark.sql.codegen.maxFields; see the x2z block comment).
+    assert "SortAggregate" not in plan, plan
+    part = plan.index("partial_count")
+    assert plan.index("Exchange") < part < plan.index("Generate"), plan
 
 
 def test_x2ab_drift_planted_shift(spark):
