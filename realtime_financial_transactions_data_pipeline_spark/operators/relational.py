@@ -4995,6 +4995,12 @@ def a34_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, lift-ranked top-20 with full deterministic tie-break."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Deliberately NOT persisted although four branches consume it
+    # (r17 optimization note): the subtree is one broadcast join + a
+    # distinct — cheap and fully codegen'd — and caching it was
+    # MEASURED 4x slower (3.8 -> 14.7 s min at sf0.1: building the
+    # compressed columnar cache plus four decompressing
+    # InMemoryTableScans costs far more than three recomputes).
     b = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
