@@ -207,12 +207,30 @@ def main() -> None:
         driver's value harness induces, minus the pandas transfer."""
         df.write.format("noop").mode("overwrite").save()
 
+    # memo-hit accounting (VERDICT r17 #2/#7): a probe whose TOP-LEVEL
+    # result frame is served verbatim from the cross-probe derived-frame
+    # memo (x2i today) reports a cache-hit timing, not a computation —
+    # BENCH_DETAIL marks those probes so cross-round adjudication never
+    # mistakes a 0.03 s memo read for a real plan win. Identity check
+    # against the live memo values; policy note lives in caching.py
+    # (final-RESULT memoization is out of bounds, derived relations only).
+    from realtime_financial_transactions_data_pipeline_spark import caching as _caching
+
+    def _is_memo_frame(df) -> bool:
+        try:
+            return any(df is v for v in _caching._MEMO.values())
+        except Exception:  # noqa: BLE001 — accounting must never fail bench
+            return False
+
+    memo_hit: dict[str, bool] = {}
     shuffle_mb: dict[str, float] = {}
     for name, p in probes.items():
         sh0 = _shuffle_written_bytes(spark)
         t0 = time.time()
         try:
-            _evaluate(p.fn(spark, sf_dir))
+            df = p.fn(spark, sf_dir)
+            memo_hit[name] = _is_memo_frame(df)
+            _evaluate(df)
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -241,7 +259,9 @@ def main() -> None:
     for name in [n for n, t in timings.items() if t >= _RERUN_THRESHOLD]:
         t0 = time.time()
         try:
-            _evaluate(probes[name].fn(spark, sf_dir))
+            df2 = probes[name].fn(spark, sf_dir)
+            memo_hit[name] = memo_hit.get(name, False) or _is_memo_frame(df2)
+            _evaluate(df2)
             timings2[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} rerun failed: {exc}", file=sys.stderr)
@@ -287,6 +307,7 @@ def main() -> None:
                    "queries": timings, "queries_rerun": timings2,
                    "queries_min": min2,
                    "queries_shuffle_mb": shuffle_mb,
+                   "queries_memo_hit": {n: True for n, h in memo_hit.items() if h},
                    "tpch_suite_sec": tpch_suite_sec}, fh,
                   indent=1, sort_keys=True)
 
@@ -297,12 +318,28 @@ def main() -> None:
         "q1_star_revenue_by_nation",
         min2.get("q1_star_revenue_by_nation", -1.0),
     )
+    # Compute-bound scaling sentinel (VERDICT r17 #3 / next-round #2):
+    # the top-5-slowest headline at sf0.1 is structurally the
+    # floor-bound streaming/iterative set whose 8-vs-32-core ratio is
+    # ≈1 by construction, which false-positived the driver's
+    # "cpus ignored" heuristic in r17. x2ac's 16× portable-PRF scan is
+    # pure per-row JVM compute — the one probe family whose timing CAN
+    # track core count — so it is always present for the low/high-core
+    # comparison. Additions-only: existing keys keep their meaning.
+    if "x2ac_minhash_calibration" in min2:  # absent in subset runs
+        headline.setdefault(
+            "x2ac_minhash_calibration", min2["x2ac_minhash_calibration"]
+        )
     out = {
         "metric": "probe_suite_wall",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "eval": "noop",
+        # The parallelism the suite ACTUALLY ran with (local[N] ⇒ N):
+        # lets the driver's scaling check distinguish "ignored
+        # $SPARK_GRAFT_CPUS" from "sampled serial probes".
+        "cpus": spark.sparkContext.defaultParallelism,
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "calib_sec": calib_sec,

@@ -77,6 +77,15 @@ def memo_persist(
     re-derivation each time (the round-5 suite spent ~23 % of wall in
     the similarity family, most of it duplicated shingling/hashing).
 
+    POLICY (VERDICT r17 #2): this cache holds shared DERIVED relations
+    only — scores, ids, grams, centroids, codes — never a probe's final
+    RESULT frame built solely to make that probe's own re-invocation
+    cheap. Memoizing final results is result caching, not optimization
+    (the bench would time a cache read), and is out of bounds; the one
+    edge case where a shared derived relation IS also a probe's entire
+    result (x2i's component labels) is flagged per-run in BENCH_DETAIL
+    as ``queries_memo_hit`` so timings are never misread.
+
     Keys are namespaced by the Spark application so a cache from a
     stopped session is never served. LRU-bounded at
     ``_MEMO_CAPACITY`` entries — a hit refreshes recency, so the

@@ -1,5 +1,5 @@
 """Profile one probe in isolation: time N noop-sink evaluations and
-dump the formatted plan to plans/r17/<name>_<tag>.txt.
+dump the formatted plan to plans/r18/<name>_<tag>.txt.
 
 Usage:
     python scripts/profile_probe.py <probe> [probe ...] [--tag before]
@@ -78,8 +78,8 @@ def main() -> None:
             )
         print(f"{name} min: {min(times):.3f}s", flush=True)
         if plan and tag:
-            os.makedirs("/root/repo/plans/r17", exist_ok=True)
-            out = f"/root/repo/plans/r17/{name}_{tag}.txt"
+            os.makedirs("/root/repo/plans/r18", exist_ok=True)
+            out = f"/root/repo/plans/r18/{name}_{tag}.txt"
             df = p.fn(spark, sf_dir)
             with open(out, "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
