@@ -409,16 +409,27 @@ def x2g_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_id",
         "bucket",
     )
+    # r18: score BEFORE deduping so the multi-table union exchanges
+    # (query_id, neighbor_id, sim) — 24 bytes a row — instead of two
+    # 64-double embeddings (~1 KB); duplicates across tables carry the
+    # SAME embeddings, hence the same deterministic sim, so the kept
+    # row is identical whichever table it came from. The explicit
+    # repartition(query_id) then satisfies both the pair dedupe
+    # (clustering by a key subset) and the rank window — ONE narrow
+    # exchange where the old shape paid two payload-carrying ones
+    # (guide §2.3/§2.4).
+    sim = _dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))
     pairs = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_emb", "q_nrm", "neighbor_id", "c_emb", "c_nrm")
+        .withColumn("sim_raw", sim)
+        .select("query_id", "neighbor_id", "sim_raw")
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # union of the tables
     )
-    sim = _dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("sim_raw", sim)
+        pairs
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select(
@@ -492,6 +503,42 @@ def ivf_centroids_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_assign_ranked_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-rank corpus assignment against the memoized centroids:
+    (vec_id, emb, nrm, list_id, sim, rnk) for ALL k lists per vector,
+    rnk ranked by (sim desc, list_id asc) — the identical window
+    :func:`ivf_assign` computes. Memoized (r18, VERDICT r17 next-round
+    #1: share the ANN branches' scan/centroid subtrees): x2h (index =
+    rnk 1, queries = rnk ≤ nprobe over vec_id < 20), x2s/x2t (index +
+    md5-sampled query assignment), x2u (the full rank sweep), x2x (the
+    written index) and every x2r re-invocation of those paths each ran
+    this same corpus × k-centroid window per call — one cached pass now
+    serves them all. Slicing is exact: the window partitions by vec_id,
+    so any row-subset filter (vec_id predicate, rnk cut) commutes with
+    the ranking, and ``ivf_assign(vecs, cents, n)`` ≡
+    ``filter(rnk <= n)`` whenever vecs/cents are the corpus frame and
+    the memoized centroids. Size: |corpus| × k rows of (ids, sim,
+    rank) plus the embedding column — the same derived-relation class
+    as kmeans_assign."""
+    from realtime_financial_transactions_data_pipeline_spark.caching import (
+        memo_persist,
+    )
+
+    def build() -> DataFrame:
+        emb = _emb_base(spark, sf_dir)
+        cents = ivf_centroids_memo(spark, sf_dir)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+        sim = _dot("emb", "centroid") / (F.col("nrm") * F.col("c_nrm2"))
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("sim", sim)
+            .withColumn("rnk", F.row_number().over(w))
+            .select("vec_id", "emb", "nrm", "list_id", "sim", "rnk")
+        )
+
+    return memo_persist(spark, ("ivf_assign_ranked", sf_dir), build)
+
+
 _X2H_ORACLE = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 pos AS (SELECT label, unnest(generate_series(1, len(emb))) AS pos, unnest(emb) AS v
@@ -538,17 +585,27 @@ def x2h_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking are plain unnest+avg arithmetic in DuckDB; recall on
     planted clusters is additionally asserted in
     tests/test_similarity.py."""
-    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "emb", "nrm", "label"
-    )
-    cents = ivf_centroids_memo(spark, sf_dir)
-    index = ivf_assign(emb, cents, nprobe=1).select(
+    # r18: both assignment windows come from the shared full-rank memo
+    # (ivf_assign(..., nprobe=n) ≡ filter(rnk <= n) — see
+    # ivf_assign_ranked_memo), and the candidate rows drop their
+    # embedding payload BEFORE any exchange: sim is computed map-side
+    # right after the broadcast join (duplicates, if any, carry
+    # identical embeddings ⇒ identical sim, so dedupe-after-score keeps
+    # the same rows), then one explicit repartition(query_id) serves
+    # BOTH the (query, neighbor) dedupe and the rank window — one
+    # narrow exchange of (ids, sim) instead of two exchanges carrying
+    # 64-double arrays (guide §2.3 shuffle fewer bytes, §2.4 share the
+    # exchange).
+    a = ivf_assign_ranked_memo(spark, sf_dir)
+    index = a.filter(F.col("rnk") <= 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
         "list_id",
     )
-    queries = ivf_assign(emb.filter(F.col("vec_id") < 20), cents, nprobe=_IVF_NPROBE).select(
+    queries = a.filter(
+        (F.col("vec_id") < 20) & (F.col("rnk") <= _IVF_NPROBE)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -558,8 +615,10 @@ def x2h_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         index.join(F.broadcast(queries), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("sim_raw", _dot("q_emb", "c_emb") / (F.col("q_nrm") * F.col("c_nrm")))
+        .select("query_id", "neighbor_id", "sim_raw")
+        .repartition("query_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select(
@@ -1265,11 +1324,18 @@ def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors) — a handful of queries over a corpus-sized candidate
     set would otherwise funnel every row through |queries| window
     tasks, the q15 single-partition hazard in per-key form."""
+    # r18: index assignment and the 3-query probe assignment are both
+    # rank slices of the shared full-rank memo (ivf_assign_ranked_memo:
+    # the window partitions by vec_id, so vec-subset filters commute
+    # with the ranking) — x2s no longer re-runs the corpus × centroids
+    # window per invocation.
     emb = with_double_embedding(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "nrm", "label"
     )
-    cents = ivf_centroids_memo(spark, sf_dir)
-    iidx = ivf_assign(emb, cents, nprobe=1).select("vec_id", F.col("list_id").alias("ivf_list"))
+    a = ivf_assign_ranked_memo(spark, sf_dir)
+    iidx = a.filter(F.col("rnk") <= 1).select(
+        "vec_id", F.col("list_id").alias("ivf_list")
+    )
     qs0 = (
         emb.select("vec_id")
         .withColumn(
@@ -1279,11 +1345,10 @@ def x2s_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_NQ)
         .select(F.col("vec_id").alias("q_id"))
     )
-    qvec = emb.join(F.broadcast(qs0), emb.vec_id == qs0.q_id).select(
-        "vec_id", "emb", "nrm"
-    )
-    qassign = ivf_assign(qvec, cents, nprobe=_IVFPQ_NPROBE).select(
-        F.col("vec_id").alias("q_id"), F.col("list_id").alias("ivf_list")
+    qassign = (
+        a.filter(F.col("rnk") <= _IVFPQ_NPROBE)
+        .join(F.broadcast(qs0), a.vec_id == qs0.q_id)
+        .select("q_id", F.col("list_id").alias("ivf_list"))
     )
     cand = (
         iidx.join(F.broadcast(qassign), "ivf_list")
@@ -1500,9 +1565,12 @@ def _residual_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        emb = _emb_base(spark, sf_dir)
         cents = ivf_centroids_memo(spark, sf_dir)
-        assign1 = ivf_assign(emb, cents, nprobe=1).select("vec_id", "emb", "list_id")
+        assign1 = (
+            ivf_assign_ranked_memo(spark, sf_dir)
+            .filter(F.col("rnk") <= 1)
+            .select("vec_id", "emb", "list_id")
+        )
         residual = F.expr("zip_with(emb, centroid, (a, b) -> a - b)")
         return assign1.join(
             F.broadcast(cents.select("list_id", "centroid")), "list_id"
@@ -1551,12 +1619,14 @@ def _ivfpq_residual_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_NQ)
         .select(F.col("vec_id").alias("q_id"))
     )
-    qvec = emb.join(F.broadcast(qs0), emb.vec_id == qs0.q_id).select(
-        "q_id", "emb", "nrm", F.col("q_id").alias("vec_id")
+    # r18: the 3-query probe assignment is a rank slice of the shared
+    # full-rank memo (window partitions by vec_id — subsetting commutes).
+    qassign = (
+        ivf_assign_ranked_memo(spark, sf_dir)
+        .filter(F.col("rnk") <= _IVFPQ_NPROBE)
+        .join(F.broadcast(qs0), F.col("vec_id") == qs0.q_id)
+        .select("q_id", "emb", F.col("list_id").alias("ivf_list"))
     )
-    qassign = ivf_assign(
-        qvec.select("vec_id", "emb", "nrm"), cents, nprobe=_IVFPQ_NPROBE
-    ).select(F.col("vec_id").alias("q_id"), "emb", F.col("list_id").alias("ivf_list"))
     qres = (
         qassign.join(F.broadcast(cents.select(F.col("list_id").alias("ivf_list"), "centroid")), "ivf_list")
         .select("q_id", "ivf_list", residual.alias("remb"))
@@ -1868,9 +1938,23 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     where hyperplane LSH recall collapses (x2f docstring) — which is
     exactly what recall accounting exists to surface; the planted-
     cluster recall guarantees live with the x2g/x2h unit tests."""
-    emb = with_double_embedding(load_table(spark, sf_dir, "embeddings"))
-    exact3 = exact_cos_topk(spark, sf_dir, k=3).select("query_id", "neighbor_id")
-    exact5 = exact_cos_topk(spark, sf_dir, k=5).select("query_id", "neighbor_id")
+    # r18 shape (VERDICT r17 next-round #1): one plan, one accounting
+    # aggregation. The old form ran _recall_against per method — six
+    # (inner join + groupBy + distinct + left join) quads, with the
+    # exact top-3 window subtree executing four times and the top-5
+    # twice (~35 exchanges total). Now:
+    #   * ONE ranked window over the memoized cosine grid yields BOTH
+    #     cosine reference sets (top-3 ⊂ top-5 under the identical
+    #     deterministic ordering), tagged per method via explode;
+    #   * the exact-L2 reference comes from the shared
+    #     _exact_l2_top5 memo (same key as before, deduped builder);
+    #   * the six ANN top-k frames union into one tiny tagged relation
+    #     that is BROADCAST, so recall accounting is a single
+    #     broadcast left-join + ONE hash aggregation — a ref row's
+    #     match marker counts per (method, query), zero-hit queries
+    #     stay at count 0 exactly as the old left join kept them.
+    # Row-for-row identical output (same 6 method panels, same n_hits,
+    # same n_hits/k doubles); only the plan shape changed.
     lsh = (
         x2g_ann_lsh_bucketed(spark, sf_dir)
         .filter(F.col("rank") <= 3)
@@ -1893,48 +1977,75 @@ def x2r_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     binq = x2q_binary_hamming_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    pqs = (
-        emb.select("vec_id")
-        .withColumn(
-            "_h", F.md5(F.concat(F.lit("q:"), F.col("vec_id").cast("string")))
+    pexact = _exact_l2_top5(spark, sf_dir)
+
+    def mk(method: str, k: int):
+        return F.struct(
+            F.lit(method).alias("method"), F.lit(float(k)).alias("k")
         )
-        .orderBy("_h")
-        .limit(_PQ_NQ)
-        .select(F.col("vec_id").alias("query_id"))
+
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("neighbor_id")
     )
-    qv = emb.join(F.broadcast(pqs), emb.vec_id == pqs.query_id).select(
-        "query_id", F.col("emb").alias("q_emb")
+    cos_ref = (
+        exact_cos_scored(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w5))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.when(
+                    F.col("rank") <= 3,
+                    F.array(
+                        mk("lsh_x2g", 3), mk("ivf_x2h", 3), mk("binary_x2q", 5)
+                    ),
+                ).otherwise(F.array(mk("binary_x2q", 5)))
+            ).alias("mk"),
+        )
     )
-    d2 = F.expr(
-        "aggregate(zip_with(q_emb, c_emb, (a, b) -> (a - b) * (a - b)),"
-        " 0.0D, (s, v) -> s + v)"
+    pq_ref = pexact.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                mk("pq_adc_x2p", _PQ_TOPK),
+                mk("ivfpq_x2s", _PQ_TOPK),
+                mk("ivfpq_residual_x2t", _PQ_TOPK),
+            )
+        ).alias("mk"),
     )
-    w5 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    from realtime_financial_transactions_data_pipeline_spark.caching import (
-        memo_persist,
+    ref = cos_ref.unionByName(pq_ref).select(
+        F.col("mk.method").alias("method"),
+        F.col("mk.k").alias("k"),
+        "query_id",
+        "neighbor_id",
     )
 
-    pexact = memo_persist(
-        spark,
-        ("exact_l2_top5", sf_dir),
-        lambda: (
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb")
-            )
-            .crossJoin(F.broadcast(qv))
-            .withColumn("d2", d2)
-            .withColumn("rank", F.row_number().over(w5))
-            .filter(F.col("rank") <= _PQ_TOPK)
-            .select("query_id", "neighbor_id")
-        ),
+    def tag(m: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(m).alias("method"), "query_id", "neighbor_id"
+        )
+
+    ann = (
+        tag("lsh_x2g", lsh)
+        .unionByName(tag("ivf_x2h", ivf))
+        .unionByName(tag("pq_adc_x2p", adc))
+        .unionByName(tag("ivfpq_x2s", ivfpq))
+        .unionByName(tag("ivfpq_residual_x2t", ivfpqr))
+        .unionByName(tag("binary_x2q", binq))
+        .withColumn("_hit", F.lit(1))
     )
-    return (
-        _recall_against("lsh_x2g", lsh, exact3, 3)
-        .unionAll(_recall_against("ivf_x2h", ivf, exact3, 3))
-        .unionAll(_recall_against("pq_adc_x2p", adc, pexact, _PQ_TOPK))
-        .unionAll(_recall_against("ivfpq_x2s", ivfpq, pexact, _PQ_TOPK))
-        .unionAll(_recall_against("ivfpq_residual_x2t", ivfpqr, pexact, _PQ_TOPK))
-        .unionAll(_recall_against("binary_x2q", binq, exact5, 5))
+    hits = (
+        ref.join(F.broadcast(ann), ["method", "query_id", "neighbor_id"], "left")
+        .groupBy("method", "k", "query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+    )
+    return hits.select(
+        "method",
+        "query_id",
+        "n_hits",
+        (F.col("n_hits") / F.col("k")).alias("recall"),
     )
 
 
@@ -2031,15 +2142,10 @@ def x2u_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 windows over 20×N rows — not 6 searches. At 100 TB the sweep
     runs on a sampled query set exactly like this one, and the chosen
     nprobe feeds x2h's index-serving path."""
-    cents = ivf_centroids_memo(spark, sf_dir)
-    emb = _emb_base(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
-    sim = _dot("emb", "centroid") / (F.col("nrm") * F.col("c_nrm2"))
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("sim", sim)
-        .withColumn("rnk", F.row_number().over(w))
-    )
+    # r18: the sweep's full-rank assignment IS the shared memo frame
+    # (identical window, identical tie-break) — no per-invocation
+    # corpus × centroids pass.
+    assign = ivf_assign_ranked_memo(spark, sf_dir)
     iidx = assign.filter(F.col("rnk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "list_id"
     )
@@ -2621,17 +2727,31 @@ def x34_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X2X_ROOT = "/tmp/spark_graft_probes/x2x"
 
 
-def write_ivf_index(emb: DataFrame, cents: DataFrame, root: str) -> None:
+def write_ivf_index(
+    emb: DataFrame, cents: DataFrame, root: str, assigned: DataFrame | None = None
+) -> None:
     """Materialize the IVF layout: broadcastable centroids plus
     list-partitioned inverted lists (one directory per coarse list —
-    the partition column is the probe key)."""
+    the partition column is the probe key). ``assigned`` (r18) lets a
+    caller supply a precomputed nprobe=1 assignment (vec_id, emb, nrm,
+    list_id) — x2x passes the shared full-rank memo's rnk=1 slice so
+    the build does not re-run the corpus × centroids window."""
     cents.write.mode("overwrite").parquet(f"{root}/centroids")
-    ivf_assign(emb, cents, nprobe=1).select(
+    if assigned is None:
+        assigned = ivf_assign(emb, cents, nprobe=1)
+    # repartition on the partition column: one file per list directory
+    # regardless of the source frame's partitioning (the memoized
+    # assignment is multi-partition; writing it directly fans out to
+    # files-per-partition-per-list — the small-file guard x2n's index
+    # writes already apply).
+    assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
         "list_id",
-    ).write.mode("overwrite").partitionBy("list_id").parquet(f"{root}/lists")
+    ).repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{root}/lists")
 
 
 def ivf_query_reloaded(
@@ -2691,6 +2811,11 @@ def x2x_persisted_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(_X2X_ROOT, ignore_errors=True)
     emb = _emb_base(spark, sf_dir)
-    write_ivf_index(emb, ivf_centroids_memo(spark, sf_dir), _X2X_ROOT)
+    write_ivf_index(
+        emb,
+        ivf_centroids_memo(spark, sf_dir),
+        _X2X_ROOT,
+        assigned=ivf_assign_ranked_memo(spark, sf_dir).filter(F.col("rnk") <= 1),
+    )
     queries = emb.filter(F.col("vec_id") < 20).drop("label")
     return pin_result(ivf_query_reloaded(spark, _X2X_ROOT, queries))
