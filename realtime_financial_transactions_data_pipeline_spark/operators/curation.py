@@ -268,7 +268,13 @@ def x7_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id % 97 == 0`` stand in for the benchmark; per-language
     contaminated counts over the rest (exact duplicates planted in the
     corpus guarantee non-zero hits)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from realtime_financial_transactions_data_pipeline_spark.tables import widen_scan
+
+    # widen_scan (r18): the shared shingle pass (persisted, consumed by
+    # three branches) otherwise builds on the single-file scan's one task.
+    d = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     return contamination_check(d, F.col("doc_id") % 97 == 0)
 
 
@@ -1033,7 +1039,11 @@ def x26_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k = _SPAN_K
-    d = load_table(spark, sf_dir, "documents")
+    from realtime_financial_transactions_data_pipeline_spark.tables import widen_scan
+
+    # widen_scan (r18): the gram digest transform is the scan-adjacent
+    # dominant compute; the single-file scan ran it on one task.
+    d = widen_scan(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     # Grams travel as xxhash64 digests, the x25 discipline: the bench
     # distinct and the semi join move 8-byte keys whether the join

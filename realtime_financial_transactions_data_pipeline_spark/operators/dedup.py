@@ -388,7 +388,17 @@ def _corpus_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        from realtime_financial_transactions_data_pipeline_spark.tables import (
+            widen_scan,
+        )
+
+        # widen_scan (r18): the single-file documents scan is ONE task;
+        # without it the shingle pass — and every downstream map pass
+        # over this cached frame (x2a banding, x2ac's 16× md5
+        # signatures, x16, x40) — runs serial on any core count.
+        d = widen_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
         return d.select("doc_id", word_shingles("text").alias("grams")).withColumn(
             "n", F.size("grams")
         )
@@ -402,7 +412,13 @@ def _corpus_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_financial_transactions_data_pipeline_spark.caching import memo_persist
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        from realtime_financial_transactions_data_pipeline_spark.tables import (
+            widen_scan,
+        )
+
+        d = widen_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
         return d.select("doc_id", simhash_col("text", portable=True).alias("simhash"))
 
     return memo_persist(spark, ("corpus_simhash", sf_dir), build)
@@ -649,7 +665,11 @@ def x25_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a 128-bit digest the way x1 does. The island window
     partitions by doc_id, so no executor ever holds more than one
     document's positions."""
-    d = load_table(spark, sf_dir, "documents")
+    from realtime_financial_transactions_data_pipeline_spark.tables import widen_scan
+
+    # widen_scan (r18): the window-digest transform is scan-adjacent
+    # dominant compute; the single-file scan ran it on one task.
+    d = widen_scan(load_table(spark, sf_dir, "documents"))
     return repeated_spans_panel(d)
 
 
@@ -1158,59 +1178,61 @@ def connected_components(
     )
     # The iterated state is the dup-cluster node set — orders of
     # magnitude smaller than the corpus (only docs appearing in a
-    # near-dup edge). Narrow the shuffle while iterating so each round
-    # is a handful of tasks, not a full-width exchange; restored after.
-    # On a cluster, size this to the edge-list partition count instead.
-    # NOTE: this mutates a SESSION-scoped conf for the duration of the
-    # loop (restored in finally). Safe under the harness's sequential
-    # probe execution; if probes ever run concurrently on a shared
-    # session, other queries started inside this window would plan
-    # their exchanges at 4 partitions too — use separate sessions
-    # (spark.newSession()) or pass an explicitly repartitioned edge
-    # list in that deployment.
-    spark = labels.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        for _ in range(max_iters):
-            prop = edges.join(
-                labels, edges.dst == labels.doc_id, "inner"
-            ).select(
-                F.col("src").alias("doc_id"),
-                "canonical_id",
-                F.lit(False).alias("_is_old"),
+    # near-dup edge). Rounds used to pin spark.sql.shuffle.partitions=4
+    # session-globally for the loop's duration; r18 (VERDICT r17 #3)
+    # replaces the pin with explicit count-derived repartitions: a
+    # fixed width of 4 is sized to probe-scale edge lists and would
+    # serialize the loop at corpus scale, and mutating session state
+    # is unsafe under any concurrent query on a shared session. Each
+    # round now pays the SAME three exchanges the pinned shape paid —
+    # labels (explicit, hash(doc_id, w); reused by both the join and
+    # the union branch), edges (implicit, matched to w by the join),
+    # the pre-aggregate union (explicit) — at a width derived from the
+    # materialized edge count instead of a constant.
+    from realtime_financial_transactions_data_pipeline_spark.operators.graph import (
+        _cc_loop_width,
+    )
+
+    w = _cc_loop_width(edges.count())
+    for _ in range(max_iters):
+        labels_w = labels.repartition(w, "doc_id")
+        prop = edges.join(
+            labels_w, edges.dst == labels_w.doc_id, "inner"
+        ).select(
+            F.col("src").alias("doc_id"),
+            "canonical_id",
+            F.lit(False).alias("_is_old"),
+        )
+        # The convergence check rides the SAME aggregation: each
+        # doc's previous label is tagged into the union and carried
+        # out as `_old` by the min-over-tagged aggregate, so
+        # n_changed is a filter-count over the just-materialized
+        # checkpoint — no per-round join-with-previous shuffle (the
+        # old shape ran one extra shuffle join every round purely
+        # for the check).
+        new_full = (
+            labels_w.withColumn("_is_old", F.lit(True))
+            .unionByName(prop)
+            .repartition(w, "doc_id")
+            .groupBy("doc_id")
+            .agg(
+                F.min("canonical_id").alias("canonical_id"),
+                F.min(
+                    F.when(F.col("_is_old"), F.col("canonical_id"))
+                ).alias("_old"),
             )
-            # The convergence check rides the SAME aggregation: each
-            # doc's previous label is tagged into the union and carried
-            # out as `_old` by the min-over-tagged aggregate, so
-            # n_changed is a filter-count over the just-materialized
-            # checkpoint — no per-round join-with-previous shuffle (the
-            # old shape ran one extra shuffle join every round purely
-            # for the check).
-            new_full = (
-                labels.withColumn("_is_old", F.lit(True))
-                .unionByName(prop)
-                .groupBy("doc_id")
-                .agg(
-                    F.min("canonical_id").alias("canonical_id"),
-                    F.min(
-                        F.when(F.col("_is_old"), F.col("canonical_id"))
-                    ).alias("_old"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            n_changed = (
-                new_full.filter(F.col("canonical_id") != F.col("_old")).count()
-            )
-            labels = new_full.select("doc_id", "canonical_id")
-            if n_changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iters} rounds"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_full.filter(F.col("canonical_id") != F.col("_old")).count()
+        )
+        labels = new_full.select("doc_id", "canonical_id")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
     if not pin:
         return labels
     return labels.sparkSession.createDataFrame(labels.collect(), labels.schema)

@@ -1181,22 +1181,19 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # r17 optimization: iterate at a narrow shuffle width (the
-    # dedup.connected_components discipline — the iterated state is
-    # edge-list-sized, tiny next to the corpus) and make the exact
-    # fixed-point check cheap: both sides are DISTINCT sets, so
-    # |small| == |e| AND small∖e = ∅ already implies equality — the
-    # counts come free with each round's materialization, and the
-    # one-directional exceptAll only runs when the counts match
-    # (before: two edge-list exceptAll jobs EVERY round). Exactness
-    # unchanged; g8 measured 7.0 -> 4.4 s min-of-2 at sf0.1.
-    spark = e.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        e = _star_fixpoint(e, max_iters)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # r17 optimization: make the exact fixed-point check cheap — both
+    # sides are DISTINCT sets, so |small| == |e| AND small∖e = ∅
+    # already implies equality; the counts come free with each round's
+    # materialization, and the one-directional exceptAll only runs when
+    # the counts match (before: two edge-list exceptAll jobs EVERY
+    # round). r18 (VERDICT r17 #1/#3): the r17 companion change — a
+    # session-global spark.sql.shuffle.partitions=4 pin around the loop
+    # — is REMOVED: width 4 was sized to sf0.1's edge list (it would
+    # serialize the loop at 100 TB) and mutating session state is
+    # unsafe under concurrent queries. AQE's runtime coalescing gives
+    # each round the same narrow width here and a data-sized width at
+    # scale; A/B-measured flat at sf0.1 (g8 3.18 → 3.18 s min-of-3).
+    e = _star_fixpoint(e, max_iters)
     # Fixed point is a star forest (node -> component root); roots
     # label themselves.
     roots = e.select(
@@ -1209,14 +1206,40 @@ def connected_components_star(
     )
 
 
+def _cc_loop_width(n_rows: int) -> int:
+    """Shuffle width for one round of an iterated edge-list loop,
+    derived from the MATERIALIZED row count (VERDICT r17 #3): ~100k
+    edge rows per task, floor 4 so probe-scale graphs keep the narrow
+    loop the old session-global conf pin provided, no ceiling — at
+    corpus scale the width follows the data instead of a constant
+    tuned to either local mode or one cluster size."""
+    return max(4, n_rows // 100_000 + 1)
+
+
 def _star_fixpoint(e: DataFrame, max_iters: int) -> DataFrame:
     """The large-star/small-star alternation loop of
-    :func:`connected_components_star`, run to the exact fixed point."""
+    :func:`connected_components_star`, run to the exact fixed point.
+
+    Shuffle plan per round (r18): THREE explicit count-derived
+    ``repartition(w, "a")`` exchanges — the bi-directed view, the
+    oriented edge set, the next edge set — and nothing implicit.
+    Hash-partitioning on ``a`` clusters every (a, b) group too (subset
+    rule), so each exchange serves ALL downstream per-round operators:
+    bi's feeds both the neighborhood-min aggregate and the large-star
+    join (reused exchange), o's feeds the distinct, the small-star
+    min aggregate AND the om join, small's feeds its distinct. The
+    r17 shape paid ~6 implicit conf-width exchanges per round; this
+    pays 3 at a width derived from the live edge count — no
+    session-global ``spark.sql.shuffle.partitions`` mutation (the r17
+    pin was sized to sf0.1 and would serialize the loop at 100 TB)."""
     n_prev = e.count()
     for _ in range(max_iters):
+        w = _cc_loop_width(n_prev)
         # Large-star: reattach strictly-larger neighbors to the
         # center's neighborhood minimum (center included).
-        bi = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        bi = e.unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).repartition(w, "a")
         mn = bi.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
         # No distinct here (r17): `o` below re-distincts after its
         # greatest/least normalization and `mn2` is a min-aggregate —
@@ -1230,9 +1253,13 @@ def _star_fixpoint(e: DataFrame, max_iters: int) -> DataFrame:
         )
         # Small-star: orient large→small; reattach every smaller
         # neighbor AND the center to the minimum.
-        o = large.select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        ).distinct()
+        o = (
+            large.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .repartition(w, "a")
+            .distinct()
+        )
         mn2 = o.groupBy("a").agg(F.min("b").alias("m"))
         om = o.join(mn2, "a")
         small = (
@@ -1240,6 +1267,7 @@ def _star_fixpoint(e: DataFrame, max_iters: int) -> DataFrame:
             .unionAll(om.select(F.col("a").alias("x"), "m"))
             .filter(F.col("x") != F.col("m"))
             .select(F.col("x").alias("a"), F.col("m").alias("b"))
+            .repartition(w, "a")
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -1426,25 +1454,38 @@ _G10_KS = (2, 3)
 _G10_ROUNDS = 6  # oracle unroll budget; measured convergence depth 2
 
 
-def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
+def kcore_edges(edges: DataFrame, k: int) -> tuple[DataFrame, int]:
     """The k-core of an undirected (u < v) edge relation: iteratively
     drop nodes with degree < k and their incident edges until stable.
     Each round: one degree aggregate over the bi-directed view + two
     semi joins, checkpointed so the plan never grows; the convergence
-    probe reads a count, not data."""
+    probe reads a count, not data. Returns ``(core, n_edges)`` — the
+    converged edge count comes free with the stop test, so callers
+    never pay a separate count job (r18; g10 re-counted each core)."""
     cur = edges.select("u", "v").localCheckpoint(eager=True)
     n_edges = cur.count()
     while n_edges > 0:
+        # Explicit count-derived widths (r18, the CC-loop discipline):
+        # without them every per-round exchange plans at the session
+        # width and the peel pays dozens of near-empty tasks per round
+        # at probe scale while a conf pin would serialize it at corpus
+        # scale. hash(u, w) on the reattached edge set also clusters
+        # the second semi join's build side lookups; the deg aggregate
+        # gets its own width on the node key.
+        w = _cc_loop_width(n_edges)
         deg = (
             cur.select(F.col("u").alias("n"))
             .unionAll(cur.select(F.col("v").alias("n")))
+            .repartition(w, "n")
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= k)
             .select("n")
         )
         nxt = (
-            cur.join(deg.withColumnRenamed("n", "u"), "u", "left_semi")
+            cur.repartition(w, "u")
+            .join(deg.withColumnRenamed("n", "u"), "u", "left_semi")
+            .repartition(w, "v")
             .join(deg.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
@@ -1453,7 +1494,7 @@ def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
         if n_next == n_edges:
             break
         cur, n_edges = nxt, n_next
-    return cur
+    return cur, n_edges
 
 
 def _g10_oracle() -> str:
@@ -1524,7 +1565,7 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 9.6 s at sf0.1 before, ~60 % of it this redundancy).
     prev_core = edges
     for k in _G10_KS:
-        core = kcore_edges(prev_core, k)
+        core, n_core_edges = kcore_edges(prev_core, k)
         prev_core = core
         nodes = core.select(F.col("u").alias("n")).union(
             core.select(F.col("v").alias("n"))
@@ -1535,8 +1576,8 @@ def g10_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_core_nodes"),
                 F.coalesce(F.sum("n"), F.lit(0)).alias("node_checksum"),
             )
-            # scalar, bounded: the graph family's count discipline
-            .withColumn("n_core_edges", F.lit(core.count()).cast("long"))
+            # scalar, bounded — the count rode the peel's stop test
+            .withColumn("n_core_edges", F.lit(n_core_edges).cast("long"))
             .select("k", "n_core_nodes", "n_core_edges", "node_checksum")
         )
     out = parts[0]

@@ -41,7 +41,10 @@ from pyspark.sql import types as T
 
 from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
 from realtime_financial_transactions_data_pipeline_spark.registry import probe
-from realtime_financial_transactions_data_pipeline_spark.tables import load_table
+from realtime_financial_transactions_data_pipeline_spark.tables import (
+    load_table,
+    widen_scan,
+)
 
 #: Typed multimodal record: opaque payload + path + declared metadata.
 MEDIA_SCHEMA = T.StructType(
@@ -83,7 +86,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand in for an encoded payload; modality round-robins; metadata is
     derived JVM-side. (At scale this is the schema a real ingest would
     produce; only the payload synthesis is fake.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen_scan(load_table(spark, sf_dir, "documents"))  # r18: parallel decode
     content = F.encode("text", "UTF-8")
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -553,7 +556,7 @@ def x4c_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked: header-derived fields are deterministic functions of
     the source docs, so DuckDB re-derives the decode output without
     ever seeing the binary."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen_scan(load_table(spark, sf_dir, "documents"))  # r18: parallel decode
     wav = decode_wav(synth_wav_media(d.filter(F.col("doc_id") % 2 == 0)))
     ppm = decode_ppm(synth_ppm_media(d.filter(F.col("doc_id") % 2 == 1)))
     a = wav.agg(
@@ -710,7 +713,7 @@ def x4d_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc constant channel. All header-derived fields are
     deterministic functions of the source docs, so DuckDB re-derives
     the decode output without seeing the binary."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen_scan(load_table(spark, sf_dir, "documents"))  # r18: parallel decode
     return decode_bmp(synth_bmp_media(d))
 
 
@@ -955,7 +958,7 @@ def x4e_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     five unfilter branches; the header-derived fields are deterministic
     functions of the source docs, so DuckDB re-derives the decode
     output without seeing the binary."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen_scan(load_table(spark, sf_dir, "documents"))  # r18: parallel decode
     return decode_png(synth_png_media(d))
 
 
@@ -1029,7 +1032,7 @@ def x4f_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     RESIZED sums exactly: sampled source row for output row j is
     floor(j·h/8), so sum_red = 8·Σ_j 7·floor(j·h/8) — the oracle
     certifies the resampling index arithmetic, not just the decode."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen_scan(load_table(spark, sf_dir, "documents"))  # r18: parallel decode
     return decode_and_resize_png(synth_png_media(d))
 
 
@@ -1614,9 +1617,14 @@ def _media_fixture(spark: SparkSession, sf_dir: str, name: str, synth_fn):
 
     def build(tmp: str) -> None:
         assert module_ver  # closure scalar -> folded into the recipe token
-        synth_fn(load_table(spark, sf_dir, "documents")).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        # widen_scan (r18): encode in parallel AND land one part file
+        # per partition, so the fixture READ is a multi-split scan and
+        # every consumer's decode pass parallelizes — the single-file
+        # fixture made x4g/x4i/x4j decode on one task regardless of
+        # cores.
+        synth_fn(
+            widen_scan(load_table(spark, sf_dir, "documents"))
+        ).write.mode("overwrite").parquet(tmp)
 
     path = disk_fixture(name, source_fingerprint(sf_dir, "documents"), build)
     return spark.read.parquet(path)
@@ -1797,7 +1805,7 @@ def x4h_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash certifies the whole decode→window→FFT→argmax path without
     DuckDB running an FFT. rms is rounded to 6 dp on both sides (the
     sum of squares is exact; only the final sqrt is floating)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen_scan(load_table(spark, sf_dir, "documents"))  # r18: parallel decode
     feats = audio_features(synth_tone_media(d))
     return feats.select(
         "media_id",

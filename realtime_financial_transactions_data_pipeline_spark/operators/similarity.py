@@ -93,7 +93,14 @@ def exact_cos_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        emb = load_table(spark, sf_dir, "embeddings")
+        from realtime_financial_transactions_data_pipeline_spark.tables import (
+            widen_scan,
+        )
+
+        # widen_scan (r18): the single-file embeddings scan is ONE
+        # task; the 20 × N interpreted dot products below otherwise
+        # score serially on any core count.
+        emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
         q = with_double_embedding(emb.filter(F.col("vec_id") < 20)).select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("q_emb"),
@@ -386,10 +393,18 @@ def x2g_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 32 hyperplane dots per vector run as interpreted lambdas —
     # the probe's dominant pass; memoized so x2g's own rerun and x2r's
     # re-invocation skip it (VERDICT r12 #6).
+    from realtime_financial_transactions_data_pipeline_spark.tables import (
+        widen_scan,
+    )
+
     bucketed = memo_persist(
         spark,
         ("lsh_bucketed", sf_dir),
-        lambda: with_double_embedding(load_table(spark, sf_dir, "embeddings"))
+        # widen_scan (r18): 32 interpreted hyperplane dots per vector
+        # over a single-file scan ran on one task.
+        lambda: with_double_embedding(
+            widen_scan(load_table(spark, sf_dir, "embeddings"))
+        )
         .select(
             "vec_id", "emb", "nrm", F.explode(lsh_table_buckets("emb")).alias("tb")
         )
@@ -525,7 +540,11 @@ def ivf_assign_ranked_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        emb = _emb_base(spark, sf_dir)
+        from realtime_financial_transactions_data_pipeline_spark.tables import (
+            widen_scan,
+        )
+
+        emb = widen_scan(_emb_base(spark, sf_dir))
         cents = ivf_centroids_memo(spark, sf_dir)
         w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
         sim = _dot("emb", "centroid") / (F.col("nrm") * F.col("c_nrm2"))
@@ -1061,12 +1080,16 @@ def pq_train_memo(spark: SparkSession, sf_dir: str, key_prefix: str, src_builder
 
 
 def _pq_raw_trained(spark: SparkSession, sf_dir: str):
+    from realtime_financial_transactions_data_pipeline_spark.tables import (
+        widen_scan,
+    )
+
     return pq_train_memo(
         spark,
         sf_dir,
         "pq_raw",
         lambda: with_double_embedding(
-            load_table(spark, sf_dir, "embeddings")
+            widen_scan(load_table(spark, sf_dir, "embeddings"))
         ).select("vec_id", "emb"),
     )
 

@@ -265,7 +265,9 @@ def x3bcf_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins: predicted language (per doc, stronger than x3b's aggregated
     confusion matrix), surface-statistics quality, and corpus-model
     unigram cross-entropy (null for docs with no word tokens)."""
-    d = load_table(spark, sf_dir, "documents")
+    from realtime_financial_transactions_data_pipeline_spark.tables import widen_scan
+
+    d = widen_scan(load_table(spark, sf_dir, "documents"))  # r18: parallel scoring
     toks = F.array_distinct(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WORD_RE), 0))
     scored = d.withColumn("toks", toks)
     s = _lang_scores_spark("toks")
@@ -1214,8 +1216,12 @@ def x3n_boilerplate_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fully-unique docs), so the hash certifies the windowing
     arithmetic and the threshold boundary at once."""
     from realtime_financial_transactions_data_pipeline_spark.functions.compat import dround
+    from realtime_financial_transactions_data_pipeline_spark.tables import widen_scan
 
-    d = load_table(spark, sf_dir, "documents").select(
+    # widen_scan (r18): the gram transform+explode is the probe's
+    # dominant compute and the single-file scan feeds it (twice — the
+    # df aggregate and the flag-back join re-derive it) on one task.
+    d = widen_scan(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("ws")
     )
     grams = d.select(

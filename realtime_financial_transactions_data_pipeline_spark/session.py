@@ -48,6 +48,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at the Spark
+        # default (true). A/B at sf0.1 (r18): false cut tiny-task
+        # overhead broadly (suite 463 → 448 s) but SERIALIZED every
+        # compute-heavy mid-size exchange to ~1 task via the 64 MB
+        # advisory size (a19 2.0 → 4.1 s, sql2 6.1 → 7.4 s,
+        # o14 +1.2 s) — AQE cannot see that exploded/aggregation rows
+        # are compute-dense, only their bytes. The iterative loops
+        # that motivated the experiment (CC label propagation, star
+        # contraction, k-core peel) instead derive EXPLICIT per-round
+        # repartition widths from their live edge counts, which is
+        # immune to this knob at any scale.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

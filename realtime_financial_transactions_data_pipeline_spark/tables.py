@@ -79,6 +79,29 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def widen_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition an UNDER-partitioned input to the
+    session's parallelism before a heavy per-row compute pass
+    (shingling, PRF signatures, hyperplane dots, media decode) — the
+    guide-§2.5 fix for unsplittable small inputs: each sf testdata
+    table is ONE single-row-group parquet file, so its scan is one
+    task and any map-heavy pass over it runs serial no matter how many
+    cores the session has (r18; the reason compute-bound probes showed
+    ≈1.0 low/high-core scaling). No-op when the input already has >=
+    target partitions — at corpus scale a table scan is thousands of
+    splits, so this never inserts a shuffle there; the cost is bounded
+    by probe-scale inputs (one exchange of the small file's rows).
+    Deterministic under retry: round-robin repartition sorts within
+    input partitions first (spark.sql.execution.sortBeforeRepartition,
+    on by default). Results are unaffected — consumers are per-row
+    transforms and key-based aggregations/joins, never
+    partition-id-dependent."""
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for the SQL API path)."""
     for name in TABLE_NAMES:

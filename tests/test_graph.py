@@ -534,15 +534,14 @@ def test_g10_kcore_peels_to_fixpoint(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
     )
-    core2 = sorted((r.u, r.v) for r in kcore_edges(edges, 2).collect())
+    core2_df, n_core2 = kcore_edges(edges, 2)
+    core2 = sorted((r.u, r.v) for r in core2_df.collect())
     assert core2 == [(1, 2), (1, 3), (2, 3)]
-    assert kcore_edges(edges, 3).count() == 0
-    again = sorted(
-        (r.u, r.v)
-        for r in kcore_edges(
-            spark.createDataFrame(core2, "u long, v long"), 2
-        ).collect()
-    )
+    assert n_core2 == 3  # the returned count matches the converged core
+    core3_df, n_core3 = kcore_edges(edges, 3)
+    assert core3_df.count() == 0 and n_core3 == 0
+    again_df, _ = kcore_edges(spark.createDataFrame(core2, "u long, v long"), 2)
+    again = sorted((r.u, r.v) for r in again_df.collect())
     assert again == core2
 
 

@@ -25,10 +25,19 @@ def test_media_schema_shape(spark, sf_dir):
 
 def test_binary_matches_text_bytes(spark, sf_dir):
     m = multimodal.synth_media(spark, sf_dir).limit(5).collect()
+    from pyspark.sql import functions as F
+
     from realtime_financial_transactions_data_pipeline_spark.tables import load_table
 
+    # Fetch texts BY ID: widen_scan's round-robin repartition (r18)
+    # makes limit(5) return five arbitrary docs, not the file's first
+    # five — the old first-50 slice assumed scan order.
+    ids = [r.media_id for r in m]
     texts = {
-        r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .collect()
     }
     for r in m:
         assert bytes(r.content) == texts[r.media_id].encode("utf-8")

@@ -545,3 +545,43 @@ def test_er5_snm_no_global_window_no_theta_join(spark, sf_dir):
     assert set(rows) == set(range(1, _ER5_W + 1))
     for d, r in rows.items():
         assert r.n_pairs == n - d, (d, r.n_pairs, n)
+
+
+def test_no_shuffle_width_conf_mutation_in_batch_operators():
+    """Tripwire (VERDICT r17 #3): no BATCH operator may mutate the
+    session-global ``spark.sql.shuffle.partitions`` — a width pinned to
+    probe scale serializes iterated loops at corpus scale, and session
+    mutation is unsafe under concurrent queries on a shared session
+    (the CC loops now derive explicit per-round repartition widths from
+    the live edge count instead). Streaming wrappers are exempt: a pin
+    around ``writeStream.start()`` sizes the state store at checkpoint
+    creation, which is load-bearing and scoped to the query it starts.
+    """
+    import ast
+    import pathlib
+
+    ops_dir = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "realtime_financial_transactions_data_pipeline_spark"
+        / "operators"
+    )
+    offenders = []
+    for path in sorted(ops_dir.glob("*.py")):
+        src = path.read_text()
+        if "spark.sql.shuffle.partitions" not in src:
+            continue
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            seg = ast.get_source_segment(src, node) or ""
+            if (
+                "conf.set" in seg
+                and "spark.sql.shuffle.partitions" in seg
+                and "writeStream" not in seg
+            ):
+                offenders.append(f"{path.name}:{node.name}")
+    assert offenders == [], (
+        "batch operator mutates session-global shuffle width: "
+        f"{offenders}"
+    )
