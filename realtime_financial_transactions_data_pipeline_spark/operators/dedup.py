@@ -2191,6 +2191,12 @@ def x2n_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Production sizing note: scale this with batch volume - the
     # probe-scale counterpart of sizing shuffle partitions to executor
     # count on a cluster.
+    # Pre-create the checkpoint dir (r18, VERDICT r17 #5): the stream's
+    # first batch otherwise pays the offset-log directory setup inside
+    # its trigger.
+    import os
+
+    os.makedirs(f"{root}/_cp", exist_ok=True)
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     try:
         q = (

@@ -3492,7 +3492,12 @@ def s15_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal `n_events`, so a variant_get that errored or fabricated a
     value breaks the hash; `variant_schema` pins schema_of_variant's
     inference on every row via min() (all rows share one shape)."""
-    e = load_table(spark, sf_dir, "events").select(
+    from realtime_financial_transactions_data_pipeline_spark.tables import widen_scan
+
+    # widen_scan (r18): to_json → parse_json → variant_get per row is
+    # the probe's dominant compute; the single-file scan ran it on one
+    # task.
+    e = widen_scan(load_table(spark, sf_dir, "events")).select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 1000, 0).cast("long").alias("vm"),

@@ -2427,16 +2427,45 @@ def x2rb_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact L2 top-{_PQ_TOPK} (block comment above). Reuses the shared
     ADC-scored frame and the memoized exact baseline; DuckDB replays
     both searches, the refine, and the recall arithmetic."""
+    # r18: the x2r fused-accounting shape — the per-method
+    # _recall_against quads (inner join + groupBy + distinct + left
+    # join, twice) become ONE broadcast left-join + ONE aggregation
+    # over the method-tagged union; zero-hit queries stay at count 0
+    # exactly as the old left join kept them. Row-identical output.
     raw = x2t_ivfpq_residual_search(spark, sf_dir).select(
-        F.col("q_id").alias("query_id"), "neighbor_id"
+        F.lit("ivfpq_residual_x2t").alias("method"),
+        F.col("q_id").alias("query_id"),
+        "neighbor_id",
     )
     ref = x2v_ivfpq_refine(spark, sf_dir).select(
-        F.col("q_id").alias("query_id"), "neighbor_id"
+        F.lit("ivfpq_refined_x2v").alias("method"),
+        F.col("q_id").alias("query_id"),
+        "neighbor_id",
     )
+    ann = raw.unionByName(ref).withColumn("_hit", F.lit(1))
     pexact = _exact_l2_top5(spark, sf_dir)
-    return _recall_against(
-        "ivfpq_residual_x2t", raw, pexact, _PQ_TOPK
-    ).unionAll(_recall_against("ivfpq_refined_x2v", ref, pexact, _PQ_TOPK))
+    pq_ref = pexact.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                F.lit("ivfpq_residual_x2t"), F.lit("ivfpq_refined_x2v")
+            )
+        ).alias("method"),
+    )
+    hits = (
+        pq_ref.join(
+            F.broadcast(ann), ["method", "query_id", "neighbor_id"], "left"
+        )
+        .groupBy("method", "query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+    )
+    return hits.select(
+        "method",
+        "query_id",
+        "n_hits",
+        (F.col("n_hits") / float(_PQ_TOPK)).alias("recall"),
+    )
 
 
 # ---------------------------------------------------------------------------

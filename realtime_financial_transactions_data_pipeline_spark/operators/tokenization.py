@@ -106,7 +106,13 @@ def u1_fpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_pyffx_tokenizer,
     )
 
-    c = load_table(spark, sf_dir, "customer").withColumn("pan", _synth_pan())
+    from realtime_financial_transactions_data_pipeline_spark.tables import widen_scan
+
+    # widen_scan (r18): the 10-round Feistel per PAN is the probe's
+    # whole cost and the single-file scan fed it to one task.
+    c = widen_scan(load_table(spark, sf_dir, "customer")).withColumn(
+        "pan", _synth_pan()
+    )
     return c.select(
         "c_custkey",
         mask_pan(F.col("pan")).alias("masked_card_number"),
